@@ -1,0 +1,72 @@
+"""Entity linking: label → canonical resource URI.
+
+The reference's linking primitive is ``lookup_resource``
+(ref ferenda/documentrepository.py:478-525): exact label match against the
+commondata graph, else ``difflib.get_close_matches(label, candidates, 1,
+cutoff=0.8)``, else KeyError. This module provides
+
+- :class:`ResourceLookup` — the same semantics as a pure, broadcastable
+  object (difflib itself is used, so scoring parity is exact), and
+- helpers to load a commondata label table from Turtle.
+
+The distributed form (exact broadcast join first, 3-gram candidate
+generation + batched difflib scorer for the misses) lives in
+``operators/linking.py``.
+"""
+
+from __future__ import annotations
+
+import difflib
+
+from .namespaces import expand_curie
+from .rdfio import parse_turtle
+
+FOAF_NAME = "http://xmlns.com/foaf/0.1/name"
+
+
+class ResourceLookup:
+    """Label → URI with difflib fuzzy fallback (cutoff 0.8)."""
+
+    def __init__(self, entries):
+        """entries: iterable of (uri, predicate_uri, label)."""
+        self._by_pred: dict[str, dict[str, str]] = {}
+        for uri, pred, label in entries:
+            self._by_pred.setdefault(pred, {})[label] = uri
+
+    @classmethod
+    def from_turtle(cls, text: str) -> "ResourceLookup":
+        triples = parse_turtle(text)
+        return cls((t.subject, t.predicate, t.object)
+                   for t in triples if t.objtype == "literal")
+
+    def lookup(self, label: str, predicate: str = FOAF_NAME,
+               cutoff: float = 0.8) -> str:
+        predicate = expand_curie(predicate)
+        resources = self._by_pred.get(predicate, {})
+        if label in resources:
+            return resources[label]
+        fuzz = difflib.get_close_matches(label, resources.keys(), 1, cutoff)
+        if fuzz:
+            return resources[fuzz[0]]
+        raise KeyError("No good match for '%s'" % label)
+
+    def labels(self, predicate: str = FOAF_NAME) -> dict[str, str]:
+        return dict(self._by_pred.get(expand_curie(predicate), {}))
+
+
+def difflib_ratio(a: str, b: str) -> float:
+    """The exact score get_close_matches ranks by — SequenceMatcher with
+    the quick-ratio pre-filters applied the same way difflib does."""
+    m = difflib.SequenceMatcher(None, a, b)
+    if m.real_quick_ratio() < 1.0 and m.quick_ratio() < 1.0:
+        pass  # still fall through to ratio(); filters only skip work
+    return m.ratio()
+
+
+def close_enough(label: str, candidate: str, cutoff: float = 0.8) -> bool:
+    """True iff get_close_matches would keep ``candidate`` for ``label``:
+    all three staged ratios must clear the cutoff (difflib semantics)."""
+    m = difflib.SequenceMatcher(None, candidate, label)
+    return (m.real_quick_ratio() >= cutoff and
+            m.quick_ratio() >= cutoff and
+            m.ratio() >= cutoff)

@@ -1,0 +1,51 @@
+"""Minimal-graph contract: 3 triples without title, 4 with
+(ref test/testDocRepo.py:505-568; fixtures
+test/files/base/downloaded/123/a-version{1,2}.htm)."""
+
+from ferenda_spark.htmltree import parse_html
+from ferenda_spark.metadata import metadata_triples
+from ferenda_spark.namespaces import NS, RDF_TYPE
+from ferenda_spark.uris import RepoConfig
+
+V1 = b"""<html>
+  <head>
+    <!-- this version lacks a title and a lang attribute -->
+  </head>
+  <body>
+    <p>This is a initial revision of a document.</p>
+  </body>
+</html>"""
+
+V2 = b"""<html lang="en-GB">
+  <head>
+    <title>A document</title>
+  </head>
+  <body>
+    <p>This is a updated revision of a document.</p>
+    <p>It contains an extra paragraph and better metadata.</p>
+  </body>
+</html>"""
+
+CFG = RepoConfig()
+URI = CFG.canonical_uri("123/a")
+
+
+def test_three_triples_without_title():
+    lang, title, triples = metadata_triples(parse_html(V1), URI, "123/a", CFG)
+    assert lang == "en"          # repo default fallback
+    assert title is None
+    assert len(triples) == 3
+    preds = {t.predicate for t in triples}
+    assert preds == {RDF_TYPE, NS["dcterms"] + "identifier",
+                     NS["prov"] + "wasGeneratedBy"}
+    ident = [t for t in triples if t.predicate == NS["dcterms"] + "identifier"][0]
+    assert ident.object == "123/a" and ident.objtype == "literal"
+
+
+def test_four_triples_with_title():
+    lang, title, triples = metadata_triples(parse_html(V2), URI, "123/a", CFG)
+    assert lang == "en-GB"
+    assert title == "A document"
+    assert len(triples) == 4
+    t = [t for t in triples if t.predicate == NS["dcterms"] + "title"][0]
+    assert t.object == "A document" and t.lang == "en-GB"
