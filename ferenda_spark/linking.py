@@ -34,6 +34,12 @@ class ResourceLookup:
             self._by_pred.setdefault(pred, {})[label] = uri
 
     @classmethod
+    def from_dict(cls, table: dict) -> "ResourceLookup":
+        """From {(predicate_curie, label): uri} pairs."""
+        return cls(((uri, expand_curie(pred), label)
+                    for (pred, label), uri in table.items()))
+
+    @classmethod
     def from_turtle(cls, text: str) -> "ResourceLookup":
         triples = parse_turtle(text)
         return cls((t.subject, t.predicate, t.object)

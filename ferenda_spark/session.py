@@ -1,0 +1,32 @@
+"""SparkSession builder with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "ferenda_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") \
+        or "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (SparkSession.builder
+               .appName(app)
+               .master(master)
+               # AQE: runtime coalesce, skew-join splitting — the engine's
+               # answer to hot-host / hub-entity skew at scale
+               .config("spark.sql.adaptive.enabled", "true")
+               .config("spark.sql.adaptive.skewJoin.enabled", "true")
+               .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+               # Arrow batches feed the extraction UDF; bound batch size so
+               # large html blobs don't blow executor memory
+               .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+               .config("spark.sql.session.timeZone", "UTC")
+               .config("spark.driver.memory",
+                       os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+               .config("spark.ui.enabled", "false"))
+    if shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions",
+                                 str(shuffle_partitions))
+    return builder.getOrCreate()
