@@ -1,0 +1,108 @@
+"""The relate stage: dependency join, inbound references, canonicalize.
+
+Replaces per-document HTTP probing with set-at-a-time joins:
+
+- :func:`deps_table` ≙ relate_dependencies
+  (ref ferenda/documentrepository.py:1946-2008): for every triple whose
+  object is a URIRef, predicate ∉ {rdf:type, owl:sameAs}, and object is
+  not itself a subject in the same document's graph, resolve the object
+  to an owning document (basefile_from_uri) and record
+  (target_url, source_url)
+- :func:`inbound_references` ≙ the annotations CONSTRUCT's
+  ``?part dcterms:isReferencedBy ?s`` arm (ref res/sparql/annotations.rq)
+- :func:`canonicalize_triples` rewrites subjects/objects onto sameAs
+  component representatives (SURVEY.md §2.6)
+- :func:`entities_table` materializes the entity table
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph.components import canonical_mapping
+from ..namespaces import OWL_SAMEAS, RDF_TYPE
+from ..uris import RepoConfig
+
+
+def _basefile_pattern(cfg: RepoConfig) -> str:
+    import re as _re
+    return "^%sres/%s/([^#]+?)(?:#.*)?$" % (_re.escape(cfg.url),
+                                            _re.escape(cfg.alias))
+
+
+def deps_table(triples: DataFrame, docs: DataFrame,
+               cfg: RepoConfig) -> DataFrame:
+    """→ (target_url, source_url) distinct.
+
+    docs must carry (url, uri). The exclusion rules follow
+    ref documentrepository.py:1957-1976: skip rdf:type/owl:sameAs
+    predicates, skip objects that are subjects in the same doc's graph,
+    skip self-references.
+    """
+    pattern = _basefile_pattern(cfg)
+    refs = (triples
+            .where((F.col("objtype") == "uri") &
+                   ~F.col("predicate").isin(RDF_TYPE, OWL_SAMEAS)))
+    own_subjects = triples.select("source_url",
+                                  F.col("subject").alias("object")).distinct()
+    refs = refs.join(own_subjects, ["source_url", "object"], "left_anti")
+    refs = (refs
+            .withColumn("target_basefile",
+                        F.regexp_extract("object", pattern, 1))
+            .where(F.col("target_basefile") != ""))
+    doc_ids = docs.select(
+        F.col("url").alias("target_url"),
+        F.regexp_extract("uri", pattern, 1).alias("target_basefile"))
+    return (refs.join(doc_ids, "target_basefile")
+            .where(F.col("target_url") != F.col("source_url"))
+            .select("target_url", "source_url")
+            .distinct())
+
+
+def inbound_references(triples: DataFrame) -> DataFrame:
+    """→ (part, referenced_by): inversion of dcterms:references."""
+    return (triples
+            .where(F.col("predicate") ==
+                   "http://purl.org/dc/terms/references")
+            .select(F.col("object").alias("part"),
+                    F.col("subject").alias("referenced_by"))
+            .distinct())
+
+
+def canonicalize_triples(triples: DataFrame) -> DataFrame:
+    """Rewrite subject/object through the owl:sameAs component mapping.
+
+    Returns the triple table with ``subject``/``object`` replaced by the
+    component representative (min URI) where a mapping exists; sameAs
+    triples themselves are retained (identity assertions are data).
+    The mapping side is small relative to the corpus (only aliased
+    resources appear), so both joins broadcast when below the threshold —
+    at larger alias volumes they hash-join on the rewritten key with AQE
+    skew splitting.
+    """
+    sameas = triples.where(F.col("predicate") == OWL_SAMEAS)
+    mapping = canonical_mapping(sameas)
+    t = (triples.alias("t")
+         .join(mapping.withColumnRenamed("uri", "subject")
+                      .withColumnRenamed("canonical_id", "subj_canon"),
+               "subject", "left")
+         .withColumn("subject", F.coalesce("subj_canon", "subject"))
+         .drop("subj_canon"))
+    t = (t.join(mapping.withColumnRenamed("uri", "object")
+                       .withColumnRenamed("canonical_id", "obj_canon"),
+                "object", "left")
+         .withColumn("object",
+                     F.when(F.col("objtype") == "uri",
+                            F.coalesce("obj_canon", "object"))
+                      .otherwise(F.col("object")))
+         .drop("obj_canon"))
+    return t
+
+
+def entities_table(triples: DataFrame) -> DataFrame:
+    """→ (canonical_id, uri): every aliased resource with its
+    representative; singletons map to themselves."""
+    sameas = triples.where(F.col("predicate") == OWL_SAMEAS)
+    mapping = canonical_mapping(sameas)
+    return mapping.select("canonical_id", "uri")

@@ -19,8 +19,8 @@ Document families mirror the reference's fixture corpus (FIXTURES.md §2):
 
 Cross-document structure is index-arithmetic so oracles can predict it:
 F3 doc i cites rfc number of doc (i*7+3) mod n; F2 doc i mints an
-owl:sameAs alias chain (i → i-1 when i%10 in (1,2); hub: every i%25==0
-aliases doc 0's publisher entity).
+owl:sameAs alias chain (i → i-1 when i%10 in (1,2)) and a hub alias
+(i → 0 when i%20 == 2), so doc 0's resource accumulates high fan-in.
 """
 
 from __future__ import annotations
@@ -118,7 +118,7 @@ def _f2_html(i: int, n: int, rng: random.Random) -> str:
     sameas = ""
     if i % 10 in (1, 2) and i > 0:
         sameas = '<link rel="owl:sameAs" href="%s"/>' % doc_uri(i - 1)
-    if i % 25 == 0 and i > 0:
+    if i % 20 == 2 and i > 0:  # hub: high fan-in on doc 0 (FIXTURES F6)
         sameas += '<link rel="owl:sameAs" href="%s"/>' % doc_uri(0)
     nsec = 1 + (i % 3)
     sections = []
