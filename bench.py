@@ -1,0 +1,91 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headliners cover each engine pillar: the KG extraction pipeline
+(Arrow-UDF parse of the synthetic pages corpus, scaled with sf), the
+relate joins + sameAs canonicalization, MinHash-LSH / SimHash near-dup
+at corpus scale, ANN top-k, and the relational agg path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    kg_n = int(os.environ.get("SPARK_GRAFT_KG_N", max(int(sf * 20000), 200)))
+
+    import __spark_entry__ as E
+    from ferenda_spark.session import get_spark
+    spark = get_spark("bench", master="local[%s]" % cpus,
+                      shuffle_partitions=int(cpus) * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import ferenda_spark.pages as P
+    from ferenda_spark.operators.extract import (extract_stage,
+                                                 triples_table)
+    from ferenda_spark.operators.relate import canonicalize_triples
+    from ferenda_spark.uris import RepoConfig
+
+    cfg = RepoConfig(alias="doc", url="http://example.org/")
+
+    def kg_extract(spark, _):
+        pages = P.build_pages(spark, kg_n, int(cpus) * 2)
+        return extract_stage(pages, cfg, P.COMMONDATA)
+
+    def kg_full(spark, _):
+        pages = P.build_pages(spark, kg_n, int(cpus) * 2)
+        return canonicalize_triples(
+            triples_table(extract_stage(pages, cfg, P.COMMONDATA), "kg"))
+
+    qs = E.queries()
+    bench_queries = {
+        "kg_extract": kg_extract,
+        "kg_full_pipeline": kg_full,
+        "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
+        "dedup_simhash": qs["dedup_simhash"],
+        "dedup_embedding": qs["dedup_embedding"],
+        "ann_topk": qs["ann_topk"],
+        "token_stats": qs["token_stats"],
+        "quality_score": qs["quality_score"],
+        "language_id": qs["language_id"],
+        "facet_pivot": qs["facet_pivot"],
+        "reverse_refs": qs["reverse_refs"],
+        "lineitem_pricing": qs["lineitem_pricing"],
+    }
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in bench_queries.items():
+        t0 = time.perf_counter()
+        rows[name] = _count(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    kg_secs = timings["kg_extract"]
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_docs": kg_n,
+        "kg_docs_per_sec": round(kg_n / kg_secs, 1) if kg_secs else None,
+        "rows": rows,
+        "cpus": int(cpus),
+    }))
+
+
+if __name__ == "__main__":
+    main()

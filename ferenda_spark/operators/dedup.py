@@ -1,0 +1,376 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Design for 100 TB: the only all-pairs comparison ever executed is
+*within LSH/SimHash candidate buckets* — global work is
+
+  shingle (projection, no shuffle)
+  → minhash signature (projection)
+  → explode bands (×B rows)
+  → self-join on (band, band_hash)   [the one shuffle; keys are
+     uniformly distributed by the hash, so no skew by construction]
+  → exact-Jaccard verify on candidates only (array intersect, JVM-side)
+
+Brute-force variants exist for oracle/parity use at small SF and are
+clearly marked O(n²).
+
+The reference's only dedup machinery is dropDuplicates-style exact set
+ops (ref ferenda/documentrepository.py:845-866, 1992-2000, 2079-2086);
+the near-dup family is the web-corpus extension the north rule asks for.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (rep_id, doc_id) for every
+    member of a >1 group; rep = min id. Hash-groupBy — one shuffle on
+    md5(text), no skew (hash keys)."""
+    keyed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("k"))
+    w = Window.partitionBy("k")
+    return (keyed
+            .withColumn("rep_id", F.min(id_col).over(w))
+            .withColumn("group_n", F.count(F.lit(1)).over(w))
+            .where(F.col("group_n") > 1)
+            .select("rep_id", F.col(id_col).alias("dup_id"))
+            .orderBy("rep_id", "dup_id"))
+
+
+# ------------------------------------------------------------- shingles
+
+def word_shingles(text, n: int = 3):
+    """Array of distinct word n-grams (native functions only)."""
+    t = F.trim(text)
+    words = F.when(t == "", F.array().cast("array<string>")) \
+             .otherwise(F.split(t, r"\s+"))
+    idx = F.when(F.size(words) >= n,
+                 F.sequence(F.lit(0), F.size(words) - n)) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int"))
+                                     for j in range(n)]))
+    return F.array_distinct(grams)
+
+
+def jaccard(a, b):
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                        n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """O(n²) brute-force near-dup pairs by word-n-gram Jaccard —
+    the small-SF oracle twin of :func:`minhash_lsh_pairs`.
+    → (a_id, b_id, jaccard_sim), a_id < b_id."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_shingles(F.col(text_col), n).alias("sh"))
+    a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
+    return (a.join(b, F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id",
+                    F.round(jaccard(F.col("a_sh"), F.col("b_sh")), 6)
+                     .alias("jaccard_sim"))
+            .where(F.col("jaccard_sim") >= threshold)
+            .orderBy("a_id", "b_id"))
+
+
+# --------------------------------------------------------- MinHash+LSH
+#
+# Signatures are computed in an Arrow-batched mapInPandas stage with
+# numpy (universal-hash families over one crc32 base hash per shingle)
+# rather than as giant native-expression trees: a 64-term nested array
+# expression blows past codegen limits, and Catalyst's project-collapse
+# then re-inlines the shingle expression into every term — interpreted
+# evaluation turns O(hashes·|sh|) into O(hashes·|sh|²) per row. The
+# Python stage is deterministic, vectorized, and O(hashes·|sh|).
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_set(text: str, n: int) -> list:
+    words = text.split()
+    if len(words) < n:
+        return []
+    return list({" ".join(words[i:i + n]) for i in range(len(words) - n + 1)})
+
+
+def _base_hashes(shingles) -> "object":
+    import zlib
+    import numpy as np
+    # 64-bit deterministic base hash per shingle from two crc32 passes
+    return np.array(
+        [(zlib.crc32(s.encode()) << 32) | zlib.crc32(s.encode()[::-1])
+         for s in shingles], dtype=np.uint64)
+
+
+def _minhash_bands(text: str, n: int, num_hashes: int, bands: int,
+                   A, B) -> list:
+    """→ [(band, band_hash)] for one document."""
+    import numpy as np
+    import zlib
+    shingles = _shingle_set(text, n)
+    rows_per_band = num_hashes // bands
+    if not shingles:
+        sig = np.full(num_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
+    else:
+        h0 = _base_hashes(shingles)
+        # universal hash family: (a*h0 + b) mod 2^61-1, min per family
+        H = (A[:, None] * (h0[None, :] % _MERSENNE) + B[:, None]) % _MERSENNE
+        sig = H.min(axis=1)
+    out = []
+    for b in range(bands):
+        chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+        out.append((b, zlib.crc32(chunk.tobytes()) ^ (b << 20)))
+    return out
+
+
+def minhash_band_table(df: DataFrame, n: int = 3, num_hashes: int = 64,
+                       bands: int = 16, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_hash) — one row per (doc, band), Arrow-batched."""
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("band", IntegerType()),
+        StructField("band_hash", LongType()),
+    ])
+
+    def run(batches):
+        import numpy as np
+        rng = np.random.RandomState(20140104)
+        A = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
+        B = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+        for pdf in batches:
+            rows = []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                for band, bh in _minhash_bands(text or "", n, num_hashes,
+                                               bands, A, B):
+                    rows.append({"id": int(i), "band": band,
+                                 "band_hash": int(bh)})
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
+                      n: int = 3, num_hashes: int = 64, bands: int = 16,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Scale-path near-dup detection: MinHash signatures banded into
+    ``bands`` buckets; docs colliding in ≥1 band become candidates;
+    candidates are verified with EXACT n-gram Jaccard, so output
+    equals brute force minus (improbable) LSH misses.
+
+    With num_hashes=64, bands=16 (rows/band=4) the S-curve midpoint is
+    ≈ (1/16)^(1/4) ≈ 0.5 — tuned to ``threshold`` 0.5.
+    → (a_id, b_id, jaccard_sim), a_id < b_id.
+    """
+    banded = minhash_band_table(df, n, num_hashes, bands, text_col, id_col)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, ["band", "band_hash"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("a_id"),
+                    F.col("b.id").alias("b_id"))
+            .distinct())
+    # exact verification: shingles recomputed for the (few) candidate
+    # rows only — cheaper than caching/shuffling the arrays globally
+    shx = df.select(F.col(id_col).alias("id"),
+                    word_shingles(F.col(text_col), n).alias("sh"))
+    cand = (cand
+            .join(shx.withColumnRenamed("id", "a_id")
+                     .withColumnRenamed("sh", "a_sh"), "a_id")
+            .join(shx.withColumnRenamed("id", "b_id")
+                     .withColumnRenamed("sh", "b_sh"), "b_id"))
+    return (cand.select(
+                "a_id", "b_id",
+                F.round(jaccard(F.col("a_sh"), F.col("b_sh")), 6)
+                 .alias("jaccard_sim"))
+            .where(F.col("jaccard_sim") >= threshold)
+            .orderBy("a_id", "b_id"))
+
+
+# -------------------------------------------------------------- SimHash
+
+def simhash_table(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) — 64-bit SimHash per doc: per-bit majority vote of
+    the per-shingle 64-bit base hashes; Arrow-batched numpy."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType([StructField("id", LongType()),
+                         StructField("simhash", LongType())])
+
+    def run(batches):
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                shingles = _shingle_set(text or "", n)
+                if not shingles:
+                    sh64 = 0
+                else:
+                    h0 = _base_hashes(shingles)
+                    # bit matrix |sh| × 64 via unpackbits on big-endian bytes
+                    bits = np.unpackbits(
+                        h0.byteswap().view(np.uint8).reshape(-1, 8), axis=1)
+                    votes = bits.sum(axis=0) * 2 > len(shingles)
+                    sh64 = int(np.packbits(votes).view(">u8")[0])
+                    sh64 -= (sh64 >> 63) << 64  # to signed two's complement
+                rows.append({"id": int(i), "simhash": sh64})
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 6,
+                  verify_threshold: float = 0.5, n: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  num_blocks: int = 8) -> DataFrame:
+    """SimHash near-dup pairs at scale: 64-bit fingerprints blocked into
+    ``num_blocks`` segments; by pigeonhole, hamming ≤ max_hamming with
+    max_hamming < num_blocks guarantees ≥1 identical block, so
+    candidates come from equality self-joins on block values (no n²).
+    Candidates verified by exact hamming ≤ max_hamming AND exact n-gram
+    Jaccard ≥ verify_threshold.
+    → (a_id, b_id, hamming, jaccard_sim)."""
+    bits_per_block = 64 // num_blocks
+    sh = simhash_table(df, n, text_col, id_col)
+    # narrow block table — the self-join shuffles 4 scalar columns
+    blocked = sh.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), b * bits_per_block)
+                 .bitwiseAND(F.lit((1 << bits_per_block) - 1))
+                 .alias("blk_val"))
+            for b in range(num_blocks)])).alias("bb")) \
+        .select("id", "simhash", "bb.blk", "bb.blk_val")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    cand = (a.join(b, ["blk", "blk_val"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+                    hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
+    shx = df.select(F.col(id_col).alias("id"),
+                    word_shingles(F.col(text_col), n).alias("sh"))
+    cand = (cand
+            .join(shx.withColumnRenamed("id", "a_id")
+                     .withColumnRenamed("sh", "a_sh"), "a_id")
+            .join(shx.withColumnRenamed("id", "b_id")
+                     .withColumnRenamed("sh", "b_sh"), "b_id"))
+    return (cand.select("a_id", "b_id", "hamming",
+                        F.round(jaccard(F.col("a_sh"), F.col("b_sh")), 6)
+                         .alias("jaccard_sim"))
+            .where(F.col("jaccard_sim") >= verify_threshold)
+            .orderBy("a_id", "b_id"))
+
+
+# ----------------------------------------------- embedding near-dup
+
+def cosine_sim(a, b):
+    """Sequential-fold double-precision cosine — same operation order
+    as the DuckDB list_reduce oracle, so results are bit-comparable."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Brute-force embedding near-dup pairs (cosine ≥ threshold),
+    a_id < b_id. O(n²) oracle twin; the scale path buckets by
+    random-hyperplane LSH first (see similarity.ann_lsh_topk)."""
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"))
+    return (a.join(b, F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id",
+                    F.round(cosine_sim(F.col("a_v"), F.col("b_v")), 6)
+                     .alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold)
+            .orderBy("a_id", "b_id"))
+
+
+# ----------------------------------------------------------- oracles
+
+def oracle_sql_exact_duplicates(table: str = "documents") -> str:
+    return f"""
+    WITH keyed AS (SELECT doc_id, md5(text) AS k FROM {table}),
+    g AS (SELECT doc_id, k,
+                 min(doc_id) OVER (PARTITION BY k) AS rep_id,
+                 count(*) OVER (PARTITION BY k) AS n
+          FROM keyed)
+    SELECT rep_id, doc_id AS dup_id FROM g WHERE n > 1
+    ORDER BY rep_id, dup_id
+    """
+
+
+def _sql_shingles(n: int = 3) -> str:
+    join = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    return (f"list_distinct([ {join} "
+            f"for i in range(1, len(words) - {n - 2}) ])")
+
+
+def oracle_sql_ngram_jaccard(table: str = "documents",
+                             threshold: float = 0.5, n: int = 3) -> str:
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_sql_shingles(n)} AS sh
+      FROM (SELECT doc_id,
+                   CASE WHEN trim(text)='' THEN []::varchar[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+            FROM {table})
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                 THEN len(list_intersect(a.sh, b.sh))::double
+                      / len(list_distinct(list_concat(a.sh, b.sh)))
+                 ELSE 0.0 END, 6) AS jaccard_sim
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+          THEN len(list_intersect(a.sh, b.sh))::double
+               / len(list_distinct(list_concat(a.sh, b.sh)))
+          ELSE 0.0 END >= {threshold}
+    ORDER BY a_id, b_id
+    """
+
+
+def sql_cosine(x: str, y: str) -> str:
+    """Sequential left-fold cosine for DuckDB — identical IEEE op order
+    to :func:`cosine_sim` (Spark's F.aggregate 0.0-init fold and
+    DuckDB's 2-arg list_reduce produce the same sum sequence because
+    0.0 + v1 == v1 exactly)."""
+    def dot(p, q):
+        prods = (f"[{p}[i]::double * {q}[i]::double "
+                 f"for i in range(1, len({p}) + 1)]")
+        return f"list_reduce({prods}, (acc, v) -> acc + v)"
+    return (f"({dot(x, y)} / (sqrt({dot(x, x)}) * sqrt({dot(y, y)})))")
+
+
+def oracle_sql_embedding_dup(table: str = "embeddings",
+                             threshold: float = 0.95) -> str:
+    cos = sql_cosine("a.embedding", "b.embedding")
+    return f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round({cos}, 6) AS cos_sim
+    FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    ORDER BY a_id, b_id
+    """

@@ -1,0 +1,108 @@
+"""Distributed entity linking: label mentions → canonical resource URIs.
+
+The reference resolves labels one at a time with ``lookup_resource``
+(exact dict hit, else difflib.get_close_matches cutoff 0.8 — ref
+ferenda/documentrepository.py:478-525). The distributed form keeps
+exact difflib scoring parity while avoiding an all-pairs comparison:
+
+1. exact matches via broadcast hash join on the label (covers the
+   overwhelming majority at corpus scale);
+2. misses generate candidates by 3-gram overlap against the broadcast
+   dictionary (an LSH-lite: mentions sharing zero trigrams with a
+   candidate can never reach ratio ≥ 0.8 for realistic label lengths);
+3. candidates are scored in an Arrow-batched pandas UDF running the
+   *actual* difflib staged ratios (ferenda_spark.linking.close_enough),
+   keeping the best candidate per mention by (ratio, label) — identical
+   pick to get_close_matches' sort.
+
+The dictionary is assumed small relative to the corpus (authority
+tables are); it is broadcast, so the only shuffle is the final
+groupBy(mention) if candidates exploded — bounded by candidates/label.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, StringType, StructField,
+                               StructType)
+
+SCORE_SCHEMA = StructType([
+    StructField("label", StringType()),
+    StructField("matched_label", StringType()),
+    StructField("uri", StringType()),
+    StructField("ratio", DoubleType()),
+])
+
+
+def _trigrams(s: str) -> set[str]:
+    s = " " + s.lower() + " "
+    return {s[i:i + 3] for i in range(len(s) - 2)}
+
+
+def link_labels(mentions: DataFrame, dictionary: DataFrame,
+                cutoff: float = 0.8,
+                label_col: str = "label") -> DataFrame:
+    """mentions(label, …) × dictionary(label, uri) →
+    (label, matched_label, uri, method) with method ∈ {exact, fuzzy};
+    unresolvable labels are dropped (the reference raises KeyError —
+    at set level that is a filter, counted upstream via lineage).
+    """
+    spark = mentions.sparkSession
+    m = mentions.select(F.col(label_col).alias("label")).distinct()
+    d = dictionary.select(F.col("label").alias("dict_label"), "uri")
+
+    exact = (m.join(F.broadcast(d), m.label == d.dict_label)
+             .select("label", F.col("dict_label").alias("matched_label"),
+                     "uri", F.lit("exact").alias("method")))
+
+    missing = m.join(F.broadcast(d), m.label == d.dict_label, "left_anti")
+
+    dict_rows = [(r["dict_label"], r["uri"]) for r in d.collect()]
+    bc = spark.sparkContext.broadcast(dict_rows)
+
+    def score(batches):
+        from ferenda_spark.linking import close_enough, difflib_ratio
+        entries = [(lbl, uri, _trigrams(lbl)) for lbl, uri in bc.value]
+        for pdf in batches:
+            rows = []
+            for label in pdf["label"]:
+                grams = _trigrams(label)
+                best = None
+                for dlabel, uri, dgrams in entries:
+                    if not grams & dgrams:
+                        continue
+                    if close_enough(label, dlabel, cutoff):
+                        r = difflib_ratio(dlabel, label)
+                        # get_close_matches sorts by score only (stable
+                        # over insertion order); replicate with
+                        # (ratio, -index) ≙ first-best wins
+                        if best is None or r > best[2]:
+                            best = (dlabel, uri, r)
+                if best:
+                    rows.append({"label": label, "matched_label": best[0],
+                                 "uri": best[1], "ratio": best[2]})
+            yield pd.DataFrame(rows, columns=SCORE_SCHEMA.fieldNames())
+
+    fuzzy = (missing.mapInPandas(score, SCORE_SCHEMA)
+             .select("label", "matched_label", "uri",
+                     F.lit("fuzzy").alias("method")))
+    return exact.unionByName(fuzzy)
+
+
+def link_triples(triples: DataFrame, dictionary: DataFrame,
+                 predicates: list[str], cutoff: float = 0.8) -> DataFrame:
+    """Rewrite literal objects of the given predicates to resource URIs
+    through :func:`link_labels` (the relate-stage application: publisher
+    and category literals → authority URIs)."""
+    target = triples.where((F.col("predicate").isin(predicates)) &
+                           (F.col("objtype") == "literal"))
+    links = link_labels(target.select(F.col("object").alias("label")),
+                        dictionary, cutoff)
+    return (target.join(links, target.object == links.label)
+            .select("subject", "predicate",
+                    F.col("uri").alias("object"),
+                    F.lit("uri").alias("objtype"),
+                    F.lit("").alias("lang"), F.lit("").alias("datatype"),
+                    "source_url", "method"))

@@ -82,7 +82,10 @@ def canonicalize_triples(triples: DataFrame) -> DataFrame:
     skew splitting.
     """
     sameas = triples.where(F.col("predicate") == OWL_SAMEAS)
-    mapping = canonical_mapping(sameas)
+    # the mapping is tiny (aliased resources only) but expensive to
+    # derive (iterative CC) — cut its lineage so the two joins below
+    # and any downstream action reuse it instead of re-running CC
+    mapping = canonical_mapping(sameas).localCheckpoint(eager=True)
     t = (triples.alias("t")
          .join(mapping.withColumnRenamed("uri", "subject")
                       .withColumnRenamed("canonical_id", "subj_canon"),
@@ -104,5 +107,5 @@ def entities_table(triples: DataFrame) -> DataFrame:
     """→ (canonical_id, uri): every aliased resource with its
     representative; singletons map to themselves."""
     sameas = triples.where(F.col("predicate") == OWL_SAMEAS)
-    mapping = canonical_mapping(sameas)
+    mapping = canonical_mapping(sameas).localCheckpoint(eager=True)
     return mapping.select("canonical_id", "uri")

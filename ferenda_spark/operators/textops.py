@@ -1,0 +1,218 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+Everything here is built from native ``pyspark.sql.functions`` column
+expressions — no Python UDFs — so the work stays inside whole-stage
+codegen on executors and the same logic is expressible as ANSI SQL for
+the DuckDB oracle. The reference's analog surface is the facet
+selector/key scalar functions and fulltext plumbing
+(ref ferenda/facet.py:128-338, ferenda/fulltextindex.py:120-152); the
+token/quality/langid/fingerprint set extends it to the operations a
+web-scale corpus pipeline needs before training.
+
+Scale notes: all operators are per-row projections — no shuffle, no
+skew sensitivity; they scale linearly with executor count and pipeline
+with the parquet scan (predicate pushdown + column pruning intact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny function-word lists for the n-gram/stopword language heuristic.
+# Deterministic and public-knowledge; mirrors classic stopword-ratio
+# language guessers. Keep SHORT so the SQL oracle can inline them.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "de", "y", "que", "en", "un", "por", "con"],
+    "sv": ["och", "att", "det", "som", "en", "av", "för", "med", "till", "den"],
+}
+
+# BPE-ish tokenization regex: letter runs, digit runs, single other glyphs
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace word split (empty string → empty array)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+"))
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts: whitespace words + regex (BPE-ish)
+    tokens + distinct-word count."""
+    words = words_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality features + composite score.
+
+    Features follow the usual web-corpus filters: length, mean word
+    length, stopword ratio, punctuation density, repetition
+    (distinct/total words). Composite = mean of clamped sub-scores,
+    rounded to 4dp for cross-engine comparison stability.
+    """
+    text = F.col(text_col)
+    words = words_col(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    nw = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(1.0))
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
+    mean_word_len = (n_chars.cast("double") - (n_words - 1)) / nw
+    stop_ratio = n_stop.cast("double") / nw
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars.cast("double"),
+                                                      F.lit(1.0))
+    rep_ratio = F.size(F.array_distinct(words)).cast("double") / nw
+    len_score = F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+    score = F.round((len_score + rep_ratio + (F.lit(1.0) - punct_ratio)) /
+                    F.lit(3.0), 4)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(rep_ratio, 4).alias("rep_ratio"),
+        score.alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-ratio language guess over LANG_MARKERS.
+
+    Emits per-language marker-hit counts and the argmax language
+    (ties broken by fixed language order). A deterministic heuristic —
+    the point is the operator (vectorized scoring + argmax), not SOTA
+    language ID; swap the marker lists for fastText at production scale.
+    """
+    words = words_col(F.lower(F.col(text_col)))
+    def marker_hits(markers):
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    scores = [(code, marker_hits(LANG_MARKERS[code]))
+              for code in sorted(LANG_MARKERS)]
+    # argmax with deterministic tie-break: max (hits, reversed-name) pair
+    best = F.greatest(*[F.struct(h.alias("h"),
+                                 F.lit(code).alias("code"))
+                        for code, h in scores])
+    out = df.select(F.col(id_col),
+                    *[h.alias("hits_" + code) for code, h in scores],
+                    F.when(best["h"] > 0, best["code"])
+                     .otherwise(F.lit("und")).alias("lang_guess"))
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: md5 over case/whitespace
+    normalized text (the exact-dedup key), plus a coarser "shape"
+    fingerprint that drops digits (catches template-only edits)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_exact"),
+        F.md5(F.regexp_replace(norm, r"[0-9]+", "#")).alias("fp_shape"),
+    )
+
+
+def oracle_sql_token_stats(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+           len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) END
+             AS n_distinct_words
+    FROM {table}
+    """
+
+
+def _sql_words(expr: str = "trim(text)") -> str:
+    return f"regexp_split_to_array({expr}, '\\s+')"
+
+
+def oracle_sql_quality(table: str = "documents") -> str:
+    stop_list = "[" + ",".join("'%s'" % w for w in EN_STOPWORDS) + "]"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text)='' THEN []::varchar[]
+                  ELSE {_sql_words()} END AS words,
+             length(text) AS n_chars
+      FROM {table}
+    ), feat AS (
+      SELECT doc_id, len(words) AS n_words, n_chars,
+             greatest(CASE WHEN len(words)>0 THEN len(words) ELSE 1 END, 1)::double AS nw,
+             len(list_filter(words, w -> list_contains({stop_list}, w))) AS n_stop,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             len(list_distinct(words)) AS n_distinct
+      FROM base
+    )
+    SELECT doc_id, n_words,
+           round((n_chars::double - (n_words - 1)) / nw, 4) AS mean_word_len,
+           round(n_stop::double / nw, 4) AS stop_ratio,
+           round(n_punct::double / greatest(n_chars::double, 1.0), 4) AS punct_ratio,
+           round(n_distinct::double / nw, 4) AS rep_ratio,
+           round((least(n_words::double / 100.0, 1.0)
+                  + n_distinct::double / nw
+                  + (1.0 - n_punct::double / greatest(n_chars::double, 1.0))) / 3.0,
+                 4) AS quality
+    FROM feat
+    """
+
+
+def oracle_sql_language_id(table: str = "documents") -> str:
+    hit_cols = []
+    for code in sorted(LANG_MARKERS):
+        lst = "[" + ",".join("'%s'" % w for w in LANG_MARKERS[code]) + "]"
+        hit_cols.append(
+            f"len(list_filter(words, w -> list_contains({lst}, w))) AS hits_{code}")
+    codes = sorted(LANG_MARKERS)
+    m = "greatest(%s)" % ", ".join("hits_" + c for c in codes)
+    # tie-break = max code string (mirrors Spark greatest over (h, code)
+    # structs): test codes in DESCENDING order
+    pick = " ".join(f"WHEN hits_{c} = m THEN '{c}'"
+                    for c in sorted(codes, reverse=True))
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text)='' THEN []::varchar[]
+                  ELSE {_sql_words('lower(trim(text))')} END AS words
+      FROM {table}
+    ), hits AS (
+      SELECT doc_id, {", ".join(hit_cols)} FROM base
+    ), best AS (
+      SELECT *, {m} AS m FROM hits
+    )
+    SELECT doc_id, {", ".join("hits_" + c for c in codes)},
+           CASE WHEN m = 0 THEN 'und' {pick} END AS lang_guess
+    FROM best
+    """
+
+
+def oracle_sql_fingerprint(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_exact,
+           md5(regexp_replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                              '[0-9]+', '#', 'g')) AS fp_shape
+    FROM {table}
+    """

@@ -1,0 +1,195 @@
+"""Training-data pipeline operators: Spark vs DuckDB oracle parity at
+sf0.001, plus structural checks for the non-SQL-expressible ops."""
+
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(SF_DIR),
+                                reason="driver testdata not present")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events", "orders", "customer",
+              "lineitem"):
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"create view {t} as select * from read_parquet('{p}')")
+    return con
+
+
+def normalize(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.number):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def assert_parity(spark_df, duck, sql):
+    a = normalize(spark_df.toPandas())
+    b = normalize(duck.sql(sql).df())
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), (len(a), len(b))
+    assert a.equals(b)
+
+
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_token_stats_parity(spark, duck):
+    from ferenda_spark.operators.textops import (oracle_sql_token_stats,
+                                                 token_stats)
+    assert_parity(token_stats(docs(spark)), duck, oracle_sql_token_stats())
+
+
+def test_quality_parity(spark, duck):
+    from ferenda_spark.operators.textops import (oracle_sql_quality,
+                                                 quality_score)
+    assert_parity(quality_score(docs(spark)), duck, oracle_sql_quality())
+
+
+def test_language_id_parity(spark, duck):
+    from ferenda_spark.operators.textops import (language_id,
+                                                 oracle_sql_language_id)
+    assert_parity(language_id(docs(spark)), duck, oracle_sql_language_id())
+
+
+def test_fingerprint_parity(spark, duck):
+    from ferenda_spark.operators.textops import (fingerprint,
+                                                 oracle_sql_fingerprint)
+    assert_parity(fingerprint(docs(spark)), duck, oracle_sql_fingerprint())
+
+
+def test_ngram_jaccard_parity(spark, duck):
+    from ferenda_spark.operators.dedup import (ngram_jaccard_pairs,
+                                               oracle_sql_ngram_jaccard)
+    assert_parity(ngram_jaccard_pairs(docs(spark), threshold=0.5), duck,
+                  oracle_sql_ngram_jaccard(threshold=0.5))
+
+
+def test_minhash_lsh_equals_brute_force(spark, duck):
+    """LSH candidates + exact verify must recover every brute-force
+    pair at this threshold (recall check)."""
+    from ferenda_spark.operators.dedup import (minhash_lsh_pairs,
+                                               oracle_sql_ngram_jaccard)
+    assert_parity(minhash_lsh_pairs(docs(spark), threshold=0.5), duck,
+                  oracle_sql_ngram_jaccard(threshold=0.5))
+
+
+def test_simhash_recall(spark, duck):
+    """SimHash blocking is approximate: every emitted pair must be a
+    true near-dup (precision 1.0 — guaranteed by the exact-jaccard
+    verify) and recall vs brute force must be high."""
+    from ferenda_spark.operators.dedup import (oracle_sql_ngram_jaccard,
+                                               simhash_pairs)
+    got = {(r.a_id, r.b_id) for r in
+           simhash_pairs(docs(spark), max_hamming=16,
+                         verify_threshold=0.5).collect()}
+    truth = {(r.a_id, r.b_id) for r in
+             duck.sql(oracle_sql_ngram_jaccard(threshold=0.5))
+                 .df().itertuples(index=False)}
+    assert got <= truth          # precision 1.0
+    assert len(got & truth) / len(truth) >= 0.9  # recall
+
+
+def test_embedding_dup_parity(spark, duck):
+    from ferenda_spark.operators.dedup import (embedding_dup_pairs,
+                                               oracle_sql_embedding_dup)
+    assert_parity(embedding_dup_pairs(emb(spark), threshold=0.45), duck,
+                  oracle_sql_embedding_dup(threshold=0.45))
+
+
+def test_ann_topk_parity(spark, duck):
+    from pyspark.sql import functions as F
+
+    from ferenda_spark.operators.similarity import (
+        brute_force_topk, oracle_sql_brute_force_topk)
+    e = emb(spark)
+    got = brute_force_topk(e, e.where(F.col("vec_id") < 20), k=5)
+    assert_parity(got, duck, oracle_sql_brute_force_topk(k=5, n_queries=20))
+
+
+def test_ann_lsh_recall(spark):
+    """LSH ANN with 1-bit multiprobe should recover most exact top-5."""
+    from pyspark.sql import functions as F
+
+    from ferenda_spark.operators.similarity import (ann_lsh_topk,
+                                                    brute_force_topk)
+    e = emb(spark)
+    q = e.where(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(e, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ann_lsh_topk(e, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_exact_duplicates(spark):
+    from pyspark.sql import functions as F
+
+    from ferenda_spark.operators.dedup import exact_duplicates
+    d = docs(spark).select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 7 == 0) \
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    got = exact_duplicates(d.unionByName(dups)).collect()
+    # every injected dup pairs with its source, rep = original id
+    assert all(r.rep_id + 100000 == r.dup_id or r.rep_id == r.dup_id
+               for r in got)
+    n_injected = d.where(F.col("doc_id") % 7 == 0).count()
+    assert len(got) == 2 * n_injected  # rep + dup rows per group
+
+
+def test_media_decode_plumbing(spark):
+    from ferenda_spark.operators.multimodal import (decode_media,
+                                                    synthetic_media)
+    out = decode_media(synthetic_media(spark, 60)).collect()
+    assert len(out) == 60
+    assert all(r.status == "ok" and len(r.feature) == 8 for r in out)
+    # deterministic: same id → same feature on re-run
+    again = {r.media_id: r.feature
+             for r in decode_media(synthetic_media(spark, 60)).collect()}
+    assert all(again[r.media_id] == r.feature for r in out)
+
+
+def test_link_labels_difflib_parity(spark):
+    """Distributed linker must agree with the reference-semantics
+    single-node ResourceLookup on exact and fuzzy hits."""
+    from ferenda_spark.linking import ResourceLookup
+    from ferenda_spark.operators.linking import link_labels
+    dictionary = [("Example Standards Body", "http://x.org/esb"),
+                  ("Web Engineering Group (WEG)", "http://x.org/weg"),
+                  ("Publishing & sons", "http://x.org/pubsons")]
+    mentions = ["Example Standards Body",       # exact
+                "Example standards body",       # fuzzy
+                "Web Engineering Group",        # fuzzy
+                "Completely Unrelated Name"]    # miss
+    mdf = spark.createDataFrame([(m,) for m in mentions], "label string")
+    ddf = spark.createDataFrame(dictionary, "label string, uri string")
+    got = {r.label: (r.uri, r.method)
+           for r in link_labels(mdf, ddf).collect()}
+    ref = ResourceLookup((uri, "http://xmlns.com/foaf/0.1/name", lbl)
+                         for lbl, uri in dictionary)
+    for m in mentions:
+        try:
+            expect = ref.lookup(m)
+        except KeyError:
+            assert m not in got
+            continue
+        assert got[m][0] == expect, m
+    assert got["Example Standards Body"][1] == "exact"
+    assert got["Example standards body"][1] == "fuzzy"
