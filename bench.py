@@ -46,8 +46,10 @@ def main() -> None:
 
     def kg_full(spark, _):
         pages = P.build_pages(spark, kg_n, int(cpus) * 2)
-        return canonicalize_triples(
-            triples_table(extract_stage(pages, cfg, P.COMMONDATA), "kg"))
+        # persist: extraction fans out into CC derivation + both
+        # canonicalization joins (≙ inter-stage table materialization)
+        t = triples_table(extract_stage(pages, cfg, P.COMMONDATA), "kg")
+        return canonicalize_triples(t.persist())
 
     qs = E.queries()
     bench_queries = {

@@ -68,16 +68,59 @@ def _signature(edges: DataFrame):
     return (row["n"], row["h"])
 
 
+DRIVER_CC_THRESHOLD = 2_000_000  # edges; below this, solve on the driver
+
+
+def _driver_cc(spark, pairs) -> DataFrame:
+    """Union-find on the driver for small edge sets. The sameAs graph
+    is a minuscule slice of the corpus (only aliased resources appear);
+    paying ~2·log* n pointer chases beats 10-20 distributed shuffle
+    rounds until the edge list stops fitting in driver memory — the
+    same small-side cutoff reasoning as broadcast-join selection."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:        # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so the representative is the component min
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    nodes = set()
+    for u, v in pairs:
+        nodes.add(u)
+        nodes.add(v)
+    rows = [(n, find(n)) for n in sorted(nodes)]
+    return spark.createDataFrame(rows, "node string, component string")
+
+
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 25) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 25,
+                         driver_threshold: int = DRIVER_CC_THRESHOLD
+                         ) -> DataFrame:
     """edges(src, dst) undirected → (node, component) where component is
     the lexicographic minimum node id of the component. Isolated nodes
     (absent from edges) are the caller's concern (left-join + coalesce).
+
+    Hybrid strategy: small edge sets (≤ driver_threshold after dedup)
+    are solved with driver-side union-find; larger ones run the
+    alternating large-star/small-star rounds.
     """
     E = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u") != F.col("v")).distinct())
-    if E.isEmpty():
+    n_edges = E.limit(driver_threshold + 1).count()
+    if n_edges == 0:
         return E.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    if n_edges <= driver_threshold:
+        pairs = [(r["u"], r["v"]) for r in E.collect()]
+        return _driver_cc(edges.sparkSession, pairs)
     prev_sig = None
     for _ in range(max_iter):
         E = _small_star(_large_star(E)).localCheckpoint(eager=True)

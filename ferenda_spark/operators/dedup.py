@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import ensure_parallelism
+
 # ---------------------------------------------------------------- exact
 
 
@@ -45,21 +47,6 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 # ------------------------------------------------------------- shingles
 
-def word_shingles(text, n: int = 3):
-    """Array of distinct word n-grams (native functions only)."""
-    t = F.trim(text)
-    words = F.when(t == "", F.array().cast("array<string>")) \
-             .otherwise(F.split(t, r"\s+"))
-    idx = F.when(F.size(words) >= n,
-                 F.sequence(F.lit(0), F.size(words) - n)) \
-           .otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int"))
-                                     for j in range(n)]))
-    return F.array_distinct(grams)
-
-
 def jaccard(a, b):
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
@@ -72,8 +59,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     """O(n²) brute-force near-dup pairs by word-n-gram Jaccard —
     the small-SF oracle twin of :func:`minhash_lsh_pairs`.
     → (a_id, b_id, jaccard_sim), a_id < b_id."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   word_shingles(F.col(text_col), n).alias("sh"))
+    sh = shingle_table(df, n, text_col, id_col)
     a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
     return (a.join(b, F.col("a_id") < F.col("b_id"))
@@ -111,6 +97,31 @@ def _base_hashes(shingles) -> "object":
     return np.array(
         [(zlib.crc32(s.encode()) << 32) | zlib.crc32(s.encode()[::-1])
          for s in shingles], dtype=np.uint64)
+
+
+def shingle_table(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, sh array<string>) — word n-gram shingle sets materialized by
+    an Arrow-batched stage. Materializing matters: as a native
+    expression under a join, the shingle transform re-inlines its
+    split() child per element access (no cross-expression CSE), turning
+    O(len) per row into O(len²); as column DATA it is computed once.
+    Semantics match the DuckDB oracle's regexp_split_to_array +
+    list_distinct n-gram construction."""
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+    schema = StructType([StructField("id", LongType()),
+                         StructField("sh", ArrayType(StringType()))])
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": pdf[id_col].astype("int64"),
+                 "sh": [_shingle_set(t or "", n) for t in pdf[text_col]]},
+                columns=schema.fieldNames())
+
+    return ensure_parallelism(df.select(id_col, text_col)) \
+        .mapInPandas(run, schema)
 
 
 def _minhash_bands(text: str, n: int, num_hashes: int, bands: int,
@@ -160,7 +171,8 @@ def minhash_band_table(df: DataFrame, n: int = 3, num_hashes: int = 64,
                                  "band_hash": int(bh)})
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
-    return df.select(id_col, text_col).mapInPandas(run, schema)
+    return ensure_parallelism(df.select(id_col, text_col)) \
+        .mapInPandas(run, schema)
 
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
@@ -183,10 +195,8 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
             .select(F.col("a.id").alias("a_id"),
                     F.col("b.id").alias("b_id"))
             .distinct())
-    # exact verification: shingles recomputed for the (few) candidate
-    # rows only — cheaper than caching/shuffling the arrays globally
-    shx = df.select(F.col(id_col).alias("id"),
-                    word_shingles(F.col(text_col), n).alias("sh"))
+    # exact verification against materialized shingle arrays
+    shx = shingle_table(df, n, text_col, id_col)
     cand = (cand
             .join(shx.withColumnRenamed("id", "a_id")
                      .withColumnRenamed("sh", "a_sh"), "a_id")
@@ -229,7 +239,8 @@ def simhash_table(df: DataFrame, n: int = 3, text_col: str = "text",
                 rows.append({"id": int(i), "simhash": sh64})
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
-    return df.select(id_col, text_col).mapInPandas(run, schema)
+    return ensure_parallelism(df.select(id_col, text_col)) \
+        .mapInPandas(run, schema)
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 6,
@@ -264,8 +275,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 6,
                     hamming.alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .distinct())
-    shx = df.select(F.col(id_col).alias("id"),
-                    word_shingles(F.col(text_col), n).alias("sh"))
+    shx = shingle_table(df, n, text_col, id_col)
     cand = (cand
             .join(shx.withColumnRenamed("id", "a_id")
                      .withColumnRenamed("sh", "a_sh"), "a_id")
@@ -292,18 +302,34 @@ def cosine_sim(a, b):
     return dot / (na * nb)
 
 
+def normalized_vec(vec):
+    """v / ||v|| — same sequential-fold norm as the DuckDB oracle."""
+    n = F.sqrt(F.aggregate(
+        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
 def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:
     """Brute-force embedding near-dup pairs (cosine ≥ threshold),
     a_id < b_id. O(n²) oracle twin; the scale path buckets by
-    random-hyperplane LSH first (see similarity.ann_lsh_topk)."""
-    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"))
-    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"))
+    random-hyperplane LSH first (see similarity.ann_lsh_topk).
+
+    Vectors are L2-normalized once per row below the join, so each of
+    the O(n²) pairs costs a single dot-product fold rather than three.
+    """
+    a = ensure_parallelism(df).select(
+        F.col(id_col).alias("a_id"),
+        normalized_vec(F.col(vec_col)).alias("a_v"))
+    b = df.select(F.col(id_col).alias("b_id"),
+                  normalized_vec(F.col(vec_col)).alias("b_v"))
+    dot = F.aggregate(F.zip_with("a_v", "b_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
     return (a.join(b, F.col("a_id") < F.col("b_id"))
             .select("a_id", "b_id",
-                    F.round(cosine_sim(F.col("a_v"), F.col("b_v")), 6)
-                     .alias("cos_sim"))
+                    F.round(dot, 6).alias("cos_sim"))
             .where(F.col("cos_sim") >= threshold)
             .orderBy("a_id", "b_id"))
 
@@ -366,11 +392,22 @@ def sql_cosine(x: str, y: str) -> str:
 
 def oracle_sql_embedding_dup(table: str = "embeddings",
                              threshold: float = 0.95) -> str:
-    cos = sql_cosine("a.embedding", "b.embedding")
+    # mirror embedding_dup_pairs exactly: L2-normalize per row
+    # (sequential fold), dot the normalized vectors, filter on the
+    # 6dp-rounded value — identical IEEE op order to the Spark side
+    sq = ("[embedding[i]::double * embedding[i]::double "
+          "for i in range(1, len(embedding) + 1)]")
+    norm = f"sqrt(list_reduce({sq}, (acc, v) -> acc + v))"
+    nv = (f"[embedding[i]::double / {norm} "
+          f"for i in range(1, len(embedding) + 1)]")
     return f"""
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           round({cos}, 6) AS cos_sim
-    FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
-    WHERE {cos} >= {threshold}
+    WITH n AS (SELECT vec_id, {nv} AS nv FROM {table})
+    SELECT a_id, b_id, cos_sim FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_reduce(
+               [a.nv[i] * b.nv[i] for i in range(1, len(a.nv) + 1)],
+               (acc, v) -> acc + v), 6) AS cos_sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    WHERE cos_sim >= {threshold}
     ORDER BY a_id, b_id
     """

@@ -68,7 +68,9 @@ def extract_stage(pages: DataFrame, cfg: RepoConfig | None = None,
                 })
             yield pd.DataFrame(rows, columns=EXTRACT_SCHEMA.fieldNames())
 
-    return pages.select("url", "html").mapInPandas(run, EXTRACT_SCHEMA)
+    from .util import ensure_parallelism
+    return ensure_parallelism(pages.select("url", "html")) \
+        .mapInPandas(run, EXTRACT_SCHEMA)
 
 
 def documents_table(extracted: DataFrame) -> DataFrame:

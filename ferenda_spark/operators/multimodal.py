@@ -84,8 +84,10 @@ def decode_media(df: DataFrame, blob_col: str = "payload",
                                  "status": "unsupported", "error": str(exc)})
             yield pd.DataFrame(rows, columns=MEDIA_SCHEMA.fieldNames())
 
-    return df.select(id_col, kind_col, mime_col, blob_col) \
-             .mapInPandas(run, MEDIA_SCHEMA)
+    from .util import ensure_parallelism
+    return ensure_parallelism(df.select(id_col, kind_col, mime_col,
+                                        blob_col)) \
+        .mapInPandas(run, MEDIA_SCHEMA)
 
 
 def synthetic_media(spark, n: int, partitions: int = 8) -> DataFrame:

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import cosine_sim
+from .util import ensure_parallelism
 
 
 def brute_force_topk(items: DataFrame, queries: DataFrame, k: int = 5,
@@ -31,8 +32,8 @@ def brute_force_topk(items: DataFrame, queries: DataFrame, k: int = 5,
     not be."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_v"))
-    it = items.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("n_v"))
+    it = ensure_parallelism(items).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_v"))
     sims = (F.broadcast(q).crossJoin(it)
             .where(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id",
@@ -45,51 +46,81 @@ def brute_force_topk(items: DataFrame, queries: DataFrame, k: int = 5,
             .orderBy("query_id", "rank"))
 
 
-def _hyperplane_sig(vec_col, bits: int, dim: int, seed: int):
-    """Signature bit b = sign(dot(v, plane_b)); plane components are
-    deterministic pseudo-randoms in [-1,1) derived from xxhash64(seed,
-    b, i) — computable identically on any executor, nothing shipped."""
-    def plane_component(b, i):
-        h = F.xxhash64(F.lit(seed), b, i)
-        return (F.pmod(h, F.lit(2_000_000)).cast("double") /
-                F.lit(1_000_000.0)) - F.lit(1.0)
+def _sig_table_stage(df: DataFrame, idc: str, vec_col: str, bits: int,
+                     n_tables: int, dim: int, seed: int) -> DataFrame:
+    """(id, tbl, sig) — one row per (vector, table); random-hyperplane
+    signatures computed as one numpy matmul per Arrow batch (a native
+    expression tree at bits×tables×dim terms would blow codegen limits;
+    see dedup.py for the same tradeoff)."""
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("tbl", IntegerType()),
+        StructField("sig", LongType()),
+    ])
+    weights = [1 << (bits - 1 - b) for b in range(bits)]
 
-    def bit(b):
-        dot = F.aggregate(
-            F.sequence(F.lit(0), F.lit(dim - 1)), F.lit(0.0),
-            lambda acc, i: acc + F.element_at(vec_col, (i + 1).cast("int"))
-                                  .cast("double") * plane_component(F.lit(b), i))
-        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+    def run(batches):
+        import numpy as np
+        rng = np.random.RandomState(seed)
+        planes = rng.uniform(-1.0, 1.0, size=(n_tables, dim, bits))
+        w = np.array(weights, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[idc].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            rows = []
+            for t in range(n_tables):
+                sigs = ((V @ planes[t]) >= 0).astype(np.int64) @ w
+                rows.append(pd.DataFrame({"id": ids, "tbl": t,
+                                          "sig": sigs}))
+            yield pd.concat(rows, ignore_index=True)[schema.fieldNames()]
 
-    sig = F.lit(0)
-    for b in range(bits):
-        sig = sig * 2 + bit(b)
-    return sig
+    return ensure_parallelism(df.select(F.col(idc).alias(idc), vec_col)) \
+        .mapInPandas(run, schema)
 
 
 def ann_lsh_topk(items: DataFrame, queries: DataFrame, k: int = 5,
-                 bits: int = 8, dim: int = 64, seed: int = 7,
-                 vec_col: str = "embedding",
+                 bits: int = 6, n_tables: int = 8, dim: int = 64,
+                 seed: int = 7, vec_col: str = "embedding",
                  id_col: str = "vec_id") -> DataFrame:
-    """Approximate top-k: random-hyperplane bucket join + exact cosine
-    inside buckets, multi-probing all 1-bit-flip neighbor buckets for
-    recall. → (query_id, neighbor_id, rank)."""
-    it = (items.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("n_v"))
-          .withColumn("sig", _hyperplane_sig(F.col("n_v"), bits, dim, seed)))
-    q = (queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("q_v"))
-         .withColumn("sig0", _hyperplane_sig(F.col("q_v"), bits, dim, seed)))
-    # multi-probe: own bucket + every 1-bit flip
-    probes = F.array(*([F.col("sig0")] +
-                       [F.col("sig0").bitwiseXOR(F.lit(1 << b))
+    """Approximate top-k: ``n_tables`` independent random-hyperplane
+    hash tables (the standard recall lever — P(hit) = 1-(1-p)^L),
+    1-bit multi-probe per table, exact cosine inside buckets.
+    → (query_id, neighbor_id, rank).
+
+    Scale notes: candidate volume per query ≈ L·(1+bits)·n/2^bits —
+    tune bits up as n grows to keep buckets bounded; the bucket join
+    key (table, sig) is uniform, so no skew."""
+    it = _sig_table_stage(
+        items.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        "neighbor_id", vec_col, bits, n_tables, dim, seed) \
+        .withColumnRenamed("id", "neighbor_id")
+    q0 = _sig_table_stage(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        "query_id", vec_col, bits, n_tables, dim, seed) \
+        .withColumnRenamed("id", "query_id")
+    # multi-probe: own bucket + every 1-bit flip, per table
+    probes = F.array(*([F.col("sig")] +
+                       [F.col("sig").bitwiseXOR(F.lit(1 << b))
                         for b in range(bits)]))
-    qp = q.select("query_id", "q_v", F.explode(probes).alias("sig"))
-    sims = (qp.join(it, "sig")
+    qp = (q0.select("query_id", "tbl", F.explode(probes).alias("sig")))
+    cand = (qp.join(it, ["tbl", "sig"])
             .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct())
+    # vectors re-attached to candidates only; query side broadcasts
+    sims = (cand
+            .join(F.broadcast(queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_v"))), "query_id")
+            .join(items.select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("n_v")), "neighbor_id")
             .select("query_id", "neighbor_id",
-                    cosine_sim(F.col("q_v"), F.col("n_v")).alias("sim"))
-            .dropDuplicates(["query_id", "neighbor_id"]))
+                    cosine_sim(F.col("q_v"), F.col("n_v")).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
                                                F.asc("neighbor_id"))
     return (sims.withColumn("rank", F.row_number().over(w))

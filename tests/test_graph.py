@@ -18,14 +18,19 @@ from ferenda_spark.uris import RepoConfig
 CFG = RepoConfig(alias="doc", url="http://example.org/")
 
 
-def test_connected_components_chains_and_hub(spark):
+@pytest.mark.parametrize("threshold", [2_000_000, 0],
+                         ids=["driver-unionfind", "distributed-stars"])
+def test_connected_components_chains_and_hub(spark, threshold):
+    """Both CC strategies (driver union-find below the edge-count
+    cutoff, alternating large/small-star above) must agree."""
     edges = spark.createDataFrame(
         [("b", "a"), ("c", "b"), ("e", "d"),
          # hub: many nodes alias into h
          *[("n%02d" % i, "h") for i in range(30)]],
         ["src", "dst"])
     cc = {r["node"]: r["component"]
-          for r in connected_components(edges).collect()}
+          for r in connected_components(
+              edges, driver_threshold=threshold).collect()}
     assert cc["a"] == cc["b"] == cc["c"] == "a"
     assert cc["d"] == cc["e"] == "d"
     assert all(cc["n%02d" % i] == "h" for i in range(30))
