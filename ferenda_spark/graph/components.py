@@ -97,8 +97,13 @@ def _driver_cc(spark, pairs) -> DataFrame:
     for u, v in pairs:
         nodes.add(u)
         nodes.add(v)
-    rows = [(n, find(n)) for n in sorted(nodes)]
-    return spark.createDataFrame(rows, "node string, component string")
+    ordered = sorted(nodes)
+    # Arrow path: a plain-list createDataFrame pickles row-by-row
+    # (~minutes at 10^5 rows); pandas → Arrow is ~1 s
+    import pandas as pd
+    pdf = pd.DataFrame({"node": ordered,
+                        "component": [find(n) for n in ordered]})
+    return spark.createDataFrame(pdf)
 
 
 def connected_components(edges: DataFrame, src: str = "src",

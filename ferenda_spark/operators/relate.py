@@ -86,6 +86,10 @@ def canonicalize_triples(triples: DataFrame) -> DataFrame:
     # derive (iterative CC) — cut its lineage so the two joins below
     # and any downstream action reuse it instead of re-running CC
     mapping = canonical_mapping(sameas).localCheckpoint(eager=True)
+    # broadcast when it fits: a sort-merge join here would shuffle the
+    # FULL triple table twice just to rewrite the aliased minority
+    if mapping.count() <= 5_000_000:
+        mapping = F.broadcast(mapping)
     t = (triples.alias("t")
          .join(mapping.withColumnRenamed("uri", "subject")
                       .withColumnRenamed("canonical_id", "subj_canon"),

