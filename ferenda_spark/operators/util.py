@@ -16,6 +16,10 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     rows is noise next to the per-row compute it unlocks. At real scale
     the scan already has ≥ cores partitions and this is a no-op.
     """
+    if df.isStreaming:
+        # partition count is per-micro-batch for streams (and .rdd is
+        # illegal on them); maxFilesPerTrigger governs parallelism there
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
