@@ -148,6 +148,27 @@ def _q_kg_inbound_refs(spark, sf_dir):
     return inbound_references(triples_table(_extracted(spark)))
 
 
+def _q_kg_pagerank(spark, sf_dir):
+    from ferenda_spark.operators.extract import triples_table
+    from ferenda_spark.operators.graphops import citation_edges, pagerank
+    return pagerank(citation_edges(triples_table(_extracted(spark))))
+
+
+def _q_kg_citation_degrees(spark, sf_dir):
+    from ferenda_spark.operators.extract import triples_table
+    from ferenda_spark.operators.graphops import citation_edges, degrees
+    return degrees(citation_edges(triples_table(_extracted(spark))))
+
+
+def _q_kg_keyword_hubs(spark, sf_dir):
+    from ferenda_spark.operators.extract import (extract_stage,
+                                                 triples_table)
+    from ferenda_spark.operators.graphops import keyword_hubs
+    # no commondata → dcterms:subject stays literal (the hub input)
+    triples = triples_table(extract_stage(_pages(spark), _kg_cfg()))
+    return keyword_hubs(triples).drop("docs")
+
+
 def _q_kg_stage_counters(spark, sf_dir):
     from ferenda_spark.operators.lineage import (entries_from_extracted,
                                                  stage_counters)
@@ -313,6 +334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_facet_stats": _q_kg_facet_stats,
         "kg_ispartof_closure": _q_kg_ispartof_closure,
         "kg_inbound_refs": _q_kg_inbound_refs,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_citation_degrees": _q_kg_citation_degrees,
+        "kg_keyword_hubs": _q_kg_keyword_hubs,
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
         "token_stats": _q_token_stats,

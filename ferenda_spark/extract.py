@@ -41,13 +41,23 @@ def _dedup(triples):
 
 
 def extract_document(url: str, html: bytes, cfg: RepoConfig,
-                     commondata=None, encoding: str = "utf-8") -> dict:
+                     commondata=None, encoding: str = "utf-8",
+                     patches: dict | None = None) -> dict:
     """→ {url, uri, lang, title, text, resources: [(uri, text)],
-         triples: [Triple], status, error}"""
+         triples: [Triple], status, error}
+
+    ``patches``: broadcast {url: (unified_diff, description)} applied to
+    the decoded text before parsing (≙ patch_if_needed,
+    ref ferenda/documentrepository.py:1284-1333 — rare-row branch)."""
     basefile = basefile_from_url(url)
     if isinstance(commondata, dict) and commondata:
         commondata = ResourceLookup.from_dict(commondata).lookup
     try:
+        if patches and url in patches:
+            from .patch import patch_text
+            patched, _desc = patch_text(
+                url, bytes(html).decode(encoding, errors="replace"), patches)
+            html = patched.encode(encoding)
         if url.endswith(".txt"):
             return _extract_rfc(url, html, basefile, cfg, commondata, encoding)
         return _extract_html(url, html, basefile, cfg, encoding)

@@ -45,8 +45,12 @@ EXTRACT_SCHEMA = StructType([
 
 
 def extract_stage(pages: DataFrame, cfg: RepoConfig | None = None,
-                  commondata: dict | None = None) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) → wide extraction result."""
+                  commondata: dict | None = None,
+                  patches: dict | None = None) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → wide extraction result.
+
+    ``patches``: {url: (unified_diff, description)} applied pre-parse
+    (broadcast with the closure; rare-row branch)."""
     cfg = cfg or RepoConfig(alias="doc", url="http://example.org/")
     commondata = commondata or {}
 
@@ -57,7 +61,8 @@ def extract_stage(pages: DataFrame, cfg: RepoConfig | None = None,
         for pdf in batches:
             rows = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                d = extract_document(url, html, cfg, lookup)
+                d = extract_document(url, html, cfg, lookup,
+                                     patches=patches)
                 rows.append({
                     "url": d["url"], "uri": d["uri"], "lang": d["lang"],
                     "title": d["title"], "text": d["text"],
