@@ -94,6 +94,22 @@ def test_citation_graph_pagerank(spark):
     assert all(v > 0 for v in ranks.values())
 
 
+def test_hits(spark):
+    from ferenda_spark.operators.graphops import citation_edges, hits
+    triples = spark.createDataFrame(
+        [(s, "http://purl.org/dc/terms/references", o, "uri")
+         for s, o in [("h1", "a1"), ("h1", "a2"), ("h1", "a3"),
+                      ("h2", "a1"), ("h2", "a2"), ("x", "a3")]],
+        ["subject", "predicate", "object", "objtype"])
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(citation_edges(triples)).collect()}
+    # h1 links to every authority → top hub; a1/a2 cited by both strong
+    # hubs → top authorities
+    assert max(got, key=lambda n: got[n][0]) == "h1"
+    assert max(got, key=lambda n: got[n][1]) in ("a1", "a2")
+    assert got["a1"][1] == got["a2"][1]
+
+
 def test_keyword_hubs(spark):
     from ferenda_spark.operators.graphops import keyword_hubs
     triples = spark.createDataFrame(
