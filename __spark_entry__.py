@@ -2,15 +2,21 @@
 
 ``queries()`` exposes the engine's operator surface in two groups:
 
-- ``kg_*``: the ferenda-derived KG-construction pipeline running on the
+- ``kg_*``: the ferenda-derived KG-construction pipeline over the
   deterministic synthetic ``pages`` corpus (BASELINE.json input_hint).
-  These are non-SQL-expressible over the driver's DuckDB views (the
-  pages table is generated, not parquet), so they take the rows-only
-  check; their value-level correctness is covered by the pytest parity
-  suite against reference-fixture goldens (tests/test_rfc_parity.py,
-  tests/test_extract_stage.py).
+  Each has a hard DuckDB oracle via the materialized-extraction scheme
+  (ferenda_spark.kgcache): a pure-Python single-threaded run of the
+  same extraction kernel writes parquet once; the extraction queries
+  run the REAL distributed stage and are compared against that parquet
+  (cross-execution check), while downstream operators read the parquet
+  through Spark and their oracles are plain SQL (recursive CTEs,
+  unrolled power iteration) over the same files. Reference-fixture
+  value parity is additionally covered by pytest
+  (tests/test_rfc_parity.py, tests/test_extract_stage.py).
 - everything else: training-data pipeline + relational operators over
-  the driver's parquet tables, each with an exact DuckDB oracle.
+  the driver's parquet tables, each with an exact DuckDB oracle
+  (exceptions documented per query: recall-probabilistic operators
+  stay rows-only with pytest recall assertions).
 """
 
 from __future__ import annotations
@@ -50,6 +56,24 @@ def _kg_cfg():
     return RepoConfig(alias="doc", url="http://example.org/")
 
 
+def _kg_dictionary() -> list[tuple[str, str]]:
+    from ferenda_spark.pages import COMMONDATA
+    return [(label, uri) for (_pred, label), uri in COMMONDATA.items()]
+
+
+def _kg_paths() -> dict[str, str]:
+    from ferenda_spark.kgcache import ensure_kg_tables
+    return ensure_kg_tables(KG_N)
+
+
+def _kg_read(spark: SparkSession, table: str) -> DataFrame:
+    """Downstream kg queries read the materialized extraction parquet
+    (the Iceberg-table hand-off between pipeline stages in production)
+    instead of re-running the extract UDF per query; the extraction
+    itself is oracle-checked by kg_documents/kg_triples/kg_resources."""
+    return spark.read.parquet(_kg_paths()[table])
+
+
 # --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -83,90 +107,73 @@ def _q_kg_resources(spark, sf_dir):
 
 
 def _q_kg_deps(spark, sf_dir):
-    from ferenda_spark.operators.extract import (documents_table,
-                                                 triples_table)
     from ferenda_spark.operators.relate import deps_table
-    ex = _extracted(spark)
-    return deps_table(triples_table(ex), documents_table(ex), _kg_cfg())
+    return deps_table(_kg_read(spark, "triples"),
+                      _kg_read(spark, "documents"), _kg_cfg())
 
 
 def _q_kg_entities(spark, sf_dir):
-    from ferenda_spark.operators.extract import triples_table
     from ferenda_spark.operators.relate import entities_table
-    return entities_table(triples_table(_extracted(spark)))
+    return entities_table(_kg_read(spark, "triples"))
 
 
 def _q_kg_canonical_triples(spark, sf_dir):
-    return entry(spark)
+    from ferenda_spark.operators.relate import canonicalize_triples
+    return canonicalize_triples(_kg_read(spark, "triples"))
 
 
 def _q_kg_linked_publishers(spark, sf_dir):
-    """Two-stage distributed linking path: extract WITHOUT the inline
-    commondata lookup (publishers stay literal), then resolve them with
-    the broadcast-dict + trigram-candidate + difflib-scorer operator."""
-    from ferenda_spark.operators.extract import (extract_stage,
-                                                 triples_table)
+    """Two-stage distributed linking path over the raw (commondata-free)
+    triples: publishers stay literal at extraction, then resolve with
+    the broadcast-dict + trigram-index + difflib-scorer operator."""
     from ferenda_spark.operators.linking import link_triples
-    from ferenda_spark.pages import COMMONDATA
-    dictionary = spark.createDataFrame(
-        [(label, uri) for (_pred, label), uri in COMMONDATA.items()],
-        "label string, uri string")
-    triples = triples_table(extract_stage(_pages(spark), _kg_cfg()))
+    dictionary = spark.createDataFrame(_kg_dictionary(),
+                                       "label string, uri string")
     return link_triples(
-        triples, dictionary,
+        _kg_read(spark, "triples_raw"), dictionary,
         predicates=["http://purl.org/dc/terms/publisher"])
 
 
 def _q_kg_faceted(spark, sf_dir):
-    from ferenda_spark.operators.extract import triples_table
     from ferenda_spark.operators.facets import faceted_data
-    return faceted_data(triples_table(_extracted(spark)))
+    return faceted_data(_kg_read(spark, "triples"))
 
 
 def _q_kg_toc(spark, sf_dir):
-    from ferenda_spark.operators.extract import triples_table
-    from ferenda_spark.operators.facets import faceted_data, toc_pageset
-    return toc_pageset(faceted_data(triples_table(_extracted(spark))),
-                       value_col="dcterms_title")
+    from ferenda_spark.operators.facets import faceted_data, toc_page_entries
+    return toc_page_entries(faceted_data(_kg_read(spark, "triples")),
+                            value_col="dcterms_title")
 
 
 def _q_kg_facet_stats(spark, sf_dir):
-    from ferenda_spark.operators.extract import triples_table
     from ferenda_spark.operators.facets import facet_stats
-    return facet_stats(triples_table(_extracted(spark)))
+    return facet_stats(_kg_read(spark, "triples"))
 
 
 def _q_kg_ispartof_closure(spark, sf_dir):
     from ferenda_spark.graph.closure import ispartof_closure
-    from ferenda_spark.operators.extract import triples_table
-    return ispartof_closure(triples_table(_extracted(spark)))
+    return ispartof_closure(_kg_read(spark, "triples"))
 
 
 def _q_kg_inbound_refs(spark, sf_dir):
-    from ferenda_spark.operators.extract import triples_table
     from ferenda_spark.operators.relate import inbound_references
-    return inbound_references(triples_table(_extracted(spark)))
+    return inbound_references(_kg_read(spark, "triples"))
 
 
 def _q_kg_pagerank(spark, sf_dir):
-    from ferenda_spark.operators.extract import triples_table
     from ferenda_spark.operators.graphops import citation_edges, pagerank
-    return pagerank(citation_edges(triples_table(_extracted(spark))))
+    return pagerank(citation_edges(_kg_read(spark, "triples")))
 
 
 def _q_kg_citation_degrees(spark, sf_dir):
-    from ferenda_spark.operators.extract import triples_table
     from ferenda_spark.operators.graphops import citation_edges, degrees
-    return degrees(citation_edges(triples_table(_extracted(spark))))
+    return degrees(citation_edges(_kg_read(spark, "triples")))
 
 
 def _q_kg_keyword_hubs(spark, sf_dir):
-    from ferenda_spark.operators.extract import (extract_stage,
-                                                 triples_table)
     from ferenda_spark.operators.graphops import keyword_hubs
-    # no commondata → dcterms:subject stays literal (the hub input)
-    triples = triples_table(extract_stage(_pages(spark), _kg_cfg()))
-    return keyword_hubs(triples).drop("docs")
+    # raw triples: dcterms:subject stays literal (the hub input)
+    return keyword_hubs(_kg_read(spark, "triples_raw")).drop("docs")
 
 
 def _q_kg_stage_counters(spark, sf_dir):
@@ -252,7 +259,10 @@ def _q_ann_lsh_topk(spark, sf_dir):
 def _q_media_decode(spark, sf_dir):
     from ferenda_spark.operators.multimodal import (decode_media,
                                                     synthetic_media)
-    return decode_media(synthetic_media(spark, 200))
+    # feature is array<float>; serialize for the driver harness (its
+    # canonicalizer cannot hash list-valued columns)
+    return (decode_media(synthetic_media(spark, 200))
+            .withColumn("feature", F.to_json("feature")))
 
 
 # ---- relational / faceting analogs (SURVEY.md §2.5) over parquet
@@ -361,12 +371,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ferenda_spark import kgoracle
     from ferenda_spark.operators import dedup, similarity, textops
     jaccard_oracle = dedup.oracle_sql_ngram_jaccard(threshold=0.5)
     dup_docs = ("(SELECT doc_id, text FROM documents UNION ALL "
                 "SELECT doc_id + 100000, text FROM documents "
                 "WHERE doc_id % 7 = 0)")
+    # materialize the KG extraction parquet before the driver runs the
+    # SQL below (pure pandas/pyarrow; no-op when cached)
+    kg = _kg_paths()
     return {
+        # KG pipeline oracles over the materialized extraction
+        # (ferenda_spark.kgcache docstring explains the scheme)
+        "kg_documents": kgoracle.sql_documents(kg),
+        "kg_triples": kgoracle.sql_triples(kg),
+        "kg_resources": kgoracle.sql_resources(kg),
+        "kg_deps": kgoracle.sql_deps(kg),
+        "kg_entities": kgoracle.sql_entities(kg),
+        "kg_canonical_triples": kgoracle.sql_canonical_triples(kg),
+        "kg_linked_publishers": kgoracle.sql_linked_publishers(
+            kg, _kg_dictionary()),
+        "kg_faceted": kgoracle.sql_faceted(kg),
+        "kg_toc": kgoracle.sql_toc(kg),
+        "kg_facet_stats": kgoracle.sql_facet_stats(kg),
+        "kg_ispartof_closure": kgoracle.sql_ispartof_closure(kg),
+        "kg_inbound_refs": kgoracle.sql_inbound_refs(kg),
+        "kg_pagerank": kgoracle.sql_pagerank(kg),
+        "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
+        "kg_keyword_hubs": kgoracle.sql_keyword_hubs(kg),
+        "kg_stage_counters": kgoracle.sql_stage_counters(kg),
+        # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),
         "quality_score": textops.oracle_sql_quality(),
         "language_id": textops.oracle_sql_language_id(),
@@ -394,7 +428,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stats_groupby": """
             SELECT lang, count(DISTINCT doc_id) AS n_docs,
-                   sum(n_chars) AS total_chars,
+                   sum(n_chars)::BIGINT AS total_chars,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,

@@ -1,0 +1,321 @@
+"""DuckDB oracle SQL for the KG pipeline queries.
+
+Every generator receives the materialized-parquet paths from
+:mod:`ferenda_spark.kgcache` and returns ANSI-ish DuckDB SQL whose
+result must equal the corresponding Spark query bit-for-bit after the
+driver's canonicalization (columns sorted by name, rows sorted, values
+hashed). Conventions that keep the hash green:
+
+- every aggregate is aliased identically on both sides;
+- ``sum()`` and other HUGEINT-producing aggregates are cast ``::BIGINT``
+  (DuckDB's int128 lands in pandas as float64, Spark's long as int64 —
+  same values, different hash; see ADVICE.md round 1);
+- float-valued results are rounded to 6dp on both sides; all folds are
+  integer or order-insensitive at that precision;
+- no array/struct columns ever reach the driver (its canonicalizer
+  cannot hash list values).
+"""
+
+from __future__ import annotations
+
+from .namespaces import NS, OWL_SAMEAS, RDF_TYPE
+
+DCT = NS["dcterms"]
+
+# basefile extraction pattern for the synthetic corpus config
+# (RepoConfig(alias='doc', url='http://example.org/')); mirrors
+# operators/relate.py _basefile_pattern
+BF_PATTERN = r"^http://example\.org/res/doc/([^#]+?)(?:#.*)?$"
+
+
+def _t(paths: dict[str, str], table: str) -> str:
+    return "read_parquet('%s')" % paths[table]
+
+
+def sql_documents(paths) -> str:
+    return ("SELECT url, uri, lang, title, text, status FROM %s "
+            "ORDER BY url" % _t(paths, "documents"))
+
+
+def sql_triples(paths) -> str:
+    return ("SELECT subject, predicate, object, objtype, lang, datatype, "
+            "source_url, context FROM %s" % _t(paths, "triples"))
+
+
+def sql_resources(paths) -> str:
+    return ("SELECT url, resource_uri, text FROM %s"
+            % _t(paths, "resources"))
+
+
+def sql_deps(paths) -> str:
+    """relate_dependencies rules (ref documentrepository.py:1957-1976):
+    URI objects, non-type/sameAs predicates, object not a subject in
+    the same doc's graph, resolved to an owning document, no self."""
+    return f"""
+    WITH t AS (SELECT * FROM {_t(paths, 'triples')}),
+    refs AS (
+      SELECT t.source_url, t.object FROM t
+      WHERE t.objtype = 'uri'
+        AND t.predicate NOT IN ('{RDF_TYPE}', '{OWL_SAMEAS}')
+        AND NOT EXISTS (SELECT 1 FROM t o
+                        WHERE o.source_url = t.source_url
+                          AND o.subject = t.object)
+    ),
+    ref_bf AS (
+      SELECT source_url,
+             regexp_extract(object, '{BF_PATTERN}', 1) AS target_basefile
+      FROM refs
+      WHERE regexp_extract(object, '{BF_PATTERN}', 1) <> ''
+    ),
+    doc_ids AS (
+      SELECT url AS target_url,
+             regexp_extract(uri, '{BF_PATTERN}', 1) AS target_basefile
+      FROM {_t(paths, 'documents')}
+    )
+    SELECT DISTINCT d.target_url, r.source_url
+    FROM ref_bf r JOIN doc_ids d USING (target_basefile)
+    WHERE d.target_url <> r.source_url
+    """
+
+
+def _cc_ctes(paths) -> str:
+    """Shared recursive connected-components CTEs over owl:sameAs:
+    symmetric edges → transitive reachability (UNION dedups, so the
+    recursion terminates) → per-node component = min reachable node."""
+    return f"""
+    sa AS (
+      SELECT subject AS u, object AS v FROM {_t(paths, 'triples')}
+      WHERE predicate = '{OWL_SAMEAS}' AND subject <> object
+    ),
+    edges AS (SELECT u, v FROM sa UNION SELECT v, u FROM sa),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE r.u <> e.v
+    ),
+    comp AS (
+      SELECT u AS node, least(u, min(v)) AS canonical_id
+      FROM reach GROUP BY u
+    )"""
+
+
+def sql_entities(paths) -> str:
+    return ("WITH RECURSIVE %s SELECT canonical_id, node AS uri FROM comp"
+            % _cc_ctes(paths))
+
+
+def sql_canonical_triples(paths) -> str:
+    return f"""
+    WITH RECURSIVE {_cc_ctes(paths)},
+    t AS (SELECT * FROM {_t(paths, 'triples')})
+    SELECT coalesce(cs.canonical_id, t.subject) AS subject,
+           t.predicate,
+           CASE WHEN t.objtype = 'uri'
+                THEN coalesce(co.canonical_id, t.object)
+                ELSE t.object END AS object,
+           t.objtype, t.lang, t.datatype, t.source_url, t.context
+    FROM t LEFT JOIN comp cs ON cs.node = t.subject
+           LEFT JOIN comp co ON co.node = t.object
+    """
+
+
+def sql_linked_publishers(paths, dictionary, cutoff: float = 0.8) -> str:
+    """Entity-linking oracle: the expected label→URI resolution is
+    computed here with the SAME single-node primitives the reference
+    uses (exact dict hit, else difflib via TrigramIndex — parity
+    asserted in tests), inlined as a VALUES list; the SQL then checks
+    the distributed exact-join + scorer pipeline reproduces it."""
+    import duckdb
+
+    from .linking import TrigramIndex
+    labels = [r[0] for r in duckdb.sql(
+        f"""SELECT DISTINCT object FROM {_t(paths, 'triples_raw')}
+            WHERE predicate = '{DCT}publisher' AND objtype = 'literal'
+        """).fetchall()]
+    index = TrigramIndex(dictionary)
+    rows = []
+    for label in sorted(labels):
+        hit = index.resolve(label, cutoff)
+        if hit:
+            matched, uri, method = hit
+            rows.append("('%s', '%s', '%s')" % (label.replace("'", "''"),
+                                                uri, method))
+    values = ",\n      ".join(rows) or "(NULL, NULL, NULL)"
+    return f"""
+    WITH links(label, uri, method) AS (VALUES
+      {values})
+    SELECT t.subject, t.predicate, l.uri AS object,
+           'uri' AS objtype, '' AS lang, '' AS datatype,
+           t.source_url, l.method
+    FROM {_t(paths, 'triples_raw')} t
+    JOIN links l ON t.object = l.label
+    WHERE t.predicate = '{DCT}publisher' AND t.objtype = 'literal'
+    """
+
+
+_FACETS = [
+    (RDF_TYPE, "rdf_type"),
+    (DCT + "title", "dcterms_title"),
+    (DCT + "identifier", "dcterms_identifier"),
+    (DCT + "issued", "dcterms_issued"),
+    (DCT + "publisher", "dcterms_publisher"),
+]
+
+
+def _faceted_cte(paths) -> str:
+    cols = ",\n             ".join(
+        "min(object) FILTER (WHERE predicate = '%s') AS %s" % (p, c)
+        for p, c in _FACETS)
+    preds = ", ".join("'%s'" % p for p, _ in _FACETS)
+    return f"""
+    f AS (
+      SELECT subject AS uri,
+             {cols}
+      FROM {_t(paths, 'triples')}
+      WHERE predicate IN ({preds})
+      GROUP BY subject
+    )"""
+
+
+def sql_faceted(paths) -> str:
+    return "WITH %s SELECT * FROM f" % _faceted_cte(paths)
+
+
+def sql_toc(paths, top_n: int = 50) -> str:
+    return f"""
+    WITH {_faceted_cte(paths)},
+    src AS (
+      SELECT lower(substr(dcterms_title, 1, 1)) AS firstletter,
+             dcterms_title AS label, uri
+      FROM f WHERE dcterms_title IS NOT NULL
+    ),
+    ranked AS (
+      SELECT firstletter, label, uri,
+             row_number() OVER (PARTITION BY firstletter
+                                ORDER BY label, uri) AS pos
+      FROM src)
+    SELECT firstletter, pos, label, uri FROM ranked
+    WHERE pos <= {top_n} ORDER BY firstletter, pos
+    """
+
+
+def sql_facet_stats(paths) -> str:
+    return f"""
+    SELECT predicate AS dimension, object AS value,
+           count(DISTINCT subject) AS n
+    FROM {_t(paths, 'triples')}
+    WHERE predicate IN ('{RDF_TYPE}', '{DCT}publisher')
+    GROUP BY dimension, value ORDER BY dimension, value
+    """
+
+
+def sql_ispartof_closure(paths) -> str:
+    return f"""
+    WITH RECURSIVE
+    base AS (
+      SELECT DISTINCT subject AS a, object AS b
+      FROM {_t(paths, 'triples')}
+      WHERE predicate = '{DCT}isPartOf' AND subject <> object
+    ),
+    paths_ AS (
+      SELECT a, b FROM base
+      UNION
+      SELECT p.a, e.b FROM paths_ p JOIN base e ON p.b = e.a
+      WHERE p.a <> e.b
+    )
+    SELECT a AS part, b AS ancestor FROM paths_
+    """
+
+
+def sql_inbound_refs(paths) -> str:
+    return f"""
+    SELECT DISTINCT object AS part, subject AS referenced_by
+    FROM {_t(paths, 'triples')}
+    WHERE predicate = '{DCT}references'
+    """
+
+
+def _edges_cte(paths) -> str:
+    return f"""
+    e AS (
+      SELECT DISTINCT subject AS src, object AS dst
+      FROM {_t(paths, 'triples')}
+      WHERE predicate = '{DCT}references' AND objtype = 'uri'
+        AND subject <> object
+    )"""
+
+
+def sql_citation_degrees(paths) -> str:
+    return f"""
+    WITH {_edges_cte(paths)},
+    o AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY src),
+    i AS (SELECT dst AS node, count(*) AS in_degree FROM e GROUP BY dst)
+    SELECT coalesce(o.node, i.node) AS node,
+           coalesce(out_degree, 0) AS out_degree,
+           coalesce(in_degree, 0) AS in_degree
+    FROM o FULL JOIN i ON o.node = i.node
+    ORDER BY node
+    """
+
+
+def sql_pagerank(paths, damping: float = 0.85, iters: int = 15,
+                 round_to: int = 6) -> str:
+    """Power iteration unrolled into ``iters`` chained CTEs — identical
+    update rule to operators/graphops.pagerank: contrib from previous
+    ranks, dangling mass (nodes without out-edges) redistributed
+    uniformly, PR = (1-d) + d·(contrib + dangling/n)."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and r{k-1} appears 3× per step — unmaterialized, the
+    # expansion is 3^iters scans of the parquet
+    head = f"""
+    WITH {_edges_cte(paths).replace(' AS (', ' AS MATERIALIZED (', 1)},
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e),
+    outd AS MATERIALIZED (
+      SELECT src AS node, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+    nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS rank FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+    c{k} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(r.rank / d.deg) AS contrib
+      FROM e JOIN r{k - 1} r ON r.node = e.src
+             JOIN outd d ON d.node = e.src
+      GROUP BY e.dst),
+    dg{k} AS MATERIALIZED (
+      SELECT coalesce(sum(r.rank), 0.0) AS mass
+      FROM r{k - 1} r LEFT JOIN outd d ON d.node = r.node
+      WHERE d.node IS NULL),
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+             {1.0 - damping} + {damping} *
+               (coalesce(c.contrib, 0.0) +
+                (SELECT mass FROM dg{k}) / (SELECT n FROM nn)) AS rank
+      FROM nodes n LEFT JOIN c{k} c ON c.node = n.node)"""
+        )
+    return (head + "".join(steps) +
+            f"""
+    SELECT node, round(rank, {round_to}) AS rank FROM r{iters}
+    ORDER BY rank DESC, node""")
+
+
+def sql_keyword_hubs(paths) -> str:
+    return f"""
+    SELECT term, count(DISTINCT doc) AS n_docs FROM (
+      SELECT trim(regexp_replace(object, '[\\[\\]{{}}|#<>&]', '', 'g'))
+               AS term,
+             subject AS doc
+      FROM {_t(paths, 'triples_raw')}
+      WHERE predicate = '{DCT}subject')
+    WHERE term <> '' GROUP BY term ORDER BY term
+    """
+
+
+def sql_stage_counters(paths) -> str:
+    return f"""
+    SELECT 'parse' AS stage, status, count(DISTINCT url) AS n_urls
+    FROM {_t(paths, 'documents')}
+    GROUP BY stage, status ORDER BY stage, status
+    """

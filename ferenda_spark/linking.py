@@ -76,3 +76,59 @@ def close_enough(label: str, candidate: str, cutoff: float = 0.8) -> bool:
     return (m.real_quick_ratio() >= cutoff and
             m.quick_ratio() >= cutoff and
             m.ratio() >= cutoff)
+
+
+def trigrams(s: str) -> set[str]:
+    """Padded character 3-grams, lowercased — the candidate-generation
+    key: two strings sharing zero trigrams cannot reach difflib ratio
+    0.8 for realistic label lengths."""
+    s = " " + s.lower() + " "
+    return {s[i:i + 3] for i in range(len(s) - 2)}
+
+
+class TrigramIndex:
+    """Inverted trigram → entry index over a label dictionary.
+
+    Probing unions the posting lists of the query's trigrams, so the
+    per-miss cost is O(candidates sharing ≥1 trigram), sublinear in
+    dictionary size — not a scan of every entry (the broadcast-side
+    index the distributed scorer builds once per executor).
+    """
+
+    def __init__(self, items):
+        """items: iterable of (label, uri)."""
+        self.entries = list(items)
+        self.exact = {label: uri for label, uri in self.entries}
+        self.index: dict[str, list[int]] = {}
+        for i, (label, _uri) in enumerate(self.entries):
+            for g in trigrams(label):
+                self.index.setdefault(g, []).append(i)
+
+    def best_fuzzy(self, label: str, cutoff: float = 0.8):
+        """→ (matched_label, uri, ratio) or None, with scoring and
+        tie-breaking identical to difflib.get_close_matches: ranked by
+        (ratio, candidate) so equal-ratio ties resolve to the
+        lexicographically larger label (heapq.nlargest on tuples)."""
+        cand_ids: set[int] = set()
+        for g in trigrams(label):
+            cand_ids.update(self.index.get(g, ()))
+        best = None
+        for i in cand_ids:
+            dlabel, uri = self.entries[i]
+            if not close_enough(label, dlabel, cutoff):
+                continue
+            r = difflib_ratio(dlabel, label)
+            if best is None or (r, dlabel) > (best[2], best[0]):
+                best = (dlabel, uri, r)
+        return best
+
+    def resolve(self, label: str, cutoff: float = 0.8):
+        """→ (matched_label, uri, method) or None: exact hit first,
+        else the fuzzy fallback — lookup_resource set-at-a-time
+        (ref ferenda/documentrepository.py:478-525)."""
+        if label in self.exact:
+            return (label, self.exact[label], "exact")
+        hit = self.best_fuzzy(label, cutoff)
+        if hit:
+            return (hit[0], hit[1], "fuzzy")
+        return None

@@ -145,8 +145,8 @@ def _minhash_bands(text: str, n: int, num_hashes: int, bands: int,
     return out
 
 
-def minhash_band_table(df: DataFrame, n: int = 3, num_hashes: int = 64,
-                       bands: int = 16, text_col: str = "text",
+def minhash_band_table(df: DataFrame, n: int = 3, num_hashes: int = 128,
+                       bands: int = 64, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """(id, band, band_hash) — one row per (doc, band), Arrow-batched."""
     from pyspark.sql.types import (IntegerType, LongType, StructField,
@@ -176,16 +176,21 @@ def minhash_band_table(df: DataFrame, n: int = 3, num_hashes: int = 64,
 
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
-                      n: int = 3, num_hashes: int = 64, bands: int = 16,
+                      n: int = 3, num_hashes: int = 128, bands: int = 64,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Scale-path near-dup detection: MinHash signatures banded into
     ``bands`` buckets; docs colliding in ≥1 band become candidates;
     candidates are verified with EXACT n-gram Jaccard, so output
-    equals brute force minus (improbable) LSH misses.
+    equals brute force minus LSH misses.
 
-    With num_hashes=64, bands=16 (rows/band=4) the S-curve midpoint is
-    ≈ (1/16)^(1/4) ≈ 0.5 — tuned to ``threshold`` 0.5.
+    Banding is tuned so equality with the brute-force oracle is robust,
+    not just likely: with rows/band r=2 and b=64 bands, a pair at
+    exactly the threshold (s=0.5) is missed with probability
+    (1-0.5²)^64 ≈ 1e-8 (r=4 would be ≈0.13 — a coin flip per dataset).
+    The cost is more candidates at low similarity, but candidates are
+    exact-verified, so precision is unaffected and the extra volume is
+    bounded by s² per band.
     → (a_id, b_id, jaccard_sim), a_id < b_id.
     """
     banded = minhash_band_table(df, n, num_hashes, bands, text_col, id_col)

@@ -36,9 +36,6 @@ SCORE_SCHEMA = StructType([
 ])
 
 
-def _trigrams(s: str) -> set[str]:
-    s = " " + s.lower() + " "
-    return {s[i:i + 3] for i in range(len(s) - 2)}
 
 
 def link_labels(mentions: DataFrame, dictionary: DataFrame,
@@ -63,23 +60,16 @@ def link_labels(mentions: DataFrame, dictionary: DataFrame,
     bc = spark.sparkContext.broadcast(dict_rows)
 
     def score(batches):
-        from ferenda_spark.linking import close_enough, difflib_ratio
-        entries = [(lbl, uri, _trigrams(lbl)) for lbl, uri in bc.value]
+        from ferenda_spark.linking import TrigramIndex
+        # inverted index built once per task from the broadcast rows:
+        # each miss probes only entries sharing ≥1 trigram (sublinear in
+        # dictionary size), and tie-breaking matches get_close_matches
+        # exactly — (ratio, label) descending
+        index = TrigramIndex(bc.value)
         for pdf in batches:
             rows = []
             for label in pdf["label"]:
-                grams = _trigrams(label)
-                best = None
-                for dlabel, uri, dgrams in entries:
-                    if not grams & dgrams:
-                        continue
-                    if close_enough(label, dlabel, cutoff):
-                        r = difflib_ratio(dlabel, label)
-                        # get_close_matches sorts by score only (stable
-                        # over insertion order); replicate with
-                        # (ratio, -index) ≙ first-best wins
-                        if best is None or r > best[2]:
-                            best = (dlabel, uri, r)
+                best = index.best_fuzzy(label, cutoff)
                 if best:
                     rows.append({"label": label, "matched_label": best[0],
                                  "uri": best[1], "ratio": best[2]})

@@ -77,11 +77,16 @@ def decode_media(df: DataFrame, blob_col: str = "payload",
                     meta = fn(payload)
                     rows.append({"media_id": mid, "kind": kind, "mime": mime,
                                  "status": "ok", "error": None, **meta})
-                except NotImplementedError as exc:
+                except Exception as exc:  # per-row capture: a corrupt
+                    # blob/codec error must not kill the task; decoders
+                    # signal "no codec" with NotImplementedError
+                    status = ("unsupported"
+                              if isinstance(exc, NotImplementedError)
+                              else "error")
                     rows.append({"media_id": mid, "kind": kind, "mime": mime,
                                  "width": None, "height": None,
                                  "n_frames": None, "feature": None,
-                                 "status": "unsupported", "error": str(exc)})
+                                 "status": status, "error": str(exc)})
             yield pd.DataFrame(rows, columns=MEDIA_SCHEMA.fieldNames())
 
     from .util import ensure_parallelism
