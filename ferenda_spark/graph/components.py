@@ -126,9 +126,12 @@ def connected_components(edges: DataFrame, src: str = "src",
     if n_edges <= driver_threshold:
         pairs = [(r["u"], r["v"]) for r in E.collect()]
         return _driver_cc(edges.sparkSession, pairs)
+    from ..operators.util import iter_checkpoint
     prev_sig = None
-    for _ in range(max_iter):
-        E = _small_star(_large_star(E)).localCheckpoint(eager=True)
+    for i in range(max_iter):
+        # disk checkpoint every 3rd round: localCheckpoint chains stop
+        # truncating lineage after ~7 rounds on this build (BENCH.md)
+        E = iter_checkpoint(_small_star(_large_star(E)), i)
         sig = _signature(E)
         if sig == prev_sig:
             break

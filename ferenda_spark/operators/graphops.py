@@ -14,8 +14,12 @@ GraphFrames dependency:
 
 Scale notes: every iteration shuffles contributions keyed by dst —
 uniform unless the citation graph has hubs, which AQE skew-split
-handles; iterations are bounded (default 15, plenty for convergence at
-damping 0.85); per-round localCheckpoint keeps lineage flat.
+handles. Small graphs (≤ driver_threshold edges) iterate in numpy on
+the driver (max_iter rounds); the distributed branch — the
+load-bearing path at 100× — caps at 6 rounds (geometric convergence;
+ranking-stable) and resets lineage with a disk checkpoint every 3rd
+round (iter_checkpoint), keeping per-round wall time flat for
+arbitrarily many rounds.
 """
 
 from __future__ import annotations
@@ -58,7 +62,9 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     formulation with dangling-mass redistribution, iterated to
     ``max_iter``. Hybrid like :func:`hits`: citation graphs are a tiny
     slice of the corpus, so below the edge cutoff the iteration runs
-    in numpy on the driver; above it, the join-based loop.
+    in numpy on the driver; above it, the join-based loop (capped at 6
+    rounds, dangling mass folded into the per-round plan as a
+    broadcast aggregate — no driver collect per round).
     """
     E = edges.select("src", "dst").distinct()
     n_edges = E.limit(driver_threshold + 1).count()
@@ -85,6 +91,13 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
             r = (1.0 - damping) + damping * (contrib + dangling / n)
         out = pd.DataFrame({"node": names, "rank": np.round(r, round_to)})
         return spark.createDataFrame(out).orderBy(F.desc("rank"), "node")
+    # distributed branch: bounded join iteration. Round cap matches
+    # hits() — on this Spark build per-round cost turns geometric once
+    # lineage-truncation degrades (~7 rounds), and PR converges
+    # geometrically at damping 0.85, so 6 rounds is ranking-stable;
+    # lineage is additionally reset for real by a disk checkpoint every
+    # 3rd round (iter_checkpoint).
+    from .util import iter_checkpoint
     edges = E
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
@@ -93,26 +106,30 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     # edges annotated once; reused every round
     ed = edges.join(out_deg, "src").localCheckpoint(eager=True)
+    dangling_nodes = (nodes.join(out_deg.withColumnRenamed("src", "node"),
+                                 "node", "left_anti")
+                      .localCheckpoint(eager=True))
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(max_iter):
+    for i in range(min(max_iter, 6)):
         contribs = (ed.join(ranks.withColumnRenamed("node", "src"), "src")
                     .select(F.col("dst").alias("node"),
                             (F.col("rank") / F.col("out_degree"))
                             .alias("contrib")))
         summed = contribs.groupBy("node").agg(F.sum("contrib").alias("c"))
-        # dangling nodes (no outgoing edges) leak their mass; the
-        # classic formulation redistributes it uniformly
-        dangling = (ranks.join(out_deg.withColumnRenamed("src", "node"),
-                               "node", "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .collect()[0][0])
-        ranks = (nodes.join(summed, "node", "left")
+        # dangling nodes (no outgoing edges) leak their mass; fold the
+        # global sum into the plan as a broadcast 1-row aggregate — no
+        # per-round driver collect, each round stays one job
+        dmass = (dangling_nodes.join(ranks, "node")
+                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")))
+        ranks = iter_checkpoint(
+            nodes.join(summed, "node", "left")
+                 .crossJoin(F.broadcast(dmass))
                  .select("node",
                          (F.lit(1.0 - damping) +
                           F.lit(damping) *
                           (F.coalesce(F.col("c"), F.lit(0.0)) +
-                           F.lit(dangling / n_nodes))).alias("rank"))
-                 .localCheckpoint(eager=True))
+                           F.col("dmass") / F.lit(float(n_nodes))))
+                         .alias("rank")), i)
     return ranks.select("node", F.round("rank", round_to).alias("rank")) \
                 .orderBy(F.desc("rank"), "node")
 
@@ -176,7 +193,8 @@ def hits(edges: DataFrame, max_iter: int = 15, round_to: int = 6,
                              .otherwise(F.lit(1.0)))
                 .drop("_n"))
 
-    for _ in range(min(max_iter, 6)):
+    from .util import iter_checkpoint
+    for i in range(min(max_iter, 6)):
         auth = (ed.join(scores.select(F.col("node").alias("src"), "hub"),
                         "src")
                 .groupBy(F.col("dst").alias("node"))
@@ -189,10 +207,11 @@ def hits(edges: DataFrame, max_iter: int = 15, round_to: int = 6,
                                    "authority"), "dst")
                .groupBy(F.col("src").alias("node"))
                .agg(F.sum("authority").alias("hub")))
-        scores = l2norm(nodes.join(hub, "node", "left")
-                        .na.fill(0.0, ["hub"])
-                        .join(half.select("node", "authority"), "node"),
-                        "hub").localCheckpoint(eager=True)
+        scores = iter_checkpoint(
+            l2norm(nodes.join(hub, "node", "left")
+                   .na.fill(0.0, ["hub"])
+                   .join(half.select("node", "authority"), "node"),
+                   "hub"), i)
     return (scores.select("node", F.round("hub", round_to).alias("hub"),
                           F.round("authority", round_to).alias("authority"))
             .orderBy(F.desc("authority"), "node"))
