@@ -176,6 +176,15 @@ def _q_kg_keyword_hubs(spark, sf_dir):
     return keyword_hubs(_kg_read(spark, "triples_raw")).drop("docs")
 
 
+def _q_kg_minted_uris(spark, sf_dir):
+    """Distributed coin-URI minting (groupBy source_url →
+    applyInPandas) vs the single-threaded minting the oracle parquet
+    was materialized with — a cross-execution check of the engine AND
+    the Spark plumbing."""
+    from ferenda_spark.operators.minting import default_space_ttl, mint_uris
+    return mint_uris(_kg_read(spark, "triples"), default_space_ttl())
+
+
 def _q_kg_stage_counters(spark, sf_dir):
     from ferenda_spark.operators.lineage import (entries_from_extracted,
                                                  stage_counters)
@@ -347,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_keyword_hubs": _q_kg_keyword_hubs,
+        "kg_minted_uris": _q_kg_minted_uris,
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
         "token_stats": _q_token_stats,
@@ -399,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": kgoracle.sql_pagerank(kg),
         "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
         "kg_keyword_hubs": kgoracle.sql_keyword_hubs(kg),
+        "kg_minted_uris": kgoracle.sql_minted_uris(kg),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),

@@ -35,12 +35,13 @@ _FINGERPRINT_MODULES = [
     "pages.py", "extract.py", "htmltree.py", "metadata.py", "model.py",
     "rdfa.py", "rfcdoc.py", "segment.py", "fsm.py", "textextract.py",
     "uris.py", "linking.py", "namespaces.py", "patch.py", "kgcache.py",
+    "coin.py", "rdfio.py", "operators/minting.py", "res/corpus.space.ttl",
 ]
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _REPO_ROOT = os.path.dirname(_PKG_DIR)
 
-TABLES = ("documents", "triples", "triples_raw", "resources")
+TABLES = ("documents", "triples", "triples_raw", "resources", "minted")
 
 
 def _fingerprint() -> str:
@@ -69,8 +70,11 @@ def _build_tables(n: int):
     from .pages import COMMONDATA, page_row
     from .uris import RepoConfig
 
+    from .operators.minting import default_space_ttl, mint_rows
+
     cfg = RepoConfig(alias="doc", url="http://example.org/")
-    doc_rows, trip_rows, raw_rows, res_rows = [], [], [], []
+    space_ttl = default_space_ttl()
+    doc_rows, trip_rows, raw_rows, res_rows, mint_rows_ = [], [], [], [], []
     for i in range(n):
         page = page_row(i, n)
         url = page["url"]
@@ -91,8 +95,10 @@ def _build_tables(n: int):
                              "object": t.object, "objtype": t.objtype,
                              "lang": t.lang, "datatype": t.datatype,
                              "source_url": url, "context": ""})
+        mint_rows_.extend(mint_rows(space_ttl, url, d["triples"]))
     return {"documents": doc_rows, "triples": trip_rows,
-            "triples_raw": raw_rows, "resources": res_rows}
+            "triples_raw": raw_rows, "resources": res_rows,
+            "minted": mint_rows_}
 
 
 _COLUMNS = {
@@ -102,7 +108,10 @@ _COLUMNS = {
     "triples_raw": ["subject", "predicate", "object", "objtype", "lang",
                     "datatype", "source_url", "context"],
     "resources": ["url", "resource_uri", "text"],
+    "minted": ["source_url", "subject", "minted", "rank"],
 }
+
+_INT_COLUMNS = {"rank"}
 
 
 def ensure_kg_tables(n: int) -> dict[str, str]:
@@ -122,8 +131,9 @@ def ensure_kg_tables(n: int) -> dict[str, str]:
     for t, rows in tables.items():
         cols = _COLUMNS[t]
         pdf = pd.DataFrame(rows, columns=cols)
-        # all-string schema: nulls stay nulls, no pandas dtype inference
-        schema = pa.schema([(c, pa.string()) for c in cols])
+        # explicit schema: nulls stay nulls, no pandas dtype inference
+        schema = pa.schema([(c, pa.int32() if c in _INT_COLUMNS
+                             else pa.string()) for c in cols])
         pq.write_table(pa.Table.from_pandas(pdf, schema=schema,
                                             preserve_index=False),
                        os.path.join(tmp, t + ".parquet"))

@@ -313,6 +313,11 @@ def sql_keyword_hubs(paths) -> str:
     """
 
 
+def sql_minted_uris(paths) -> str:
+    return ("SELECT source_url, subject, minted, rank FROM %s"
+            % _t(paths, "minted"))
+
+
 def sql_stage_counters(paths) -> str:
     return f"""
     SELECT 'parse' AS stage, status, count(DISTINCT url) AS n_urls

@@ -21,6 +21,7 @@ _TOKEN = re.compile(r"""
     | (?P<literal>"(?:[^"\\]|\\.)*")
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<dtsep>\^\^)
+    | (?P<number>-?\d+(?:\.\d+)?(?=[\s;,.\]]))
     | (?P<punct>[;,.\[\]])
     | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.\-%#/]*)
     | (?P<a>\ba\b)
@@ -49,18 +50,35 @@ def _tokens(text: str):
 
 
 def parse_turtle(text: str) -> list[Triple]:
+    """Parse the Turtle subset the engine consumes, including anonymous
+    blank nodes ``[ p o ; … ]`` (nested), which the coin URISpace
+    configs use heavily (ref lagen/nu/res/uri/*.space.ttl). Blank nodes
+    become ``_:bN`` identifiers with objtype ``bnode``."""
     prefixes: dict[str, str] = {}
     triples: list[Triple] = []
     toks = list(_tokens(text))
-    i = 0
+    n_bnodes = [0]
 
     def term(j):
-        """Returns (value, kind, next_j); kind in uri/literal."""
+        """Returns (value, kind, next_j); kind in uri/literal/bnode."""
         t = toks[j]
+        if t.group(0) == "[":
+            n_bnodes[0] += 1
+            bid = "_:b%d" % n_bnodes[0]
+            j += 1
+            if toks[j].group(0) != "]":
+                j = po_list(bid, j)
+            assert toks[j].group(0) == "]", toks[j].group(0)
+            return bid, "bnode", j + 1
         if t.lastgroup == "uri":
             return t.group("uri")[1:-1], "uri", j + 1
         if t.lastgroup == "a":
             return "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "uri", j + 1
+        if t.lastgroup == "number":
+            raw = t.group("number")
+            dt = ("http://www.w3.org/2001/XMLSchema#decimal" if "." in raw
+                  else "http://www.w3.org/2001/XMLSchema#integer")
+            return (raw, "", dt), "literal", j + 1
         if t.lastgroup == "literal":
             value = _unescape(t.group("literal")[1:-1])
             lang = ""
@@ -78,6 +96,34 @@ def parse_turtle(text: str) -> list[Triple]:
             return prefixes[prefix] + t.group("local"), "uri", j + 1
         raise ValueError("unexpected token %r" % t.group(0))
 
+    def po_list(subject, j):
+        """Predicate-object list for ``subject``; stops before the
+        closing '.' or ']'."""
+        while True:
+            predicate, _, j = term(j)
+            while True:
+                obj, kind, j = term(j)
+                if kind == "literal":
+                    value, lang, datatype = obj
+                    triples.append(Triple.literal(subject, predicate, value,
+                                                  lang, datatype))
+                else:
+                    triples.append(Triple(subject, predicate, obj,
+                                          "uri" if kind == "uri" else "bnode"))
+                if toks[j].group(0) == ",":
+                    j += 1
+                    continue
+                break
+            if toks[j].group(0) == ";":
+                j += 1
+                # allow trailing ';' before '.' or ']'
+                if toks[j].group(0) in (".", "]"):
+                    break
+                continue
+            break
+        return j
+
+    i = 0
     while i < len(toks):
         if toks[i].lastgroup == "prefix":
             prefix = toks[i + 1].group("pname") or ""
@@ -87,30 +133,9 @@ def parse_turtle(text: str) -> list[Triple]:
             i += 1
             continue
         subject, _, i = term(i)
-        while True:
-            predicate, _, i = term(i)
-            while True:
-                obj, kind, i = term(i)
-                if kind == "uri":
-                    triples.append(Triple.uri(subject, predicate, obj))
-                else:
-                    value, lang, datatype = obj
-                    triples.append(Triple.literal(subject, predicate, value,
-                                                  lang, datatype))
-                if toks[i].group(0) == ",":
-                    i += 1
-                    continue
-                break
-            if toks[i].group(0) == ";":
-                i += 1
-                # allow trailing ';' before '.'
-                if toks[i].group(0) == ".":
-                    i += 1
-                    break
-                continue
-            assert toks[i].group(0) == ".", toks[i].group(0)
-            i += 1
-            break
+        i = po_list(subject, i)
+        assert toks[i].group(0) == ".", toks[i].group(0)
+        i += 1
     return triples
 
 
