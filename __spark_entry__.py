@@ -61,6 +61,11 @@ def _kg_dictionary() -> list[tuple[str, str]]:
     return [(label, uri) for (_pred, label), uri in COMMONDATA.items()]
 
 
+def _kg_commondata() -> dict:
+    from ferenda_spark.pages import COMMONDATA
+    return dict(COMMONDATA)
+
+
 def _kg_paths() -> dict[str, str]:
     from ferenda_spark.kgcache import ensure_kg_tables
     return ensure_kg_tables(KG_N)
@@ -139,10 +144,30 @@ def _q_kg_faceted(spark, sf_dir):
     return faceted_data(_kg_read(spark, "triples"))
 
 
+def _kg_labels(spark):
+    from ferenda_spark.namespaces import expand_curie
+    from ferenda_spark.pages import COMMONDATA
+    return spark.createDataFrame(
+        [(uri, expand_curie(pred), label)
+         for (pred, label), uri in COMMONDATA.items()],
+        "uri string, predicate string, label string")
+
+
 def _q_kg_toc(spark, sf_dir):
-    from ferenda_spark.operators.facets import faceted_data, toc_page_entries
-    return toc_page_entries(faceted_data(_kg_read(spark, "triples")),
-                            value_col="dcterms_title")
+    """Full TOC read path: default facet set (title firstletter /
+    titlesortkey, publisher resourcelabel, issued year) over the
+    faceted table — ≙ toc_select_for_pages."""
+    from ferenda_spark.operators.facetlib import default_facets, toc_documents
+    from ferenda_spark.operators.facets import faceted_data
+    return toc_documents(faceted_data(_kg_read(spark, "triples")),
+                         default_facets(), _kg_labels(spark))
+
+
+def _q_kg_toc_pagesets(spark, sf_dir):
+    from ferenda_spark.operators.facetlib import default_facets, toc_pagesets
+    from ferenda_spark.operators.facets import faceted_data
+    return toc_pagesets(faceted_data(_kg_read(spark, "triples")),
+                        default_facets(), _kg_labels(spark))
 
 
 def _q_kg_facet_stats(spark, sf_dir):
@@ -350,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linked_publishers": _q_kg_linked_publishers,
         "kg_faceted": _q_kg_faceted,
         "kg_toc": _q_kg_toc,
+        "kg_toc_pagesets": _q_kg_toc_pagesets,
         "kg_facet_stats": _q_kg_facet_stats,
         "kg_ispartof_closure": _q_kg_ispartof_closure,
         "kg_inbound_refs": _q_kg_inbound_refs,
@@ -402,7 +428,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_linked_publishers": kgoracle.sql_linked_publishers(
             kg, _kg_dictionary()),
         "kg_faceted": kgoracle.sql_faceted(kg),
-        "kg_toc": kgoracle.sql_toc(kg),
+        "kg_toc": kgoracle.sql_toc(kg, _kg_commondata()),
+        "kg_toc_pagesets": kgoracle.sql_toc_pagesets(kg, _kg_commondata()),
         "kg_facet_stats": kgoracle.sql_facet_stats(kg),
         "kg_ispartof_closure": kgoracle.sql_ispartof_closure(kg),
         "kg_inbound_refs": kgoracle.sql_inbound_refs(kg),

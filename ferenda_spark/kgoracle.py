@@ -182,21 +182,113 @@ def sql_faceted(paths) -> str:
     return "WITH %s SELECT * FROM f" % _faceted_cte(paths)
 
 
-def sql_toc(paths, top_n: int = 50) -> str:
+def _labels_values(dictionary: dict) -> str:
+    """COMMONDATA {(pred_curie, label): uri} → SQL VALUES of the best
+    label per uri (mirrors facetlib.resource_label_table's priority —
+    each corpus uri carries exactly one label)."""
+    rows = sorted((uri, label.replace("'", "''"))
+                  for (_p, label), uri in dictionary.items())
+    return ",\n      ".join("('%s', '%s')" % r for r in rows)
+
+
+# util.title_sortkey in SQL (ref ferenda/util.py:724-737)
+def _sortkey_sql(col: str) -> str:
+    return (r"regexp_replace(regexp_replace(lower(%s), '^the ', ''),"
+            r" '\W+', '', 'g')" % col)
+
+
+def _uri_leaf_sql(col: str) -> str:
+    """util.uri_leaf semantics (ref ferenda/util.py:621-637)."""
+    branches = " ".join(
+        f"WHEN contains({col}, '{ch}') THEN "
+        f"CASE WHEN ends_with({col}, '{ch}') "
+        f"THEN replace({col}, ' ', '_') "
+        f"ELSE string_split({col}, '{ch}')[-1] END"
+        for ch in ("#", "/", ":"))
+    return f"(CASE {branches} ELSE replace({col}, ' ', '_') END)"
+
+
+def sql_toc(paths, dictionary: dict) -> str:
+    """toc_documents over the default facets: title (firstletter /
+    titlesortkey), publisher (resourcelabel), issued (year / raw key)."""
+    sk = _sortkey_sql("dcterms_title")
     return f"""
     WITH {_faceted_cte(paths)},
+    labels(luri, label) AS (VALUES
+      {_labels_values(dictionary)}),
     src AS (
-      SELECT lower(substr(dcterms_title, 1, 1)) AS firstletter,
-             dcterms_title AS label, uri
-      FROM f WHERE dcterms_title IS NOT NULL
+      SELECT 'dcterms_title' AS binding,
+             CASE WHEN length(k) > 0 THEN substr(k, 1, 1)
+                  ELSE '-' END AS value,
+             k AS _key, dcterms_title AS label, uri
+      FROM (SELECT {sk} AS k, dcterms_title, uri FROM f
+            WHERE dcterms_title IS NOT NULL)
+      UNION ALL
+      SELECT 'dcterms_publisher',
+             coalesce(l.label, f.dcterms_publisher),
+             coalesce(l.label, f.dcterms_publisher),
+             f.dcterms_title, f.uri
+      FROM f LEFT JOIN labels l ON l.luri = f.dcterms_publisher
+      WHERE f.dcterms_publisher IS NOT NULL
+      UNION ALL
+      SELECT 'dcterms_issued',
+             CASE WHEN length(dcterms_issued) IN (19, 10, 7)
+                  THEN substr(dcterms_issued, 1, 4) END,
+             dcterms_issued, dcterms_title, uri
+      FROM f WHERE dcterms_issued IS NOT NULL
+    )
+    SELECT binding, value, pos, label, uri FROM (
+      SELECT binding, value,
+             row_number() OVER (PARTITION BY binding, value
+                                ORDER BY _key, uri) AS pos,
+             label, uri
+      FROM src WHERE value IS NOT NULL)
+    ORDER BY binding, value, pos
+    """
+
+
+def sql_toc_pagesets(paths, dictionary: dict) -> str:
+    sk = _sortkey_sql("dcterms_title")
+    leaf = _uri_leaf_sql("f.dcterms_publisher")
+    return f"""
+    WITH {_faceted_cte(paths)},
+    labels(luri, label) AS (VALUES
+      {_labels_values(dictionary)}),
+    src AS (
+      SELECT 'dcterms_title' AS binding, 'Sorted by title' AS pageset_label,
+             CASE WHEN length(k) > 0 THEN substr(k, 1, 1)
+                  ELSE '-' END AS value,
+             CASE WHEN length(k) > 0 THEN substr(k, 1, 1)
+                  ELSE '-' END AS urlfragment
+      FROM (SELECT {sk} AS k FROM f WHERE dcterms_title IS NOT NULL)
+      UNION ALL
+      SELECT 'dcterms_publisher', 'Sorted by publisher',
+             coalesce(l.label, f.dcterms_publisher), {leaf}
+      FROM f LEFT JOIN labels l ON l.luri = f.dcterms_publisher
+      WHERE f.dcterms_publisher IS NOT NULL
+      UNION ALL
+      SELECT 'dcterms_issued', 'Sorted by publication year',
+             CASE WHEN length(dcterms_issued) IN (19, 10, 7)
+                  THEN substr(dcterms_issued, 1, 4) END,
+             CASE WHEN length(dcterms_issued) IN (19, 10, 7)
+                  THEN substr(dcterms_issued, 1, 4) END
+      FROM f WHERE dcterms_issued IS NOT NULL
     ),
-    ranked AS (
-      SELECT firstletter, label, uri,
-             row_number() OVER (PARTITION BY firstletter
-                                ORDER BY label, uri) AS pos
-      FROM src)
-    SELECT firstletter, pos, label, uri FROM ranked
-    WHERE pos <= {top_n} ORDER BY firstletter, pos
+    pages AS (
+      SELECT binding, pageset_label, value,
+             min(urlfragment) AS urlfragment
+      FROM src WHERE value IS NOT NULL
+      GROUP BY binding, pageset_label, value
+    )
+    SELECT binding, pageset_label, value, urlfragment,
+           CASE binding
+             WHEN 'dcterms_title'
+               THEN 'Documents starting with "' || value || '"'
+             WHEN 'dcterms_publisher'
+               THEN 'Documents published by ' || value
+             ELSE 'Documents published in ' || value
+           END AS pagetitle
+    FROM pages ORDER BY binding, value
     """
 
 

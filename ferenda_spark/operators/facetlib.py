@@ -1,0 +1,301 @@
+"""Facet selector library + the TOC read path, Spark-native.
+
+The reference's Facet class pairs every facet predicate with selector /
+key / identificator functions applied per row in driver Python
+(ref ferenda/facet.py:128-338, defaults table :440-540); TOC pagesets
+and page document lists are built from them
+(ref ferenda/documentrepository.py:2774-2921 toc_pagesets /
+toc_select_for_pages). Here every selector is a native column
+expression (JVM-side, codegen), so the whole TOC derivation is two
+group-bys over the faceted table — no per-row Python:
+
+- ``title_sortkey`` ≙ util.title_sortkey (ref ferenda/util.py:724-737)
+- ``firstletter`` with the '-' degenerate fallback (ref facet.py:216-238)
+- ``year`` accepting 19/10/7-char date strings, NULL (≙ skipped row)
+  otherwise (ref facet.py:159-184)
+- ``booleanvalue`` — only 'true' is True (ref facet.py:186-199)
+- ``term`` ≙ util.uri_leaf with the space→underscore fallback
+  (ref facet.py:296-316, util.py:621-637)
+- ``qname`` against the registered namespaces (ref facet.py:318-338)
+- ``resourcelabel``/``sortresource`` as a broadcast join against the
+  commondata label table with the reference's predicate priority
+  (rdfs:label → skos:prefLabel → skos:altLabel → dcterms:title →
+  dcterms:alternative → foaf:name → bibo:identifier,
+  ref facet.py:259-276)
+
+Page ordering is C-locale binary (the reference collates with
+locale.strxfrm under a configurable collate_locale — per SURVEY §7
+locale collation is out of scope; documented deviation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..namespaces import NS
+
+RDF_TYPE = NS["rdf"] + "type"
+DCT = NS["dcterms"]
+
+LABEL_PRIORITY = [
+    NS["rdfs"] + "label",
+    NS["skos"] + "prefLabel",
+    NS["skos"] + "altLabel",
+    DCT + "title",
+    DCT + "alternative",
+    NS["foaf"] + "name",
+    NS["bibo"] + "identifier",
+]
+
+
+# ------------------------------------------------------ selector exprs
+
+def title_sortkey_expr(col: Column) -> Column:
+    s = F.lower(col)
+    s = F.regexp_replace(s, r"^the ", "")
+    return F.regexp_replace(s, r"\W+", "")
+
+
+def firstletter_expr(col: Column) -> Column:
+    key = title_sortkey_expr(col)
+    return F.when(F.length(key) > 0, F.substring(key, 1, 1)) \
+            .otherwise(F.lit("-"))
+
+
+def year_expr(col: Column) -> Column:
+    return F.when(F.length(col).isin(19, 10, 7), F.substring(col, 1, 4))
+
+
+def booleanvalue_expr(col: Column) -> Column:
+    return col == "true"
+
+
+def term_expr(col: Column) -> Column:
+    """util.uri_leaf: fragment/last-segment after '#', else '/', else
+    ':'; a URI ending in the separator (or containing none) falls back
+    to the space→underscore form."""
+    fallback = F.regexp_replace(col, " ", "_")
+
+    def leaf(ch: str) -> Column:
+        return F.when(col.endswith(ch), fallback) \
+                .otherwise(F.element_at(F.split(col, "\\" + ch), -1))
+
+    return (F.when(col.contains("#"), leaf("#"))
+            .when(col.contains("/"), leaf("/"))
+            .when(col.contains(":"), leaf(":"))
+            .otherwise(fallback))
+
+
+def qname_expr(col: Column) -> Column:
+    """prefix:local against the registered namespace table; longest
+    namespace wins (≙ rdflib compute_qname)."""
+    expr = col
+    for prefix, ns in sorted(NS.items(), key=lambda kv: len(kv[1])):
+        expr = F.when(col.startswith(ns),
+                      F.concat(F.lit(prefix + ":"),
+                               F.substring(col, len(ns) + 1, 4096))) \
+                .otherwise(expr)
+    return expr
+
+
+def resource_label_table(labels: DataFrame) -> DataFrame:
+    """labels(uri, predicate, label) → (res_uri, res_label): the best
+    label per resource by LABEL_PRIORITY (broadcastable — authority
+    tables are small)."""
+    prio = F.array(*[F.lit(p) for p in LABEL_PRIORITY])
+    ranked = (labels
+              .withColumn("prio", F.array_position(prio, F.col("predicate")))
+              .where(F.col("prio") > 0))
+    w = Window.partitionBy("uri").orderBy("prio", "label")
+    return (ranked.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("uri").alias("res_uri"),
+                    F.col("label").alias("res_label")))
+
+
+# ------------------------------------------------------------- facets
+
+@dataclass
+class Facet:
+    """Data-only facet spec; selector/key/identificator name one of the
+    expression builders above. Defaults per predicate mirror
+    ref ferenda/facet.py:440-540."""
+    predicate: str
+    selector: str = "default"
+    key: str = "default"
+    identificator: str = "default"
+    use_for_toc: bool = False
+    selector_descending: bool = False
+    key_descending: bool = False
+    label: str = "Sorted by %(term)s"
+    pagetitle: str = "Documents where %(term)s = %(selected)s"
+
+    @property
+    def column(self) -> str:
+        from .facets import qname_col
+        return qname_col(self.predicate)
+
+    @property
+    def term(self) -> str:
+        return self.column.split("_", 1)[-1]
+
+
+_DEFAULTS = {
+    RDF_TYPE: dict(selector="resourcelabel_or_qname", identificator="term",
+                   use_for_toc=False,
+                   pagetitle="All %(selected)s documents"),
+    DCT + "title": dict(selector="firstletter", key="titlesortkey",
+                        identificator="firstletter", use_for_toc=True,
+                        pagetitle='Documents starting with "%(selected)s"'),
+    DCT + "identifier": dict(selector="firstletter", key="titlesortkey",
+                             identificator="firstletter", use_for_toc=False),
+    DCT + "publisher": dict(selector="resourcelabel", key="resourcelabel",
+                            identificator="term", use_for_toc=True,
+                            pagetitle="Documents published by %(selected)s"),
+    DCT + "issued": dict(selector="year", key="default",
+                         identificator="year", use_for_toc=True,
+                         label="Sorted by publication year",
+                         pagetitle="Documents published in %(selected)s"),
+    DCT + "subject": dict(selector="resourcelabel", key="resourcelabel",
+                          identificator="term", use_for_toc=True),
+    NS["schema"] + "free": dict(selector="booleanvalue", key="default",
+                                use_for_toc=True),
+}
+
+
+def make_facet(predicate: str, **overrides) -> Facet:
+    kw = dict(_DEFAULTS.get(predicate, {}))
+    kw.update(overrides)
+    return Facet(predicate, **kw)
+
+
+def default_facets() -> list[Facet]:
+    """ref ferenda/documentrepository.py:2151-2161."""
+    return [make_facet(RDF_TYPE), make_facet(DCT + "title"),
+            make_facet(DCT + "publisher"), make_facet(DCT + "identifier"),
+            make_facet(DCT + "issued")]
+
+
+def _selector_col(name: str, col: Column, labeled: Column | None) -> Column:
+    if name == "default":
+        return col
+    if name == "titlesortkey":
+        return title_sortkey_expr(col)
+    if name == "firstletter":
+        return firstletter_expr(col)
+    if name == "year":
+        return year_expr(col)
+    if name == "booleanvalue":
+        return booleanvalue_expr(col).cast("string")
+    if name == "term":
+        return term_expr(col)
+    if name == "qname":
+        return qname_expr(col)
+    if name == "resourcelabel":
+        return F.coalesce(labeled, col)
+    if name == "sortresource":
+        return title_sortkey_expr(F.coalesce(labeled, col))
+    if name == "resourcelabel_or_qname":
+        return F.coalesce(labeled, qname_expr(col))
+    raise ValueError("unknown selector %r" % name)
+
+
+def _with_labels(faceted: DataFrame, facets: list[Facet],
+                 labels: DataFrame | None) -> DataFrame:
+    """Broadcast-join the best-label table onto every facet column that
+    uses a resource-label selector/key; adds ``<column>__label``."""
+    need = {f.column for f in facets
+            if f.column in faceted.columns
+            and ("resourcelabel" in (f.selector, f.key)
+                 or "sortresource" in (f.selector, f.key)
+                 or f.selector == "resourcelabel_or_qname")}
+    if not need:
+        return faceted
+    lt = resource_label_table(labels) if labels is not None else None
+    for c in sorted(need):
+        if lt is None:
+            faceted = faceted.withColumn(c + "__label",
+                                         F.lit(None).cast("string"))
+        else:
+            faceted = (faceted
+                       .join(F.broadcast(lt.withColumnRenamed(
+                           "res_uri", c).withColumnRenamed(
+                           "res_label", c + "__label")), c, "left"))
+    return faceted
+
+
+def toc_pagesets(faceted: DataFrame, facets: list[Facet],
+                 labels: DataFrame | None = None) -> DataFrame:
+    """→ (binding, pageset_label, value, urlfragment, pagetitle): one
+    row per TOC page, pages ordered by value within each pageset
+    (ref documentrepository.py:2774-2852). NULL selector values are
+    skipped (≙ the KeyError-on-incomplete-row path)."""
+    src = _with_labels(faceted, facets, labels)
+    parts = []
+    for f in facets:
+        if not f.use_for_toc or f.column not in src.columns:
+            continue
+        col = F.col(f.column)
+        lab = F.col(f.column + "__label") \
+            if (f.column + "__label") in src.columns else None
+        sel = _selector_col(f.selector, col, lab)
+        ident = _selector_col(f.identificator, col, lab)
+        title_tpl = f.pagetitle % {"term": f.term,
+                                   "selected": "\x00"}
+        parts.append(
+            src.where(col.isNotNull())
+               .select(F.lit(f.column).alias("binding"),
+                       F.lit(f.label % {"term": f.term})
+                        .alias("pageset_label"),
+                       sel.alias("value"),
+                       ident.alias("urlfragment"))
+               .where(F.col("value").isNotNull())
+               .groupBy("binding", "pageset_label", "value")
+               .agg(F.min("urlfragment").alias("urlfragment"))
+               .withColumn("pagetitle",
+                           F.replace(F.lit(title_tpl), F.lit("\x00"),
+                                     F.col("value"))))
+    out = None
+    for p in parts:
+        out = p if out is None else out.unionByName(p)
+    return out.orderBy("binding", "value")
+
+
+def toc_documents(faceted: DataFrame, facets: list[Facet],
+                  labels: DataFrame | None = None,
+                  label_col: str = "dcterms_title",
+                  top_n: int = 1000) -> DataFrame:
+    """→ (binding, value, pos, label, uri): the per-page ordered
+    document lists, flattened (≙ toc_select_for_pages,
+    ref documentrepository.py:2854-2916; toc_item :2918-2921 renders
+    dcterms_title as link text). Within a page, documents order by the
+    facet's key expression (asc/desc per facet), uri as tiebreak."""
+    src = _with_labels(faceted, facets, labels)
+    parts = []
+    for f in facets:
+        if not f.use_for_toc or f.column not in src.columns:
+            continue
+        col = F.col(f.column)
+        lab = F.col(f.column + "__label") \
+            if (f.column + "__label") in src.columns else None
+        sel = _selector_col(f.selector, col, lab)
+        key = _selector_col(f.key, col, lab)
+        parts.append(
+            src.where(col.isNotNull())
+               .select(F.lit(f.column).alias("binding"),
+                       sel.alias("value"), key.alias("_key"),
+                       F.col(label_col).alias("label"), F.col("uri"))
+               .where(F.col("value").isNotNull())
+               .withColumn("pos", F.row_number().over(
+                   Window.partitionBy("binding", "value")
+                   .orderBy(F.desc("_key") if f.key_descending
+                            else F.asc("_key"), F.asc("uri")))))
+    out = None
+    for p in parts:
+        p = p.select("binding", "value", "pos", "label", "uri")
+        out = p if out is None else out.unionByName(p)
+    return (out.where(F.col("pos") <= top_n)
+            .orderBy("binding", "value", "pos"))

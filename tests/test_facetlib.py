@@ -1,0 +1,133 @@
+"""Facet selector library tests mirroring the reference's doctest
+cases (ref ferenda/facet.py:128-338, ferenda/util.py:621-637,724-737;
+TOC shape ref ferenda/documentrepository.py:2774-2921 doctests)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators.facetlib import (booleanvalue_expr,
+                                              default_facets,
+                                              firstletter_expr, make_facet,
+                                              qname_expr, term_expr,
+                                              title_sortkey_expr,
+                                              toc_documents, toc_pagesets,
+                                              year_expr)
+
+ROW = {
+    "rdf_type": "http://purl.org/ontology/bibo/Book",
+    "dcterms_title": "A Tale of Two Cities",
+    "dcterms_issued": "1859-04-30",
+    "dcterms_publisher": "http://example.org/chapman_hall",
+    "schema_free": "true",
+}
+
+
+@pytest.fixture(scope="module")
+def row_df(spark):
+    return spark.createDataFrame([tuple(ROW.values())],
+                                 list(ROW.keys()))
+
+
+def _one(df, expr):
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_selector_doctests(row_df):
+    # ref facet.py doctest values for the shared example row
+    assert _one(row_df, title_sortkey_expr(F.col("dcterms_title"))) == \
+        "ataleoftwocities"
+    assert _one(row_df, firstletter_expr(F.col("dcterms_title"))) == "a"
+    assert _one(row_df, year_expr(F.col("dcterms_issued"))) == "1859"
+    assert _one(row_df, booleanvalue_expr(F.col("schema_free"))) is True
+    assert _one(row_df, term_expr(F.col("dcterms_publisher"))) == \
+        "chapman_hall"
+    assert _one(row_df, qname_expr(F.col("rdf_type"))) == "bibo:Book"
+
+
+def test_title_sortkey_the_prefix_and_punctuation(spark):
+    # ref util.py:727 doctest
+    df = spark.createDataFrame([("The 'viewstate' property",)], ["t"])
+    assert _one(df, title_sortkey_expr(F.col("t"))) == "viewstateproperty"
+
+
+def test_firstletter_degenerate(spark):
+    df = spark.createDataFrame([("---",)], ["t"])
+    assert _one(df, firstletter_expr(F.col("t"))) == "-"
+
+
+def test_year_unparseable_is_null(spark):
+    df = spark.createDataFrame([("long ago",)], ["t"])
+    assert _one(df, year_expr(F.col("t"))) is None
+    df7 = spark.createDataFrame([("2014-06",)], ["t"])
+    assert _one(df7, year_expr(F.col("t"))) == "2014"
+
+
+def test_uri_leaf_semantics(spark):
+    # ref util.py:621-637 doctests + separator-priority edge cases
+    cases = [("http://purl.org/dc/terms/title", "title"),
+             ("http://www.w3.org/2004/02/skos/core#Concept", "Concept"),
+             ("http://www.w3.org/2004/02/skos/core#", "http://www.w3.org/2004/02/skos/core#"
+              .replace(" ", "_")),
+             ("plain words here", "plain_words_here")]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["u"])
+    got = [r["v"] for r in
+           df.select(term_expr(F.col("u")).alias("v")).collect()]
+    assert got == [c[1] for c in cases]
+
+
+def test_toc_matches_reference_doctest(spark):
+    """The toc_pagesets/toc_select_for_pages doctest corpus
+    (ref documentrepository.py:2784-2921): rows Abc/Abcd/Dfg."""
+    rows = [("http://ex.org/1", "Abc", "2009-04-02"),
+            ("http://ex.org/2", "Abcd", "2010-06-30"),
+            ("http://ex.org/3", "Dfg", "2010-08-01")]
+    faceted = spark.createDataFrame(
+        rows, "uri string, dcterms_title string, dcterms_issued string")
+    facets = [make_facet("http://purl.org/dc/terms/title"),
+              make_facet("http://purl.org/dc/terms/issued")]
+    ps = {(r["binding"], r["value"]): r
+          for r in toc_pagesets(faceted, facets).collect()}
+    assert set(ps) == {("dcterms_title", "a"), ("dcterms_title", "d"),
+                       ("dcterms_issued", "2009"), ("dcterms_issued", "2010")}
+    assert ps[("dcterms_title", "a")]["pagetitle"] == \
+        'Documents starting with "a"'
+    assert ps[("dcterms_title", "a")]["pageset_label"] == "Sorted by title"
+    assert ps[("dcterms_issued", "2009")]["pagetitle"] == \
+        "Documents published in 2009"
+    assert ps[("dcterms_issued", "2009")]["pageset_label"] == \
+        "Sorted by publication year"
+    docs = [((r["binding"], r["value"]), r["label"], r["pos"])
+            for r in toc_documents(faceted, facets).collect()]
+    expected = {("dcterms_title", "a"): ["Abc", "Abcd"],
+                ("dcterms_title", "d"): ["Dfg"],
+                ("dcterms_issued", "2009"): ["Abc"],
+                ("dcterms_issued", "2010"): ["Abcd", "Dfg"]}
+    got: dict = {}
+    for key, label, pos in sorted(docs, key=lambda x: (x[0], x[2])):
+        got.setdefault(key, []).append(label)
+    assert got == expected
+
+
+def test_resourcelabel_priority(spark):
+    """rdfs:label outranks foaf:name (ref facet.py:259-276 priority)."""
+    from ferenda_spark.operators.facetlib import resource_label_table
+    labels = spark.createDataFrame(
+        [("u1", "http://xmlns.com/foaf/0.1/name", "By Name"),
+         ("u1", "http://www.w3.org/2000/01/rdf-schema#label", "By Label"),
+         ("u2", "http://purl.org/ontology/bibo/identifier", "Ident"),
+         ("u3", "http://example.org/unknown", "Ignored")],
+        "uri string, predicate string, label string")
+    got = {r["res_uri"]: r["res_label"]
+           for r in resource_label_table(labels).collect()}
+    assert got == {"u1": "By Label", "u2": "Ident"}
+
+
+def test_default_facets_config():
+    fs = {f.predicate.rsplit("/", 1)[-1].rsplit("#", 1)[-1]: f
+          for f in default_facets()}
+    assert fs["title"].use_for_toc and fs["title"].selector == "firstletter"
+    assert fs["title"].key == "titlesortkey"
+    assert not fs["identifier"].use_for_toc
+    assert not fs["type"].use_for_toc
+    assert fs["publisher"].selector == "resourcelabel"
+    assert fs["issued"].selector == "year"
