@@ -68,11 +68,22 @@ def _part(kind, children=(), **props):
 
 def chunk_paragraphs(text: str):
     """TextReader.readparagraph stream (ref ferenda/textreader.py:159-173):
-    blank-line-separated chunks, leading/trailing newlines consumed."""
-    for chunk in re.split(r"\n{2,}", text):
-        chunk = chunk.strip("\n")
-        if chunk != "":
-            yield chunk
+    skip leading newlines, read up to the double-newline delimiter.
+    Exactness note: a final chunk ending in a single newline KEEPS it
+    (readchunk reads to EOF without trimming) — the FSM corpus golden
+    nestedlist.xml encodes this."""
+    pos, n = 0, len(text)
+    while pos < n:
+        while pos < n and text[pos] == "\n":
+            pos += 1
+        if pos >= n:
+            break
+        idx = text.find("\n\n", pos)
+        if idx == -1:
+            yield text[pos:]
+            break
+        yield text[pos:idx]
+        pos = idx + 2
 
 
 _BACKSPACE = re.compile(".\b")
