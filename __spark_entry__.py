@@ -278,6 +278,14 @@ def _q_dedup_embedding(spark, sf_dir):
                                threshold=0.45)
 
 
+def _q_dedup_embedding_blocked(spark, sf_dir):
+    """Scale path: blocked exact GEMM candidates + fold re-verify —
+    output equals the brute twin bit-for-bit (same oracle)."""
+    from ferenda_spark.operators.dedup import embedding_dup_pairs_blocked
+    return embedding_dup_pairs_blocked(_read(spark, sf_dir, "embeddings"),
+                                       threshold=0.45)
+
+
 def _q_ann_topk(spark, sf_dir):
     from ferenda_spark.operators.similarity import brute_force_topk
     emb = _read(spark, sf_dir, "embeddings")
@@ -394,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_blocked": _q_dedup_embedding_blocked,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "media_decode": _q_media_decode,
@@ -453,6 +462,8 @@ def oracle_sql() -> dict[str, str]:
         # (recall asserted in tests/test_training_ops.py instead).
         "dedup_minhash_lsh": jaccard_oracle,
         "dedup_embedding": dedup.oracle_sql_embedding_dup(threshold=0.45),
+        "dedup_embedding_blocked":
+            dedup.oracle_sql_embedding_dup(threshold=0.45),
         "ann_topk": similarity.oracle_sql_brute_force_topk(k=5,
                                                            n_queries=50),
         "facet_pivot": """
