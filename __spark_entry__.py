@@ -201,6 +201,28 @@ def _q_kg_keyword_hubs(spark, sf_dir):
     return keyword_hubs(_kg_read(spark, "triples_raw")).drop("docs")
 
 
+def _kg_changed_urls() -> list[str]:
+    """Deterministic 'these docs were re-parsed' set for the staleness
+    query: three RFC docs that are cited by others."""
+    from ferenda_spark.pages import doc_url
+    return [doc_url(i, 200) for i in (4, 14, 24)]
+
+
+def _q_kg_annotations(spark, sf_dir):
+    """Assembled per-document annotation graph (annotations.rq analog)
+    for ALL documents in one set-at-a-time derivation."""
+    from ferenda_spark.operators.relate import annotation_graphs
+    return annotation_graphs(_kg_read(spark, "triples"),
+                             _kg_read(spark, "documents"))
+
+
+def _q_kg_stale(spark, sf_dir):
+    from ferenda_spark.operators.relate import deps_table, stale_after
+    deps = deps_table(_kg_read(spark, "triples"),
+                      _kg_read(spark, "documents"), _kg_cfg())
+    return stale_after(deps, _kg_changed_urls())
+
+
 def _q_kg_minted_uris(spark, sf_dir):
     """Distributed coin-URI minting (groupBy source_url →
     applyInPandas) vs the single-threaded minting the oracle parquet
@@ -391,6 +413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_keyword_hubs": _q_kg_keyword_hubs,
         "kg_minted_uris": _q_kg_minted_uris,
+        "kg_annotations": _q_kg_annotations,
+        "kg_stale": _q_kg_stale,
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
         "token_stats": _q_token_stats,
@@ -446,6 +470,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
         "kg_keyword_hubs": kgoracle.sql_keyword_hubs(kg),
         "kg_minted_uris": kgoracle.sql_minted_uris(kg),
+        "kg_annotations": kgoracle.sql_annotations(kg),
+        "kg_stale": kgoracle.sql_stale(kg, _kg_changed_urls()),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),

@@ -47,12 +47,14 @@ def sql_resources(paths) -> str:
             % _t(paths, "resources"))
 
 
-def sql_deps(paths) -> str:
-    """relate_dependencies rules (ref documentrepository.py:1957-1976):
-    URI objects, non-type/sameAs predicates, object not a subject in
-    the same doc's graph, resolved to an owning document, no self."""
+def _deps_ctes(paths) -> str:
+    """Shared CTE chain implementing relate_dependencies (ref
+    documentrepository.py:1957-1976): URI objects, non-type/sameAs
+    predicates, object not a subject in the same doc's graph, resolved
+    to an owning document, no self. Terminal CTE: deps(target_url,
+    source_url)."""
     return f"""
-    WITH t AS (SELECT * FROM {_t(paths, 'triples')}),
+    t AS (SELECT * FROM {_t(paths, 'triples')}),
     refs AS (
       SELECT t.source_url, t.object FROM t
       WHERE t.objtype = 'uri'
@@ -71,10 +73,89 @@ def sql_deps(paths) -> str:
       SELECT url AS target_url,
              regexp_extract(uri, '{BF_PATTERN}', 1) AS target_basefile
       FROM {_t(paths, 'documents')}
+    ),
+    deps AS (
+      SELECT DISTINCT d.target_url, r.source_url
+      FROM ref_bf r JOIN doc_ids d USING (target_basefile)
+      WHERE d.target_url <> r.source_url
+    )"""
+
+
+def sql_deps(paths) -> str:
+    return ("WITH %s SELECT target_url, source_url FROM deps"
+            % _deps_ctes(paths))
+
+
+def sql_stale(paths, changed_urls: list[str]) -> str:
+    """stale_after: changed docs + their one-level dependents
+    (ref documentrepository.py:2392-2405)."""
+    values = ",\n      ".join("('%s')" % u for u in changed_urls)
+    return f"""
+    WITH {_deps_ctes(paths)},
+    changed(url) AS (VALUES
+      {values})
+    SELECT DISTINCT url FROM (
+      SELECT url FROM changed
+      UNION ALL
+      SELECT d.target_url FROM deps d
+      JOIN changed c ON d.source_url = c.url)
+    ORDER BY url
+    """
+
+
+def sql_annotations(paths) -> str:
+    """annotation_graphs ≙ the per-document CONSTRUCT
+    (ref res/sparql/annotations.rq:1-20) over ALL documents."""
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT * FROM {_t(paths, 'triples')}),
+    docs AS (SELECT DISTINCT uri AS doc_uri FROM {_t(paths, 'documents')}),
+    base AS (
+      SELECT DISTINCT subject AS a, object AS b FROM t
+      WHERE predicate = '{DCT}isPartOf' AND subject <> object
+    ),
+    paths_ AS (
+      SELECT a, b FROM base
+      UNION
+      SELECT p.a, e.b FROM paths_ p JOIN base e ON p.b = e.a
+      WHERE p.a <> e.b
+    ),
+    parts AS (
+      SELECT d.doc_uri, p.a AS part
+      FROM paths_ p JOIN docs d ON p.b = d.doc_uri
+      UNION
+      SELECT doc_uri, doc_uri FROM docs
+    ),
+    part_triples AS (
+      SELECT pr.doc_uri, t.subject, t.predicate, t.object,
+             t.objtype, t.lang, t.datatype
+      FROM parts pr JOIN t ON t.subject = pr.part
+    ),
+    refs AS (
+      SELECT subject AS ref_s, object AS part FROM t
+      WHERE predicate = '{DCT}references'
+    ),
+    ref_parts AS (
+      SELECT pr.doc_uri, pr.part, r.ref_s
+      FROM parts pr JOIN refs r ON r.part = pr.part
+    ),
+    ref_links AS (
+      SELECT doc_uri, part AS subject,
+             '{DCT}isReferencedBy' AS predicate,
+             ref_s AS object, 'uri' AS objtype,
+             '' AS lang, '' AS datatype
+      FROM ref_parts
+    ),
+    ref_triples AS (
+      SELECT rp.doc_uri, t.subject, t.predicate, t.object,
+             t.objtype, t.lang, t.datatype
+      FROM (SELECT DISTINCT doc_uri, ref_s FROM ref_parts) rp
+      JOIN t ON t.subject = rp.ref_s
     )
-    SELECT DISTINCT d.target_url, r.source_url
-    FROM ref_bf r JOIN doc_ids d USING (target_basefile)
-    WHERE d.target_url <> r.source_url
+    SELECT DISTINCT * FROM (
+      SELECT * FROM part_triples
+      UNION ALL SELECT * FROM ref_links
+      UNION ALL SELECT * FROM ref_triples)
     """
 
 

@@ -70,6 +70,74 @@ def inbound_references(triples: DataFrame) -> DataFrame:
             .distinct())
 
 
+def annotation_graphs(triples: DataFrame, docs: DataFrame) -> DataFrame:
+    """The assembled per-document annotation graph, set-at-a-time.
+
+    ≙ the reference's per-basefile CONSTRUCT (ref res/sparql/
+    annotations.rq:1-20, driver documentrepository.py:2557-2612): for
+    every document URI U, the graph holds (a) every triple whose
+    subject is in U's part set {x : x dcterms:isPartOf* U} (reflexive),
+    (b) for every referencing resource s of any part, the synthesized
+    ``part dcterms:isReferencedBy s`` triple plus all of s's own
+    triples. One run assembles ALL documents' annotation graphs — the
+    per-document SPARQL loop becomes three joins against the closure.
+
+    → (doc_uri, subject, predicate, object, objtype, lang, datatype)
+    distinct.
+    """
+    from ..graph.closure import ispartof_closure
+    doc_uris = docs.select(F.col("uri").alias("doc_uri")).distinct()
+    closure = ispartof_closure(triples)
+    parts = (closure
+             .join(doc_uris, closure.ancestor == doc_uris.doc_uri)
+             .select("doc_uri", "part")
+             .unionByName(doc_uris.select(
+                 "doc_uri", F.col("doc_uri").alias("part")))
+             .distinct())
+    t = triples.select("subject", "predicate", "object", "objtype",
+                       "lang", "datatype")
+    body = ["subject", "predicate", "object", "objtype", "lang", "datatype"]
+    part_triples = (parts.join(t, parts.part == t.subject)
+                    .select("doc_uri", *body))
+    refs = (triples.where(F.col("predicate") == DCT_REFERENCES)
+            .select(F.col("subject").alias("ref_s"),
+                    F.col("object").alias("part")))
+    ref_parts = parts.join(refs, "part").select("doc_uri", "part", "ref_s")
+    ref_links = ref_parts.select(
+        "doc_uri", F.col("part").alias("subject"),
+        F.lit(DCT_IS_REFERENCED_BY).alias("predicate"),
+        F.col("ref_s").alias("object"), F.lit("uri").alias("objtype"),
+        F.lit("").alias("lang"), F.lit("").alias("datatype"))
+    ref_triples = (ref_parts.select("doc_uri", "ref_s").distinct()
+                   .join(t, F.col("ref_s") == t.subject)
+                   .select("doc_uri", *body))
+    return (part_triples.unionByName(ref_links).unionByName(ref_triples)
+            .distinct())
+
+
+def stale_after(deps: DataFrame, changed_urls: list[str]) -> DataFrame:
+    """Dependency-driven regeneration: given re-parsed source urls,
+    the documents whose generated output is now stale — the changed
+    docs themselves plus every doc whose dependency file lists a
+    changed doc (ref documentrepository.py:1986-2008 add_dependency,
+    2392-2405 outfile_is_newer over direct dependencies; the reference
+    checks one level, not transitively).
+
+    → (url) distinct.
+    """
+    spark = deps.sparkSession
+    changed = spark.createDataFrame([(u,) for u in changed_urls],
+                                    "url string")
+    dependents = (deps.join(
+        changed.withColumnRenamed("url", "source_url"), "source_url")
+        .select(F.col("target_url").alias("url")))
+    return changed.unionByName(dependents).distinct().orderBy("url")
+
+
+DCT_REFERENCES = "http://purl.org/dc/terms/references"
+DCT_IS_REFERENCED_BY = "http://purl.org/dc/terms/isReferencedBy"
+
+
 def canonicalize_triples(triples: DataFrame) -> DataFrame:
     """Rewrite subject/object through the owl:sameAs component mapping.
 
