@@ -232,6 +232,31 @@ def _q_kg_minted_uris(spark, sf_dir):
     return mint_uris(_kg_read(spark, "triples"), default_space_ttl())
 
 
+def _kg_news_inputs(spark):
+    from ferenda_spark.operators.facets import faceted_data
+    from ferenda_spark.operators.news import news_facet_entries
+    docs = _kg_read(spark, "documents")
+    entries = (docs.select("url", "title")
+               .join(_kg_read(spark, "pages_meta"), "url")
+               .withColumnRenamed("warc_ts", "updated"))
+    faceted = faceted_data(_kg_read(spark, "triples"))
+    return news_facet_entries(faceted, docs.select("url", "uri"), entries)
+
+
+def _q_kg_news_feedsets(spark, sf_dir):
+    from ferenda_spark.operators.facetlib import default_facets
+    from ferenda_spark.operators.news import news_feedsets
+    return news_feedsets(_kg_news_inputs(spark), default_facets(),
+                         _kg_labels(spark))
+
+
+def _q_kg_news_feed_entries(spark, sf_dir):
+    from ferenda_spark.operators.facetlib import default_facets
+    from ferenda_spark.operators.news import news_select_for_feeds
+    return news_select_for_feeds(_kg_news_inputs(spark), default_facets(),
+                                 _kg_labels(spark))
+
+
 def _q_kg_stage_counters(spark, sf_dir):
     from ferenda_spark.operators.lineage import (entries_from_extracted,
                                                  stage_counters)
@@ -415,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_minted_uris": _q_kg_minted_uris,
         "kg_annotations": _q_kg_annotations,
         "kg_stale": _q_kg_stale,
+        "kg_news_feedsets": _q_kg_news_feedsets,
+        "kg_news_feed_entries": _q_kg_news_feed_entries,
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
         "token_stats": _q_token_stats,
@@ -472,6 +499,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_minted_uris": kgoracle.sql_minted_uris(kg),
         "kg_annotations": kgoracle.sql_annotations(kg),
         "kg_stale": kgoracle.sql_stale(kg, _kg_changed_urls()),
+        "kg_news_feedsets": kgoracle.sql_news_feedsets(kg, _kg_commondata()),
+        "kg_news_feed_entries":
+            kgoracle.sql_news_feed_entries(kg, _kg_commondata()),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),

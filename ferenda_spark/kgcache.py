@@ -41,7 +41,8 @@ _FINGERPRINT_MODULES = [
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _REPO_ROOT = os.path.dirname(_PKG_DIR)
 
-TABLES = ("documents", "triples", "triples_raw", "resources", "minted")
+TABLES = ("documents", "triples", "triples_raw", "resources", "minted",
+          "pages_meta")
 
 
 def _fingerprint() -> str:
@@ -75,9 +76,12 @@ def _build_tables(n: int):
     cfg = RepoConfig(alias="doc", url="http://example.org/")
     space_ttl = default_space_ttl()
     doc_rows, trip_rows, raw_rows, res_rows, mint_rows_ = [], [], [], [], []
+    meta_rows = []
     for i in range(n):
         page = page_row(i, n)
         url = page["url"]
+        meta_rows.append({"url": url,
+                          "warc_ts": page["warc_ts"].isoformat(sep=" ")})
         d = extract_document(url, page["html"], cfg, dict(COMMONDATA))
         doc_rows.append({"url": d["url"], "uri": d["uri"],
                          "lang": d["lang"], "title": d["title"],
@@ -98,7 +102,7 @@ def _build_tables(n: int):
         mint_rows_.extend(mint_rows(space_ttl, url, d["triples"]))
     return {"documents": doc_rows, "triples": trip_rows,
             "triples_raw": raw_rows, "resources": res_rows,
-            "minted": mint_rows_}
+            "minted": mint_rows_, "pages_meta": meta_rows}
 
 
 _COLUMNS = {
@@ -109,6 +113,7 @@ _COLUMNS = {
                     "datatype", "source_url", "context"],
     "resources": ["url", "resource_uri", "text"],
     "minted": ["source_url", "subject", "minted", "rank"],
+    "pages_meta": ["url", "warc_ts"],
 }
 
 _INT_COLUMNS = {"rank"}

@@ -486,6 +486,99 @@ def sql_keyword_hubs(paths) -> str:
     """
 
 
+def _qname_sql(col: str) -> str:
+    """prefix:local via the registered namespaces, longest ns wins
+    (mirrors facetlib.qname_expr)."""
+    branches = " ".join(
+        f"WHEN starts_with({col}, '{ns}') THEN "
+        f"'{prefix}:' || substr({col}, {len(ns) + 1})"
+        for prefix, ns in sorted(NS.items(), key=lambda kv: -len(kv[1])))
+    return f"(CASE {branches} ELSE {col} END)"
+
+
+def _news_ctes(paths, dictionary: dict) -> str:
+    """Shared: faceted rows decorated with entries (url join through
+    documents, updated = warc_ts) + the commondata label table."""
+    return f"""
+    {_faceted_cte(paths)},
+    labels(luri, label) AS (VALUES
+      {_labels_values(dictionary)}),
+    docs AS (SELECT url, uri, title FROM {_t(paths, 'documents')}),
+    ne AS (
+      SELECT f.*, d.url, d.title AS entry_title, m.warc_ts AS updated
+      FROM f JOIN docs d ON d.uri = f.uri
+             JOIN {_t(paths, 'pages_meta')} m ON m.url = d.url
+    )"""
+
+
+def sql_news_feedsets(paths, dictionary: dict) -> str:
+    qn = _qname_sql("ne.rdf_type")
+    type_leaf = _uri_leaf_sql("ne.rdf_type")
+    pub_leaf = _uri_leaf_sql("ne.dcterms_publisher")
+    return f"""
+    WITH {_news_ctes(paths, dictionary)},
+    src AS (
+      SELECT 'Sorted by type' AS feedset_label, 'rdf_type' AS binding,
+             {qn} AS value, {type_leaf} AS urlfragment,
+             'type' AS term, 'All ' || {qn} || ' documents' AS title
+      FROM ne WHERE ne.rdf_type IS NOT NULL
+      UNION ALL
+      SELECT 'Sorted by publisher', 'dcterms_publisher',
+             coalesce(l.label, ne.dcterms_publisher), {pub_leaf},
+             'publisher',
+             'Documents published by ' ||
+               coalesce(l.label, ne.dcterms_publisher)
+      FROM ne LEFT JOIN labels l ON l.luri = ne.dcterms_publisher
+      WHERE ne.dcterms_publisher IS NOT NULL
+    ),
+    feeds AS (
+      SELECT feedset_label, binding, value,
+             term || '/' || lower(min(urlfragment)) AS slug,
+             title
+      FROM src GROUP BY feedset_label, binding, value, term, title
+    )
+    SELECT feedset_label, binding, value, slug, title FROM feeds
+    UNION ALL
+    SELECT 'All', NULL, NULL, 'main', 'All documents'
+    ORDER BY feedset_label, binding, value
+    """
+
+
+def sql_news_feed_entries(paths, dictionary: dict) -> str:
+    type_leaf = _uri_leaf_sql("ne.rdf_type")
+    pub_leaf = _uri_leaf_sql("ne.dcterms_publisher")
+    return f"""
+    WITH {_news_ctes(paths, dictionary)},
+    src AS (
+      SELECT 'rdf_type' AS binding, {type_leaf} AS value,
+             ne.rdf_type AS _key, uri, entry_title, updated
+      FROM ne WHERE ne.rdf_type IS NOT NULL
+      UNION ALL
+      SELECT 'dcterms_publisher',
+             {pub_leaf},
+             coalesce(l.label, ne.dcterms_publisher), uri, entry_title,
+             updated
+      FROM ne LEFT JOIN labels l ON l.luri = ne.dcterms_publisher
+      WHERE ne.dcterms_publisher IS NOT NULL
+    ),
+    ranked AS (
+      SELECT binding, value,
+             row_number() OVER (PARTITION BY binding, value
+                                ORDER BY _key, uri) AS pos,
+             uri, entry_title, updated
+      FROM src WHERE value IS NOT NULL
+    ),
+    main AS (
+      SELECT NULL AS binding, NULL AS value,
+             row_number() OVER (ORDER BY updated DESC, uri ASC) AS pos,
+             uri, entry_title, updated
+      FROM ne
+    )
+    SELECT * FROM ranked UNION ALL SELECT * FROM main
+    ORDER BY binding, value, pos
+    """
+
+
 def sql_minted_uris(paths) -> str:
     return ("SELECT source_url, subject, minted, rank FROM %s"
             % _t(paths, "minted"))
