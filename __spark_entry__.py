@@ -232,6 +232,16 @@ def _q_kg_minted_uris(spark, sf_dir):
     return mint_uris(_kg_read(spark, "triples"), default_space_ttl())
 
 
+def _q_kg_citations(spark, sf_dir):
+    """Citation mining over the per-resource text (CitationParser +
+    URIFormatter analog), emitted as a joinable table."""
+    from ferenda_spark.operators.citations import (CORPUS_PATTERNS,
+                                                   corpus_formatter,
+                                                   extract_citations)
+    return extract_citations(_kg_read(spark, "resources"),
+                             CORPUS_PATTERNS, corpus_formatter())
+
+
 def _kg_news_inputs(spark):
     from ferenda_spark.operators.facets import faceted_data
     from ferenda_spark.operators.news import news_facet_entries
@@ -442,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stale": _q_kg_stale,
         "kg_news_feedsets": _q_kg_news_feedsets,
         "kg_news_feed_entries": _q_kg_news_feed_entries,
+        "kg_citations": _q_kg_citations,
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
         "token_stats": _q_token_stats,
@@ -502,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_news_feedsets": kgoracle.sql_news_feedsets(kg, _kg_commondata()),
         "kg_news_feed_entries":
             kgoracle.sql_news_feed_entries(kg, _kg_commondata()),
+        "kg_citations": kgoracle.sql_citations(kg),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),

@@ -584,6 +584,37 @@ def sql_minted_uris(paths) -> str:
             % _t(paths, "minted"))
 
 
+def sql_citations(paths, base: str = "http://example.org/res/doc/") -> str:
+    """extract_citations over the resources table: remove-then-scan is
+    regexp_replace + regexp_extract_all in SQL (same rule by design)."""
+    from .operators.citations import CORPUS_PATTERNS
+    sec_pat = CORPUS_PATTERNS[0][1]
+    rfc_pat = CORPUS_PATTERNS[1][1]
+    return f"""
+    WITH r AS (SELECT url, resource_uri, text FROM {_t(paths, 'resources')}),
+    sec AS (
+      SELECT url, resource_uri,
+             unnest(regexp_extract_all(text, '{sec_pat}')) AS cite
+      FROM r),
+    r2 AS (
+      SELECT url, resource_uri,
+             regexp_replace(text, '{sec_pat}', '', 'g') AS text
+      FROM r),
+    rfc AS (
+      SELECT url, resource_uri,
+             unnest(regexp_extract_all(text, '{rfc_pat}')) AS cite
+      FROM r2)
+    SELECT url, resource_uri, 'rfc_section' AS name, cite,
+           '{base}' || regexp_extract(cite, '{sec_pat}', 2) ||
+             '#S' || regexp_extract(cite, '{sec_pat}', 1) AS uri
+    FROM sec
+    UNION ALL
+    SELECT url, resource_uri, 'rfc', cite,
+           '{base}' || regexp_extract(cite, '{rfc_pat}', 1)
+    FROM rfc
+    """
+
+
 def sql_stage_counters(paths) -> str:
     return f"""
     SELECT 'parse' AS stage, status, count(DISTINCT url) AS n_urls
