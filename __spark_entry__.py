@@ -66,6 +66,14 @@ def _kg_commondata() -> dict:
     return dict(COMMONDATA)
 
 
+def _kg_facet_query_sql(kg_paths: dict) -> str:
+    from ferenda_spark.operators.facets import facet_query
+    return facet_query(
+        rdf_type="http://purl.org/ontology/bibo/Standard",
+        table="read_parquet('%s')" % kg_paths["triples"],
+        context="kg")
+
+
 def _kg_paths() -> dict[str, str]:
     from ferenda_spark.kgcache import ensure_kg_tables
     return ensure_kg_tables(KG_N)
@@ -151,6 +159,15 @@ def _kg_labels(spark):
         [(uri, expand_curie(pred), label)
          for (pred, label), uri in COMMONDATA.items()],
         "uri string, predicate string, label string")
+
+
+def _q_kg_faceted_typed(spark, sf_dir):
+    """Type-gated faceted data; the oracle is the engine's OWN
+    generated facet_query SQL (facet_query ≙ the reference's generated
+    SPARQL SELECT), so the generator is correctness-gated."""
+    from ferenda_spark.operators.facets import faceted_data
+    return faceted_data(_kg_read(spark, "triples"),
+                        rdf_type="http://purl.org/ontology/bibo/Standard")
 
 
 def _q_kg_toc(spark, sf_dir):
@@ -439,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": _q_kg_canonical_triples,
         "kg_linked_publishers": _q_kg_linked_publishers,
         "kg_faceted": _q_kg_faceted,
+        "kg_faceted_typed": _q_kg_faceted_typed,
         "kg_toc": _q_kg_toc,
         "kg_toc_pagesets": _q_kg_toc_pagesets,
         "kg_facet_stats": _q_kg_facet_stats,
@@ -499,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linked_publishers": kgoracle.sql_linked_publishers(
             kg, _kg_dictionary()),
         "kg_faceted": kgoracle.sql_faceted(kg),
+        "kg_faceted_typed": _kg_facet_query_sql(kg),
         "kg_toc": kgoracle.sql_toc(kg, _kg_commondata()),
         "kg_toc_pagesets": kgoracle.sql_toc_pagesets(kg, _kg_commondata()),
         "kg_facet_stats": kgoracle.sql_facet_stats(kg),

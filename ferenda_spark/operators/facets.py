@@ -46,12 +46,25 @@ def qname_col(pred_uri: str) -> str:
 
 
 def faceted_data(triples: DataFrame,
-                 facets: list[str] | None = None) -> DataFrame:
+                 facets: list[str] | None = None,
+                 rdf_type: str | None = None) -> DataFrame:
     """Pivot the triple table into one row per subject with one column
     per facet predicate (first value wins, as the reference's
     multiple-value warning path does —
-    ref documentrepository.py:2107-2114), deduplicated."""
+    ref documentrepository.py:2107-2114), deduplicated.
+
+    ``rdf_type`` gates subjects on ``?uri rdf:type <rdf_type>`` — the
+    mandatory type clause of the reference's generated query
+    (ref documentrepository.py:2220-2249) — as a semi-join against the
+    typed subject set (broadcast: the type list per corpus slice is
+    small relative to the full triple table)."""
     facets = facets or DEFAULT_FACETS
+    if rdf_type is not None:
+        typed = (triples
+                 .where((F.col("predicate") == NS["rdf"] + "type") &
+                        (F.col("object") == rdf_type))
+                 .select("subject").distinct())
+        triples = triples.join(typed, "subject", "left_semi")
     pivoted = (triples
                .where(F.col("predicate").isin(facets))
                .groupBy(F.col("subject").alias("uri"))
@@ -60,6 +73,33 @@ def faceted_data(triples: DataFrame,
     renamed = pivoted.select(
         "uri", *[F.col("`%s`" % p).alias(qname_col(p)) for p in facets])
     return renamed.dropDuplicates(["uri"])
+
+
+def facet_query(facets: list[str] | None = None,
+                rdf_type: str | None = None,
+                table: str = "triples",
+                context: str | None = None) -> str:
+    """Generate the faceted-data query as SQL text — the engine's
+    analog of the reference's generated SPARQL SELECT with one
+    OPTIONAL clause per facet, a mandatory rdf:type clause, and a
+    FROM <context> restriction (ref documentrepository.py:2220-2310).
+    The generated text runs unchanged on Spark SQL and DuckDB; it is
+    also used verbatim as the driver oracle for the typed facet query,
+    so the generator itself is correctness-gated."""
+    facets = facets or DEFAULT_FACETS
+    cols = ",\n       ".join(
+        "min(object) FILTER (WHERE predicate = '%s') AS %s"
+        % (p, qname_col(p)) for p in facets)
+    preds = ", ".join("'%s'" % p for p in facets)
+    where = ["predicate IN (%s)" % preds]
+    if context is not None:
+        where.append("context = '%s'" % context)
+    if rdf_type is not None:
+        where.append(
+            "subject IN (SELECT subject FROM %s WHERE predicate = '%s' "
+            "AND object = '%s')" % (table, NS["rdf"] + "type", rdf_type))
+    return ("SELECT subject AS uri,\n       %s\nFROM %s\nWHERE %s\n"
+            "GROUP BY subject" % (cols, table, "\n  AND ".join(where)))
 
 
 def toc_pageset(faceted: DataFrame, value_col: str,

@@ -62,3 +62,18 @@ def test_facet_stats_counts(spark, triples):
     n_docs = (triples.where(F.col("predicate") == NS["rdf"] + "type")
               .select("subject").distinct().count())
     assert sum(type_counts.values()) >= n_docs
+
+
+def test_facet_query_sql_runs_on_spark(spark, triples):
+    """The generated facet_query SQL (the reference's generated-SPARQL
+    analog) runs unchanged on Spark SQL and equals the DataFrame op."""
+    from ferenda_spark.operators.facets import facet_query
+    triples.createOrReplaceTempView("triples_v")
+    btype = "http://purl.org/ontology/bibo/Standard"
+    sql = facet_query(rdf_type=btype, table="triples_v")
+    via_sql = {r["uri"]: r.asDict()
+               for r in spark.sql(sql).collect()}
+    via_df = {r["uri"]: r.asDict()
+              for r in faceted_data(triples, rdf_type=btype).collect()}
+    assert via_sql == via_df
+    assert all(v["rdf_type"] is not None for v in via_df.values())
