@@ -267,7 +267,10 @@ def _kg_news_inputs(spark):
                .join(_kg_read(spark, "pages_meta"), "url")
                .withColumnRenamed("warc_ts", "updated"))
     faceted = faceted_data(_kg_read(spark, "triples"))
-    return news_facet_entries(faceted, docs.select("url", "uri"), entries)
+    # decorated entries feed 2+ branches (facet feeds + main feed);
+    # materialize once (≙ the reference's faceted_entries.json cache)
+    return news_facet_entries(faceted, docs.select("url", "uri"),
+                              entries).localCheckpoint(eager=True)
 
 
 def _q_kg_news_feedsets(spark, sf_dir):

@@ -227,41 +227,73 @@ def _with_labels(faceted: DataFrame, facets: list[Facet],
     return faceted
 
 
+def melt_facets(src: DataFrame, facets: list[Facet],
+                value_of, extra_fields=()) -> DataFrame:
+    """Unpivot one row per (document, facet): explode an array of
+    per-facet structs built by ``value_of(facet, col, label_col)``.
+
+    This is the load-bearing shape choice for the TOC/news read paths:
+    a union of per-facet branches re-scans (and re-pivots) the faceted
+    subtree once PER FACET — measured 6-24 parquet scans per query —
+    while the melt computes the faceted table once and explodes it, so
+    the whole derivation is one scan + one shuffle regardless of facet
+    count. NULL selector values yield NULL structs filtered after the
+    explode (≙ the reference's KeyError-skip)."""
+    structs = []
+    for f in facets:
+        col = F.col(f.column)
+        lab = F.col(f.column + "__label") \
+            if (f.column + "__label") in src.columns else None
+        fields = value_of(f, col, lab)
+        structs.append(
+            F.when(col.isNotNull(),
+                   F.struct(F.lit(f.column).alias("binding"), *fields)))
+    melted = src.withColumn("e", F.explode(F.array(*structs)))
+    return (melted
+            .where(F.col("e").isNotNull() & F.col("e.value").isNotNull())
+            .select(*src.columns, "e.*"))
+
+
 def toc_pagesets(faceted: DataFrame, facets: list[Facet],
                  labels: DataFrame | None = None) -> DataFrame:
     """→ (binding, pageset_label, value, urlfragment, pagetitle): one
     row per TOC page, pages ordered by value within each pageset
     (ref documentrepository.py:2774-2852). NULL selector values are
     skipped (≙ the KeyError-on-incomplete-row path)."""
+    toc = [f for f in facets
+           if f.use_for_toc and f.column in faceted.columns]
     src = _with_labels(faceted, facets, labels)
-    parts = []
-    for f in facets:
-        if not f.use_for_toc or f.column not in src.columns:
-            continue
-        col = F.col(f.column)
-        lab = F.col(f.column + "__label") \
-            if (f.column + "__label") in src.columns else None
-        sel = _selector_col(f.selector, col, lab)
-        ident = _selector_col(f.identificator, col, lab)
-        title_tpl = f.pagetitle % {"term": f.term,
-                                   "selected": "\x00"}
-        parts.append(
-            src.where(col.isNotNull())
-               .select(F.lit(f.column).alias("binding"),
-                       F.lit(f.label % {"term": f.term})
-                        .alias("pageset_label"),
-                       sel.alias("value"),
-                       ident.alias("urlfragment"))
-               .where(F.col("value").isNotNull())
-               .groupBy("binding", "pageset_label", "value")
-               .agg(F.min("urlfragment").alias("urlfragment"))
-               .withColumn("pagetitle",
-                           F.replace(F.lit(title_tpl), F.lit("\x00"),
-                                     F.col("value"))))
-    out = None
-    for p in parts:
-        out = p if out is None else out.unionByName(p)
-    return out.orderBy("binding", "value")
+    labels_by_col = {f.column: f.label % {"term": f.term} for f in toc}
+    titles_by_col = {f.column: f.pagetitle % {"term": f.term,
+                                              "selected": "\x00"}
+                     for f in toc}
+
+    def fields(f, col, lab):
+        return [_selector_col(f.selector, col, lab).alias("value"),
+                _selector_col(f.identificator, col, lab)
+                .alias("urlfragment")]
+
+    melted = melt_facets(src, toc, fields)
+    map_items = []
+    for c in labels_by_col:
+        map_items += [F.lit(c), F.lit(labels_by_col[c])]
+    title_items = []
+    for c in titles_by_col:
+        title_items += [F.lit(c), F.lit(titles_by_col[c])]
+    return (melted
+            .groupBy("binding", "value")
+            .agg(F.min("urlfragment").alias("urlfragment"))
+            .select("binding",
+                    F.element_at(F.create_map(*map_items),
+                                 F.col("binding")).alias("pageset_label"),
+                    "value", "urlfragment",
+                    F.replace(F.element_at(F.create_map(*title_items),
+                                           F.col("binding")),
+                              F.lit("\x00"),
+                              F.col("value")).alias("pagetitle"))
+            .select("binding", "pageset_label", "value", "urlfragment",
+                    "pagetitle")
+            .orderBy("binding", "value"))
 
 
 def toc_documents(faceted: DataFrame, facets: list[Facet],
@@ -272,30 +304,28 @@ def toc_documents(faceted: DataFrame, facets: list[Facet],
     document lists, flattened (≙ toc_select_for_pages,
     ref documentrepository.py:2854-2916; toc_item :2918-2921 renders
     dcterms_title as link text). Within a page, documents order by the
-    facet's key expression (asc/desc per facet), uri as tiebreak."""
+    facet's key expression (asc/desc per facet, realized as one window
+    per direction group over the melted rows), uri as tiebreak."""
+    toc = [f for f in facets
+           if f.use_for_toc and f.column in faceted.columns]
     src = _with_labels(faceted, facets, labels)
-    parts = []
-    for f in facets:
-        if not f.use_for_toc or f.column not in src.columns:
-            continue
-        col = F.col(f.column)
-        lab = F.col(f.column + "__label") \
-            if (f.column + "__label") in src.columns else None
-        sel = _selector_col(f.selector, col, lab)
-        key = _selector_col(f.key, col, lab)
-        parts.append(
-            src.where(col.isNotNull())
-               .select(F.lit(f.column).alias("binding"),
-                       sel.alias("value"), key.alias("_key"),
-                       F.col(label_col).alias("label"), F.col("uri"))
-               .where(F.col("value").isNotNull())
-               .withColumn("pos", F.row_number().over(
-                   Window.partitionBy("binding", "value")
-                   .orderBy(F.desc("_key") if f.key_descending
-                            else F.asc("_key"), F.asc("uri")))))
+
+    def fields(f, col, lab):
+        return [_selector_col(f.selector, col, lab).alias("value"),
+                _selector_col(f.key, col, lab).cast("string")
+                .alias("_key")]
+
     out = None
-    for p in parts:
-        p = p.select("binding", "value", "pos", "label", "uri")
-        out = p if out is None else out.unionByName(p)
+    for descending in sorted({f.key_descending for f in toc}):
+        group = [f for f in toc if f.key_descending is descending]
+        melted = melt_facets(src, group, fields)
+        w = (Window.partitionBy("binding", "value")
+             .orderBy(F.desc("_key") if descending else F.asc("_key"),
+                      F.asc("uri")))
+        part = (melted
+                .withColumn("pos", F.row_number().over(w))
+                .select("binding", "value", "pos",
+                        F.col(label_col).alias("label"), "uri"))
+        out = part if out is None else out.unionByName(part)
     return (out.where(F.col("pos") <= top_n)
             .orderBy("binding", "value", "pos"))

@@ -52,41 +52,37 @@ def news_feedsets(news_entries: DataFrame, facets: list[Facet],
                   main_label: str = "All documents") -> DataFrame:
     """→ (feedset_label, binding, value, slug, title): one row per
     feed + the All/main feed (binding/value NULL)."""
+    from .facetlib import melt_facets
+    feed = [f for f in feed_facets(facets)
+            if f.column in news_entries.columns]
     src = _with_labels(news_entries, facets, labels)
     spark = news_entries.sparkSession
-    parts = []
-    for f in feed_facets(facets):
-        if f.column not in src.columns:
-            continue
-        col = F.col(f.column)
-        lab = F.col(f.column + "__label") \
-            if (f.column + "__label") in src.columns else None
-        sel = _selector_col(f.selector, col, lab)
-        ident = _selector_col(f.identificator, col, lab)
-        title_tpl = f.pagetitle % {"term": f.term, "selected": "\x00"}
-        parts.append(
-            src.where(col.isNotNull())
-               .select(F.lit(f.label % {"term": f.term})
-                        .alias("feedset_label"),
-                       F.lit(f.column).alias("binding"),
-                       sel.alias("value"), ident.alias("urlfragment"))
-               .where(F.col("value").isNotNull())
-               .groupBy("feedset_label", "binding", "value")
+
+    def fields(f, col, lab):
+        return [_selector_col(f.selector, col, lab).alias("value"),
+                _selector_col(f.identificator, col, lab)
+                .alias("urlfragment"),
+                F.lit(f.label % {"term": f.term}).alias("feedset_label"),
+                F.lit(f.term + "/").alias("slug_prefix"),
+                F.lit(f.pagetitle % {"term": f.term, "selected": "\x00"})
+                .alias("title_tpl")]
+
+    melted = melt_facets(src, feed, fields)
+    grouped = (melted
+               .groupBy("feedset_label", "binding", "value", "slug_prefix",
+                        "title_tpl")
                .agg(F.min("urlfragment").alias("urlfragment"))
                .select("feedset_label", "binding", "value",
-                       F.concat(F.lit(f.term + "/"),
+                       F.concat("slug_prefix",
                                 F.lower("urlfragment")).alias("slug"),
-                       F.replace(F.lit(title_tpl), F.lit("\x00"),
+                       F.replace(F.col("title_tpl"), F.lit("\x00"),
                                  F.col("value")).alias("title")))
     main = spark.createDataFrame(
         [("All", None, None, "main", main_label)],
         "feedset_label string, binding string, value string, "
         "slug string, title string")
-    out = None
-    for p in parts:
-        out = p if out is None else out.unionByName(p)
-    out = main if out is None else out.unionByName(main)
-    return out.orderBy("feedset_label", "binding", "value")
+    return (grouped.unionByName(main)
+            .orderBy("feedset_label", "binding", "value"))
 
 
 def news_select_for_feeds(news_entries: DataFrame, facets: list[Facet],
@@ -95,28 +91,27 @@ def news_select_for_feeds(news_entries: DataFrame, facets: list[Facet],
     """→ (binding, value, pos, uri, entry_title, updated): per-feed
     ordered entries; the main feed (binding/value NULL) carries every
     entry ordered by ``sortkey`` descending."""
+    from .facetlib import melt_facets
+    feed = [f for f in feed_facets(facets)
+            if f.column in news_entries.columns]
     src = _with_labels(news_entries, facets, labels)
     out_cols = ["binding", "value", "pos", "uri", "entry_title", "updated"]
-    parts = []
-    for f in feed_facets(facets):
-        if f.column not in src.columns:
-            continue
-        col = F.col(f.column)
-        lab = F.col(f.column + "__label") \
-            if (f.column + "__label") in src.columns else None
-        ident = _selector_col(f.identificator, col, lab)
-        key = _selector_col(f.key, col, lab)
+
+    def fields(f, col, lab):
+        return [_selector_col(f.identificator, col, lab).alias("value"),
+                _selector_col(f.key, col, lab).cast("string")
+                .alias("_key")]
+
+    out = None
+    for descending in sorted({f.key_descending for f in feed}):
+        group = [f for f in feed if f.key_descending is descending]
+        melted = melt_facets(src, group, fields)
         w = (Window.partitionBy("binding", "value")
-             .orderBy(F.desc("_key") if f.key_descending
-                      else F.asc("_key"), F.asc("uri")))
-        parts.append(
-            src.where(col.isNotNull())
-               .select(F.lit(f.column).alias("binding"),
-                       ident.alias("value"), key.alias("_key"),
-                       "uri", "entry_title", "updated")
-               .where(F.col("value").isNotNull())
-               .withColumn("pos", F.row_number().over(w))
-               .select(*out_cols))
+             .orderBy(F.desc("_key") if descending else F.asc("_key"),
+                      F.asc("uri")))
+        part = (melted.withColumn("pos", F.row_number().over(w))
+                .select(*out_cols))
+        out = part if out is None else out.unionByName(part)
     main = (src.select(F.lit(None).cast("string").alias("binding"),
                        F.lit(None).cast("string").alias("value"),
                        "uri", "entry_title", "updated")
@@ -124,8 +119,5 @@ def news_select_for_feeds(news_entries: DataFrame, facets: list[Facet],
                 Window.partitionBy(F.lit(1))
                 .orderBy(F.desc(sortkey), F.asc("uri"))))
             .select(*out_cols))
-    out = None
-    for p in parts:
-        out = p if out is None else out.unionByName(p)
     out = main if out is None else out.unionByName(main)
     return out.orderBy("binding", "value", "pos")

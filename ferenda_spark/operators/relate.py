@@ -88,12 +88,15 @@ def annotation_graphs(triples: DataFrame, docs: DataFrame) -> DataFrame:
     from ..graph.closure import ispartof_closure
     doc_uris = docs.select(F.col("uri").alias("doc_uri")).distinct()
     closure = ispartof_closure(triples)
+    # the part set is small (documents + their parts) and feeds three
+    # branches below — cut its lineage so the closure derivation runs
+    # once, not per branch
     parts = (closure
              .join(doc_uris, closure.ancestor == doc_uris.doc_uri)
              .select("doc_uri", "part")
              .unionByName(doc_uris.select(
                  "doc_uri", F.col("doc_uri").alias("part")))
-             .distinct())
+             .distinct().localCheckpoint(eager=True))
     t = triples.select("subject", "predicate", "object", "objtype",
                        "lang", "datatype")
     body = ["subject", "predicate", "object", "objtype", "lang", "datatype"]
