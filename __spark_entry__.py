@@ -66,6 +66,12 @@ def _kg_commondata() -> dict:
     return dict(COMMONDATA)
 
 
+def _kg_search_sql(kg_paths: dict) -> str:
+    from ferenda_spark.operators.fulltext import oracle_sql_fulltext
+    return oracle_sql_fulltext(
+        "read_parquet('%s')" % kg_paths["resources"], KG_SEARCH_TERMS)
+
+
 def _kg_facet_query_sql(kg_paths: dict) -> str:
     from ferenda_spark.operators.facets import facet_query
     return facet_query(
@@ -247,6 +253,16 @@ def _q_kg_minted_uris(spark, sf_dir):
     the Spark plumbing."""
     from ferenda_spark.operators.minting import default_space_ttl, mint_uris
     return mint_uris(_kg_read(spark, "triples"), default_space_ttl())
+
+
+KG_SEARCH_TERMS = ["stream", "batch"]
+
+
+def _q_kg_search(spark, sf_dir):
+    """Ranked fulltext term query over the resources table (the
+    fulltext-index read path)."""
+    from ferenda_spark.operators.fulltext import fulltext_search
+    return fulltext_search(_kg_read(spark, "resources"), KG_SEARCH_TERMS)
 
 
 def _q_kg_citations(spark, sf_dir):
@@ -474,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_news_feedsets": _q_kg_news_feedsets,
         "kg_news_feed_entries": _q_kg_news_feed_entries,
         "kg_citations": _q_kg_citations,
+        "kg_search": _q_kg_search,
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
         "token_stats": _q_token_stats,
@@ -536,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_news_feed_entries":
             kgoracle.sql_news_feed_entries(kg, _kg_commondata()),
         "kg_citations": kgoracle.sql_citations(kg),
+        "kg_search": _kg_search_sql(kg),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),

@@ -51,10 +51,59 @@ def main() -> None:
         t = triples_table(extract_stage(pages, cfg, P.COMMONDATA), "kg")
         return canonicalize_triples(t.persist())
 
+    # downstream read-path queries run over a triples/resources parquet
+    # materialized ONCE at bench scale (the inter-stage Iceberg table);
+    # the materialization is timed as its own entry
+    import shutil
+    import tempfile
+    from ferenda_spark.operators.extract import (documents_table,
+                                                 resources_table)
+    kg_tmp = tempfile.mkdtemp(prefix="bench_kg_")
+    stages = {}
+
+    def kg_materialize(spark, _):
+        pages = P.build_pages(spark, kg_n, int(cpus) * 2)
+        ex = extract_stage(pages, cfg, P.COMMONDATA)
+        triples_table(ex, "kg").write.mode("overwrite") \
+            .parquet(kg_tmp + "/triples")
+        documents_table(ex).write.mode("overwrite") \
+            .parquet(kg_tmp + "/documents")
+        resources_table(ex).write.mode("overwrite") \
+            .parquet(kg_tmp + "/resources")
+        stages["triples"] = spark.read.parquet(kg_tmp + "/triples")
+        stages["documents"] = spark.read.parquet(kg_tmp + "/documents")
+        stages["resources"] = spark.read.parquet(kg_tmp + "/resources")
+        return stages["triples"]
+
+    def kg_toc(spark, _):
+        from ferenda_spark.operators.facetlib import (default_facets,
+                                                      toc_documents)
+        from ferenda_spark.operators.facets import faceted_data
+        return toc_documents(faceted_data(stages["triples"]),
+                             default_facets())
+
+    def kg_annotations(spark, _):
+        from ferenda_spark.operators.relate import annotation_graphs
+        return annotation_graphs(stages["triples"], stages["documents"])
+
+    def kg_minted(spark, _):
+        from ferenda_spark.operators.minting import (default_space_ttl,
+                                                     mint_uris)
+        return mint_uris(stages["triples"], default_space_ttl())
+
+    def kg_search(spark, _):
+        from ferenda_spark.operators.fulltext import fulltext_search
+        return fulltext_search(stages["resources"], ["stream", "batch"])
+
     qs = E.queries()
     bench_queries = {
         "kg_extract": kg_extract,
         "kg_full_pipeline": kg_full,
+        "kg_materialize": kg_materialize,
+        "kg_toc": kg_toc,
+        "kg_annotations": kg_annotations,
+        "kg_minted_uris": kg_minted,
+        "kg_search": kg_search,
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute
@@ -76,6 +125,7 @@ def main() -> None:
         rows[name] = _count(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    shutil.rmtree(kg_tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)
     kg_secs = timings["kg_extract"]
     print(json.dumps({
