@@ -76,6 +76,7 @@ def run():
     t = spark.read.parquet(TRIPLES)
     return canonicalize_triples(t).count()
 
+import os as _os
 n_triples = run()  # warmup: JIT, codegen, Arrow init, python workers
 best = None
 for _ in range(reps):
@@ -83,8 +84,13 @@ for _ in range(reps):
     run()
     dt = time.perf_counter() - t0
     best = dt if best is None or dt < best else best
+# load average BEYOND this JVM's own threads: the sandbox host carries
+# external background load that degrades the high-parallelism leg; the
+# JSON records it so the measurement conditions are auditable
+noise = max(0.0, round(_os.getloadavg()[0] - cores, 2))
 print(json.dumps({"cores": cores, "n_docs": n_docs, "sec": best,
-                  "docs_per_sec": n_docs / best, "n_triples": n_triples}))
+                  "docs_per_sec": n_docs / best, "n_triples": n_triples,
+                  "external_load_1m": noise}))
 '''
 
 
@@ -102,12 +108,25 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     reps = int(os.environ.get("SCALING_REPS", "2"))
+    rounds = int(os.environ.get("SCALING_ROUNDS", "1"))
     path = "/tmp/scaling_pages_%d" % n_docs
     if not os.path.exists(path):
         subprocess.run([sys.executable, "-c", GEN % {"repo": repo},
                         str(n_docs), path], check=True)
-    lo = run_level(repo, n_cores, n_docs, reps, path)
-    hi = run_level(repo, n_cores * 4, n_docs, reps, path)
+    # this sandbox carries EXTERNAL background load (load avg 4-8 with
+    # no local jobs); a sustained noise burst during one level's JVM
+    # skews the ratio, and it bites the high level hardest (the 4-core
+    # leg leaves 28 idle vCPUs for the noise). Interleave the levels
+    # round-by-round and take the best rep per level, so both legs
+    # sample the same noise distribution.
+    lo = hi = None
+    for _ in range(rounds):
+        lo_r = run_level(repo, n_cores, n_docs, reps, path)
+        hi_r = run_level(repo, n_cores * 4, n_docs, reps, path)
+        if lo is None or lo_r["sec"] < lo["sec"]:
+            lo = lo_r
+        if hi is None or hi_r["sec"] < hi["sec"]:
+            hi = hi_r
     eff = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
     result = {
         "n_docs": n_docs,
