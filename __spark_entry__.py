@@ -391,6 +391,15 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 50), k=5)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (k-means cells + nprobe); approximate recall
+    by design → rows-only check, recall asserted in pytest (like
+    ann_lsh_topk)."""
+    from ferenda_spark.operators.similarity import ann_ivf_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, emb.where(F.col("vec_id") < 50), k=5)
+
+
 def _q_media_decode(spark, sf_dir):
     from ferenda_spark.operators.multimodal import (decode_media,
                                                     synthetic_media)
@@ -505,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_blocked": _q_dedup_embedding_blocked,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "media_decode": _q_media_decode,
         # relational / faceting analogs (DuckDB-oracled)
         "facet_pivot": _q_facet_pivot,

@@ -129,6 +129,109 @@ def ann_lsh_topk(items: DataFrame, queries: DataFrame, k: int = 5,
             .orderBy("query_id", "rank"))
 
 
+def _kmeans_centroids(V, k: int, iters: int = 10, seed: int = 11):
+    """Seeded Lloyd's k-means over unit-normalized vectors (numpy, on
+    the driver over a bounded sample — the IVF 'train' step)."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    C = V[rng.choice(len(V), size=min(k, len(V)), replace=False)]
+    for _ in range(iters):
+        assign = (V @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = V[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    return C
+
+
+def _ivf_assign_stage(df: DataFrame, idc: str, vec_col: str, C,
+                      nprobe: int = 1) -> DataFrame:
+    """(id, cluster): nearest (or nprobe nearest) centroid per vector
+    by cosine — one numpy matmul per Arrow batch."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    schema = StructType([StructField("id", LongType()),
+                         StructField("cluster", IntegerType())])
+
+    def run(batches):
+        import numpy as np
+        Cl = np.asarray(C)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[idc].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                               1e-12)
+            S = V @ Cl.T
+            if nprobe == 1:
+                yield pd.DataFrame({"id": ids, "cluster":
+                                    S.argmax(axis=1).astype("int32")})
+            else:
+                top = np.argsort(-S, axis=1)[:, :nprobe]
+                yield pd.DataFrame(
+                    {"id": np.repeat(ids, top.shape[1]),
+                     "cluster": top.ravel().astype("int32")})
+
+    return ensure_parallelism(df.select(F.col(idc).alias(idc), vec_col)) \
+        .mapInPandas(run, schema)
+
+
+def ann_ivf_topk(items: DataFrame, queries: DataFrame, k: int = 5,
+                 n_clusters: int = 16, nprobe: int = 4,
+                 train_sample: int = 20_000, seed: int = 11,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """IVF-bucketed approximate top-k: k-means centroids trained on a
+    bounded driver sample, items assigned to their nearest cell,
+    queries probe their ``nprobe`` nearest cells, exact cosine inside
+    the probed cells. → (query_id, neighbor_id, rank).
+
+    Scale notes: train is O(sample·k·d) on the driver (bounded; at
+    10^12 rows you train on a sample regardless of engine); assignment
+    is a shuffle-free Arrow stage; the probe join key is the cluster id
+    — cell sizes are data-dependent (unlike the hyperplane-LSH variant,
+    whose keys are uniform), so n_clusters must scale with n to bound
+    cells, and AQE skew-join splitting covers residual imbalance.
+    Recall lever: nprobe (P(neighbor in probed cells) grows with it).
+    """
+    import numpy as np
+    sample = (items.select(vec_col)
+              .limit(train_sample).toPandas()[vec_col])
+    V = np.stack(sample.to_numpy()).astype(np.float64)
+    C = _kmeans_centroids(V, n_clusters, seed=seed)
+    it = _ivf_assign_stage(
+        items.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        "neighbor_id", vec_col, C, nprobe=1) \
+        .withColumnRenamed("id", "neighbor_id")
+    qp = _ivf_assign_stage(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        "query_id", vec_col, C, nprobe=nprobe) \
+        .withColumnRenamed("id", "query_id")
+    cand = (qp.join(it, "cluster")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct())
+    sims = (cand
+            .join(F.broadcast(queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_v"))), "query_id")
+            .join(items.select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("n_v")), "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    cosine_sim(F.col("q_v"), F.col("n_v")).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank")
+            .orderBy("query_id", "rank"))
+
+
 def oracle_sql_brute_force_topk(table: str = "embeddings", k: int = 5,
                                 n_queries: int | None = None) -> str:
     from .dedup import sql_cosine
