@@ -303,6 +303,31 @@ def _q_kg_news_feed_entries(spark, sf_dir):
                                  _kg_labels(spark))
 
 
+KG_NEW_URL = "http://example.org/doc/new.html"
+
+
+def _q_kg_versions(spark, sf_dir):
+    """DocumentStore archive analog: merge a deterministic second
+    snapshot (…0.html docs changed, …1.html docs absent, one new url)
+    into the version-1 current table; return the flattened version
+    history."""
+    from ferenda_spark.operators.versioning import (archive_versions,
+                                                    version_history)
+    docs = _kg_read(spark, "documents").select("url", "text")
+    cur = docs.select("url", F.md5("text").alias("content_hash"),
+                      F.lit(1).alias("version"))
+    inc = (docs.where(~F.col("url").like("%1.html"))
+           .select("url",
+                   F.when(F.col("url").like("%0.html"),
+                          F.md5(F.concat(F.col("text"), F.lit(" v2"))))
+                    .otherwise(F.md5("text")).alias("content_hash"))
+           .unionByName(spark.createDataFrame(
+               [(KG_NEW_URL,)], "url string")
+               .select("url", F.md5(F.lit("new")).alias("content_hash"))))
+    new_current, archived = archive_versions(cur, inc)
+    return version_history(new_current, archived)
+
+
 def _q_kg_stage_counters(spark, sf_dir):
     from ferenda_spark.operators.lineage import (entries_from_extracted,
                                                  stage_counters)
@@ -500,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_news_feed_entries": _q_kg_news_feed_entries,
         "kg_citations": _q_kg_citations,
         "kg_search": _q_kg_search,
+        "kg_versions": _q_kg_versions,
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
         "token_stats": _q_token_stats,
@@ -564,6 +590,7 @@ def oracle_sql() -> dict[str, str]:
             kgoracle.sql_news_feed_entries(kg, _kg_commondata()),
         "kg_citations": kgoracle.sql_citations(kg),
         "kg_search": _kg_search_sql(kg),
+        "kg_versions": kgoracle.sql_versions(kg, KG_NEW_URL),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),

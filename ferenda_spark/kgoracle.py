@@ -615,6 +615,51 @@ def sql_citations(paths, base: str = "http://example.org/res/doc/") -> str:
     """
 
 
+def sql_versions(paths, new_url: str) -> str:
+    """archive_versions + version_history over the deterministic
+    second-snapshot scenario (…0.html changed, …1.html absent, one
+    new url)."""
+    return f"""
+    WITH docs AS (SELECT url, text FROM {_t(paths, 'documents')}),
+    cur AS (SELECT url, md5(text) AS content_hash, 1 AS version
+            FROM docs),
+    inc AS (
+      SELECT url,
+             CASE WHEN url LIKE '%0.html' THEN md5(text || ' v2')
+                  ELSE md5(text) END AS content_hash
+      FROM docs WHERE url NOT LIKE '%1.html'
+      UNION ALL
+      SELECT '{new_url}', md5('new')
+    ),
+    merged AS (
+      SELECT i.url, i.content_hash,
+             CASE WHEN c.version IS NULL THEN 1
+                  WHEN c.content_hash = i.content_hash THEN c.version
+                  ELSE c.version + 1 END AS version
+      FROM inc i LEFT JOIN cur c USING (url)
+    ),
+    kept AS (
+      SELECT c.url, c.content_hash, c.version FROM cur c
+      WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.url = c.url)
+    ),
+    new_current AS (
+      SELECT url, content_hash, version FROM merged
+      UNION ALL SELECT url, content_hash, version FROM kept
+    ),
+    archived AS (
+      SELECT c.url, c.content_hash, c.version
+      FROM cur c JOIN inc i USING (url)
+      WHERE c.content_hash <> i.content_hash
+    )
+    SELECT url, version, content_hash, is_current FROM (
+      SELECT url, version, content_hash, TRUE AS is_current
+      FROM new_current
+      UNION ALL
+      SELECT url, version, content_hash, FALSE FROM archived)
+    ORDER BY url, version
+    """
+
+
 def sql_stage_counters(paths) -> str:
     return f"""
     SELECT 'parse' AS stage, status, count(DISTINCT url) AS n_urls

@@ -31,6 +31,39 @@ def iter_checkpoint(df: DataFrame, round_no: int,
     return df.localCheckpoint(eager=True)
 
 
+def salted_agg(df: DataFrame, key_cols: list[str], aggs: dict,
+               salt: int = 16) -> DataFrame:
+    """Two-stage aggregation with an explicit salt on the group key —
+    the classic hot-key defuse when one key (e.g. the corpus's hot
+    host) dominates: stage 1 partially aggregates (key, salt) so the
+    hot key's rows spread over ``salt`` reducers, stage 2 combines the
+    partials per key.
+
+    ``aggs``: {out_col: (in_col, "sum"|"count"|"min"|"max")}. Spark's
+    own map-side partial aggregation covers this for built-in aggs —
+    salted_agg exists for the cases it cannot: high-cardinality
+    intermediate state (e.g. collect-style aggregation downstream) or
+    explicit control when AQE skew handling is unavailable. Counts and
+    sums compose exactly (sum of partials); min/max likewise.
+    """
+    from pyspark.sql import functions as F
+    salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() +
+                                           F.monotonically_increasing_id(),
+                                           F.lit(salt)))
+    stage1_aggs = []
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            stage1_aggs.append(F.count(F.lit(1)).alias("_p_" + out))
+        else:
+            stage1_aggs.append(getattr(F, fn)(col).alias("_p_" + out))
+    partial = salted.groupBy(*key_cols, "_salt").agg(*stage1_aggs)
+    stage2_aggs = []
+    for out, (_col, fn) in aggs.items():
+        combine = "sum" if fn in ("count", "sum") else fn
+        stage2_aggs.append(getattr(F, combine)("_p_" + out).alias(out))
+    return partial.groupBy(*key_cols).agg(*stage2_aggs)
+
+
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition iff the input has fewer partitions than the session's
     default parallelism.

@@ -1,0 +1,68 @@
+"""Document version archiving — the DocumentStore archive analog.
+
+The reference archives the previous version of a document (downloaded/
+parsed/distilled artifacts) under a version id whenever new content
+lands, and lists versions per basefile (ref ferenda/documentstore.py
+archive()/list_versions; version ids from DocumentEntry). The lake
+analog is slowly-changing-dimension bookkeeping over content hashes:
+
+- :func:`archive_versions` — merge an incoming snapshot into a current
+  table: unchanged rows (same key + content hash) pass through,
+  changed rows bump the version and move the prior row to the archive,
+  new keys start at version 1.
+- :func:`version_history` — flatten (current ∪ archive) into the
+  per-key version list (list_versions analog).
+
+All joins key on the document url — uniform keys, and the incoming
+side is the delta (bounded by the crawl batch, not the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def archive_versions(current: DataFrame | None, incoming: DataFrame,
+                     key: str = "url", hash_col: str = "content_hash"
+                     ) -> tuple[DataFrame, DataFrame]:
+    """→ (new_current, archived_rows).
+
+    ``current`` carries (key, hash_col, version, …payload); ``incoming``
+    carries (key, hash_col, …payload). ``None`` current = first load
+    (everything version 1, empty archive).
+    """
+    inc = incoming
+    if current is None:
+        first = inc.withColumn("version", F.lit(1))
+        return first, first.limit(0)
+    cur = current
+    joined = (inc.alias("i")
+              .join(cur.select(F.col(key), F.col(hash_col).alias("_cur_hash"),
+                               F.col("version").alias("_cur_version"))
+                    .alias("c"), key, "left"))
+    new_current = joined.select(
+        "i.*",
+        F.when(F.col("_cur_version").isNull(), F.lit(1))
+         .when(F.col("_cur_hash") == F.col("i." + hash_col),
+               F.col("_cur_version"))
+         .otherwise(F.col("_cur_version") + 1).alias("version"))
+    changed_keys = (joined
+                    .where(F.col("_cur_hash").isNotNull() &
+                           (F.col("_cur_hash") != F.col("i." + hash_col)))
+                    .select(key))
+    archived = cur.join(changed_keys, key, "left_semi")
+    # keys absent from the incoming snapshot keep their current row
+    kept = cur.join(inc.select(key), key, "left_anti")
+    return new_current.unionByName(kept), archived
+
+
+def version_history(current: DataFrame, archive: DataFrame,
+                    key: str = "url") -> DataFrame:
+    """→ (key, version, content_hash, is_current) ordered history —
+    the list_versions analog."""
+    cur = current.select(key, "version", "content_hash",
+                         F.lit(True).alias("is_current"))
+    arch = archive.select(key, "version", "content_hash",
+                          F.lit(False).alias("is_current"))
+    return cur.unionByName(arch).orderBy(key, "version")

@@ -91,8 +91,10 @@ def doc_url(i: int, n: int) -> str:
     fam = family_of(i)
     if fam == "f3":
         return "%sdoc/%d.txt" % (BASE_URL, i)
-    # hot-host skew: 20% of f7 urls land on one host
-    if fam == "f7" and i % 5 == 0:
+    # hot-host skew: a third of f7 urls land on one host
+    # (i%10==7 ⊂ f7's residues {7,8,9}; the round-1 condition i%5==0
+    # could never hold for f7 and produced no skew at all)
+    if fam == "f7" and i % 10 == 7:
         return "%sdoc/%d.html" % (HOT_HOST, i)
     return "%sdoc/%d.html" % (BASE_URL, i)
 

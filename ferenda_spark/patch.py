@@ -62,6 +62,21 @@ def maybe_rot13(diff: str) -> str:
     return diff
 
 
+def make_patch(old_text: str, new_text: str, rot13: bool = False) -> str:
+    """Generate a unified diff that :func:`apply_unified_diff` applies
+    back to ``new_text`` — the ``mkpatch`` devel tool analog (ref
+    ferenda/devel.py mkpatch: capture a manual fix as a patch file).
+    ``rot13=True`` produces the marker-prefixed obfuscated form some
+    reference patch files use."""
+    import difflib
+    diff = "\n".join(difflib.unified_diff(
+        old_text.split("\n"), new_text.split("\n"),
+        fromfile="a", tofile="b", lineterm=""))
+    if rot13:
+        return "ROT13:" + codecs.encode(diff, "rot13")
+    return diff
+
+
 def patch_text(url: str, text: str, patches: dict | None):
     """→ (possibly patched text, description|None). ``patches``:
     {url: (difftext, description)} — the broadcast dict."""
