@@ -49,3 +49,22 @@ def test_four_triples_with_title():
     assert len(triples) == 4
     t = [t for t in triples if t.predicate == NS["dcterms"] + "title"][0]
     assert t.object == "A document" and t.lang == "en-GB"
+
+
+def test_ntriples_roundtrip():
+    """to_ntriples → parse_turtle (nt is a turtle subset) preserves the
+    graph, including escapes and datatypes/langs."""
+    from ferenda_spark.model import Triple
+    from ferenda_spark.rdfio import parse_turtle, to_ntriples
+    triples = [
+        Triple.uri("http://e.org/a", "http://e.org/p", "http://e.org/b"),
+        Triple.literal("http://e.org/a", "http://e.org/t",
+                       'quote " backslash \\ newline\ntab\t end'),
+        Triple.literal("http://e.org/a", "http://e.org/l", "hej", lang="sv"),
+        Triple.literal("http://e.org/a", "http://e.org/d", "2014-01-04",
+                       datatype="http://www.w3.org/2001/XMLSchema#date"),
+    ]
+    nt = to_ntriples(triples)
+    assert set(parse_turtle(nt)) == set(triples)
+    # serialization is deterministic (sorted)
+    assert nt == to_ntriples(list(reversed(triples)))
