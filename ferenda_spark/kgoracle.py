@@ -519,7 +519,7 @@ def sql_news_feedsets(paths, dictionary: dict) -> str:
     WITH {_news_ctes(paths, dictionary)},
     src AS (
       SELECT 'Sorted by type' AS feedset_label, 'rdf_type' AS binding,
-             {qn} AS value, {type_leaf} AS urlfragment,
+             {qn} AS sel_value, {type_leaf} AS urlfragment,
              'type' AS term, 'All ' || {qn} || ' documents' AS title
       FROM ne WHERE ne.rdf_type IS NOT NULL
       UNION ALL
@@ -532,10 +532,13 @@ def sql_news_feedsets(paths, dictionary: dict) -> str:
       WHERE ne.dcterms_publisher IS NOT NULL
     ),
     feeds AS (
-      SELECT feedset_label, binding, value,
+      -- feed value = identificator urlfragment (Feed(value=urlfragment));
+      -- the selector value appears only in the title
+      SELECT feedset_label, binding,
+             min(urlfragment) AS value,
              term || '/' || lower(min(urlfragment)) AS slug,
              title
-      FROM src GROUP BY feedset_label, binding, value, term, title
+      FROM src GROUP BY feedset_label, binding, sel_value, term, title
     )
     SELECT feedset_label, binding, value, slug, title FROM feeds
     UNION ALL

@@ -68,21 +68,93 @@ def news_feedsets(news_entries: DataFrame, facets: list[Facet],
                 .alias("title_tpl")]
 
     melted = melt_facets(src, feed, fields)
+    # one feed per distinct selector value; the feed's VALUE is the
+    # identificator urlfragment (ref :3206-3215 Feed(value=urlfragment))
+    # while the title renders the selector value
     grouped = (melted
                .groupBy("feedset_label", "binding", "value", "slug_prefix",
                         "title_tpl")
                .agg(F.min("urlfragment").alias("urlfragment"))
-               .select("feedset_label", "binding", "value",
-                       F.concat("slug_prefix",
-                                F.lower("urlfragment")).alias("slug"),
+               .select("feedset_label", "binding",
                        F.replace(F.col("title_tpl"), F.lit("\x00"),
-                                 F.col("value")).alias("title")))
+                                 F.col("value")).alias("title"),
+                       F.col("urlfragment").alias("value"),
+                       F.concat("slug_prefix",
+                                F.lower("urlfragment")).alias("slug"))
+               .select("feedset_label", "binding", "value", "slug",
+                       "title"))
     main = spark.createDataFrame(
         [("All", None, None, "main", main_label)],
         "feedset_label string, binding string, value string, "
         "slug string, title string")
     return (grouped.unionByName(main)
             .orderBy("feedset_label", "binding", "value"))
+
+
+def atom_feeds(feed_entries: DataFrame, feedsets: DataFrame,
+               base_url: str = "http://example.org/",
+               archivesize: int = 100) -> DataFrame:
+    """→ (slug, title, n_entries, atom_xml): one Atom 1.0 document per
+    feed (≙ news_write_atom, ref documentrepository.py:3445-3540; the
+    reference's archive splitting maps to ``archivesize`` truncation —
+    entry lists per feed are bounded, never corpus-scale).
+
+    The per-feed entry list is assembled with a bounded collect_list
+    (positions ≤ archivesize) and serialized in a native-free pandas
+    UDF; output is a flat string column — feeds are data here, the
+    file/HTTP layer is the caller's sink."""
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+    ranked = (feed_entries
+              .where(F.col("pos") <= archivesize)
+              .groupBy("binding", "value")
+              .agg(F.count(F.lit(1)).alias("n_entries"),
+                   F.sort_array(F.collect_list(F.struct(
+                       "pos", "uri", "entry_title", "updated")))
+                   .alias("entries")))
+    joined = (feedsets.join(ranked,
+                            (feedsets.binding.eqNullSafe(ranked.binding) &
+                             feedsets.value.eqNullSafe(ranked.value)),
+                            "left")
+              .select(feedsets.slug, feedsets.title,
+                      F.coalesce("n_entries", F.lit(0)).alias("n_entries"),
+                      "entries"))
+    schema = StructType([
+        StructField("slug", StringType()),
+        StructField("title", StringType()),
+        StructField("n_entries", IntegerType()),
+        StructField("atom_xml", StringType()),
+    ])
+
+    def render(batches):
+        import xml.etree.ElementTree as ET
+        for pdf in batches:
+            rows = []
+            for slug, title, n, entries in zip(pdf["slug"], pdf["title"],
+                                               pdf["n_entries"],
+                                               pdf["entries"]):
+                feed = ET.Element("feed",
+                                  xmlns="http://www.w3.org/2005/Atom")
+                ET.SubElement(feed, "id").text = \
+                    "%sfeed/%s.atom" % (base_url, slug)
+                ET.SubElement(feed, "title").text = title
+                entries = entries if entries is not None else []
+                upd = max((e["updated"] for e in entries), default="")
+                ET.SubElement(feed, "updated").text = upd
+                for e in entries:
+                    el = ET.SubElement(feed, "entry")
+                    ET.SubElement(el, "id").text = e["uri"]
+                    ET.SubElement(el, "title").text = e["entry_title"]
+                    ET.SubElement(el, "updated").text = e["updated"]
+                    ET.SubElement(el, "link", href=e["uri"])
+                rows.append({"slug": slug, "title": title,
+                             "n_entries": int(n),
+                             "atom_xml": ET.tostring(
+                                 feed, encoding="unicode")})
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return joined.mapInPandas(render, schema)
 
 
 def news_select_for_feeds(news_entries: DataFrame, facets: list[Facet],

@@ -64,3 +64,36 @@ def test_salted_agg_equals_plain_groupby(spark):
     assert salted == plain
     # the corpus's hot-host skew is present (the thing salting defuses)
     assert "http://hot.example.org" in plain
+
+
+def test_atom_feeds_render(spark):
+    """Every feed renders to well-formed Atom 1.0 with id/title/updated
+    and one entry element per selected row (≙ news_write_atom)."""
+    import xml.etree.ElementTree as ET
+    from ferenda_spark.operators.facetlib import default_facets
+    from ferenda_spark.operators.news import (atom_feeds,
+                                              news_feedsets,
+                                              news_select_for_feeds)
+    ne = spark.createDataFrame(
+        [("http://e.org/1", "http://purl.org/ontology/bibo/Standard",
+          "Doc One", "d1.html", "Doc One", "2014-01-04 00:00:01"),
+         ("http://e.org/2", "http://purl.org/ontology/bibo/Standard",
+          "Doc Two", "d2.html", "Doc Two", "2014-01-05 00:00:02")],
+        "uri string, rdf_type string, dcterms_title string, url string, "
+        "entry_title string, updated string")
+    facets = default_facets()
+    feedsets = news_feedsets(ne, facets)
+    entries = news_select_for_feeds(ne, facets)
+    feeds = {r["slug"]: r for r in atom_feeds(entries, feedsets).collect()}
+    assert "main" in feeds and feeds["main"]["n_entries"] == 2
+    ns = "{http://www.w3.org/2005/Atom}"
+    root = ET.fromstring(feeds["main"]["atom_xml"])
+    assert root.tag == ns + "feed"
+    assert root.find(ns + "title").text == "All documents"
+    assert root.find(ns + "updated").text == "2014-01-05 00:00:02"
+    es = root.findall(ns + "entry")
+    assert [e.find(ns + "id").text for e in es] == \
+        ["http://e.org/2", "http://e.org/1"]  # updated desc
+    tf = feeds["type/standard"]
+    assert tf["n_entries"] == 2
+    assert "bibo:Standard" in tf["title"]
