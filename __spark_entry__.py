@@ -213,6 +213,11 @@ def _q_kg_pagerank(spark, sf_dir):
     return pagerank(citation_edges(_kg_read(spark, "triples")))
 
 
+def _q_kg_hits(spark, sf_dir):
+    from ferenda_spark.operators.graphops import citation_edges, hits
+    return hits(citation_edges(_kg_read(spark, "triples")))
+
+
 def _q_kg_citation_degrees(spark, sf_dir):
     from ferenda_spark.operators.graphops import citation_edges, degrees
     return degrees(citation_edges(_kg_read(spark, "triples")))
@@ -516,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ispartof_closure": _q_kg_ispartof_closure,
         "kg_inbound_refs": _q_kg_inbound_refs,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_hits": _q_kg_hits,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_keyword_hubs": _q_kg_keyword_hubs,
         "kg_minted_uris": _q_kg_minted_uris,
@@ -580,6 +586,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ispartof_closure": kgoracle.sql_ispartof_closure(kg),
         "kg_inbound_refs": kgoracle.sql_inbound_refs(kg),
         "kg_pagerank": kgoracle.sql_pagerank(kg),
+        "kg_hits": kgoracle.sql_hits(kg),
         "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
         "kg_keyword_hubs": kgoracle.sql_keyword_hubs(kg),
         "kg_minted_uris": kgoracle.sql_minted_uris(kg),

@@ -474,6 +474,51 @@ def sql_pagerank(paths, damping: float = 0.85, iters: int = 15,
     ORDER BY rank DESC, node""")
 
 
+def sql_hits(paths, iters: int = 15, round_to: int = 6) -> str:
+    """HITS unrolled: per iteration authority = Σ hub over in-edges,
+    L2-normalized; then hub = Σ authority over out-edges, L2-normalized
+    (identical update order to graphops.hits' numpy branch)."""
+    head = f"""
+    WITH {_edges_cte(paths).replace(' AS (', ' AS MATERIALIZED (', 1)},
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e),
+    s0 AS MATERIALIZED (
+      SELECT node, 1.0::DOUBLE AS hub, 1.0::DOUBLE AS authority
+      FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+    a{k} AS MATERIALIZED (
+      SELECT n.node,
+             coalesce((SELECT sum(s.hub) FROM e
+                       JOIN s{k - 1} s ON s.node = e.src
+                       WHERE e.dst = n.node), 0.0) AS a
+      FROM nodes n),
+    an{k} AS MATERIALIZED (
+      SELECT node, a / (CASE WHEN (SELECT sqrt(sum(a * a)) FROM a{k}) > 0
+                        THEN (SELECT sqrt(sum(a * a)) FROM a{k})
+                        ELSE 1.0 END) AS a
+      FROM a{k}),
+    h{k} AS MATERIALIZED (
+      SELECT n.node,
+             coalesce((SELECT sum(an.a) FROM e
+                       JOIN an{k} an ON an.node = e.dst
+                       WHERE e.src = n.node), 0.0) AS h
+      FROM nodes n),
+    s{k} AS MATERIALIZED (
+      SELECT h{k}.node,
+             h / (CASE WHEN (SELECT sqrt(sum(h * h)) FROM h{k}) > 0
+                  THEN (SELECT sqrt(sum(h * h)) FROM h{k})
+                  ELSE 1.0 END) AS hub,
+             an{k}.a AS authority
+      FROM h{k} JOIN an{k} ON an{k}.node = h{k}.node)"""
+        )
+    return (head + "".join(steps) + f"""
+    SELECT node, round(hub, {round_to}) AS hub,
+           round(authority, {round_to}) AS authority
+    FROM s{iters} ORDER BY authority DESC, node""")
+
+
 def sql_keyword_hubs(paths) -> str:
     return f"""
     SELECT term, count(DISTINCT doc) AS n_docs FROM (
