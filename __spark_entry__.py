@@ -223,6 +223,13 @@ def _q_kg_citation_degrees(spark, sf_dir):
     return degrees(citation_edges(_kg_read(spark, "triples")))
 
 
+def _q_kg_doc_stats(spark, sf_dir):
+    """Per-document triple/typed-resource counts (W3Standards.stats +
+    triple_count analog)."""
+    from ferenda_spark.operators.graphops import doc_stats
+    return doc_stats(_kg_read(spark, "triples"))
+
+
 def _q_kg_keyword_hubs(spark, sf_dir):
     from ferenda_spark.operators.graphops import keyword_hubs
     # raw triples: dcterms:subject stays literal (the hub input)
@@ -523,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_hits": _q_kg_hits,
         "kg_citation_degrees": _q_kg_citation_degrees,
+        "kg_doc_stats": _q_kg_doc_stats,
         "kg_keyword_hubs": _q_kg_keyword_hubs,
         "kg_minted_uris": _q_kg_minted_uris,
         "kg_annotations": _q_kg_annotations,
@@ -588,6 +596,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": kgoracle.sql_pagerank(kg),
         "kg_hits": kgoracle.sql_hits(kg),
         "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
+        "kg_doc_stats": kgoracle.sql_doc_stats(kg),
         "kg_keyword_hubs": kgoracle.sql_keyword_hubs(kg),
         "kg_minted_uris": kgoracle.sql_minted_uris(kg),
         "kg_annotations": kgoracle.sql_annotations(kg),

@@ -519,6 +519,16 @@ def sql_hits(paths, iters: int = 15, round_to: int = 6) -> str:
     FROM s{iters} ORDER BY authority DESC, node""")
 
 
+def sql_doc_stats(paths) -> str:
+    return f"""
+    SELECT source_url, count(*) AS n_triples,
+           count(DISTINCT CASE WHEN predicate = '{RDF_TYPE}'
+                          THEN subject END) AS n_typed
+    FROM {_t(paths, 'triples')}
+    GROUP BY source_url ORDER BY source_url
+    """
+
+
 def sql_keyword_hubs(paths) -> str:
     return f"""
     SELECT term, count(DISTINCT doc) AS n_docs FROM (

@@ -126,7 +126,9 @@ class Facet:
     predicate: str
     selector: str = "default"
     key: str = "default"
-    identificator: str = "default"
+    # the reference's fallback identificator is the slug-like
+    # lower+dash transform, not identity (ref facet.py:400-404)
+    identificator: str = "defaultidentificator"
     use_for_toc: bool = False
     selector_descending: bool = False
     key_descending: bool = False
@@ -182,6 +184,9 @@ def default_facets() -> list[Facet]:
 def _selector_col(name: str, col: Column, labeled: Column | None) -> Column:
     if name == "default":
         return col
+    if name == "defaultidentificator":
+        # lower + space→dash (ref facet.py:142-155)
+        return F.regexp_replace(F.lower(col), " ", "-")
     if name == "titlesortkey":
         return title_sortkey_expr(col)
     if name == "firstletter":

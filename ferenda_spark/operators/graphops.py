@@ -217,6 +217,20 @@ def hits(edges: DataFrame, max_iter: int = 15, round_to: int = 6,
             .orderBy(F.desc("authority"), "node"))
 
 
+def doc_stats(triples: DataFrame) -> DataFrame:
+    """Per-document (triple count, typed-resource count) — the
+    W3Standards.stats report (ref ferenda/sources/tech/w3c.py:67-82)
+    plus the per-context triple_count analog, as one groupBy.
+    → (source_url, n_triples, n_typed)."""
+    from ..namespaces import RDF_TYPE
+    return (triples.groupBy("source_url")
+            .agg(F.count(F.lit(1)).alias("n_triples"),
+                 F.countDistinct(
+                     F.when(F.col("predicate") == RDF_TYPE,
+                            F.col("subject"))).alias("n_typed"))
+            .orderBy("source_url"))
+
+
 def keyword_hubs(triples: DataFrame,
                  subject_pred: str = "http://purl.org/dc/terms/subject"
                  ) -> DataFrame:
