@@ -69,7 +69,8 @@ def _kg_commondata() -> dict:
 def _kg_search_sql(kg_paths: dict) -> str:
     from ferenda_spark.operators.fulltext import oracle_sql_fulltext
     return oracle_sql_fulltext(
-        "read_parquet('%s')" % kg_paths["resources"], KG_SEARCH_TERMS)
+        "read_parquet('%s')" % kg_paths["resources"], KG_SEARCH_TERMS,
+        docs_table="read_parquet('%s')" % kg_paths["documents"])
 
 
 def _kg_facet_query_sql(kg_paths: dict) -> str:
@@ -271,10 +272,11 @@ KG_SEARCH_TERMS = ["stream", "batch"]
 
 
 def _q_kg_search(spark, sf_dir):
-    """Ranked fulltext term query over the resources table (the
-    fulltext-index read path)."""
+    """Ranked fulltext term query over the resources table with the
+    reference's boost=4 title field (fulltext-index read path)."""
     from ferenda_spark.operators.fulltext import fulltext_search
-    return fulltext_search(_kg_read(spark, "resources"), KG_SEARCH_TERMS)
+    return fulltext_search(_kg_read(spark, "resources"), KG_SEARCH_TERMS,
+                           docs=_kg_read(spark, "documents"))
 
 
 def _q_kg_citations(spark, sf_dir):

@@ -30,14 +30,29 @@ def _tf(text: Column, term: str) -> Column:
 
 def fulltext_search(resources: DataFrame, terms: list[str], k: int = 20,
                     text_col: str = "text",
-                    id_col: str = "resource_uri") -> DataFrame:
+                    id_col: str = "resource_uri",
+                    docs: DataFrame | None = None,
+                    title_boost: int = 4) -> DataFrame:
     """→ (resource_uri, score, snippet) top-k rows by summed term
-    frequency, deterministic tiebreak on resource_uri."""
+    frequency, deterministic tiebreak on resource_uri.
+
+    With ``docs`` (url, title), title matches score ``title_boost``×
+    — the reference indexes the title field with boost=4
+    (ref ferenda/facet.py:450 fulltextindex.Text(boost=4)); the title
+    joins in broadcast (documents metadata is narrow)."""
+    src = resources
+    title = None
+    if docs is not None:
+        src = src.join(F.broadcast(docs.select("url", "title")), "url",
+                       "left")
+        title = F.coalesce(F.col("title"), F.lit(""))
     score = None
     for term in terms:
         tf = _tf(F.col(text_col), term)
+        if title is not None:
+            tf = tf + F.lit(title_boost) * _tf(title, term)
         score = tf if score is None else score + tf
-    return (resources
+    return (src
             .select(F.col(id_col).alias("resource_uri"),
                     score.cast("long").alias("score"),
                     F.substring(F.col(text_col), 1, 80).alias("snippet"))
@@ -47,16 +62,29 @@ def fulltext_search(resources: DataFrame, terms: list[str], k: int = 20,
 
 
 def oracle_sql_fulltext(resources_table: str, terms: list[str],
-                        k: int = 20) -> str:
-    tf = " + ".join(
-        "len(list_filter(regexp_split_to_array(lower(text), '\\W+'), "
-        "t -> t = '%s'))" % term.lower()
-        for term in terms)
+                        k: int = 20, docs_table: str | None = None,
+                        title_boost: int = 4) -> str:
+    def tf_expr(col):
+        return " + ".join(
+            "len(list_filter(regexp_split_to_array(lower(%s), '\\W+'), "
+            "t -> t = '%s'))" % (col, term.lower())
+            for term in terms)
+
+    if docs_table is None:
+        src = f"SELECT resource_uri, text, ({tf_expr('text')})::BIGINT " \
+              f"AS score FROM {resources_table}"
+    else:
+        src = f"""
+          SELECT r.resource_uri, r.text,
+                 ({tf_expr('r.text')}
+                  + {title_boost} *
+                    ({tf_expr("coalesce(d.title, '')")}))::BIGINT AS score
+          FROM {resources_table} r
+          LEFT JOIN {docs_table} d ON d.url = r.url"""
     return f"""
     SELECT resource_uri, score, snippet FROM (
-      SELECT resource_uri, ({tf})::BIGINT AS score,
-             substr(text, 1, 80) AS snippet
-      FROM {resources_table})
+      SELECT resource_uri, score, substr(text, 1, 80) AS snippet
+      FROM ({src}))
     WHERE score > 0
     ORDER BY score DESC, resource_uri ASC
     LIMIT {k}
