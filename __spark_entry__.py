@@ -404,6 +404,14 @@ def _q_dedup_simhash(spark, sf_dir):
         .select("a_id", "b_id", "jaccard_sim")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Pairs → transitive dedup groups (CC over the pair graph)."""
+    from ferenda_spark.operators.dedup import (dup_clusters,
+                                               minhash_lsh_pairs)
+    return dup_clusters(minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.5))
+
+
 def _q_dedup_embedding(spark, sf_dir):
     from ferenda_spark.operators.dedup import embedding_dup_pairs
     return embedding_dup_pairs(_read(spark, sf_dir, "embeddings"),
@@ -552,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_blocked": _q_dedup_embedding_blocked,
         "ann_topk": _q_ann_topk,
@@ -624,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         # so equality with the jaccard oracle is not a contract
         # (recall asserted in tests/test_training_ops.py instead).
         "dedup_minhash_lsh": jaccard_oracle,
+        "dedup_clusters": dedup.oracle_sql_dup_clusters(jaccard_oracle),
         "dedup_embedding": dedup.oracle_sql_embedding_dup(threshold=0.45),
         "dedup_embedding_blocked":
             dedup.oracle_sql_embedding_dup(threshold=0.45),

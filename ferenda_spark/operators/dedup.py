@@ -430,6 +430,45 @@ def embedding_dup_pairs_blocked(df: DataFrame, threshold: float = 0.95,
             .orderBy("a_id", "b_id"))
 
 
+def dup_clusters(pairs: DataFrame, a_col: str = "a_id",
+                 b_col: str = "b_id") -> DataFrame:
+    """Near-dup PAIRS → dedup CLUSTERS: connected components over the
+    pair graph, representative = min id — the step that turns pairwise
+    similarity into keep/drop decisions in a training-data pipeline
+    (transitively: if A~B and B~C, all three form one group even when
+    A~C was never scored). Reuses the sameAs CC machinery (hybrid
+    driver union-find / alternating-star). → (rep_id, doc_id), every
+    member listed incl. the representative."""
+    from ..graph.components import connected_components
+    cc = connected_components(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")))
+    return (cc.select(F.col("component").alias("rep_id"),
+                      F.col("node").alias("doc_id"))
+            .orderBy("rep_id", "doc_id"))
+
+
+def oracle_sql_dup_clusters(pairs_sql: str) -> str:
+    """Recursive-CTE twin: symmetric closure over the pair graph,
+    component = min reachable id (∪ self)."""
+    return f"""
+    WITH RECURSIVE
+    p AS ({pairs_sql}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM p
+      UNION SELECT b_id, a_id FROM p
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE r.u <> e.v
+    )
+    SELECT least(u, min(v)) AS rep_id, u AS doc_id
+    FROM reach GROUP BY u
+    ORDER BY rep_id, doc_id
+    """
+
+
 # ----------------------------------------------------------- oracles
 
 def oracle_sql_exact_duplicates(table: str = "documents") -> str:
