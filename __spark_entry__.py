@@ -31,6 +31,12 @@ from pyspark.sql import Window
 KG_N = 200          # synthetic pages corpus size for driver checks
 KG_PARTS = 8
 
+# The driver's correctness gate runs queries and oracles at sf=0.01;
+# the cross-execution twins (ferenda_spark.annoracle) must read the
+# same input dir. scripts/parity_check.py exports SF_DIR so the dev
+# harness agrees at any SF.
+CORRECTNESS_SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
 
 # --------------------------------------------------------------- helpers
 
@@ -439,9 +445,10 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN (k-means cells + nprobe); approximate recall
-    by design → rows-only check, recall asserted in pytest (like
-    ann_lsh_topk)."""
+    """IVF-bucketed ANN (k-means cells + nprobe); recall vs brute
+    force is probabilistic (asserted in pytest), but the operator is
+    seeded/deterministic so it carries a hard cross-execution oracle
+    (ferenda_spark.annoracle)."""
     from ferenda_spark.operators.similarity import ann_ivf_topk
     emb = _read(spark, sf_dir, "embeddings")
     return ann_ivf_topk(emb, emb.where(F.col("vec_id") < 50), k=5)
@@ -577,15 +584,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ferenda_spark import kgoracle
+    from ferenda_spark import annoracle, kgoracle
     from ferenda_spark.operators import dedup, similarity, textops
     jaccard_oracle = dedup.oracle_sql_ngram_jaccard(threshold=0.5)
     dup_docs = ("(SELECT doc_id, text FROM documents UNION ALL "
                 "SELECT doc_id + 100000, text FROM documents "
                 "WHERE doc_id % 7 = 0)")
-    # materialize the KG extraction parquet before the driver runs the
-    # SQL below (pure pandas/pyarrow; no-op when cached)
+    # materialize the KG extraction + ANN-twin parquet before the
+    # driver runs the SQL below (pure pandas/pyarrow; no-op when cached)
     kg = _kg_paths()
+    ann = annoracle.ensure_ann_tables(CORRECTNESS_SF_DIR)
     return {
         # KG pipeline oracles over the materialized extraction
         # (ferenda_spark.kgcache docstring explains the scheme)
@@ -628,11 +636,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": jaccard_oracle,
         # LSH verifies candidates with exact jaccard → same ground
         # truth as brute force (recall checked by the oracle).
-        # dedup_simhash stays rows-only: its hamming-block candidate
-        # generation only guarantees recall for hamming < num_blocks,
-        # so equality with the jaccard oracle is not a contract
-        # (recall asserted in tests/test_training_ops.py instead).
         "dedup_minhash_lsh": jaccard_oracle,
+        # dedup_simhash / ann_lsh_topk / ann_ivf_topk cannot promise
+        # equality with BRUTE-FORCE oracles (probabilistic recall by
+        # design; recall asserted in pytest) — but they are seeded and
+        # deterministic, so a single-threaded rerun of the same kernels
+        # is a hard oracle for the distributed execution
+        # (ferenda_spark.annoracle docstring explains the scheme and
+        # why it is bit-exact).
+        "dedup_simhash": annoracle.sql_simhash(ann),
+        "ann_lsh_topk": annoracle.sql_ann_topk(ann, "ann_lsh_topk"),
+        "ann_ivf_topk": annoracle.sql_ann_topk(ann, "ann_ivf_topk"),
         "dedup_clusters": dedup.oracle_sql_dup_clusters(jaccard_oracle),
         "dedup_embedding": dedup.oracle_sql_embedding_dup(threshold=0.45),
         "dedup_embedding_blocked":

@@ -217,31 +217,35 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
 
 # -------------------------------------------------------------- SimHash
 
+def simhash64(text: str, n: int = 3) -> int:
+    """64-bit SimHash of one document (signed two's complement):
+    per-bit majority vote of the per-shingle 64-bit base hashes. Pure
+    — shared by the distributed stage and the single-threaded oracle
+    twin (annoracle.py)."""
+    import numpy as np
+    shingles = _shingle_set(text or "", n)
+    if not shingles:
+        return 0
+    h0 = _base_hashes(shingles)
+    # bit matrix |sh| × 64 via unpackbits on big-endian bytes
+    bits = np.unpackbits(
+        h0.byteswap().view(np.uint8).reshape(-1, 8), axis=1)
+    votes = bits.sum(axis=0) * 2 > len(shingles)
+    sh64 = int(np.packbits(votes).view(">u8")[0])
+    return sh64 - ((sh64 >> 63) << 64)  # to signed two's complement
+
+
 def simhash_table(df: DataFrame, n: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) — 64-bit SimHash per doc: per-bit majority vote of
-    the per-shingle 64-bit base hashes; Arrow-batched numpy."""
+    """(id, simhash) — 64-bit SimHash per doc, Arrow-batched numpy."""
     from pyspark.sql.types import LongType, StructField, StructType
     schema = StructType([StructField("id", LongType()),
                          StructField("simhash", LongType())])
 
     def run(batches):
-        import numpy as np
         for pdf in batches:
-            rows = []
-            for i, text in zip(pdf[id_col], pdf[text_col]):
-                shingles = _shingle_set(text or "", n)
-                if not shingles:
-                    sh64 = 0
-                else:
-                    h0 = _base_hashes(shingles)
-                    # bit matrix |sh| × 64 via unpackbits on big-endian bytes
-                    bits = np.unpackbits(
-                        h0.byteswap().view(np.uint8).reshape(-1, 8), axis=1)
-                    votes = bits.sum(axis=0) * 2 > len(shingles)
-                    sh64 = int(np.packbits(votes).view(">u8")[0])
-                    sh64 -= (sh64 >> 63) << 64  # to signed two's complement
-                rows.append({"id": int(i), "simhash": sh64})
+            rows = [{"id": int(i), "simhash": simhash64(text or "", n)}
+                    for i, text in zip(pdf[id_col], pdf[text_col])]
             yield pd.DataFrame(rows, columns=schema.fieldNames())
 
     return ensure_parallelism(df.select(id_col, text_col)) \

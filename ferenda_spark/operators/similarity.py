@@ -46,12 +46,36 @@ def brute_force_topk(items: DataFrame, queries: DataFrame, k: int = 5,
             .orderBy("query_id", "rank"))
 
 
+def _hyperplanes(bits: int, n_tables: int, dim: int, seed: int):
+    """Seeded hyperplane tensor shared by the distributed stage and the
+    single-threaded oracle twin (annoracle.py)."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    return rng.uniform(-1.0, 1.0, size=(n_tables, dim, bits))
+
+
+def _fold_matmul(V, M):
+    """V(n×d) · M(d×k) accumulated one dimension at a time.
+
+    Equivalent to ``V @ M`` but the per-element summation order is a
+    fixed left fold over d, independent of batch size and BLAS blocking
+    — so a single-threaded rerun of the same kernel (the oracle twin)
+    is bit-identical to the distributed Arrow stages regardless of how
+    rows were batched. d is small (embedding dim), so the loop costs
+    nothing next to the shuffle it feeds."""
+    import numpy as np
+    acc = np.zeros((V.shape[0], M.shape[1]))
+    for d in range(V.shape[1]):
+        acc += V[:, d:d + 1] * M[d]
+    return acc
+
+
 def _sig_table_stage(df: DataFrame, idc: str, vec_col: str, bits: int,
                      n_tables: int, dim: int, seed: int) -> DataFrame:
     """(id, tbl, sig) — one row per (vector, table); random-hyperplane
-    signatures computed as one numpy matmul per Arrow batch (a native
-    expression tree at bits×tables×dim terms would blow codegen limits;
-    see dedup.py for the same tradeoff)."""
+    signatures computed per Arrow batch with numpy (a native expression
+    tree at bits×tables×dim terms would blow codegen limits; see
+    dedup.py for the same tradeoff)."""
     import pandas as pd
     from pyspark.sql.types import (IntegerType, LongType, StructField,
                                    StructType)
@@ -64,8 +88,7 @@ def _sig_table_stage(df: DataFrame, idc: str, vec_col: str, bits: int,
 
     def run(batches):
         import numpy as np
-        rng = np.random.RandomState(seed)
-        planes = rng.uniform(-1.0, 1.0, size=(n_tables, dim, bits))
+        planes = _hyperplanes(bits, n_tables, dim, seed)
         w = np.array(weights, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
@@ -74,7 +97,7 @@ def _sig_table_stage(df: DataFrame, idc: str, vec_col: str, bits: int,
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             rows = []
             for t in range(n_tables):
-                sigs = ((V @ planes[t]) >= 0).astype(np.int64) @ w
+                sigs = (_fold_matmul(V, planes[t]) >= 0).astype(np.int64) @ w
                 rows.append(pd.DataFrame({"id": ids, "tbl": t,
                                           "sig": sigs}))
             yield pd.concat(rows, ignore_index=True)[schema.fieldNames()]
@@ -167,7 +190,7 @@ def _ivf_assign_stage(df: DataFrame, idc: str, vec_col: str, C,
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
                                1e-12)
-            S = V @ Cl.T
+            S = _fold_matmul(V, Cl.T)
             if nprobe == 1:
                 yield pd.DataFrame({"id": ids, "cluster":
                                     S.argmax(axis=1).astype("int32")})
@@ -179,6 +202,27 @@ def _ivf_assign_stage(df: DataFrame, idc: str, vec_col: str, C,
 
     return ensure_parallelism(df.select(F.col(idc).alias(idc), vec_col)) \
         .mapInPandas(run, schema)
+
+
+def train_sample_matrix(items: DataFrame, n: int,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """IVF train sample as a numpy matrix: the ``n`` rows with the
+    smallest (crc32(id), id) — a seeded hash-random sample, so it is
+    unbiased w.r.t. partition/ingest order (a plain ``limit(n)`` takes
+    the FIRST partitions and biases centroids on time-ordered data) and
+    fully deterministic across engines (Spark's crc32 == zlib.crc32, so
+    the single-threaded oracle twin reproduces the same matrix
+    byte-for-byte)."""
+    import numpy as np
+    pdf = (items
+           .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+           .withColumn("_h", F.crc32(F.col("id").cast("string")
+                                     .cast("binary")))
+           .orderBy("_h", "id").limit(n)
+           .toPandas()
+           .sort_values(["_h", "id"], kind="mergesort"))
+    return np.stack(pdf["v"].to_numpy()).astype(np.float64)
 
 
 def ann_ivf_topk(items: DataFrame, queries: DataFrame, k: int = 5,
@@ -199,10 +243,7 @@ def ann_ivf_topk(items: DataFrame, queries: DataFrame, k: int = 5,
     cells, and AQE skew-join splitting covers residual imbalance.
     Recall lever: nprobe (P(neighbor in probed cells) grows with it).
     """
-    import numpy as np
-    sample = (items.select(vec_col)
-              .limit(train_sample).toPandas()[vec_col])
-    V = np.stack(sample.to_numpy()).astype(np.float64)
+    V = train_sample_matrix(items, train_sample, vec_col, id_col)
     C = _kmeans_centroids(V, n_clusters, seed=seed)
     it = _ivf_assign_stage(
         items.select(F.col(id_col).alias("neighbor_id"), vec_col),

@@ -6,7 +6,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
-SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+os.environ["SF_DIR"] = SF_DIR  # __spark_entry__ resolves oracle twins from it
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
