@@ -343,55 +343,174 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.95,
             .orderBy("a_id", "b_id"))
 
 
+def _assign_with_angle(df: DataFrame, id_col: str, vec_col: str,
+                       C) -> DataFrame:
+    """(id, cell, angle): nearest centroid per vector by cosine, plus
+    the angular distance to it — one Arrow-batched numpy stage (the
+    radius input for exact cell-pair pruning)."""
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StructField, StructType)
+    schema = StructType([StructField("id", LongType()),
+                         StructField("cell", IntegerType()),
+                         StructField("angle", DoubleType())])
+
+    def run(batches):
+        import numpy as np
+        Cl = np.asarray(C)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                               1e-12)
+            S = V @ Cl.T
+            cell = S.argmax(axis=1)
+            ang = np.arccos(np.clip(S[np.arange(len(V)), cell], -1.0, 1.0))
+            yield pd.DataFrame({"id": ids, "cell": cell.astype("int32"),
+                                "angle": ang})
+
+    from .util import ensure_parallelism
+    return ensure_parallelism(df.select(id_col, vec_col)) \
+        .mapInPandas(run, schema)
+
+
 def embedding_dup_pairs_blocked(df: DataFrame, threshold: float = 0.95,
                                 vec_col: str = "embedding",
                                 id_col: str = "vec_id",
                                 n_blocks: int | None = None,
-                                margin: float = 1e-3) -> DataFrame:
-    """Scale-path embedding near-dup: blocked exact all-pairs.
+                                margin: float = 1e-3,
+                                n_cells: int | None = None,
+                                train_sample: int = 20_000,
+                                seed: int = 11,
+                                stats_out: dict | None = None) -> DataFrame:
+    """Scale-path embedding near-dup: IVF-pruned blocked exact GEMM.
 
     Hyperplane LSH cannot give oracle-equality recall here — the
     corpus's qualifying pairs sit on a continuum at the threshold
     (cos 0.450 vs background 0.4497), so any probabilistic bucketing
-    misses boundary pairs. The scalable *exact* design is the one dense
-    similarity engines use: block the vectors, run one numpy GEMM per
-    block pair (O(B²) independent uniform tasks, each a dense matmul at
-    BLAS speed instead of per-pair JVM expression folds), keep
-    candidates with GEMM-sim ≥ threshold−margin (margin 1e-3 vs GEMM
-    float error ~1e-15 → recall is exact, not probabilistic), then
-    re-verify candidates with the SAME sequential-fold cosine the brute
-    twin and the DuckDB oracle use — so the output is bit-identical to
-    brute force. At 100 TB an IVF/clustering front-end prunes block
-    pairs; each block is sized to executor memory.
+    misses boundary pairs. The scalable *exact* design: cluster the
+    vectors into IVF cells (seeded k-means on a hash-random sample),
+    prune cell pairs that PROVABLY cannot contain a qualifying pair,
+    then run one numpy GEMM per surviving block pair and re-verify
+    candidates with the SAME sequential-fold cosine the brute twin and
+    the DuckDB oracle use — so the output is bit-identical to brute
+    force while candidate work tracks the corpus's cluster structure
+    instead of its size squared.
+
+    The pruning bound is exact, not probabilistic: for unit vectors
+    x∈cell i, y∈cell j with centroids cᵢ,cⱼ and angular radii rᵢ,rⱼ
+    (max member→centroid angle), the spherical triangle inequality
+    gives angle(x,y) ≥ θ(cᵢ,cⱼ) − rᵢ − rⱼ, so
+    cos_sim(x,y) ≤ cos(max(0, θᵢⱼ − rᵢ − rⱼ)). A cell pair is dropped
+    only when that upper bound clears the GEMM cut (threshold − margin)
+    by another 1e-6 float-slack — missing a true pair would need an
+    arccos error > 1e-6 rad (actual ~1e-8). On an unclusterable corpus
+    nothing prunes and the plan degrades to the round-2 all-pairs GEMM
+    (correct, quadratic); on clustered data — the realistic web-corpus
+    shape — surviving pairs grow ~linearly with cell count
+    (tests/test_training_ops.py asserts sub-quadratic growth and
+    bit-equality on such a corpus).
+
+    Cells larger than the block budget split into hash sub-blocks, so
+    per-task memory stays bounded regardless of cluster skew (a hot
+    cell becomes many uniform tasks, not one giant one; AQE covers
+    residual imbalance). Centroid training is O(sample·cells·dim) on
+    the driver and cell-pair pruning O(cells²) centroid math — at
+    10^12 rows both stay driver-cheap for tens of thousands of cells,
+    beyond which the same bound prunes hierarchically.
 
     → (a_id, b_id, cos_sim), a_id < b_id.
     """
     import math
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
+    from .similarity import _kmeans_centroids, train_sample_matrix
+
     spark = df.sparkSession
     norm = df.select(F.col(id_col).alias("id"),
                      normalized_vec(F.col(vec_col)).alias("v"))
+    n = df.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "a_id long, b_id long, cos_sim double")
     if n_blocks is None:
-        n = norm.count()
         n_blocks = max(2, math.ceil(n / 2000))   # ≈2k vectors per block
-    blocked = norm.withColumn("b", F.pmod(F.xxhash64("id"),
-                                          F.lit(n_blocks)).cast("int"))
+    if n_cells is None:
+        n_cells = min(64, max(4, n_blocks))
+    cut = threshold - margin
+    eps = 1e-6
+
+    # IVF front-end: train cells, assign with member→centroid angles
+    C = _kmeans_centroids(
+        train_sample_matrix(df, train_sample, vec_col, id_col),
+        n_cells, seed=seed)
+    assign = _assign_with_angle(df, id_col, vec_col, C) \
+        .localCheckpoint(eager=True)  # reused: radii agg + row blocking
+    cells = (assign.groupBy("cell")
+             .agg(F.max("angle").alias("radius"),
+                  F.count(F.lit(1)).alias("n_rows"))
+             .toPandas().sort_values("cell"))
+    cell_ids = cells["cell"].to_numpy()
+    radius = dict(zip(cell_ids, cells["radius"]))
+    n_rows = dict(zip(cell_ids, cells["n_rows"]))
+    # exact cell-pair pruning on centroid geometry (driver, tiny)
+    Cn = np.asarray(C)
+    theta = np.arccos(np.clip(Cn @ Cn.T, -1.0, 1.0))
+    kept_cell_pairs = []
+    for x in range(len(cell_ids)):
+        for y in range(x, len(cell_ids)):
+            ci, cj = int(cell_ids[x]), int(cell_ids[y])
+            if ci == cj:
+                kept_cell_pairs.append((ci, cj))
+                continue
+            gap = max(0.0, theta[ci, cj] - radius[ci] - radius[cj] - eps)
+            if math.cos(gap) >= cut - eps:
+                kept_cell_pairs.append((ci, cj))
+    # sub-block large cells so every GEMM task stays memory-bounded
+    total = sum(n_rows.values())
+    block_rows = max(1, math.ceil(total / n_blocks))
+    n_sub = {c: max(1, math.ceil(n_rows[c] / block_rows)) for c in n_rows}
+    task_rows = []
+    for ci, cj in kept_cell_pairs:
+        for si in range(n_sub[ci]):
+            for sj in range(n_sub[cj] if ci != cj else n_sub[ci]):
+                if ci == cj and sj < si:
+                    continue
+                task_rows.append((ci * 100_000 + si, cj * 100_000 + sj))
+    if stats_out is not None:
+        nc = len(cell_ids)
+        all_blocks = sum(n_sub.values())
+        stats_out.update(
+            n_cells=nc, n_cell_pairs_total=nc * (nc + 1) // 2,
+            n_cell_pairs_kept=len(kept_cell_pairs),
+            n_blocks=all_blocks,
+            n_block_tasks_unpruned=all_blocks * (all_blocks + 1) // 2,
+            n_block_tasks=len(task_rows))
+    sub_expr = F.create_map(
+        *[F.lit(v) for kv in n_sub.items() for v in kv])
+    blocked = (norm.join(assign.select("id", "cell"), "id")
+               .withColumn("b", (F.col("cell") * 100_000 +
+                                 F.pmod(F.xxhash64("id"),
+                                        sub_expr[F.col("cell")]))
+                           .cast("long")))
     grouped = blocked.groupBy("b").agg(
         F.collect_list(F.struct("id", "v")).alias("rows"))
     tasks = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "bi int, bj int")
+        pd.DataFrame(task_rows, columns=["bi", "bj"]),
+        schema="bi long, bj long")
     paired = (tasks
               .join(grouped.select(F.col("b").alias("bi"),
                                    F.col("rows").alias("rows_i")), "bi")
               .join(grouped.select(F.col("b").alias("bj"),
                                    F.col("rows").alias("rows_j")), "bj")
               .repartition(max(spark.sparkContext.defaultParallelism,
-                               n_blocks)))
+                               len(task_rows) // 4 + 1)))
     out_schema = StructType([StructField("a_id", LongType()),
                              StructField("b_id", LongType()),
                              StructField("gemm_sim", DoubleType())])

@@ -193,3 +193,44 @@ def test_link_labels_difflib_parity(spark):
         assert got[m][0] == expect, m
     assert got["Example Standards Body"][1] == "exact"
     assert got["Example standards body"][1] == "fuzzy"
+
+
+def test_embedding_blocked_equals_brute_on_driver_corpus(spark, duck):
+    """IVF-pruned blocked GEMM must stay bit-equal to brute force on
+    the driver corpus (near-uniform — pruning finds little, output
+    must not change)."""
+    from ferenda_spark.operators.dedup import (embedding_dup_pairs_blocked,
+                                               oracle_sql_embedding_dup)
+    assert_parity(embedding_dup_pairs_blocked(emb(spark), threshold=0.45),
+                  duck, oracle_sql_embedding_dup(threshold=0.45))
+
+
+def test_embedding_blocked_prunes_subquadratically(spark):
+    """On a CLUSTERED corpus (the realistic web-embedding shape) the
+    IVF front-end must prune most block pairs while the output stays
+    exactly equal to brute force — the 100-TB scale contract."""
+    import pandas as pd
+    from ferenda_spark.operators.dedup import (embedding_dup_pairs,
+                                               embedding_dup_pairs_blocked)
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(12, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(1200):
+        c = centers[i % 12]
+        v = c + rng.normal(scale=0.02, size=16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        schema="vec_id long, embedding array<double>")
+    stats = {}
+    got = sorted(map(tuple, embedding_dup_pairs_blocked(
+        df, threshold=0.95, n_blocks=24, n_cells=12,
+        stats_out=stats).collect()))
+    brute = sorted(map(tuple, embedding_dup_pairs(
+        df, threshold=0.95).collect()))
+    assert got == brute
+    assert len(brute) > 1000            # clusters really are near-dups
+    # pruning evidence: far fewer GEMM tasks than all-pairs blocking
+    assert stats["n_block_tasks"] < 0.5 * stats["n_block_tasks_unpruned"], stats
+    assert stats["n_cell_pairs_kept"] < stats["n_cell_pairs_total"], stats
