@@ -278,11 +278,26 @@ KG_SEARCH_TERMS = ["stream", "batch"]
 
 
 def _q_kg_search(spark, sf_dir):
-    """Ranked fulltext term query over the resources table with the
-    reference's boost=4 title field (fulltext-index read path)."""
+    """BM25-ranked fulltext term query over the resources table with
+    the reference's boost=4 title field (fulltext-index read path;
+    scan-search shape)."""
     from ferenda_spark.operators.fulltext import fulltext_search
     return fulltext_search(_kg_read(spark, "resources"), KG_SEARCH_TERMS,
                            docs=_kg_read(spark, "documents"))
+
+
+def _q_kg_search_indexed(spark, sf_dir):
+    """Same query through the inverted posting table (term-pruned
+    semi-join instead of a full corpus scan — the 100× read path);
+    scores equal the scan shape by construction, so it shares its
+    oracle."""
+    from ferenda_spark.operators.fulltext import (build_posting_index,
+                                                  fulltext_search_indexed)
+    res = _kg_read(spark, "resources")
+    postings, doclens = build_posting_index(
+        res, docs=_kg_read(spark, "documents"))
+    return fulltext_search_indexed(postings, doclens, KG_SEARCH_TERMS,
+                                   resources=res)
 
 
 def _q_kg_citations(spark, sf_dir):
@@ -556,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_news_feed_entries": _q_kg_news_feed_entries,
         "kg_citations": _q_kg_citations,
         "kg_search": _q_kg_search,
+        "kg_search_indexed": _q_kg_search_indexed,
         "kg_versions": _q_kg_versions,
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
@@ -625,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
             kgoracle.sql_news_feed_entries(kg, _kg_commondata()),
         "kg_citations": kgoracle.sql_citations(kg),
         "kg_search": _kg_search_sql(kg),
+        "kg_search_indexed": _kg_search_sql(kg),
         "kg_versions": kgoracle.sql_versions(kg, KG_NEW_URL),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
