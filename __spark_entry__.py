@@ -470,12 +470,18 @@ def _q_ann_ivf_topk(spark, sf_dir):
 
 
 def _q_media_decode(spark, sf_dir):
+    """Real header decode (PNG IHDR, WAV RIFF) over a synthetic media
+    table with genuine container bytes; video stays an explicit
+    'unsupported' row (no codec in this environment). The oracle
+    recomputes expected metadata from the generative formulas, so the
+    byte-parsing decoders are hard-checked."""
     from ferenda_spark.operators.multimodal import (decode_media,
                                                     synthetic_media)
     # feature is array<float>; serialize for the driver harness (its
     # canonicalizer cannot hash list-valued columns)
     return (decode_media(synthetic_media(spark, 200))
-            .withColumn("feature", F.to_json("feature")))
+            .withColumn("feature", F.to_json("feature"))
+            .orderBy("media_id"))
 
 
 # ---- relational / faceting analogs (SURVEY.md §2.5) over parquet
@@ -601,7 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from ferenda_spark import annoracle, kgoracle
-    from ferenda_spark.operators import dedup, similarity, textops
+    from ferenda_spark.operators import (dedup, multimodal, similarity,
+                                         textops)
     jaccard_oracle = dedup.oracle_sql_ngram_jaccard(threshold=0.5)
     dup_docs = ("(SELECT doc_id, text FROM documents UNION ALL "
                 "SELECT doc_id + 100000, text FROM documents "
@@ -670,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
             dedup.oracle_sql_embedding_dup(threshold=0.45),
         "ann_topk": similarity.oracle_sql_brute_force_topk(k=5,
                                                            n_queries=50),
+        "media_decode": multimodal.oracle_sql_media_decode(200),
         "facet_pivot": """
             SELECT user_id,
                    count(*) FILTER (event_type = 'click')    AS n_click,

@@ -154,16 +154,47 @@ def test_exact_duplicates(spark):
     assert len(got) == 2 * n_injected  # rep + dup rows per group
 
 
-def test_media_decode_plumbing(spark):
+def test_media_decode_headers(spark):
+    """Built-in decoders parse REAL container bytes: PNG IHDR and WAV
+    RIFF metadata must match the generative formulas; video has no
+    codec and reports unsupported."""
     from ferenda_spark.operators.multimodal import (decode_media,
                                                     synthetic_media)
-    out = decode_media(synthetic_media(spark, 60)).collect()
+    out = {r.media_id: r for r in
+           decode_media(synthetic_media(spark, 60)).collect()}
     assert len(out) == 60
-    assert all(r.status == "ok" and len(r.feature) == 8 for r in out)
-    # deterministic: same id → same feature on re-run
-    again = {r.media_id: r.feature
-             for r in decode_media(synthetic_media(spark, 60)).collect()}
-    assert all(again[r.media_id] == r.feature for r in out)
+    for i in range(60):
+        r = out["m%d" % i]
+        if i % 3 == 0:
+            assert (r.status, r.width, r.height, r.n_frames) == \
+                ("ok", 1 + (7 * i) % 64, 1 + (13 * i) % 64, 1)
+        elif i % 3 == 1:
+            assert (r.status, r.width, r.height, r.n_frames) == \
+                ("ok", 8000 + (i % 8) * 1000, 1 + i % 2,
+                 100 + (17 * i) % 900)
+        else:
+            assert r.status == "unsupported" and r.width is None
+
+
+def test_media_decode_corrupt_and_custom(spark):
+    """Corrupt bytes → per-row error (task survives); register_decoder
+    swaps in a full codec (feature path)."""
+    import pandas as pd
+    from ferenda_spark.operators.multimodal import (_DECODERS, _fake_decode,
+                                                    decode_media,
+                                                    register_decoder)
+    df = spark.createDataFrame(
+        pd.DataFrame([("x1", "image", "image/png", b"not a png"),
+                      ("x2", "blob", "application/x-custom", b"payload")],
+                     columns=["media_id", "kind", "mime", "payload"]),
+        schema="media_id string, kind string, mime string, payload binary")
+    register_decoder("blob", _fake_decode)
+    try:
+        out = {r.media_id: r for r in decode_media(df).collect()}
+    finally:
+        _DECODERS.pop("blob", None)
+    assert out["x1"].status == "error" and "PNG" in out["x1"].error
+    assert out["x2"].status == "ok" and len(out["x2"].feature) == 8
 
 
 def test_link_labels_difflib_parity(spark):
