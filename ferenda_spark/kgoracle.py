@@ -272,10 +272,11 @@ def _labels_values(dictionary: dict) -> str:
     return ",\n      ".join("('%s', '%s')" % r for r in rows)
 
 
-# util.title_sortkey in SQL (ref ferenda/util.py:724-737)
+# util.title_sortkey in SQL (ref ferenda/util.py:724-737); unicode
+# property class to match the Python \W (ASCII \W would strip å/ä/ö)
 def _sortkey_sql(col: str) -> str:
     return (r"regexp_replace(regexp_replace(lower(%s), '^the ', ''),"
-            r" '\W+', '', 'g')" % col)
+            r" '[^\pL\pN_]+', '', 'g')" % col)
 
 
 def _uri_leaf_sql(col: str) -> str:
@@ -289,9 +290,11 @@ def _uri_leaf_sql(col: str) -> str:
     return f"(CASE {branches} ELSE replace({col}, ' ', '_') END)"
 
 
-def sql_toc(paths, dictionary: dict) -> str:
+def sql_toc(paths, dictionary: dict, top_n: int = 1000) -> str:
     """toc_documents over the default facets: title (firstletter /
-    titlesortkey), publisher (resourcelabel), issued (year / raw key)."""
+    titlesortkey), publisher (resourcelabel), issued (year / raw key).
+    ``top_n`` mirrors toc_documents' per-page row cap so the oracle
+    cannot silently diverge once a TOC page exceeds it."""
     sk = _sortkey_sql("dcterms_title")
     return f"""
     WITH {_faceted_cte(paths)},
@@ -324,6 +327,7 @@ def sql_toc(paths, dictionary: dict) -> str:
                                 ORDER BY _key, uri) AS pos,
              label, uri
       FROM src WHERE value IS NOT NULL)
+    WHERE pos <= {top_n}
     ORDER BY binding, value, pos
     """
 

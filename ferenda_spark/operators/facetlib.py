@@ -23,9 +23,15 @@ group-bys over the faceted table — no per-row Python:
   dcterms:alternative → foaf:name → bibo:identifier,
   ref facet.py:259-276)
 
-Page ordering is C-locale binary (the reference collates with
-locale.strxfrm under a configurable collate_locale — per SURVEY §7
-locale collation is out of scope; documented deviation).
+Page ordering defaults to C-locale binary; the reference collates with
+``locale.strxfrm`` under a configurable collate_locale
+(ref ferenda/documentrepository.py:2843). For the reference's own
+sv_SE case a pure-expression collation key is provided
+(``collation="sv_SE"``): a translate() mapping that sorts å < ä < ö
+after z (the 1-char codes {|} sit just past 'z' in binary order) and
+folds é→e, ü→y at primary strength — no ICU/locale dependency, and the
+key is a native column expression so ordering stays JVM-side. Other
+locales: pass a custom key via the same translate pattern.
 """
 
 from __future__ import annotations
@@ -51,12 +57,41 @@ LABEL_PRIORITY = [
 ]
 
 
+# ----------------------------------------------------------- collation
+
+_SV_SRC = "åäöéü"
+_SV_DST = "{|}ey"   # å ä ö collate after z; é→e, ü→y (primary strength)
+
+
+def collate_expr(col: Column, collation: str = "C") -> Column:
+    """Sort-key expression for page/value ordering. "C" = binary (the
+    default, what the driver oracles assume); "sv_SE" = the Swedish
+    strxfrm-equivalent primary-strength key."""
+    if collation == "C":
+        return col
+    if collation == "sv_SE":
+        return F.translate(F.lower(col), _SV_SRC, _SV_DST)
+    raise ValueError("unknown collation %r" % collation)
+
+
+def collate_key(s: str, collation: str = "C") -> str:
+    """Pure-Python twin of :func:`collate_expr` (golden/test use)."""
+    if collation == "C":
+        return s
+    if collation == "sv_SE":
+        return s.lower().translate(str.maketrans(_SV_SRC, _SV_DST))
+    raise ValueError("unknown collation %r" % collation)
+
+
 # ------------------------------------------------------ selector exprs
 
 def title_sortkey_expr(col: Column) -> Column:
+    # [^\p{L}\p{N}_] not \W: the reference's Python \W is
+    # unicode-aware (ref ferenda/util.py:724-737 keeps å/ä/ö), Java's
+    # \W is ASCII-only and would strip them
     s = F.lower(col)
     s = F.regexp_replace(s, r"^the ", "")
-    return F.regexp_replace(s, r"\W+", "")
+    return F.regexp_replace(s, r"[^\p{L}\p{N}_]+", "")
 
 
 def firstletter_expr(col: Column) -> Column:
@@ -260,13 +295,20 @@ def melt_facets(src: DataFrame, facets: list[Facet],
 
 
 def toc_pagesets(faceted: DataFrame, facets: list[Facet],
-                 labels: DataFrame | None = None) -> DataFrame:
+                 labels: DataFrame | None = None,
+                 collation: str = "C") -> DataFrame:
     """→ (binding, pageset_label, value, urlfragment, pagetitle): one
     row per TOC page, pages ordered by value within each pageset
-    (ref documentrepository.py:2774-2852). NULL selector values are
-    skipped (≙ the KeyError-on-incomplete-row path)."""
+    (ref documentrepository.py:2774-2852; value ordering collated per
+    ``collation``, ≙ the reference's locale.strxfrm sort). NULL
+    selector values are skipped (≙ the KeyError-on-incomplete-row
+    path)."""
     toc = [f for f in facets
            if f.use_for_toc and f.column in faceted.columns]
+    if not toc:
+        return faceted.sparkSession.createDataFrame(
+            [], "binding string, pageset_label string, value string,"
+                " urlfragment string, pagetitle string")
     src = _with_labels(faceted, facets, labels)
     labels_by_col = {f.column: f.label % {"term": f.term} for f in toc}
     titles_by_col = {f.column: f.pagetitle % {"term": f.term,
@@ -298,21 +340,28 @@ def toc_pagesets(faceted: DataFrame, facets: list[Facet],
                               F.col("value")).alias("pagetitle"))
             .select("binding", "pageset_label", "value", "urlfragment",
                     "pagetitle")
-            .orderBy("binding", "value"))
+            .orderBy("binding", collate_expr(F.col("value"), collation),
+                     "value"))
 
 
 def toc_documents(faceted: DataFrame, facets: list[Facet],
                   labels: DataFrame | None = None,
                   label_col: str = "dcterms_title",
-                  top_n: int = 1000) -> DataFrame:
+                  top_n: int = 1000,
+                  collation: str = "C") -> DataFrame:
     """→ (binding, value, pos, label, uri): the per-page ordered
     document lists, flattened (≙ toc_select_for_pages,
     ref documentrepository.py:2854-2916; toc_item :2918-2921 renders
     dcterms_title as link text). Within a page, documents order by the
     facet's key expression (asc/desc per facet, realized as one window
-    per direction group over the melted rows), uri as tiebreak."""
+    per direction group over the melted rows, collated per
+    ``collation``), uri as tiebreak."""
     toc = [f for f in facets
            if f.use_for_toc and f.column in faceted.columns]
+    if not toc:
+        return faceted.sparkSession.createDataFrame(
+            [], "binding string, value string, pos int, label string,"
+                " uri string")
     src = _with_labels(faceted, facets, labels)
 
     def fields(f, col, lab):
@@ -324,8 +373,9 @@ def toc_documents(faceted: DataFrame, facets: list[Facet],
     for descending in sorted({f.key_descending for f in toc}):
         group = [f for f in toc if f.key_descending is descending]
         melted = melt_facets(src, group, fields)
+        key = collate_expr(F.col("_key"), collation)
         w = (Window.partitionBy("binding", "value")
-             .orderBy(F.desc("_key") if descending else F.asc("_key"),
+             .orderBy(key.desc() if descending else key.asc(),
                       F.asc("uri")))
         part = (melted
                 .withColumn("pos", F.row_number().over(w))

@@ -55,16 +55,24 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
              max_iter: int = 15, round_to: int = 6,
-             driver_threshold: int = 2_000_000) -> DataFrame:
+             driver_threshold: int = 2_000_000,
+             distributed_iter: int | None = None) -> DataFrame:
     """→ (node, rank) over the directed edge set, power iteration.
 
     Ranks follow the classic PR(v) = (1-d) + d·Σ PR(u)/out(u)
     formulation with dangling-mass redistribution, iterated to
     ``max_iter``. Hybrid like :func:`hits`: citation graphs are a tiny
     slice of the corpus, so below the edge cutoff the iteration runs
-    in numpy on the driver; above it, the join-based loop (capped at 6
-    rounds, dangling mass folded into the per-round plan as a
-    broadcast aggregate — no driver collect per round).
+    in numpy on the driver; above it, the join-based loop (dangling
+    mass folded into the per-round plan as a broadcast aggregate — no
+    driver collect per round). Both branches run ``max_iter`` rounds,
+    so results agree with each other and with the unrolled oracle
+    regardless of which branch a corpus lands in; per-round wall time
+    stays flat past the localCheckpoint lineage ceiling via
+    iter_checkpoint (tests/test_iterative_scale.py). Pass
+    ``distributed_iter`` to cap distributed rounds lower for
+    bench-only runs (PR converges geometrically; 6 is
+    ranking-stable).
     """
     E = edges.select("src", "dst").distinct()
     n_edges = E.limit(driver_threshold + 1).count()
@@ -91,12 +99,9 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
             r = (1.0 - damping) + damping * (contrib + dangling / n)
         out = pd.DataFrame({"node": names, "rank": np.round(r, round_to)})
         return spark.createDataFrame(out).orderBy(F.desc("rank"), "node")
-    # distributed branch: bounded join iteration. Round cap matches
-    # hits() — on this Spark build per-round cost turns geometric once
-    # lineage-truncation degrades (~7 rounds), and PR converges
-    # geometrically at damping 0.85, so 6 rounds is ranking-stable;
-    # lineage is additionally reset for real by a disk checkpoint every
-    # 3rd round (iter_checkpoint).
+    # distributed branch: join iteration; lineage reset for real by a
+    # disk checkpoint every 3rd round (iter_checkpoint), so per-round
+    # cost stays flat at full max_iter rounds.
     from .util import iter_checkpoint
     edges = E
     nodes = (edges.select(F.col("src").alias("node"))
@@ -110,7 +115,8 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                                  "node", "left_anti")
                       .localCheckpoint(eager=True))
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for i in range(min(max_iter, 6)):
+    for i in range(min(max_iter, distributed_iter)
+                   if distributed_iter else max_iter):
         contribs = (ed.join(ranks.withColumnRenamed("node", "src"), "src")
                     .select(F.col("dst").alias("node"),
                             (F.col("rank") / F.col("out_degree"))
@@ -138,7 +144,8 @@ HITS_DRIVER_THRESHOLD = 2_000_000  # edges; below → numpy on the driver
 
 
 def hits(edges: DataFrame, max_iter: int = 15, round_to: int = 6,
-         driver_threshold: int = HITS_DRIVER_THRESHOLD) -> DataFrame:
+         driver_threshold: int = HITS_DRIVER_THRESHOLD,
+         distributed_iter: int | None = None) -> DataFrame:
     """→ (node, hub, authority), classic HITS power iteration with L2
     normalization per round (the reference computes it via networkx on
     the driver, ref graphanalyze.py:412-560).
@@ -146,12 +153,11 @@ def hits(edges: DataFrame, max_iter: int = 15, round_to: int = 6,
     Hybrid like :func:`ferenda_spark.graph.components.connected_components`:
     citation graphs are a tiny slice of the corpus, so below the edge
     cutoff the adjacency is collected and iterated with numpy (sparse
-    ops; milliseconds); above it, the join-based iteration with a LOW
-    round cap — measured on this Spark build, a localCheckpoint chain
-    inside an iterative loop stops truncating lineage after ~7 rounds
-    and the per-round cost turns geometric, so the distributed branch
-    caps at 6 rounds (HITS converges geometrically; 6 is plenty for
-    ranking stability)."""
+    ops; milliseconds); above it, the join-based iteration, also at
+    full ``max_iter`` rounds (flat per-round cost via iter_checkpoint's
+    periodic disk reset) so both branches agree with the unrolled
+    oracle. ``distributed_iter`` caps distributed rounds for bench-only
+    runs (HITS converges geometrically; 6 is ranking-stable)."""
     E = edges.select("src", "dst").distinct()
     n_edges = E.limit(driver_threshold + 1).count()
     spark = edges.sparkSession
@@ -194,7 +200,8 @@ def hits(edges: DataFrame, max_iter: int = 15, round_to: int = 6,
                 .drop("_n"))
 
     from .util import iter_checkpoint
-    for i in range(min(max_iter, 6)):
+    for i in range(min(max_iter, distributed_iter)
+                   if distributed_iter else max_iter):
         auth = (ed.join(scores.select(F.col("node").alias("src"), "hub"),
                         "src")
                 .groupBy(F.col("dst").alias("node"))

@@ -131,3 +131,54 @@ def test_default_facets_config():
     assert not fs["type"].use_for_toc
     assert fs["publisher"].selector == "resourcelabel"
     assert fs["issued"].selector == "year"
+
+
+def test_swedish_collation_page_order(spark):
+    """sv_SE collation must order å < ä < ö AFTER z (the reference
+    collates TOC pages with locale.strxfrm under sv_SE,
+    ref documentrepository.py:2843); C-locale binary lowercase order
+    would yield z < ä < å < ö."""
+    from ferenda_spark.operators.facetlib import collate_key, toc_pagesets
+    titles = ["Zebra", "Åke", "Ärlig", "Örn", "Boken"]
+    df = spark.createDataFrame(
+        [(t, "http://example.org/%d" % i) for i, t in enumerate(titles)],
+        "dcterms_title string, uri string")
+    facets = [make_facet("http://purl.org/dc/terms/title")]
+    sv = [r["value"] for r in
+          toc_pagesets(df, facets, collation="sv_SE").collect()]
+    assert sv == ["b", "z", "å", "ä", "ö"]
+    c = [r["value"] for r in toc_pagesets(df, facets).collect()]
+    assert c == ["b", "z", "ä", "å", "ö"]  # the documented C deviation
+    # pure-Python twin agrees with the expression path
+    assert sorted(sv, key=collate_key) != sv  # C-key disagrees
+    assert sorted(sv, key=lambda s: collate_key(s, "sv_SE")) == sv
+
+
+def test_swedish_collation_matches_strxfrm_if_locale_present():
+    """Cross-check the translate key against glibc's own sv_SE
+    collation when the locale is installed (skip otherwise)."""
+    import locale
+    try:
+        locale.setlocale(locale.LC_COLLATE, "sv_SE.UTF-8")
+    except locale.Error:
+        pytest.skip("sv_SE locale not installed in this container")
+    try:
+        from ferenda_spark.operators.facetlib import collate_key
+        words = ["zebra", "åke", "ärlig", "örn", "boken", "ek", "yxa"]
+        ours = sorted(words, key=lambda s: collate_key(s, "sv_SE"))
+        glibc = sorted(words, key=locale.strxfrm)
+        assert ours == glibc
+    finally:
+        locale.setlocale(locale.LC_COLLATE, "C")
+
+
+def test_toc_documents_empty_facet_list(spark):
+    """No use_for_toc facet (or none of their columns present) must
+    return an empty frame, not raise."""
+    df = spark.createDataFrame([("x", "http://example.org/1")],
+                               "other_col string, uri string")
+    facets = [make_facet("http://purl.org/dc/terms/title")]
+    assert toc_documents(df, facets).count() == 0
+    assert toc_pagesets(df, facets).count() == 0
+    assert toc_documents(df, []).columns == \
+        ["binding", "value", "pos", "label", "uri"]

@@ -25,12 +25,13 @@ def test_distributed_pagerank_matches_driver_ranking(spark):
     drv = pagerank(edges, driver_threshold=2_000_000).toPandas()
     dist = pagerank(edges, driver_threshold=0).toPandas()
     assert set(drv["node"]) == set(dist["node"])
-    # 6 distributed rounds vs 15 driver rounds: absolute values differ
-    # slightly, the ranking of the clear winners must not
+    # both branches run the same max_iter rounds (so either one agrees
+    # with the unrolled 15-iteration oracle); values match to float
+    # summation-order noise
     assert list(drv["node"][:2]) == list(dist["node"][:2])
     d = drv.set_index("node")["rank"]
     x = dist.set_index("node")["rank"]
-    assert ((d - x).abs() / d).max() < 0.12
+    assert ((d - x).abs() / d).max() < 1e-4, (d - x).abs().max()
 
 
 def test_distributed_pagerank_no_per_round_collect(spark):
