@@ -8,26 +8,44 @@ import tempfile
 from pyspark.sql import DataFrame
 
 
+_ITER_CKPT_SEQ = [0]
+
+
 def iter_checkpoint(df: DataFrame, round_no: int,
                     disk_every: int = 3) -> DataFrame:
-    """Lineage control for iterative DataFrame loops.
+    """Lineage AND stats control for iterative DataFrame loops.
 
-    Measured on this Spark build (pyspark 4.1.2): a chain of
-    ``localCheckpoint(eager=True)`` calls stops truncating lineage
-    after ~7 rounds and per-round cost turns geometric (BENCH.md round
-    1). A *disk* checkpoint resets lineage for real, so iterative
-    operators alternate: localCheckpoint most rounds (cheap), disk
-    checkpoint every ``disk_every``-th round (bounded lineage forever).
-    In production the disk checkpoint is an HDFS/S3 write — the same
-    round-trip Pregel-style systems do.
+    Two compounding effects make naive iteration geometric on this
+    Spark build (pyspark 4.1.2):
+
+    1. a chain of ``localCheckpoint(eager=True)`` calls stops
+       truncating lineage after ~7 rounds (round-1 finding);
+    2. worse, both ``localCheckpoint`` and ``checkpoint`` INHERIT the
+       child plan's estimated statistics (LogicalRDD originStats), and
+       Catalyst's size-in-bytes estimation multiplies child stats at
+       every join — a loop whose round joins two frames derived from
+       the previous round (HITS, CC self-joins) doubles the BigInt
+       digit count of sizeInBytes per round, so by round ~15 planning
+       time is dominated by 10^5-digit Toom-Cook multiplications
+       inside SizeInBytesOnlyStatsPlanVisitor (observed: a thread
+       pinned in BigInteger.multiply for 30+ min).
+
+    The periodic reset is therefore a PARQUET ROUND-TRIP, not a
+    ``checkpoint()``: reading back gives a fresh LogicalRelation whose
+    stats come from actual file sizes — lineage and stats both truly
+    reset, and between resets at most ``disk_every-1`` rounds of
+    inherited-stats compounding can accumulate (bounded). This is also
+    the production shape: Pregel-style systems materialize iteration
+    state to the lake, they don't cache logical plans.
     """
     if round_no % disk_every == disk_every - 1:
-        sc = df.sparkSession.sparkContext
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
-            sc.setCheckpointDir(
-                os.path.join(tempfile.gettempdir(),
-                             "ferenda_spark_ckpt_%d" % os.getpid()))
-        return df.checkpoint(eager=True)
+        spark = df.sparkSession
+        _ITER_CKPT_SEQ[0] += 1
+        path = os.path.join(
+            tempfile.gettempdir(), "ferenda_spark_iter_%d" % os.getpid(),
+            "ckpt_%d" % _ITER_CKPT_SEQ[0])
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
     return df.localCheckpoint(eager=True)
 
 

@@ -76,21 +76,40 @@ def run():
     t = spark.read.parquet(TRIPLES)
     return canonicalize_triples(t).count()
 
-import os as _os
+import os as _os, threading as _th
+pre_load = round(_os.getloadavg()[0], 2)   # before any Spark work
 n_triples = run()  # warmup: JIT, codegen, Arrow init, python workers
+# sample the 1-minute load average every 2 s DURING the timed reps (a
+# single end-of-run reading can miss a noise burst entirely); raw
+# samples are reported alongside the derived figure so the measurement
+# conditions are auditable, not asserted
+samples = []
+stop = _th.Event()
+def _sampler():
+    while not stop.wait(2.0):
+        samples.append(_os.getloadavg()[0])
+t = _th.Thread(target=_sampler, daemon=True); t.start()
 best = None
 for _ in range(reps):
     t0 = time.perf_counter()
     run()
     dt = time.perf_counter() - t0
     best = dt if best is None or dt < best else best
-# load average BEYOND this JVM's own threads: the sandbox host carries
-# external background load that degrades the high-parallelism leg; the
-# JSON records it so the measurement conditions are auditable
-noise = max(0.0, round(_os.getloadavg()[0] - cores, 2))
+stop.set(); t.join(timeout=5)
+samples = samples or [_os.getloadavg()[0]]
+load = {"pre_run_1m": pre_load,
+        "during_min": round(min(samples), 2),
+        "during_mean": round(sum(samples) / len(samples), 2),
+        "during_max": round(max(samples), 2),
+        "n_samples": len(samples)}
+# external load estimate: load beyond this JVM's own cores. Lower
+# bound only — loadavg cannot attribute threads, so up to `cores` of
+# external load is indistinguishable from the JVM's own
+noise = max(0.0, round(load["during_mean"] - cores, 2))
 print(json.dumps({"cores": cores, "n_docs": n_docs, "sec": best,
                   "docs_per_sec": n_docs / best, "n_triples": n_triples,
-                  "external_load_1m": noise}))
+                  "loadavg": load,
+                  "external_load_1m_lower_bound": noise}))
 '''
 
 

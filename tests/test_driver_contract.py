@@ -43,9 +43,10 @@ def test_oracle_keys_subset_of_queries(entrymod):
     qs = set(entrymod.queries())
     os_ = set(entrymod.oracle_sql())
     assert os_ <= qs, os_ - qs
-    # the rows-only set is exactly the documented one
-    assert qs - os_ == {"dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
-                        "media_decode"}
+    # since round 3 every query carries an oracle (cross-execution
+    # twins cover the seeded sketch/ANN ops, generative-formula SQL
+    # covers media_decode) — keep it that way
+    assert qs - os_ == set(), qs - os_
 
 
 def test_all_oracles_are_valid_duckdb(entrymod):
