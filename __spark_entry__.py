@@ -300,6 +300,56 @@ def _q_kg_search_indexed(spark, sf_dir):
                                    resources=res)
 
 
+# request-URL corpus exercised by kg_routing beyond the triple
+# subjects: dataset URIs (bare/suffix/param), a second repo's space,
+# alias-mismatch, host-mismatch and near-miss alias cases (each a
+# branch of requesthandler.supports / basefile_from_uri)
+KG_ROUTING_EXTRA = [
+    "http://example.org/dataset/doc",
+    "http://example.org/dataset/doc.rdf",
+    "http://example.org/dataset/doc?titel=a",
+    "http://example.org/dataset/docx",
+    "http://example.org/res/doc/9999.html",
+    "http://example.org/res/other/1",
+    "http://alt.example.org/res/alt/a1",
+    "http://alt.example.org/res/alt/a1.html#S2",
+    "http://alt.example.org/dataset/alt.atom",
+    "http://elsewhere.example/res/doc/1",
+]
+
+
+def _kg_routing_cfgs():
+    from ferenda_spark.uris import RepoConfig
+    return [_kg_cfg(), RepoConfig(alias="alt", url="http://alt.example.org/")]
+
+
+def _q_kg_routing(spark, sf_dir):
+    """Multi-repo URL routing: every distinct subject URI in the triple
+    table plus the synthetic request corpus, routed to (repo, kind,
+    basefile) — one native CASE-chain projection, no Python."""
+    from ferenda_spark.operators.routing import route_uris
+    uris = (_kg_read(spark, "triples")
+            .select(F.col("subject").alias("uri"))
+            .unionByName(spark.createDataFrame(
+                [(u,) for u in KG_ROUTING_EXTRA], "uri string"))
+            .distinct())
+    return route_uris(uris, _kg_routing_cfgs()).orderBy("uri")
+
+
+def _kg_routing_sql(kg_paths: dict) -> str:
+    from ferenda_spark.operators.routing import sql_route
+    values = ",\n      ".join("('%s')" % u for u in KG_ROUTING_EXTRA)
+    return f"""
+    WITH uris(uri) AS (
+      SELECT DISTINCT subject FROM read_parquet('{kg_paths["triples"]}')
+      UNION
+      SELECT * FROM (VALUES
+      {values})
+    )
+    SELECT uri, {sql_route('uri', _kg_routing_cfgs())} FROM uris
+    """
+
+
 def _q_kg_citations(spark, sf_dir):
     """Citation mining over the per-resource text (CitationParser +
     URIFormatter analog), emitted as a joinable table."""
@@ -576,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_news_feedsets": _q_kg_news_feedsets,
         "kg_news_feed_entries": _q_kg_news_feed_entries,
         "kg_citations": _q_kg_citations,
+        "kg_routing": _q_kg_routing,
         "kg_search": _q_kg_search,
         "kg_search_indexed": _q_kg_search_indexed,
         "kg_versions": _q_kg_versions,
@@ -647,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_news_feed_entries":
             kgoracle.sql_news_feed_entries(kg, _kg_commondata()),
         "kg_citations": kgoracle.sql_citations(kg),
+        "kg_routing": _kg_routing_sql(kg),
         "kg_search": _kg_search_sql(kg),
         "kg_search_indexed": _kg_search_sql(kg),
         "kg_versions": kgoracle.sql_versions(kg, KG_NEW_URL),

@@ -129,6 +129,20 @@ def main() -> None:
         "lineitem_pricing": qs["lineitem_pricing"],
     }
 
+    # untimed warm-up: fork the python-worker daemon pool and JIT the
+    # codegen paths once, so one-time process spin-up (~10-20 s
+    # measured on this host) doesn't land on whichever query happens
+    # to run first; recorded as warmup_s for disclosure
+    t0 = time.perf_counter()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("double")
+    def _warm(v):
+        return v * 1.0
+    (spark.range(0, int(cpus) * 4, 1, int(cpus))
+     .select(_warm(col("id").cast("double"))).count())
+    warmup_s = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, fn in bench_queries.items():
@@ -148,6 +162,7 @@ def main() -> None:
         "kg_docs": kg_n,
         "kg_docs_per_sec": round(kg_n / kg_secs, 1) if kg_secs else None,
         "rows": rows,
+        "warmup_s": warmup_s,
         "cpus": int(cpus),
     }))
 
