@@ -120,11 +120,17 @@ def connected_components(edges: DataFrame, src: str = "src",
     """
     E = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u") != F.col("v")).distinct())
-    n_edges = E.limit(driver_threshold + 1).count()
+    # one Arrow job decides the branch AND feeds the driver path: the
+    # former limit-count job + separate Row-object collect re-ran the
+    # scan + distinct shuffle twice, and Row indexing is ~3× slower
+    # than the Arrow batch — this non-scaling driver cost was the
+    # largest fixed term in the canonicalize stage (BENCH.md)
+    head = E.limit(driver_threshold + 1).toPandas()
+    n_edges = len(head)
     if n_edges == 0:
         return E.select(F.col("u").alias("node"), F.col("v").alias("component"))
     if n_edges <= driver_threshold:
-        pairs = [(r["u"], r["v"]) for r in E.collect()]
+        pairs = list(zip(head["u"].tolist(), head["v"].tolist()))
         return _driver_cc(edges.sparkSession, pairs)
     from ..operators.util import iter_checkpoint
     prev_sig = None
