@@ -132,6 +132,18 @@ def _q_kg_resources(spark, sf_dir):
     return resources_table(_extracted(spark))
 
 
+def _q_kg_xhtml_roundtrip(spark, sf_dir):
+    """render_xhtml sink + the reference's own completeness self-check
+    (ref decorators.py:209-235): serialize every document to XHTML 1.1
+    + RDFa, re-parse with the engine's HTML parser + RDFa extractor,
+    emit the recovered triples. Oracle = the triples table itself —
+    hash-green iff serialization loses or invents nothing."""
+    from ferenda_spark.operators.render import (render_xhtml_stage,
+                                                roundtrip_triples)
+    return roundtrip_triples(render_xhtml_stage(_extracted(spark)),
+                             context="kg")
+
+
 def _q_kg_deps(spark, sf_dir):
     from ferenda_spark.operators.relate import deps_table
     return deps_table(_kg_read(spark, "triples"),
@@ -604,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_documents": _q_kg_documents,
         "kg_triples": _q_kg_triples,
         "kg_resources": _q_kg_resources,
+        "kg_xhtml_roundtrip": _q_kg_xhtml_roundtrip,
         "kg_deps": _q_kg_deps,
         "kg_entities": _q_kg_entities,
         "kg_canonical_triples": _q_kg_canonical_triples,
@@ -674,6 +687,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_documents": kgoracle.sql_documents(kg),
         "kg_triples": kgoracle.sql_triples(kg),
         "kg_resources": kgoracle.sql_resources(kg),
+        # the rendered-XHTML round trip must reproduce the triples
+        # table exactly, so it shares kg_triples' oracle
+        "kg_xhtml_roundtrip": kgoracle.sql_triples(kg),
         "kg_deps": kgoracle.sql_deps(kg),
         "kg_entities": kgoracle.sql_entities(kg),
         "kg_canonical_triples": kgoracle.sql_canonical_triples(kg),

@@ -95,6 +95,14 @@ def main() -> None:
         from ferenda_spark.operators.fulltext import fulltext_search
         return fulltext_search(stages["resources"], ["stream", "batch"])
 
+    def kg_xhtml(spark, _):
+        # the generate-stage sink: extract + serialize every document
+        # to XHTML 1.1 + RDFa (timed end to end — at scale the rendered
+        # column lands in the lake beside the triples table)
+        from ferenda_spark.operators.render import render_xhtml_stage
+        pages = P.build_pages(spark, kg_n, int(cpus) * 2)
+        return render_xhtml_stage(extract_stage(pages, cfg, P.COMMONDATA))
+
     def kg_search_indexed(spark, _):
         # index build + term-pruned search, timed together (the build
         # amortizes over queries in production; timing it keeps the
@@ -113,6 +121,7 @@ def main() -> None:
         "kg_toc": kg_toc,
         "kg_annotations": kg_annotations,
         "kg_minted_uris": kg_minted,
+        "kg_xhtml": kg_xhtml,
         "kg_search": kg_search,
         "kg_search_indexed": kg_search_indexed,
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
