@@ -63,13 +63,16 @@ def main() -> None:
 
     def kg_materialize(spark, _):
         pages = P.build_pages(spark, kg_n, int(cpus) * 2)
-        ex = extract_stage(pages, cfg, P.COMMONDATA)
+        # persist: three table writes fan out of ONE extraction pass —
+        # without it each .write re-runs the Arrow parse stage (3×)
+        ex = extract_stage(pages, cfg, P.COMMONDATA).persist()
         triples_table(ex, "kg").write.mode("overwrite") \
             .parquet(kg_tmp + "/triples")
         documents_table(ex).write.mode("overwrite") \
             .parquet(kg_tmp + "/documents")
         resources_table(ex).write.mode("overwrite") \
             .parquet(kg_tmp + "/resources")
+        ex.unpersist()
         stages["triples"] = spark.read.parquet(kg_tmp + "/triples")
         stages["documents"] = spark.read.parquet(kg_tmp + "/documents")
         stages["resources"] = spark.read.parquet(kg_tmp + "/resources")
