@@ -456,6 +456,15 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing into 256-token bins, 8 shards — the
+    training-batch construction step (shard-parallel applyInPandas;
+    oracle replays the fold with a recursive CTE)."""
+    from ferenda_spark.operators.packing import pack_sequences
+    return pack_sequences(_read(spark, sf_dir, "documents"),
+                          budget=256, n_shards=8)
+
+
 def _with_injected_dups(docs: DataFrame) -> DataFrame:
     dups = (docs.where(F.col("doc_id") % 7 == 0)
             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
@@ -646,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
         "token_stats": _q_token_stats,
+        "pack_sequences": _q_pack_sequences,
         "quality_score": _q_quality,
         "language_id": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -671,7 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from ferenda_spark import annoracle, kgoracle
-    from ferenda_spark.operators import (dedup, multimodal, similarity,
+    from ferenda_spark.operators import (dedup, multimodal, packing, similarity,
                                          textops)
     jaccard_oracle = dedup.oracle_sql_ngram_jaccard(threshold=0.5)
     dup_docs = ("(SELECT doc_id, text FROM documents UNION ALL "
@@ -721,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),
+        "pack_sequences": packing.oracle_sql_pack(budget=256, n_shards=8),
         "quality_score": textops.oracle_sql_quality(),
         "language_id": textops.oracle_sql_language_id(),
         "fingerprint": textops.oracle_sql_fingerprint(),

@@ -265,3 +265,50 @@ def test_embedding_blocked_prunes_subquadratically(spark):
     # pruning evidence: far fewer GEMM tasks than all-pairs blocking
     assert stats["n_block_tasks"] < 0.5 * stats["n_block_tasks_unpruned"], stats
     assert stats["n_cell_pairs_kept"] < stats["n_cell_pairs_total"], stats
+
+
+# ----------------------------------------------------- sequence packing
+
+def test_pack_sequences_matches_single_fold(spark):
+    """Distributed packer == single-threaded greedy fold, regardless of
+    how the input happens to be partitioned (the shuffle on shard must
+    restore per-shard doc_id order before packing)."""
+    import pandas as pd
+    from ferenda_spark.operators.packing import (pack_sequences,
+                                                 pack_sequences_single)
+    rng = np.random.RandomState(7)
+    rows = [(int(i), " ".join("w%d" % k for k in range(rng.randint(0, 90))))
+            for i in rng.permutation(400)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]),
+                               schema="doc_id long, text string") \
+        .repartition(7)  # adversarial partitioning
+    got = sorted(map(tuple, pack_sequences(
+        df, budget=128, n_shards=5).collect()))
+    expected = pack_sequences_single(
+        [(i, len(t.split()) if t.strip() else 0) for i, t in rows],
+        budget=128, n_shards=5)
+    assert got == sorted(expected)
+
+
+def test_pack_sequences_invariants(spark):
+    """Bins respect the budget except single-oversized-doc bins;
+    positions are contiguous from 0 per bin; every doc appears once."""
+    import pandas as pd
+    from ferenda_spark.operators.packing import pack_sequences
+    rows = [(0, " ".join(["w"] * 300)),   # oversized: own bin
+            (5, "a b c"), (10, " ".join(["w"] * 120)),
+            (15, "x y"), (20, ""), (25, " ".join(["w"] * 128))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]),
+                               schema="doc_id long, text string")
+    out = pack_sequences(df, budget=128, n_shards=1).collect()
+    assert len(out) == len(rows)
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for bin_id, members in by_bin.items():
+        fill = sum(m.n_tokens for m in members)
+        assert fill <= 128 or len(members) == 1, (bin_id, fill)
+        assert sorted(m.pos_in_bin for m in members) == list(range(len(members)))
+    # the oversized 300-token doc (doc_id 0, first in shard) sits alone
+    first_bin = [m for m in out if m.doc_id == 0][0].bin_id
+    assert len(by_bin[first_bin]) == 1
