@@ -164,7 +164,8 @@ def fulltext_search_indexed(postings: DataFrame, doclens: DataFrame,
                             resources: DataFrame | None = None,
                             text_col: str = "text",
                             id_col: str = "resource_uri",
-                            k1: float = K1, b: float = B) -> DataFrame:
+                            k1: float = K1, b: float = B,
+                            checkpoint: bool = True) -> DataFrame:
     """Indexed BM25 search: prune the posting table to the query terms
     (a semi-join — with the postings bucketed by term, a metadata-level
     partition prune), pivot per-term tfs per resource, score with the
@@ -173,27 +174,31 @@ def fulltext_search_indexed(postings: DataFrame, doclens: DataFrame,
     text for the top-k only."""
     lterms = [t.lower() for t in terms]
     matched = postings.where(F.col("term").isin(lterms))
-    # per-term df from posting counts (a posting exists iff tf > 0)
-    dfs = F.broadcast(matched.groupBy("term")
-                      .agg(F.count(F.lit(1)).cast("double").alias("df")))
     stats = doclens.agg(F.count(F.lit(1)).cast("double").alias("_n"),
                         F.avg("dl").alias("_avgdl"))
     # pivot the (few) query terms into fixed-order columns so the score
-    # fold order matches the scan path exactly
+    # fold order matches the scan path exactly; localCheckpoint because
+    # the pruned pivot feeds BOTH the df aggregate and the score join —
+    # without it each consumer re-runs the posting build (measured:
+    # the whole explode+join subtree appeared twice in the plan)
     per_res = matched.groupBy("resource_uri").agg(
         *[F.coalesce(F.sum(F.when(F.col("term") == t, F.col("tf"))),
                      F.lit(0.0)).alias(f"_tf{i}")
           for i, t in enumerate(lterms)])
-    df_row = dfs.groupBy().pivot("term", lterms).agg(F.first("df"))
-    df_cols = [F.coalesce(F.col("`%s`" % t), F.lit(0.0)).alias(f"_df{i}")
-               for i, t in enumerate(lterms)]
+    if checkpoint:  # checkpoint=False keeps the logical plan inspectable
+        per_res = per_res.localCheckpoint(eager=True)
+    # per-term df from the pivot (a posting exists iff tf > 0, and a
+    # resource absent from per_res has tf = 0 for every query term)
+    df_row = per_res.agg(
+        *[F.sum(F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0))
+          .cast("double").alias(f"_df{i}") for i in range(len(lterms))])
     score = _bm25_score([F.col(f"_tf{i}") for i in range(len(lterms))],
                         [F.col(f"_df{i}") for i in range(len(lterms))],
                         F.col("_n"), F.col("_avgdl"), F.col("dl"), k1, b)
     out = (per_res
            .join(doclens, "resource_uri")
            .crossJoin(F.broadcast(stats))
-           .crossJoin(F.broadcast(df_row.select(*df_cols)))
+           .crossJoin(F.broadcast(df_row))
            .select("resource_uri", score.alias("score"))
            .where(F.col("score") > 0)
            .orderBy(F.desc("score"), F.asc("resource_uri"))

@@ -75,6 +75,7 @@ def test_indexed_prunes_to_query_terms(spark, corpus):
     res, docs = corpus
     postings, doclens = build_posting_index(res, docs=docs)
     plan = fulltext_search_indexed(
-        postings, doclens, ["zebra"], k=5)._jdf.queryExecution() \
+        postings, doclens, ["zebra"], k=5,
+        checkpoint=False)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "zebra" in plan  # term literal pushed into the plan
