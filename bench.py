@@ -133,6 +133,7 @@ def main() -> None:
         # twin in the headline; the twin remains the sf0.01 oracle
         "dedup_embedding": qs["dedup_embedding_blocked"],
         "ann_topk": qs["ann_topk"],
+        "pack_sequences": qs["pack_sequences"],
         "token_stats": qs["token_stats"],
         "quality_score": qs["quality_score"],
         "language_id": qs["language_id"],
