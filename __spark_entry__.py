@@ -456,6 +456,14 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language quota sampling (30% of each lang
+    stratum, hash-ranked) — corpus re-balancing before training."""
+    from ferenda_spark.operators.sampling import stratified_sample
+    return stratified_sample(_read(spark, sf_dir, "documents"),
+                             "lang", 0.3)
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Greedy sequence packing into 256-token bins, 8 shards — the
     training-batch construction step (shard-parallel applyInPandas;
@@ -656,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops (DuckDB-oracled)
         "token_stats": _q_token_stats,
         "pack_sequences": _q_pack_sequences,
+        "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality,
         "language_id": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -681,7 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from ferenda_spark import annoracle, kgoracle
-    from ferenda_spark.operators import (dedup, multimodal, packing, similarity,
+    from ferenda_spark.operators import (dedup, multimodal, packing, sampling,
+                                         similarity,
                                          textops)
     jaccard_oracle = dedup.oracle_sql_ngram_jaccard(threshold=0.5)
     dup_docs = ("(SELECT doc_id, text FROM documents UNION ALL "
@@ -732,6 +742,9 @@ def oracle_sql() -> dict[str, str]:
         # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),
         "pack_sequences": packing.oracle_sql_pack(budget=256, n_shards=8),
+        "stratified_sample": sampling.oracle_sql_stratified(
+            "documents", "lang", 0.3,
+            ["doc_id", "text", "lang", "source", "n_chars"]),
         "quality_score": textops.oracle_sql_quality(),
         "language_id": textops.oracle_sql_language_id(),
         "fingerprint": textops.oracle_sql_fingerprint(),

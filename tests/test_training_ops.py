@@ -312,3 +312,23 @@ def test_pack_sequences_invariants(spark):
     # the oversized 300-token doc (doc_id 0, first in shard) sits alone
     first_bin = [m for m in out if m.doc_id == 0][0].bin_id
     assert len(by_bin[first_bin]) == 1
+
+
+def test_stratified_sample_deterministic_and_quota(spark):
+    """Same selection regardless of input partitioning; per-stratum
+    quota = ceil(fraction * stratum_size); selection is a function of
+    (id, seed) only."""
+    import pandas as pd
+    from ferenda_spark.operators.sampling import stratified_sample
+    rows = [(i, "t%d" % i, ["en", "de", "fr"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]),
+        schema="doc_id long, text string, lang string")
+    a = sorted(r.doc_id for r in stratified_sample(df, "lang", 0.25).collect())
+    b = sorted(r.doc_id for r in
+               stratified_sample(df.repartition(13), "lang", 0.25).collect())
+    assert a == b and len(a) == 3 * 8          # ceil(0.25*30) per stratum
+    c = sorted(r.doc_id for r in
+               stratified_sample(df, "lang", 0.25, seed=1).collect())
+    assert c != a                               # seed changes the draw
+    assert len(c) == len(a)                     # but not the quota
