@@ -456,6 +456,44 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def _q_corpus_curate(spark, sf_dir):
+    """End-to-end training-corpus curation: quality filter
+    (quality ≥ 0.5) → exact dedup (keep the min doc_id per normalized
+    fingerprint) → greedy sequence packing — the composed pipeline a
+    training-data user actually runs, with every stage an
+    already-oracled operator."""
+    from ferenda_spark.operators.packing import pack_sequences
+    from ferenda_spark.operators.textops import fingerprint, quality_score
+    # injected exact dups (same corpus twist dedup_exact uses) so the
+    # dedup stage demonstrably drops rows; quality >= 0.65 drops the
+    # bottom ~40% of this corpus (median 0.677)
+    docs = _with_injected_dups(_read(spark, sf_dir, "documents"))
+    good = (quality_score(docs).where(F.col("quality") >= 0.65)
+            .select("doc_id"))
+    keep = (fingerprint(docs).join(good, "doc_id")
+            .groupBy("fp_exact").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    return pack_sequences(docs.join(keep, "doc_id"),
+                          budget=256, n_shards=8)
+
+
+def _corpus_curate_sql() -> str:
+    from ferenda_spark.operators import packing, textops
+    dup_docs = ("(SELECT doc_id, text FROM documents UNION ALL "
+                "SELECT doc_id + 100000, text FROM documents "
+                "WHERE doc_id % 7 = 0)")
+    survivors = f"""(
+      WITH q AS (SELECT doc_id FROM ({textops.oracle_sql_quality(dup_docs)})
+                 WHERE quality >= 0.65),
+           fp AS ({textops.oracle_sql_fingerprint(dup_docs)}),
+           keep AS (SELECT min(fp.doc_id) AS doc_id
+                    FROM fp JOIN q ON fp.doc_id = q.doc_id
+                    GROUP BY fp.fp_exact)
+      SELECT d.doc_id, d.text FROM {dup_docs} d
+      JOIN keep ON keep.doc_id = d.doc_id)"""
+    return packing.oracle_sql_pack(survivors, budget=256, n_shards=8)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-language quota sampling (30% of each lang
     stratum, hash-ranked) — corpus re-balancing before training."""
@@ -665,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
+        "corpus_curate": _q_corpus_curate,
         "quality_score": _q_quality,
         "language_id": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -745,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": sampling.oracle_sql_stratified(
             "documents", "lang", 0.3,
             ["doc_id", "text", "lang", "source", "n_chars"]),
+        "corpus_curate": _corpus_curate_sql(),
         "quality_score": textops.oracle_sql_quality(),
         "language_id": textops.oracle_sql_language_id(),
         "fingerprint": textops.oracle_sql_fingerprint(),
