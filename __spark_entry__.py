@@ -635,6 +635,19 @@ def _q_window_topk(spark, sf_dir):
             .orderBy("lang", "rank"))
 
 
+def _q_events_windowed(spark, sf_dir):
+    """Tumbling event-time window rollup (streaming/windows.py —
+    batch form; the streaming form shares the expression)."""
+    from ferenda_spark.streaming.windows import windowed_event_counts
+    return windowed_event_counts(_read(spark, sf_dir, "events"))
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based session reconstruction per user (30-minute gap)."""
+    from ferenda_spark.streaming.windows import sessionize
+    return sessionize(_read(spark, sf_dir, "events"))
+
+
 def _q_reverse_refs(spark, sf_dir):
     """relate_dependencies-shaped reverse-reference join on TPC-H:
     per-customer inbound order count (broadcast dim join)."""
@@ -720,6 +733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         # relational / faceting analogs (DuckDB-oracled)
         "facet_pivot": _q_facet_pivot,
+        "events_windowed": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
         "stats_groupby": _q_stats_groupby,
         "window_topk": _q_window_topk,
         "reverse_refs": _q_reverse_refs,
@@ -824,6 +839,38 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars)::BIGINT AS total_chars,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "events_windowed": """
+            SELECT strftime(time_bucket(INTERVAL 1 DAY, ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               >= 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), with_id AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                       AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, session_seq::BIGINT AS session_seq,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S')
+                     AS session_start,
+                   count(*) AS n_events,
+                   (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT
+                     AS duration_us
+            FROM with_id GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
         "window_topk": """
             SELECT lang, rank, doc_id, n_chars FROM (

@@ -138,6 +138,8 @@ def main() -> None:
         "quality_score": qs["quality_score"],
         "language_id": qs["language_id"],
         "facet_pivot": qs["facet_pivot"],
+        "events_windowed": qs["events_windowed"],
+        "events_sessionize": qs["events_sessionize"],
         "reverse_refs": qs["reverse_refs"],
         "lineitem_pricing": qs["lineitem_pricing"],
     }
