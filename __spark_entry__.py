@@ -312,6 +312,31 @@ def _q_kg_search_indexed(spark, sf_dir):
                                    resources=res)
 
 
+_KG_SPARQL_QUERY = """
+PREFIX dct: <http://purl.org/dc/terms/>
+PREFIX bibo: <http://purl.org/ontology/bibo/>
+SELECT DISTINCT ?part ?title ?doc ?doc_title ?citing WHERE {
+  ?part a bibo:DocumentPart .
+  ?part dct:title ?title .
+  ?part dct:isPartOf ?doc .
+  OPTIONAL { ?doc dct:title ?doc_title }
+  OPTIONAL { ?citing dct:references ?part }
+  FILTER(regex(?title, "^Part"))
+} ORDER BY ?part ?citing
+"""
+
+
+def _q_kg_sparql(spark, sf_dir):
+    """Ad-hoc SPARQL surface (triplestore.select analog): the generic
+    BGP/OPTIONAL/FILTER compiler over the triples table. The oracle is
+    the compiler's own SQL emission run by DuckDB — two backends, one
+    shared join plan (ferenda_spark/sparql.py; semantics pinned by
+    tests/test_sparql.py's hand-built goldens)."""
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_QUERY)
+
+
 # request-URL corpus exercised by kg_routing beyond the triple
 # subjects: dataset URIs (bare/suffix/param), a second repo's space,
 # alias-mismatch, host-mismatch and near-miss alias cases (each a
@@ -710,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_routing": _q_kg_routing,
         "kg_search": _q_kg_search,
         "kg_search_indexed": _q_kg_search_indexed,
+        "kg_sparql": _q_kg_sparql,
         "kg_versions": _q_kg_versions,
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
@@ -743,7 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ferenda_spark import annoracle, kgoracle
+    from ferenda_spark import annoracle, kgoracle, sparql
     from ferenda_spark.operators import (dedup, multimodal, packing, sampling,
                                          similarity,
                                          textops)
@@ -791,6 +817,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_routing": _kg_routing_sql(kg),
         "kg_search": _kg_search_sql(kg),
         "kg_search_indexed": _kg_search_sql(kg),
+        "kg_sparql": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_SPARQL_QUERY),
         "kg_versions": kgoracle.sql_versions(kg, KG_NEW_URL),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views

@@ -116,6 +116,12 @@ def main() -> None:
         return fulltext_search_indexed(postings, doclens,
                                        ["stream", "batch"])
 
+    def kg_sparql(spark, _):
+        # ad-hoc SPARQL surface: BGP + 2 OPTIONALs + regex FILTER
+        # compiled to broadcast-join pushed-filter pattern scans
+        from ferenda_spark import sparql
+        return sparql.compile_spark(stages["triples"], E._KG_SPARQL_QUERY)
+
     qs = E.queries()
     bench_queries = {
         "kg_extract": kg_extract,
@@ -127,6 +133,7 @@ def main() -> None:
         "kg_xhtml": kg_xhtml,
         "kg_search": kg_search,
         "kg_search_indexed": kg_search_indexed,
+        "kg_sparql": kg_sparql,
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute

@@ -1,0 +1,702 @@
+"""SPARQL SELECT-subset compiler over the triples table.
+
+The reference's *generic* query surface is SPARQL against the
+triplestore: ``TripleStore.select()`` / ``construct()``
+(ferenda/triplestore.py:179-200, 418-448 — the HTTP/RDFLib dispatch),
+with the repo-level queries built as SPARQL strings (facet SELECT with
+one OPTIONAL per facet, documentrepository.py:2220-2310; the
+annotations CONSTRUCT, res/sparql/annotations.rq). The named read
+paths are dedicated operators here (facets.py, relate.py,
+graph/closure.py); this module covers the ad-hoc surface so a
+reference user's own SELECT queries run too.
+
+Supported subset (what ferenda's own queries use):
+
+- ``PREFIX`` declarations, ``SELECT [DISTINCT] ?v… | *``
+- basic graph patterns: ``?s <p> ?o`` triples with URI / prefixed /
+  ``a`` / string-literal (with optional ``@lang``) / numeric terms
+- single-level ``OPTIONAL { … }`` groups (with their own FILTERs)
+- ``FILTER`` expressions: ``= != < <= > >=``, ``IN (…)``,
+  ``regex(?v, "pat")``, ``bound(?v)``, ``str(?v)``, ``! && ||``
+- ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``
+
+Compilation is twinned: :func:`compile_spark` builds the DataFrame
+plan, :func:`compile_sql` emits structurally identical ANSI SQL (the
+DuckDB correctness oracle). Both derive from one shared join plan, so
+a semantic bug cannot hide in only one backend.
+
+Scale shape (100 TB triples table):
+
+- every triple pattern is a *predicate-bound scan* — the predicate
+  equality reaches the parquet reader as a pushed filter, and with the
+  production table partitioned by predicate it is a partition prune;
+- the join plan is ordered greedily most-bound-first among connected
+  patterns, so the most selective scan anchors the pipeline; pattern
+  scans are narrow (only the variable columns survive the scan
+  projection) and AQE broadcasts the small sides;
+- subject—subject joins (the dominant shape: facet OPTIONALs all join
+  on ``?uri``) reuse one hash partitioning on the subject column —
+  with the table bucketed by subject they are shuffle-free;
+- FILTERs compile to native column expressions — no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# ------------------------------------------------------------ tokenizer
+
+_TOKEN = re.compile(r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<uri><[^>\s]*>)
+  | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<num>-?\d+(?:\.\d+)?)
+  | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+  | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*])
+""", re.VERBOSE)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m:
+            raise SparqlError("cannot tokenize at %r" % text[pos:pos + 20])
+        pos = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+class SparqlError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- model
+
+# term = ("var", name) | ("uri", value) | ("lit", value, lang_or_None)
+#      | ("num", float_text)
+
+@dataclass
+class Triple:
+    s: tuple
+    p: tuple
+    o: tuple
+
+
+@dataclass
+class Group:
+    triples: list = field(default_factory=list)
+    filters: list = field(default_factory=list)   # expr ASTs
+
+
+@dataclass
+class Query:
+    distinct: bool
+    proj: list          # var names in order, or ["*"]
+    where: Group
+    optionals: list     # list[Group]
+    order: list         # [(var, descending)]
+    limit: int | None
+
+
+# ----------------------------------------------------------- expressions
+
+class Expr:
+    """Filter-expression AST; each node renders to a Spark Column via
+    ``spark(env)`` and to SQL text via ``sql(env)`` where env maps a
+    variable name to its (Column, sql-identifier) pair."""
+
+
+@dataclass
+class EVar(Expr):
+    name: str
+
+    def spark(self, env):
+        return env[self.name][0]
+
+    def sql(self, env):
+        return env[self.name][1]
+
+
+@dataclass
+class EConst(Expr):
+    term: tuple
+
+    @property
+    def numeric(self):
+        return self.term[0] == "num"
+
+    def spark(self, env):
+        if self.numeric:
+            return F.lit(float(self.term[1]))
+        return F.lit(self.term[1])
+
+    def sql(self, env):
+        if self.numeric:
+            return self.term[1]
+        return "'%s'" % self.term[1].replace("'", "''")
+
+
+@dataclass
+class ECmp(Expr):
+    op: str
+    left: Expr
+    right: Expr
+
+    def _sides(self, env, sqlmode):
+        l, r = self.left, self.right
+        numeric = (isinstance(l, EConst) and l.numeric) or \
+                  (isinstance(r, EConst) and r.numeric)
+        if sqlmode:
+            ls, rs = l.sql(env), r.sql(env)
+            if numeric:
+                if isinstance(l, EVar):
+                    ls = "TRY_CAST(%s AS DOUBLE)" % ls
+                if isinstance(r, EVar):
+                    rs = "TRY_CAST(%s AS DOUBLE)" % rs
+            return ls, rs
+        lc, rc = l.spark(env), r.spark(env)
+        if numeric:
+            if isinstance(l, EVar):
+                lc = lc.cast("double")
+            if isinstance(r, EVar):
+                rc = rc.cast("double")
+        return lc, rc
+
+    def spark(self, env):
+        lc, rc = self._sides(env, False)
+        return {"=": lc == rc, "!=": lc != rc, "<": lc < rc,
+                "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc}[self.op]
+
+    def sql(self, env):
+        ls, rs = self._sides(env, True)
+        op = "<>" if self.op == "!=" else self.op
+        return "(%s %s %s)" % (ls, op, rs)
+
+
+@dataclass
+class EIn(Expr):
+    var: EVar
+    items: list   # EConst
+
+    def spark(self, env):
+        return self.var.spark(env).isin([c.term[1] for c in self.items])
+
+    def sql(self, env):
+        return "(%s IN (%s))" % (self.var.sql(env),
+                                 ", ".join(c.sql(env) for c in self.items))
+
+
+@dataclass
+class ERegex(Expr):
+    var: EVar
+    pattern: str
+
+    def spark(self, env):
+        return self.var.spark(env).rlike(self.pattern)
+
+    def sql(self, env):
+        return "regexp_matches(%s, '%s')" % (
+            self.var.sql(env), self.pattern.replace("'", "''"))
+
+
+@dataclass
+class EBound(Expr):
+    var: EVar
+
+    def spark(self, env):
+        return self.var.spark(env).isNotNull()
+
+    def sql(self, env):
+        return "(%s IS NOT NULL)" % self.var.sql(env)
+
+
+@dataclass
+class ENot(Expr):
+    inner: Expr
+
+    def spark(self, env):
+        return ~self.inner.spark(env)
+
+    def sql(self, env):
+        return "(NOT %s)" % self.inner.sql(env)
+
+
+@dataclass
+class EBool(Expr):
+    op: str   # "&&" | "||"
+    left: Expr
+    right: Expr
+
+    def spark(self, env):
+        l, r = self.left.spark(env), self.right.spark(env)
+        return (l & r) if self.op == "&&" else (l | r)
+
+    def sql(self, env):
+        return "(%s %s %s)" % (self.left.sql(env),
+                               "AND" if self.op == "&&" else "OR",
+                               self.right.sql(env))
+
+
+# ---------------------------------------------------------------- parser
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def kw(self, word: str) -> bool:
+        k, v = self.peek()
+        if k == "kw" and v.upper() == word:
+            self.i += 1
+            return True
+        return False
+
+    def expect_op(self, op: str):
+        k, v = self.next()
+        if v != op:
+            raise SparqlError("expected %r, got %r" % (op, v))
+
+    def parse(self) -> Query:
+        while self.kw("PREFIX"):
+            k, v = self.next()
+            if k != "pname" or not v.endswith(":"):
+                raise SparqlError("bad PREFIX name %r" % v)
+            name = v[:-1]
+            ku, vu = self.next()
+            if ku != "uri":
+                raise SparqlError("bad PREFIX uri %r" % vu)
+            self.prefixes[name] = vu[1:-1]
+        if not self.kw("SELECT"):
+            raise SparqlError("only SELECT queries are supported")
+        distinct = self.kw("DISTINCT")
+        proj = []
+        while True:
+            k, v = self.peek()
+            if k == "var":
+                proj.append(v[1:]); self.i += 1
+            elif v == "*":
+                proj = ["*"]; self.i += 1
+                break
+            else:
+                break
+        if not proj:
+            raise SparqlError("empty projection")
+        if not self.kw("WHERE"):
+            raise SparqlError("missing WHERE")
+        where, optionals = self.group(allow_optional=True)
+        order: list = []
+        if self.kw("ORDER"):
+            if not self.kw("BY"):
+                raise SparqlError("ORDER without BY")
+            while True:
+                k, v = self.peek()
+                if k == "kw" and v.upper() in ("ASC", "DESC"):
+                    desc = v.upper() == "DESC"
+                    self.i += 1
+                    self.expect_op("(")
+                    kv, vv = self.next()
+                    if kv != "var":
+                        raise SparqlError("ORDER BY needs a variable")
+                    self.expect_op(")")
+                    order.append((vv[1:], desc))
+                elif k == "var":
+                    order.append((v[1:], False)); self.i += 1
+                else:
+                    break
+        limit = None
+        if self.kw("LIMIT"):
+            k, v = self.next()
+            if k != "num":
+                raise SparqlError("LIMIT needs a number")
+            limit = int(v)
+        if self.peek()[0] != "eof":
+            raise SparqlError("trailing tokens at %r" % (self.peek(),))
+        return Query(distinct, proj, where, optionals, order, limit)
+
+    def group(self, allow_optional: bool):
+        self.expect_op("{")
+        g, optionals = Group(), []
+        while True:
+            k, v = self.peek()
+            if v == "}":
+                self.i += 1
+                return g, optionals
+            if k == "kw" and v.upper() == "OPTIONAL":
+                if not allow_optional:
+                    raise SparqlError("nested OPTIONAL is not supported")
+                self.i += 1
+                sub, nested = self.group(allow_optional=False)
+                assert not nested
+                optionals.append(sub)
+                continue
+            if k == "kw" and v.upper() == "FILTER":
+                self.i += 1
+                self.expect_op("(")
+                g.filters.append(self.expr())
+                self.expect_op(")")
+                continue
+            g.triples.append(self.triple())
+            if self.peek()[1] in (".", ";"):
+                self.i += 1
+
+    def triple(self) -> Triple:
+        return Triple(self.term(), self.term(), self.term())
+
+    def term(self) -> tuple:
+        k, v = self.next()
+        if k == "var":
+            return ("var", v[1:])
+        if k == "uri":
+            return ("uri", v[1:-1])
+        if k == "pname":
+            pfx, local = v.split(":", 1)
+            if pfx not in self.prefixes:
+                raise SparqlError("unknown prefix %r" % pfx)
+            return ("uri", self.prefixes[pfx] + local)
+        if k == "kw" and v == "a":
+            return ("uri", RDF_TYPE)
+        if k == "str":
+            lit = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            lang = None
+            if self.peek()[0] == "lang":
+                lang = self.next()[1][1:]
+            return ("lit", lit, lang)
+        if k == "num":
+            return ("num", v)
+        raise SparqlError("bad term %r" % v)
+
+    # expression grammar: or → and → unary → primary
+    def expr(self) -> Expr:
+        e = self.expr_and()
+        while self.peek()[1] == "||":
+            self.i += 1
+            e = EBool("||", e, self.expr_and())
+        return e
+
+    def expr_and(self) -> Expr:
+        e = self.expr_unary()
+        while self.peek()[1] == "&&":
+            self.i += 1
+            e = EBool("&&", e, self.expr_unary())
+        return e
+
+    def expr_unary(self) -> Expr:
+        if self.peek()[1] == "!":
+            self.i += 1
+            return ENot(self.expr_unary())
+        if self.peek()[1] == "(":
+            self.i += 1
+            e = self.expr()
+            self.expect_op(")")
+            return e
+        return self.expr_rel()
+
+    def expr_rel(self) -> Expr:
+        left = self.expr_primary()
+        k, v = self.peek()
+        if k == "kw" and v.upper() == "IN":
+            if not isinstance(left, EVar):
+                raise SparqlError("IN needs a variable on the left")
+            self.i += 1
+            self.expect_op("(")
+            items = [EConst(self.term())]
+            while self.peek()[1] == ",":
+                self.i += 1
+                items.append(EConst(self.term()))
+            self.expect_op(")")
+            return EIn(left, items)
+        if v in ("=", "!=", "<", "<=", ">", ">="):
+            self.i += 1
+            return ECmp(v, left, self.expr_primary())
+        return left
+
+    def expr_primary(self) -> Expr:
+        k, v = self.peek()
+        if k == "kw" and v.lower() == "regex":
+            self.i += 1
+            self.expect_op("(")
+            kv, vv = self.next()
+            if kv != "var":
+                raise SparqlError("regex needs a variable")
+            self.expect_op(",")
+            kp, vp = self.next()
+            if kp != "str":
+                raise SparqlError("regex needs a string pattern")
+            self.expect_op(")")
+            return ERegex(EVar(vv[1:]), vp[1:-1])
+        if k == "kw" and v.lower() == "bound":
+            self.i += 1
+            self.expect_op("(")
+            kv, vv = self.next()
+            self.expect_op(")")
+            return EBound(EVar(vv[1:]))
+        if k == "kw" and v.lower() == "str":
+            # str(?v) — identity here: objects are stored as strings
+            self.i += 1
+            self.expect_op("(")
+            kv, vv = self.next()
+            self.expect_op(")")
+            return EVar(vv[1:])
+        if k == "var":
+            self.i += 1
+            return EVar(v[1:])
+        return EConst(self.term())
+
+
+def parse(text: str) -> Query:
+    return _Parser(text).parse()
+
+
+# ------------------------------------------------------------- planning
+
+_POS = ("s", "subject"), ("p", "predicate"), ("o", "object")
+
+
+def _pattern_vars(t: Triple) -> set:
+    return {term[1] for term in (t.s, t.p, t.o) if term[0] == "var"}
+
+
+def _order_patterns(triples: list) -> list:
+    """Greedy most-bound-first join order over connected patterns: the
+    scan with the most constants anchors the plan; each next pattern
+    must share a variable with the bound set when possible (avoids
+    accidental cross joins), ties broken by constant count then by
+    original position (stable)."""
+    def score(t: Triple) -> int:
+        # subject consts are the most selective, object consts next; an
+        # rdf:type predicate const is near-worthless (huge fan-out)
+        s = 3 * (t.s[0] != "var") + 2 * (t.o[0] != "var")
+        if t.p[0] != "var" and t.p[1] != RDF_TYPE:
+            s += 1
+        return s
+
+    remaining = list(enumerate(triples))
+    nconst = {i: score(t) for i, t in remaining}
+    ordered, bound = [], set()
+    while remaining:
+        connected = [(i, t) for i, t in remaining
+                     if not bound or (_pattern_vars(t) & bound)]
+        pool = connected or remaining
+        i, t = max(pool, key=lambda it: (nconst[it[0]], -it[0]))
+        ordered.append(t)
+        bound |= _pattern_vars(t)
+        remaining = [(j, u) for j, u in remaining if j != i]
+    return ordered
+
+
+def _scan_spec(t: Triple, alias: str):
+    """→ (constant filters [(col, value)], var projection {var: col},
+    intra-pattern equalities [(col, col)])."""
+    consts, varcols, intra = [], {}, []
+    for (short, col), term in zip(_POS, (t.s, t.p, t.o)):
+        if term[0] == "var":
+            if term[1] in varcols:
+                intra.append((varcols[term[1]], col))
+            else:
+                varcols[term[1]] = col
+        elif term[0] == "uri":
+            consts.append((col, term[1]))
+            if col == "object":
+                consts.append(("objtype", "uri"))
+        elif term[0] == "lit":
+            consts.append((col, term[1]))
+            consts.append(("objtype", "literal"))
+            if term[2]:
+                consts.append(("lang", term[2]))
+        else:   # num — objects are stored as strings
+            consts.append((col, term[1]))
+    return consts, varcols, intra
+
+
+# --------------------------------------------------------- spark backend
+
+def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
+    """Compile a parsed (or raw-text) SELECT query to a DataFrame plan
+    over ``triples`` (the (subject, predicate, object, objtype, lang,
+    datatype, …) table)."""
+    if isinstance(query, str):
+        query = parse(query)
+    counter = [0]
+
+    def scan(t: Triple, prefix: str):
+        alias = "%s%d" % (prefix, counter[0])
+        counter[0] += 1
+        consts, varcols, intra = _scan_spec(t, alias)
+        df = triples
+        for col, val in consts:
+            df = df.filter(F.col(col) == val)
+        for c1, c2 in intra:
+            df = df.filter(F.col(c1) == F.col(c2))
+        sel = [F.col(col).alias("%s__%s" % (alias, var))
+               for var, col in varcols.items()]
+        return df.select(*sel), {var: "%s__%s" % (alias, var)
+                                 for var in varcols}
+
+    def chain(triple_list, prefix):
+        """Inner-join the patterns of one group on shared variables."""
+        plan, env_cols = None, {}
+        for t in _order_patterns(triple_list):
+            df, cols = scan(t, prefix)
+            if plan is None:
+                plan, env_cols = df, dict(cols)
+                continue
+            shared = [v for v in cols if v in env_cols]
+            if shared:
+                cond = None
+                for v in shared:
+                    c = F.col(env_cols[v]) == F.col(cols[v])
+                    cond = c if cond is None else (cond & c)
+                plan = plan.join(df, cond, "inner")
+            else:
+                plan = plan.crossJoin(df)
+            for v, c in cols.items():
+                env_cols.setdefault(v, c)
+        return plan, env_cols
+
+    def colenv(cols):
+        return {v: (F.col(c), c) for v, c in cols.items()}
+
+    plan, env_cols = chain(query.where.triples, "t")
+    for f in query.where.filters:
+        plan = plan.filter(f.spark(colenv(env_cols)))
+
+    for g in query.optionals:
+        sub, sub_cols = chain(g.triples, "o")
+        for f in g.filters:
+            sub = sub.filter(f.spark(colenv(sub_cols)))
+        shared = [v for v in sub_cols if v in env_cols]
+        cond = None
+        for v in shared:
+            c = F.col(env_cols[v]) == F.col(sub_cols[v])
+            cond = c if cond is None else (cond & c)
+        plan = plan.join(sub, cond if cond is not None else F.lit(True),
+                         "left")
+        for v, c in sub_cols.items():
+            env_cols.setdefault(v, c)
+
+    proj = query.proj
+    if proj == ["*"]:
+        proj = list(env_cols)
+    out = plan.select(*[F.col(env_cols[v]).alias(v) for v in proj])
+    if query.distinct:
+        out = out.dropDuplicates()
+    if query.order:
+        out = out.orderBy(*[F.col(v).desc() if d else F.col(v).asc()
+                            for v, d in query.order])
+    if query.limit is not None:
+        out = out.limit(query.limit)
+    return out
+
+
+# ----------------------------------------------------------- sql backend
+
+def compile_sql(table_sql: str, query: Query | str) -> str:
+    """Emit ANSI SQL (DuckDB-ready) structurally mirroring
+    :func:`compile_spark`: one subquery per triple pattern, joined on
+    shared variables; OPTIONALs become LEFT JOINs. ``table_sql`` is the
+    FROM-able triples relation, e.g. ``read_parquet('…')``."""
+    if isinstance(query, str):
+        query = parse(query)
+    n = [0]
+
+    def scan_sql(t: Triple, prefix: str):
+        alias = "%s%d" % (prefix, n[0])
+        n[0] += 1
+        consts, varcols, intra = _scan_spec(t, alias)
+        conds = ["%s = '%s'" % (col, val.replace("'", "''"))
+                 for col, val in consts]
+        conds += ["%s = %s" % (c1, c2) for c1, c2 in intra]
+        cols = ", ".join("%s AS %s__%s" % (col, alias, var)
+                         for var, col in varcols.items())
+        where = (" WHERE " + " AND ".join(conds)) if conds else ""
+        sub = "(SELECT %s FROM %s%s) %s" % (cols, table_sql, where, alias)
+        return sub, {var: "%s__%s" % (alias, var) for var in varcols}
+
+    env_cols: dict[str, str] = {}
+    parts: list[str] = []
+    for t in _order_patterns(query.where.triples):
+        sub, cols = scan_sql(t, "t")
+        shared = [v for v in cols if v in env_cols]
+        if not parts:
+            parts.append("FROM %s" % sub)
+        elif shared:
+            on = " AND ".join("%s = %s" % (env_cols[v], cols[v])
+                              for v in shared)
+            parts.append("JOIN %s ON %s" % (sub, on))
+        else:
+            parts.append("CROSS JOIN %s" % sub)
+        for v, c in cols.items():
+            env_cols.setdefault(v, c)
+
+    def sqlenv(cols):
+        return {v: (None, c) for v, c in cols.items()}
+
+    where_conds = [f.sql(sqlenv(env_cols)) for f in query.where.filters]
+
+    for g in query.optionals:
+        sub_cols: dict[str, str] = {}
+        sub_parts: list[str] = []
+        for t in _order_patterns(g.triples):
+            sub, cols = scan_sql(t, "o")
+            shared = [v for v in cols if v in sub_cols]
+            if not sub_parts:
+                sub_parts.append("FROM %s" % sub)
+            elif shared:
+                on = " AND ".join("%s = %s" % (sub_cols[v], cols[v])
+                                  for v in shared)
+                sub_parts.append("JOIN %s ON %s" % (sub, on))
+            else:
+                sub_parts.append("CROSS JOIN %s" % sub)
+            for v, c in cols.items():
+                sub_cols.setdefault(v, c)
+        fconds = [f.sql(sqlenv(sub_cols)) for f in g.filters]
+        inner_cols = ", ".join("%s AS %s" % (c, c)
+                               for c in sub_cols.values())
+        inner = "SELECT %s %s" % (inner_cols, " ".join(sub_parts))
+        if fconds:
+            inner += " WHERE " + " AND ".join(fconds)
+        alias = "g%d" % n[0]
+        n[0] += 1
+        shared = [v for v in sub_cols if v in env_cols]
+        on = " AND ".join("%s = %s.%s" % (env_cols[v], alias, sub_cols[v])
+                          for v in shared) or "TRUE"
+        parts.append("LEFT JOIN (%s) %s ON %s" % (inner, alias, on))
+        for v, c in sub_cols.items():
+            env_cols.setdefault(v, c)
+
+    proj = query.proj
+    if proj == ["*"]:
+        proj = list(env_cols)
+    sel = ", ".join("%s AS %s" % (env_cols[v], v) for v in proj)
+    sql = "SELECT %s%s %s" % ("DISTINCT " if query.distinct else "",
+                              sel, " ".join(parts))
+    if where_conds:
+        sql += " WHERE " + " AND ".join(where_conds)
+    if query.order:
+        sql += " ORDER BY " + ", ".join(
+            "%s%s" % (v, " DESC" if d else "") for v, d in query.order)
+    if query.limit is not None:
+        sql += " LIMIT %d" % query.limit
+    return sql

@@ -1,0 +1,154 @@
+"""SPARQL-subset compiler: parser unit checks, Spark↔DuckDB
+cross-compiler parity on a hand-built graph, and semantic goldens for
+the constructs the reference's own queries use (OPTIONAL null rows,
+FILTER IN, regex, DISTINCT, repeated-variable patterns)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ferenda_spark import sparql
+
+DCT = "http://purl.org/dc/terms/"
+FOAF = "http://xmlns.com/foaf/0.1/"
+RDF_TYPE = sparql.RDF_TYPE
+
+TRIPLES = [
+    # (subject, predicate, object, objtype, lang)
+    ("d1", RDF_TYPE, FOAF + "Document", "uri", ""),
+    ("d1", DCT + "title", "Alpha report", "literal", "en"),
+    ("d1", DCT + "identifier", "3", "literal", ""),
+    ("d1", DCT + "publisher", "p1", "uri", ""),
+    ("d2", RDF_TYPE, FOAF + "Document", "uri", ""),
+    ("d2", DCT + "title", "Beta memo", "literal", "en"),
+    ("d2", DCT + "identifier", "12", "literal", ""),
+    ("d3", RDF_TYPE, FOAF + "Document", "uri", ""),
+    ("d3", DCT + "title", "Gamma", "literal", "sv", ),
+    ("d3", DCT + "identifier", "7", "literal", ""),
+    ("d3", DCT + "publisher", "p2", "uri", ""),
+    ("d3", DCT + "isPartOf", "d1", "uri", ""),
+    ("p1", RDF_TYPE, FOAF + "Organization", "uri", ""),
+    ("p1", DCT + "title", "Org One", "literal", "en"),
+    ("p2", RDF_TYPE, FOAF + "Organization", "uri", ""),
+    ("self", DCT + "references", "self", "uri", ""),
+]
+
+PREFIXES = """
+PREFIX dct: <http://purl.org/dc/terms/>
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+"""
+
+
+@pytest.fixture(scope="module")
+def graph(spark, tmp_path_factory):
+    pdf = pd.DataFrame(TRIPLES, columns=[
+        "subject", "predicate", "object", "objtype", "lang"])
+    pdf["datatype"] = ""
+    path = str(tmp_path_factory.mktemp("sparql") / "triples.parquet")
+    pdf.to_parquet(path)
+    return spark.createDataFrame(pdf), path
+
+
+def run_both(graph, query_text):
+    df, path = graph
+    sdf = sparql.compile_spark(df, query_text).toPandas()
+    sql = sparql.compile_sql("read_parquet('%s')" % path, query_text)
+    odf = duckdb.sql(sql).df()
+    norm = lambda d: (d[sorted(d.columns)].fillna("@null@")
+                      .astype(str)
+                      .sort_values(by=sorted(d.columns))
+                      .reset_index(drop=True))
+    pd.testing.assert_frame_equal(norm(sdf), norm(odf))
+    return sdf
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse("DELETE WHERE { ?s ?p ?o }")
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse("SELECT ?x WHERE { ?x dct:title ?t }")  # no prefix
+
+
+def test_bgp_join_and_optional(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?uri ?title ?pub WHERE {
+          ?uri a foaf:Document .
+          ?uri dct:title ?title .
+          OPTIONAL { ?uri dct:publisher ?pub }
+        } ORDER BY ?uri
+    """)
+    assert list(out["uri"]) == ["d1", "d2", "d3"]
+    # d2 has no publisher → OPTIONAL leaves a null, row survives
+    assert out.set_index("uri")["pub"].isna()["d2"]
+    assert out.set_index("uri")["pub"]["d1"] == "p1"
+
+
+def test_optional_with_inner_join(graph):
+    # two-pattern OPTIONAL: publisher AND its label — p2 has no title,
+    # so d3's optional group fails as a whole (label NULL)
+    out = run_both(graph, PREFIXES + """
+        SELECT ?uri ?plabel WHERE {
+          ?uri a foaf:Document .
+          OPTIONAL { ?uri dct:publisher ?p . ?p dct:title ?plabel }
+        } ORDER BY ?uri
+    """)
+    s = out.set_index("uri")["plabel"]
+    assert s["d1"] == "Org One" and pd.isna(s["d3"]) and pd.isna(s["d2"])
+
+
+def test_filter_numeric_and_bool(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?uri ?n WHERE {
+          ?uri dct:identifier ?n .
+          FILTER(?n >= 5 && !(?n > 10))
+        }
+    """)
+    assert list(out["uri"]) == ["d3"]   # 7; "12" must compare as number
+
+
+def test_filter_in_and_regex(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT DISTINCT ?uri WHERE {
+          ?uri a ?t .
+          FILTER(?t IN (foaf:Document, foaf:Organization))
+          ?uri dct:title ?title .
+          FILTER(regex(?title, "^(Alpha|Org)"))
+        } ORDER BY ?uri
+    """)
+    assert list(out["uri"]) == ["d1", "p1"]
+
+
+def test_literal_lang_and_limit(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?uri WHERE { ?uri dct:title "Gamma"@sv } LIMIT 1
+    """)
+    assert list(out["uri"]) == ["d3"]
+
+
+def test_repeated_var_same_pattern(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?x WHERE { ?x dct:references ?x }
+    """)
+    assert list(out["x"]) == ["self"]
+
+
+def test_star_and_uri_subject(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT * WHERE { <d3> dct:isPartOf ?parent .
+                         ?parent dct:title ?ptitle }
+    """)
+    assert out.iloc[0]["parent"] == "d1"
+    assert out.iloc[0]["ptitle"] == "Alpha report"
+
+
+def test_join_order_most_bound_first():
+    q = sparql.parse(PREFIXES + """
+        SELECT ?u ?t WHERE {
+          ?u dct:title ?t .
+          ?u a foaf:Document .
+          ?u dct:publisher <p1> .
+        }
+    """)
+    ordered = sparql._order_patterns(q.where.triples)
+    # the fully-bound-but-for-?u pattern (2 consts) anchors the plan
+    assert ordered[0].o == ("uri", "p1")
