@@ -326,6 +326,41 @@ SELECT DISTINCT ?part ?title ?doc ?doc_title ?citing WHERE {
 """
 
 
+_ANNOTATIONS_RQ = """
+PREFIX dcterms: <http://purl.org/dc/terms/>
+CONSTRUCT
+{
+   ?part dcterms:isReferencedBy ?s .
+   ?s ?p ?o .
+}
+WHERE
+{
+  ?s ?p ?o .
+  {
+    ?s dcterms:isPartOf* <%(uri)s> .
+  }
+  UNION
+  {
+    ?part dcterms:isPartOf* <%(uri)s> .
+    ?s dcterms:references ?part .
+  }
+}
+"""  # ≙ the reference's res/sparql/annotations.rq:1-20, verbatim shape
+
+_DESCRIBE_URI = "http://example.org/res/doc/1"
+
+
+def _q_kg_describe(spark, sf_dir):
+    """The reference's annotations.rq run through the SPARQL compiler
+    (CONSTRUCT + UNION + isPartOf* property path) for one document —
+    the per-basefile describe query a reference user runs today.
+    tests/test_sparql.py proves the constructed graph equals the
+    set-at-a-time annotation_graphs operator's output."""
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI})
+
+
 def _q_kg_sparql(spark, sf_dir):
     """Ad-hoc SPARQL surface (triplestore.select analog): the generic
     BGP/OPTIONAL/FILTER compiler over the triples table. The oracle is
@@ -736,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search": _q_kg_search,
         "kg_search_indexed": _q_kg_search_indexed,
         "kg_sparql": _q_kg_sparql,
+        "kg_describe": _q_kg_describe,
         "kg_versions": _q_kg_versions,
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
@@ -819,6 +855,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_search_indexed": _kg_search_sql(kg),
         "kg_sparql": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_QUERY),
+        "kg_describe": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"],
+            _ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),
         "kg_versions": kgoracle.sql_versions(kg, KG_NEW_URL),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views

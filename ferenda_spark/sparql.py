@@ -61,7 +61,7 @@ _TOKEN = re.compile(r"""
   | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+])
 """, re.VERBOSE)
 
 
@@ -87,6 +87,8 @@ class SparqlError(ValueError):
 
 # term = ("var", name) | ("uri", value) | ("lit", value, lang_or_None)
 #      | ("num", float_text)
+# a predicate term may additionally be ("path", uri, "*" | "+") — a
+# SPARQL property path (zero-or-more / one-or-more hops)
 
 @dataclass
 class Triple:
@@ -109,6 +111,8 @@ class Query:
     optionals: list     # list[Group]
     order: list         # [(var, descending)]
     limit: int | None
+    unions: list = field(default_factory=list)   # list[list[Group]]
+    construct: list | None = None                # template triples
 
 
 # ----------------------------------------------------------- expressions
@@ -288,24 +292,37 @@ class _Parser:
             if ku != "uri":
                 raise SparqlError("bad PREFIX uri %r" % vu)
             self.prefixes[name] = vu[1:-1]
-        if not self.kw("SELECT"):
-            raise SparqlError("only SELECT queries are supported")
-        distinct = self.kw("DISTINCT")
-        proj = []
-        while True:
-            k, v = self.peek()
-            if k == "var":
-                proj.append(v[1:]); self.i += 1
-            elif v == "*":
-                proj = ["*"]; self.i += 1
-                break
-            else:
-                break
-        if not proj:
-            raise SparqlError("empty projection")
+        construct = None
+        if self.kw("CONSTRUCT"):
+            distinct, proj = True, []
+            construct = []
+            self.expect_op("{")
+            while self.peek()[1] != "}":
+                construct.append(self.triple())
+                if self.peek()[1] in (".", ";"):
+                    self.i += 1
+            self.i += 1
+            if not construct:
+                raise SparqlError("empty CONSTRUCT template")
+        elif self.kw("SELECT"):
+            distinct = self.kw("DISTINCT")
+            proj = []
+            while True:
+                k, v = self.peek()
+                if k == "var":
+                    proj.append(v[1:]); self.i += 1
+                elif v == "*":
+                    proj = ["*"]; self.i += 1
+                    break
+                else:
+                    break
+            if not proj:
+                raise SparqlError("empty projection")
+        else:
+            raise SparqlError("only SELECT/CONSTRUCT queries are supported")
         if not self.kw("WHERE"):
             raise SparqlError("missing WHERE")
-        where, optionals = self.group(allow_optional=True)
+        where, optionals, unions = self.group(allow_optional=True)
         order: list = []
         if self.kw("ORDER"):
             if not self.kw("BY"):
@@ -333,22 +350,38 @@ class _Parser:
             limit = int(v)
         if self.peek()[0] != "eof":
             raise SparqlError("trailing tokens at %r" % (self.peek(),))
-        return Query(distinct, proj, where, optionals, order, limit)
+        if construct is not None and (order or limit is not None):
+            raise SparqlError("ORDER/LIMIT on CONSTRUCT is not supported")
+        return Query(distinct, proj, where, optionals, order, limit,
+                     unions, construct)
 
     def group(self, allow_optional: bool):
         self.expect_op("{")
-        g, optionals = Group(), []
+        g, optionals, unions = Group(), [], []
         while True:
             k, v = self.peek()
             if v == "}":
                 self.i += 1
-                return g, optionals
+                return g, optionals, unions
+            if v == "{":
+                # { alt1 } UNION { alt2 } [UNION { alt3 }…]
+                if not allow_optional:
+                    raise SparqlError("nested group is not supported here")
+                alts = [self.simple_group()]
+                while self.kw("UNION"):
+                    alts.append(self.simple_group())
+                if len(alts) == 1:
+                    # a plain nested group is just inlined
+                    g.triples.extend(alts[0].triples)
+                    g.filters.extend(alts[0].filters)
+                else:
+                    unions.append(alts)
+                continue
             if k == "kw" and v.upper() == "OPTIONAL":
                 if not allow_optional:
                     raise SparqlError("nested OPTIONAL is not supported")
                 self.i += 1
-                sub, nested = self.group(allow_optional=False)
-                assert not nested
+                sub = self.simple_group()
                 optionals.append(sub)
                 continue
             if k == "kw" and v.upper() == "FILTER":
@@ -361,8 +394,17 @@ class _Parser:
             if self.peek()[1] in (".", ";"):
                 self.i += 1
 
+    def simple_group(self) -> Group:
+        g, optionals, unions = self.group(allow_optional=False)
+        assert not optionals and not unions
+        return g
+
     def triple(self) -> Triple:
-        return Triple(self.term(), self.term(), self.term())
+        s = self.term()
+        p = self.term()
+        if p[0] == "uri" and self.peek()[1] in ("*", "+"):
+            p = ("path", p[1], self.next()[1])
+        return Triple(s, p, self.term())
 
     def term(self) -> tuple:
         k, v = self.next()
@@ -539,10 +581,50 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
     if isinstance(query, str):
         query = parse(query)
     counter = [0]
+    path_cache: dict[tuple, DataFrame] = {}
+
+    def path_relation(uri: str, mod: str) -> DataFrame:
+        """(a, b) pairs connected by 1+ hops of ``uri`` edges; for "*"
+        additionally the reflexive pairs over every graph term. Cached
+        per compile — the same path in two UNION branches (the
+        annotations.rq shape) computes its closure once."""
+        from .graph.closure import transitive_closure
+        if (uri, mod) not in path_cache:
+            if (uri, "+") not in path_cache:
+                edges = (triples.filter(F.col("predicate") == uri)
+                         .select(F.col("subject").alias("src"),
+                                 F.col("object").alias("dst")))
+                path_cache[(uri, "+")] = transitive_closure(edges)
+            rel = path_cache[(uri, "+")]
+            if mod == "*":
+                nodes = (triples.select(F.col("subject").alias("n"))
+                         .union(triples.filter(F.col("objtype") == "uri")
+                                .select(F.col("object").alias("n")))
+                         .distinct())
+                rel = rel.unionByName(
+                    nodes.select(F.col("n").alias("a"),
+                                 F.col("n").alias("b")))
+                path_cache[(uri, "*")] = rel
+        return path_cache[(uri, mod)]
 
     def scan(t: Triple, prefix: str):
         alias = "%s%d" % (prefix, counter[0])
         counter[0] += 1
+        if t.p[0] == "path":
+            df = path_relation(t.p[1], t.p[2])
+            varcols, sel = {}, []
+            for col, term in (("a", t.s), ("b", t.o)):
+                if term[0] == "var":
+                    if term[1] in varcols:      # ?x p* ?x
+                        df = df.filter(F.col("a") == F.col("b"))
+                    else:
+                        varcols[term[1]] = col
+                else:
+                    df = df.filter(F.col(col) == term[1])
+            sel = [F.col(col).alias("%s__%s" % (alias, var))
+                   for var, col in varcols.items()]
+            return df.select(*sel), {var: "%s__%s" % (alias, var)
+                                     for var in varcols}
         consts, varcols, intra = _scan_spec(t, alias)
         df = triples
         for col, val in consts:
@@ -579,6 +661,48 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         return {v: (F.col(c), c) for v, c in cols.items()}
 
     plan, env_cols = chain(query.where.triples, "t")
+
+    for bi, alts in enumerate(query.unions):
+        compiled = []
+        for g in alts:
+            sub, cols = chain(g.triples, "u")
+            for f in g.filters:
+                sub = sub.filter(f.spark(colenv(cols)))
+            compiled.append((sub, cols))
+        all_vars = []
+        for _, cols in compiled:
+            for v in cols:
+                if v not in all_vars:
+                    all_vars.append(v)
+        shared_sets = [set(cols) & set(env_cols or {})
+                       for _, cols in compiled]
+        if plan is not None and len(set(map(frozenset, shared_sets))) > 1:
+            raise SparqlError(
+                "UNION branches must bind the same outer variables")
+        canon = {v: "u%d__%s" % (bi, v) for v in all_vars}
+        aligned = None
+        for sub, cols in compiled:
+            sel = [(F.col(cols[v]) if v in cols
+                    else F.lit(None).cast("string")).alias(canon[v])
+                   for v in all_vars]
+            part = sub.select(*sel)
+            aligned = part if aligned is None else aligned.unionByName(part)
+        if plan is None:
+            plan, env_cols = aligned, dict(canon)
+        else:
+            shared = sorted(shared_sets[0])
+            cond = None
+            for v in shared:
+                c = F.col(env_cols[v]) == F.col(canon[v])
+                cond = c if cond is None else (cond & c)
+            plan = plan.join(aligned,
+                             cond if cond is not None else F.lit(True),
+                             "inner")
+            for v in all_vars:
+                env_cols.setdefault(v, canon[v])
+
+    # group-level FILTERs range over the whole group, union blocks
+    # included, so they apply after the union joins
     for f in query.where.filters:
         plan = plan.filter(f.spark(colenv(env_cols)))
 
@@ -595,6 +719,28 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                          "left")
         for v, c in sub_cols.items():
             env_cols.setdefault(v, c)
+
+    if query.construct is not None:
+        # instantiate each template triple per solution; template rows
+        # with any unbound position are skipped (SPARQL CONSTRUCT
+        # semantics); the result is a graph, i.e. a distinct set
+        def pos(term):
+            if term[0] == "var":
+                if term[1] not in env_cols:
+                    raise SparqlError("unbound template variable ?%s"
+                                      % term[1])
+                return F.col(env_cols[term[1]])
+            return F.lit(term[1])
+        out = None
+        for t in query.construct:
+            row = plan.select(pos(t.s).alias("subject"),
+                              pos(t.p).alias("predicate"),
+                              pos(t.o).alias("object"))
+            row = row.filter(F.col("subject").isNotNull() &
+                             F.col("predicate").isNotNull() &
+                             F.col("object").isNotNull())
+            out = row if out is None else out.unionByName(row)
+        return out.dropDuplicates()
 
     proj = query.proj
     if proj == ["*"]:
@@ -620,10 +766,54 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
     if isinstance(query, str):
         query = parse(query)
     n = [0]
+    ctes: list[str] = []
+    path_names: dict[tuple, str] = {}
+
+    def path_cte(uri: str, mod: str) -> str:
+        """Emit (once) the recursive CTE for 1+ hops of ``uri`` edges,
+        plus the reflexive-extended twin for "*"."""
+        if (uri, mod) in path_names:
+            return path_names[(uri, mod)]
+        if (uri, "+") not in path_names:
+            name = "path%d" % len(ctes)
+            ctes.append(
+                "%s AS (SELECT subject AS a, object AS b FROM %s"
+                " WHERE predicate = '%s' AND subject <> object"
+                " UNION SELECT p.a, e.object FROM %s p JOIN %s e"
+                " ON p.b = e.subject AND e.predicate = '%s'"
+                " WHERE p.a <> e.object)"
+                % (name, table_sql, uri, name, table_sql, uri))
+            path_names[(uri, "+")] = name
+        if mod == "*":
+            name = "star%d" % len(ctes)
+            ctes.append(
+                "%s AS (SELECT a, b FROM %s UNION"
+                " SELECT n, n FROM (SELECT subject AS n FROM %s"
+                " UNION SELECT object FROM %s WHERE objtype = 'uri'))"
+                % (name, path_names[(uri, "+")], table_sql, table_sql))
+            path_names[(uri, "*")] = name
+        return path_names[(uri, mod)]
 
     def scan_sql(t: Triple, prefix: str):
         alias = "%s%d" % (prefix, n[0])
         n[0] += 1
+        if t.p[0] == "path":
+            rel = path_cte(t.p[1], t.p[2])
+            varcols, conds = {}, []
+            for col, term in (("a", t.s), ("b", t.o)):
+                if term[0] == "var":
+                    if term[1] in varcols:
+                        conds.append("a = b")
+                    else:
+                        varcols[term[1]] = col
+                else:
+                    conds.append("%s = '%s'"
+                                 % (col, term[1].replace("'", "''")))
+            cols = ", ".join("%s AS %s__%s" % (col, alias, var)
+                             for var, col in varcols.items())
+            where = (" WHERE " + " AND ".join(conds)) if conds else ""
+            sub = "(SELECT %s FROM %s%s) %s" % (cols, rel, where, alias)
+            return sub, {var: "%s__%s" % (alias, var) for var in varcols}
         consts, varcols, intra = _scan_spec(t, alias)
         conds = ["%s = '%s'" % (col, val.replace("'", "''"))
                  for col, val in consts]
@@ -652,6 +842,60 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
 
     def sqlenv(cols):
         return {v: (None, c) for v, c in cols.items()}
+
+    def group_select(g: Group, prefix: str):
+        """One UNION alternative as (cols-map, 'FROM …[ WHERE …]')."""
+        g_cols: dict[str, str] = {}
+        g_parts: list[str] = []
+        for t in _order_patterns(g.triples):
+            sub, cols = scan_sql(t, prefix)
+            shared = [v for v in cols if v in g_cols]
+            if not g_parts:
+                g_parts.append("FROM %s" % sub)
+            elif shared:
+                on = " AND ".join("%s = %s" % (g_cols[v], cols[v])
+                                  for v in shared)
+                g_parts.append("JOIN %s ON %s" % (sub, on))
+            else:
+                g_parts.append("CROSS JOIN %s" % sub)
+            for v, c in cols.items():
+                g_cols.setdefault(v, c)
+        fconds = [f.sql(sqlenv(g_cols)) for f in g.filters]
+        body = " ".join(g_parts)
+        if fconds:
+            body += " WHERE " + " AND ".join(fconds)
+        return g_cols, body
+
+    for bi, alts in enumerate(query.unions):
+        compiled = [group_select(g, "u") for g in alts]
+        all_vars: list[str] = []
+        for cols, _ in compiled:
+            for v in cols:
+                if v not in all_vars:
+                    all_vars.append(v)
+        shared_sets = [set(cols) & set(env_cols) for cols, _ in compiled]
+        if parts and len(set(map(frozenset, shared_sets))) > 1:
+            raise SparqlError(
+                "UNION branches must bind the same outer variables")
+        canon = {v: "ub%d__%s" % (bi, v) for v in all_vars}
+        selects = []
+        for cols, body in compiled:
+            sel = ", ".join(
+                ("%s AS %s" % (cols[v], canon[v])) if v in cols
+                else ("CAST(NULL AS VARCHAR) AS %s" % canon[v])
+                for v in all_vars)
+            selects.append("SELECT %s %s" % (sel, body))
+        alias = "ub%d" % bi
+        union_sql = "(%s) %s" % (" UNION ALL ".join(selects), alias)
+        if not parts:
+            parts.append("FROM %s" % union_sql)
+        else:
+            shared = sorted(shared_sets[0])
+            on = " AND ".join("%s = %s" % (env_cols[v], canon[v])
+                              for v in shared) or "TRUE"
+            parts.append("JOIN %s ON %s" % (union_sql, on))
+        for v in all_vars:
+            env_cols.setdefault(v, canon[v])
 
     where_conds = [f.sql(sqlenv(env_cols)) for f in query.where.filters]
 
@@ -686,12 +930,44 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         for v, c in sub_cols.items():
             env_cols.setdefault(v, c)
 
+    def with_prefix(extra_ctes=()):
+        allc = ctes + list(extra_ctes)
+        if not allc:
+            return ""
+        return "WITH RECURSIVE %s " % ", ".join(allc)
+
+    if query.construct is not None:
+        sol = "SELECT %s %s" % (
+            ", ".join("%s AS %s" % (c, c) for c in env_cols.values()),
+            " ".join(parts))
+        if where_conds:
+            sol += " WHERE " + " AND ".join(where_conds)
+
+        def pos(term):
+            if term[0] == "var":
+                if term[1] not in env_cols:
+                    raise SparqlError("unbound template variable ?%s"
+                                      % term[1])
+                return env_cols[term[1]]
+            return "'%s'" % term[1].replace("'", "''")
+        selects = []
+        for t in query.construct:
+            s, p, o = pos(t.s), pos(t.p), pos(t.o)
+            nn = " AND ".join("%s IS NOT NULL" % c
+                              for c in (s, p, o) if not c.startswith("'"))
+            selects.append(
+                "SELECT %s AS subject, %s AS predicate, %s AS object"
+                " FROM sol%s" % (s, p, o, (" WHERE " + nn) if nn else ""))
+        return "%s%s" % (with_prefix(["sol AS (%s)" % sol]),
+                         " UNION ".join(selects))
+
     proj = query.proj
     if proj == ["*"]:
         proj = list(env_cols)
     sel = ", ".join("%s AS %s" % (env_cols[v], v) for v in proj)
-    sql = "SELECT %s%s %s" % ("DISTINCT " if query.distinct else "",
-                              sel, " ".join(parts))
+    sql = "%sSELECT %s%s %s" % (with_prefix(),
+                                "DISTINCT " if query.distinct else "",
+                                sel, " ".join(parts))
     if where_conds:
         sql += " WHERE " + " AND ".join(where_conds)
     if query.order:

@@ -31,6 +31,11 @@ TRIPLES = [
     ("p1", DCT + "title", "Org One", "literal", "en"),
     ("p2", RDF_TYPE, FOAF + "Organization", "uri", ""),
     ("self", DCT + "references", "self", "uri", ""),
+    # annotation-shaped extras: d4 is a sub-part of d3 (depth-2 chain
+    # to d1), d9 is an untyped note citing d3
+    ("d4", DCT + "isPartOf", "d3", "uri", ""),
+    ("d9", DCT + "title", "Citing note", "literal", "en"),
+    ("d9", DCT + "references", "d3", "uri", ""),
 ]
 
 PREFIXES = """
@@ -139,6 +144,59 @@ def test_star_and_uri_subject(graph):
     """)
     assert out.iloc[0]["parent"] == "d1"
     assert out.iloc[0]["ptitle"] == "Alpha report"
+
+
+def test_union_branches(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT DISTINCT ?who ?title WHERE {
+          ?who dct:title ?title .
+          { ?who a foaf:Document } UNION { ?who a foaf:Organization }
+        } ORDER BY ?who
+    """)
+    # d9 is typeless, so the union gate drops it; p2 has no title
+    assert list(out["who"]) == ["d1", "d2", "d3", "p1"]
+
+
+def test_path_star_and_plus(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?p WHERE { ?p dct:isPartOf* <d1> } ORDER BY ?p
+    """)
+    # zero-or-more: d1 itself, d3 (1 hop), d4 (2 hops via d3)
+    assert list(out["p"]) == ["d1", "d3", "d4"]
+    out = run_both(graph, PREFIXES + """
+        SELECT ?p WHERE { ?p dct:isPartOf+ <d1> } ORDER BY ?p
+    """)
+    assert list(out["p"]) == ["d3", "d4"]
+
+
+def test_construct_annotations_verbatim(graph, spark):
+    """The reference's one SPARQL file (res/sparql/annotations.rq) runs
+    verbatim through both backends, and the graph it constructs equals
+    the dedicated annotation_graphs operator's output for the same
+    document — two independent implementations, one result."""
+    import os
+    rq_path = "/root/reference/ferenda/res/sparql/annotations.rq"
+    if not os.path.exists(rq_path):
+        pytest.skip("reference fixture tree not present")
+    q = open(rq_path).read() % {"uri": "d1"}
+    out = run_both(graph, q)
+    assert set(out.columns) == {"subject", "predicate", "object"}
+    # d4 reaches d1 through d3; d9's triples enter via the
+    # references-branch; the isReferencedBy edge is synthesized
+    assert ("d3", DCT + "isReferencedBy", "d9") in \
+        set(map(tuple, out.values))
+    assert (out["subject"] == "d4").any()
+
+    from ferenda_spark.operators.relate import annotation_graphs
+    df, _ = graph
+    docs = spark.createDataFrame([("d1",), ("d2",)], "uri string")
+    op = (annotation_graphs(df, docs)
+          .where("doc_uri = 'd1'")
+          .select("subject", "predicate", "object")
+          .distinct().toPandas())
+    lhs = set(map(tuple, out.values))
+    rhs = set(map(tuple, op.values))
+    assert lhs == rhs, (sorted(lhs - rhs)[:5], sorted(rhs - lhs)[:5])
 
 
 def test_join_order_most_bound_first():
