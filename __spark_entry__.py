@@ -361,6 +361,21 @@ def _q_kg_describe(spark, sf_dir):
                                 _ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI})
 
 
+_KG_SPARQL_STATS = """
+SELECT ?p (COUNT(*) AS ?n_triples) (COUNT(DISTINCT ?s) AS ?n_subjects)
+WHERE { ?s ?p ?o } GROUP BY ?p ORDER BY ?p
+"""
+
+
+def _q_kg_sparql_stats(spark, sf_dir):
+    """Per-predicate store statistics through the SPARQL aggregate
+    surface (the triple_count / statusreport shape, ref
+    triplestore.py:175-177, as a user-writable query)."""
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_STATS)
+
+
 def _q_kg_sparql(spark, sf_dir):
     """Ad-hoc SPARQL surface (triplestore.select analog): the generic
     BGP/OPTIONAL/FILTER compiler over the triples table. The oracle is
@@ -772,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search_indexed": _q_kg_search_indexed,
         "kg_sparql": _q_kg_sparql,
         "kg_describe": _q_kg_describe,
+        "kg_sparql_stats": _q_kg_sparql_stats,
         "kg_versions": _q_kg_versions,
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
@@ -858,6 +874,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_describe": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),
+        "kg_sparql_stats": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_SPARQL_STATS),
         "kg_versions": kgoracle.sql_versions(kg, KG_NEW_URL),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views

@@ -113,6 +113,9 @@ class Query:
     limit: int | None
     unions: list = field(default_factory=list)   # list[list[Group]]
     construct: list | None = None                # template triples
+    group_by: list = field(default_factory=list)
+    # proj items are var-name strings or
+    # ("agg", FUNC, distinct, var_or_None, alias) tuples
 
 
 # ----------------------------------------------------------- expressions
@@ -311,6 +314,33 @@ class _Parser:
                 k, v = self.peek()
                 if k == "var":
                     proj.append(v[1:]); self.i += 1
+                elif v == "(":
+                    # (AGG([DISTINCT] ?v | *) AS ?alias)
+                    self.i += 1
+                    kf, vf = self.next()
+                    if kf != "kw" or vf.upper() not in (
+                            "COUNT", "SUM", "AVG", "MIN", "MAX"):
+                        raise SparqlError("unknown aggregate %r" % vf)
+                    func = vf.upper()
+                    self.expect_op("(")
+                    agg_distinct = self.kw("DISTINCT")
+                    ka, va = self.next()
+                    if va == "*":
+                        var = None
+                        if func != "COUNT":
+                            raise SparqlError("%s(*) is not valid" % func)
+                    elif ka == "var":
+                        var = va[1:]
+                    else:
+                        raise SparqlError("aggregate needs ?var or *")
+                    self.expect_op(")")
+                    if not self.kw("AS"):
+                        raise SparqlError("aggregate needs AS ?alias")
+                    kn, vn = self.next()
+                    if kn != "var":
+                        raise SparqlError("aggregate alias must be a var")
+                    self.expect_op(")")
+                    proj.append(("agg", func, agg_distinct, var, vn[1:]))
                 elif v == "*":
                     proj = ["*"]; self.i += 1
                     break
@@ -323,6 +353,21 @@ class _Parser:
         if not self.kw("WHERE"):
             raise SparqlError("missing WHERE")
         where, optionals, unions = self.group(allow_optional=True)
+        group_by: list = []
+        if self.kw("GROUP"):
+            if not self.kw("BY"):
+                raise SparqlError("GROUP without BY")
+            while self.peek()[0] == "var":
+                group_by.append(self.next()[1][1:])
+            if not group_by:
+                raise SparqlError("empty GROUP BY")
+        if proj != ["*"]:
+            plain = [p for p in proj if isinstance(p, str)]
+            has_agg = any(not isinstance(p, str) for p in proj)
+            if (has_agg or group_by) and set(plain) - set(group_by):
+                raise SparqlError(
+                    "non-aggregated vars %s must appear in GROUP BY"
+                    % sorted(set(plain) - set(group_by)))
         order: list = []
         if self.kw("ORDER"):
             if not self.kw("BY"):
@@ -353,7 +398,7 @@ class _Parser:
         if construct is not None and (order or limit is not None):
             raise SparqlError("ORDER/LIMIT on CONSTRUCT is not supported")
         return Query(distinct, proj, where, optionals, order, limit,
-                     unions, construct)
+                     unions, construct, group_by)
 
     def group(self, allow_optional: bool):
         self.expect_op("{")
@@ -745,9 +790,28 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
     proj = query.proj
     if proj == ["*"]:
         proj = list(env_cols)
-    out = plan.select(*[F.col(env_cols[v]).alias(v) for v in proj])
-    if query.distinct:
-        out = out.dropDuplicates()
+    aggs = [p for p in proj if not isinstance(p, str)]
+    if aggs or query.group_by:
+        def aggcol(func, dist, var, alias):
+            if var is None:
+                return F.count(F.lit(1)).alias(alias)
+            col = F.col(env_cols[var])
+            if func == "COUNT":
+                c = F.countDistinct(col) if dist else F.count(col)
+            elif func in ("SUM", "AVG"):
+                c = getattr(F, func.lower())(col.cast("double"))
+            else:
+                c = getattr(F, func.lower())(col)
+            return c.alias(alias)
+        keys = [F.col(env_cols[v]).alias(v) for v in query.group_by]
+        out = plan.groupBy(*keys).agg(
+            *[aggcol(f, d, v, a) for (_, f, d, v, a) in aggs])
+        out = out.select(*[p if isinstance(p, str) else p[4]
+                           for p in proj])
+    else:
+        out = plan.select(*[F.col(env_cols[v]).alias(v) for v in proj])
+        if query.distinct:
+            out = out.dropDuplicates()
     if query.order:
         out = out.orderBy(*[F.col(v).desc() if d else F.col(v).asc()
                             for v, d in query.order])
@@ -964,12 +1028,34 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
     proj = query.proj
     if proj == ["*"]:
         proj = list(env_cols)
-    sel = ", ".join("%s AS %s" % (env_cols[v], v) for v in proj)
-    sql = "%sSELECT %s%s %s" % (with_prefix(),
-                                "DISTINCT " if query.distinct else "",
-                                sel, " ".join(parts))
-    if where_conds:
-        sql += " WHERE " + " AND ".join(where_conds)
+    aggs = [p for p in proj if not isinstance(p, str)]
+    if aggs or query.group_by:
+        def aggsql(func, dist, var, alias):
+            if var is None:
+                return "COUNT(*) AS %s" % alias
+            c = env_cols[var]
+            if func == "COUNT":
+                return "COUNT(%s%s) AS %s" % ("DISTINCT " if dist else "",
+                                              c, alias)
+            if func in ("SUM", "AVG"):
+                return "%s(TRY_CAST(%s AS DOUBLE)) AS %s" % (func, c, alias)
+            return "%s(%s) AS %s" % (func, c, alias)
+        sel = ", ".join(
+            ("%s AS %s" % (env_cols[p], p)) if isinstance(p, str)
+            else aggsql(p[1], p[2], p[3], p[4]) for p in proj)
+        sql = "%sSELECT %s %s" % (with_prefix(), sel, " ".join(parts))
+        if where_conds:
+            sql += " WHERE " + " AND ".join(where_conds)
+        if query.group_by:
+            sql += " GROUP BY " + ", ".join(env_cols[v]
+                                            for v in query.group_by)
+    else:
+        sel = ", ".join("%s AS %s" % (env_cols[v], v) for v in proj)
+        sql = "%sSELECT %s%s %s" % (with_prefix(),
+                                    "DISTINCT " if query.distinct else "",
+                                    sel, " ".join(parts))
+        if where_conds:
+            sql += " WHERE " + " AND ".join(where_conds)
     if query.order:
         sql += " ORDER BY " + ", ".join(
             "%s%s" % (v, " DESC" if d else "") for v, d in query.order)

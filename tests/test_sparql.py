@@ -199,6 +199,36 @@ def test_construct_annotations_verbatim(graph, spark):
     assert lhs == rhs, (sorted(lhs - rhs)[:5], sorted(rhs - lhs)[:5])
 
 
+def test_aggregates_group_by(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?type (COUNT(?s) AS ?n) (MIN(?title) AS ?first)
+        WHERE { ?s a ?type . ?s dct:title ?title }
+        GROUP BY ?type ORDER BY ?type
+    """)
+    byt = out.set_index("type")
+    assert byt.loc[FOAF + "Document", "n"] == 3
+    assert byt.loc[FOAF + "Document", "first"] == "Alpha report"
+    assert byt.loc[FOAF + "Organization", "n"] == 1   # p2 has no title
+
+
+def test_aggregates_global_and_sum(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT (COUNT(*) AS ?rows) (SUM(?n) AS ?total)
+               (COUNT(DISTINCT ?s) AS ?docs)
+        WHERE { ?s dct:identifier ?n }
+    """)
+    assert out.iloc[0]["rows"] == 3
+    assert float(out.iloc[0]["total"]) == 22.0   # 3 + 12 + 7
+    assert out.iloc[0]["docs"] == 3
+
+
+def test_aggregates_reject_ungrouped_var():
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse(PREFIXES + """
+            SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+        """)
+
+
 def test_join_order_most_bound_first():
     q = sparql.parse(PREFIXES + """
         SELECT ?u ?t WHERE {
