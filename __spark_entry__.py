@@ -586,6 +586,25 @@ def _q_pack_sequences(spark, sf_dir):
                           budget=256, n_shards=8)
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 37 == 0 act as the
+    held-out eval set; every other document is scored by how many of
+    its word 3-grams appear in that set (broadcast benchmark shingles →
+    one hash join + one partial agg on the corpus side)."""
+    from ferenda_spark.operators.curation import decontaminate
+    docs = _read(spark, sf_dir, "documents")
+    return decontaminate(docs.where(F.col("doc_id") % 37 != 0),
+                         docs.where(F.col("doc_id") % 37 == 0),
+                         n=3, threshold=0.2)
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition signals (boilerplate /
+    degenerate-text filter features)."""
+    from ferenda_spark.operators.curation import repetition_stats
+    return repetition_stats(_read(spark, sf_dir, "documents"), n=3)
+
+
 def _with_injected_dups(docs: DataFrame) -> DataFrame:
     dups = (docs.where(F.col("doc_id") % 7 == 0)
             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
@@ -798,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "language_id": _q_langid,
         "fingerprint": _q_fingerprint,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -822,8 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from ferenda_spark import annoracle, kgoracle, sparql
-    from ferenda_spark.operators import (dedup, multimodal, packing, sampling,
-                                         similarity,
+    from ferenda_spark.operators import (curation, dedup, multimodal,
+                                         packing, sampling, similarity,
                                          textops)
     jaccard_oracle = dedup.oracle_sql_ngram_jaccard(threshold=0.5)
     dup_docs = ("(SELECT doc_id, text FROM documents UNION ALL "
@@ -888,6 +909,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textops.oracle_sql_quality(),
         "language_id": textops.oracle_sql_language_id(),
         "fingerprint": textops.oracle_sql_fingerprint(),
+        "decontaminate": curation.oracle_sql_decontaminate(
+            n=3, threshold=0.2),
+        "repetition_stats": curation.oracle_sql_repetition(n=3),
         "dedup_exact": dedup.oracle_sql_exact_duplicates(dup_docs),
         "dedup_ngram_jaccard": jaccard_oracle,
         # LSH verifies candidates with exact jaccard → same ground

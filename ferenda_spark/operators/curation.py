@@ -1,0 +1,192 @@
+"""Corpus-curation operators: benchmark decontamination and
+repetition/boilerplate statistics.
+
+Two standard steps of a web-scale training-data pipeline that sit
+between quality filtering (:mod:`.textops`) and dedup (:mod:`.dedup`):
+
+- **decontamination** — flag corpus documents that share word n-grams
+  with a benchmark/eval set, so evaluation data can be excluded from
+  training corpora (the n-gram-overlap method used by the public
+  GPT-3/PaLM/Llama decontamination write-ups);
+- **repetition stats** — Gopher-style within-document repetition
+  signals (duplicate-word fraction, duplicate n-gram fraction, top-word
+  fraction) used to drop boilerplate and degenerate generations.
+
+Reference analog: ferenda's parse stage has no corpus-level curation
+(it operates per legal document), but its shingle/fulltext machinery
+(ferenda/fulltextindex.py:120-152) is the same word-n-gram foundation;
+these operators extend it to corpus scale the way `.dedup` extends the
+exact-duplicate check.
+
+Scale notes:
+
+- ``decontaminate`` broadcasts the *benchmark* shingle set (eval sets
+  are tiny — MMLU/GSM8K-scale, thousands of documents — while the
+  corpus is the 100 TB side), so the corpus side sees one broadcast
+  hash join plus one partial-aggregated groupBy on ``doc_id`` — rows
+  already co-partitioned by the explode, no skew (a shingle hit count
+  per document is bounded by document length).
+- ``repetition_stats`` computes the array-based fractions as codegen
+  projections (no shuffle) and the top-word fraction with a two-level
+  aggregate (map-side partial combine on (doc_id, word)) — the
+  canonical Spark shape for per-document modes; one Exchange on
+  doc_id-hash regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _sql_shingles, shingle_table
+from .textops import words_col
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: int = 3,
+                  threshold: float = 0.2, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-corpus-document benchmark n-gram contamination.
+
+    → (doc_id, n_ngrams, n_hit, contamination, contaminated) for every
+    corpus document: how many of its distinct word ``n``-grams appear
+    anywhere in the benchmark set, the hit ratio, and a boolean flag at
+    ``threshold``. Shingling reuses :func:`.dedup.shingle_table`
+    (materialized Arrow stage — see its docstring for why arrays must
+    be data, not expressions), so the oracle's
+    regexp_split/list_distinct construction matches byte-for-byte.
+    """
+    corpus_sh = shingle_table(corpus, n=n, text_col=text_col,
+                              id_col=id_col)
+    bench_grams = (shingle_table(benchmark, n=n, text_col=text_col,
+                                 id_col=id_col)
+                   .select(F.explode("sh").alias("g")).distinct())
+    hits = (corpus_sh.select("id", F.explode("sh").alias("g"))
+            .join(F.broadcast(bench_grams), "g")
+            .groupBy("id").agg(F.count("g").alias("n_hit")))
+    base = corpus_sh.select(F.col("id"),
+                            F.size("sh").cast("long").alias("n_ngrams"))
+    ratio = (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") /
+             F.greatest(F.col("n_ngrams"), F.lit(1)).cast("double"))
+    return (base.join(hits, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    "n_ngrams",
+                    F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+                     .alias("n_hit"),
+                    F.round(ratio, 6).alias("contamination"),
+                    (F.round(ratio, 6) >= threshold).alias("contaminated"))
+            .orderBy(id_col))
+
+
+def repetition_stats(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher-rule family).
+
+    → (doc_id, n_words, dup_word_frac, dup_ngram_frac, top_word_frac):
+    fraction of word occurrences that are repeats, fraction of word
+    ``n``-gram occurrences that are repeats, and the frequency share of
+    the single most common word. The array fractions are pure column
+    expressions; the top-word share is the standard explode →
+    two-level aggregate (partial combine map-side).
+    """
+    words = words_col(F.col(text_col))
+    nw = F.size(words)
+    grams = F.when(
+        nw >= n,
+        F.transform(F.sequence(F.lit(1), nw - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(words, i + j)
+                               for j in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+    nwd = F.greatest(nw, F.lit(1)).cast("double")
+    ng = F.size(grams)
+    ngd = F.greatest(ng, F.lit(1)).cast("double")
+    base = df.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        F.round(F.when(nw > 0,
+                       F.lit(1.0) - F.size(F.array_distinct(words)) / nwd)
+                 .otherwise(F.lit(0.0)), 6).alias("dup_word_frac"),
+        F.round(F.when(ng > 0,
+                       F.lit(1.0) - F.size(F.array_distinct(grams)) / ngd)
+                 .otherwise(F.lit(0.0)), 6).alias("dup_ngram_frac"),
+    )
+    top = (df.select(F.col(id_col), F.explode(words).alias("w"))
+           .groupBy(id_col, "w").count()
+           .groupBy(id_col).agg(F.max("count").alias("top_cnt")))
+    return (base.join(top, id_col, "left")
+            .select(id_col, "n_words", "dup_word_frac", "dup_ngram_frac",
+                    F.round(F.when(F.col("n_words") > 0,
+                                   F.coalesce(F.col("top_cnt"), F.lit(0))
+                                   .cast("double") / F.col("n_words"))
+                             .otherwise(F.lit(0.0)), 6)
+                    .alias("top_word_frac"))
+            .orderBy(id_col))
+
+
+def oracle_sql_decontaminate(table: str = "documents", n: int = 3,
+                             threshold: float = 0.2,
+                             bench_pred: str = "doc_id % 37 = 0") -> str:
+    """DuckDB twin of :func:`decontaminate` with the benchmark side
+    selected by ``bench_pred`` from the same table (the driver query's
+    deterministic eval-set split)."""
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_sql_shingles(n)} AS sh
+      FROM (SELECT doc_id,
+                   CASE WHEN trim(text)='' THEN []::varchar[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+            FROM {table})
+    ),
+    bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE {bench_pred}),
+    corpus AS (SELECT * FROM sh WHERE NOT ({bench_pred})),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM corpus),
+    hits AS (SELECT e.doc_id, count(*) AS n_hit
+             FROM ex e JOIN bench b ON e.g = b.g GROUP BY e.doc_id)
+    SELECT c.doc_id, len(c.sh)::bigint AS n_ngrams,
+           coalesce(h.n_hit, 0)::bigint AS n_hit,
+           round(coalesce(h.n_hit, 0)::double
+                 / greatest(len(c.sh), 1), 6) AS contamination,
+           round(coalesce(h.n_hit, 0)::double
+                 / greatest(len(c.sh), 1), 6) >= {threshold} AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+def oracle_sql_repetition(table: str = "documents", n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    grams = (f"CASE WHEN len(words) >= {n} THEN "
+             f"[ {gram} for i in range(1, len(words) - {n - 2}) ] "
+             f"ELSE []::varchar[] END")
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text)='' THEN []::varchar[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+      FROM {table}
+    ), feat AS (
+      SELECT doc_id, len(words) AS nw,
+             len(list_distinct(words)) AS nd,
+             {grams} AS g
+      FROM base
+    ), top AS (
+      SELECT doc_id, max(c) AS top_cnt
+      FROM (SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(words) AS w FROM base)
+            GROUP BY doc_id, w)
+      GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.nw::bigint AS n_words,
+           round(CASE WHEN f.nw > 0
+                 THEN 1.0 - f.nd::double / greatest(f.nw, 1)
+                 ELSE 0.0 END, 6) AS dup_word_frac,
+           round(CASE WHEN len(f.g) > 0
+                 THEN 1.0 - len(list_distinct(f.g))::double
+                      / greatest(len(f.g), 1)
+                 ELSE 0.0 END, 6) AS dup_ngram_frac,
+           round(CASE WHEN f.nw > 0
+                 THEN coalesce(t.top_cnt, 0)::double / f.nw
+                 ELSE 0.0 END, 6) AS top_word_frac
+    FROM feat f LEFT JOIN top t USING (doc_id)
+    ORDER BY doc_id
+    """

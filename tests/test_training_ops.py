@@ -332,3 +332,63 @@ def test_stratified_sample_deterministic_and_quota(spark):
                stratified_sample(df, "lang", 0.25, seed=1).collect())
     assert c != a                               # seed changes the draw
     assert len(c) == len(a)                     # but not the quota
+
+
+def test_decontaminate_semantics(spark):
+    """A doc copied verbatim from the benchmark is 100% contaminated;
+    a doc sharing no 3-grams scores 0 and is unflagged; partial overlap
+    lands strictly between."""
+    import pandas as pd
+    from ferenda_spark.operators.curation import decontaminate
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1000],
+                      "text": ["the quick brown fox jumps over the lazy dog"]}),
+        schema="doc_id long, text string")
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3],
+                      "text": ["the quick brown fox jumps over the lazy dog",
+                               "completely different words in here now friend",
+                               "the quick brown fox went somewhere else entirely"]}),
+        schema="doc_id long, text string")
+    out = {r.doc_id: r for r in
+           decontaminate(corpus, bench, n=3, threshold=0.2).collect()}
+    assert out[1].contamination == 1.0 and out[1].contaminated
+    assert out[2].contamination == 0.0 and not out[2].contaminated
+    assert 0.0 < out[3].contamination < 1.0     # shares "the quick brown" etc.
+    assert out[3].n_hit == 2                    # 2 shared trigrams
+
+
+def test_decontaminate_oracle_parity(spark, duck):
+    from ferenda_spark.operators import curation
+    from pyspark.sql import functions as F
+    d = docs(spark)
+    assert_parity(
+        curation.decontaminate(d.where(F.col("doc_id") % 37 != 0),
+                               d.where(F.col("doc_id") % 37 == 0),
+                               n=3, threshold=0.2),
+        duck, curation.oracle_sql_decontaminate(n=3, threshold=0.2))
+
+
+def test_repetition_stats_semantics(spark):
+    import pandas as pd
+    from ferenda_spark.operators.curation import repetition_stats
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                      "text": ["spam spam spam spam spam",
+                               "all words here are unique tokens",
+                               "ab", ""]}),
+        schema="doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(df, n=3).collect()}
+    assert out[1].dup_word_frac == 0.8          # 1 distinct / 5 words
+    assert out[1].top_word_frac == 1.0
+    assert out[1].dup_ngram_frac == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert out[2].dup_word_frac == 0.0
+    assert out[2].top_word_frac == pytest.approx(1 / 6, abs=1e-6)
+    assert out[3].n_words == 1 and out[3].dup_ngram_frac == 0.0
+    assert out[4].n_words == 0 and out[4].top_word_frac == 0.0
+
+
+def test_repetition_stats_oracle_parity(spark, duck):
+    from ferenda_spark.operators import curation
+    assert_parity(curation.repetition_stats(docs(spark), n=3),
+                  duck, curation.oracle_sql_repetition(n=3))
