@@ -680,6 +680,15 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(emb, emb.where(F.col("vec_id") < 50), k=5)
 
 
+def _q_embedding_clusters(spark, sf_dir):
+    """Corpus k-means clustering (domain balancing / data mixing):
+    every vector assigned to its nearest seeded centroid in one
+    shuffle-free Arrow pass; hard cross-execution oracle
+    (ferenda_spark.annoracle, bit-exact fold-order kernels)."""
+    from ferenda_spark.operators.similarity import kmeans_clusters
+    return kmeans_clusters(_read(spark, sf_dir, "embeddings"))
+
+
 def _q_media_decode(spark, sf_dir):
     """Real header decode (PNG IHDR, WAV RIFF) over a synthetic media
     table with genuine container bytes; video stays an explicit
@@ -829,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_clusters": _q_embedding_clusters,
         "media_decode": _q_media_decode,
         # relational / faceting analogs (DuckDB-oracled)
         "facet_pivot": _q_facet_pivot,
@@ -927,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": annoracle.sql_simhash(ann),
         "ann_lsh_topk": annoracle.sql_ann_topk(ann, "ann_lsh_topk"),
         "ann_ivf_topk": annoracle.sql_ann_topk(ann, "ann_ivf_topk"),
+        "embedding_clusters": annoracle.sql_embedding_clusters(ann),
         "dedup_clusters": dedup.oracle_sql_dup_clusters(jaccard_oracle),
         "dedup_embedding": dedup.oracle_sql_embedding_dup(threshold=0.45),
         "dedup_embedding_blocked":

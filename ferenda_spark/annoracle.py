@@ -47,7 +47,8 @@ _REPO_ROOT = os.path.dirname(_PKG_DIR)
 _FINGERPRINT_MODULES = ["annoracle.py", "operators/dedup.py",
                         "operators/similarity.py"]
 
-TABLES = ("dedup_simhash", "ann_lsh_topk", "ann_ivf_topk")
+TABLES = ("dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
+          "embedding_clusters")
 
 
 def _round6(x: float) -> float:
@@ -209,6 +210,29 @@ def ann_ivf_twin(sf_dir: str, n_queries: int = 50, k: int = 5,
     return _rank_topk(ids[qi], ids[ni], sims, k)
 
 
+def kmeans_clusters_twin(sf_dir: str, n_clusters: int = 16,
+                         iters: int = 10, train_sample: int = 20_000,
+                         seed: int = 11):
+    """Single-threaded :func:`similarity.kmeans_clusters` (driver-query
+    defaults): crc32-ordered train sample → k-means → fold-assign with
+    per-row nearest-centroid similarity."""
+    import numpy as np
+    import pandas as pd
+    from .operators.similarity import _fold_matmul, _kmeans_centroids
+    ids, V = _load_embeddings(sf_dir)
+    h = np.array([zlib.crc32(str(int(i)).encode()) for i in ids],
+                 dtype=np.int64)
+    order = np.lexsort((ids, h))[:min(train_sample, len(ids))]
+    C = _kmeans_centroids(V[order], n_clusters, iters=iters, seed=seed)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    S = _fold_matmul(Vn, np.asarray(C).T)
+    best = S.argmax(axis=1)
+    return (pd.DataFrame({"vec_id": ids,
+                          "cluster": best.astype("int32"),
+                          "sim": S[np.arange(len(best)), best]})
+            .sort_values("vec_id", kind="mergesort"))
+
+
 # ----------------------------------------------------- materialization
 
 def _fingerprint(sf_dir: str) -> str:
@@ -248,10 +272,14 @@ def ensure_ann_tables(sf_dir: str) -> dict[str, str]:
         "ann_ivf_topk": pa.schema([("query_id", pa.int64()),
                                    ("neighbor_id", pa.int64()),
                                    ("rank", pa.int32())]),
+        "embedding_clusters": pa.schema([("vec_id", pa.int64()),
+                                         ("cluster", pa.int32()),
+                                         ("sim", pa.float64())]),
     }
     outs = {"dedup_simhash": simhash_twin(sf_dir),
             "ann_lsh_topk": ann_lsh_twin(sf_dir),
-            "ann_ivf_topk": ann_ivf_twin(sf_dir)}
+            "ann_ivf_topk": ann_ivf_twin(sf_dir),
+            "embedding_clusters": kmeans_clusters_twin(sf_dir)}
     for t, pdf in outs.items():
         pq.write_table(pa.Table.from_pandas(pdf, schema=schemas[t],
                                             preserve_index=False),
@@ -268,6 +296,11 @@ def ensure_ann_tables(sf_dir: str) -> dict[str, str]:
 def sql_simhash(paths: dict[str, str]) -> str:
     return ("SELECT a_id, b_id, jaccard_sim FROM read_parquet('%s') "
             "ORDER BY a_id, b_id" % paths["dedup_simhash"])
+
+
+def sql_embedding_clusters(paths: dict[str, str]) -> str:
+    return ("SELECT vec_id, cluster, sim FROM read_parquet('%s') "
+            "ORDER BY vec_id" % paths["embedding_clusters"])
 
 
 def sql_ann_topk(paths: dict[str, str], table: str) -> str:

@@ -293,3 +293,51 @@ def oracle_sql_brute_force_topk(table: str = "embeddings", k: int = 5,
     SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
     ORDER BY query_id, rank
     """
+
+
+def kmeans_clusters(items: DataFrame, n_clusters: int = 16,
+                    iters: int = 10, train_sample: int = 20_000,
+                    seed: int = 11, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Corpus clustering: assign every vector to its nearest seeded
+    k-means centroid → (vec_id, cluster, sim). The domain-balancing /
+    data-mixing step of a training pipeline (cluster the corpus, then
+    sample per cluster), and the same train/assign kernels the IVF ANN
+    index uses — so the single-threaded oracle twin
+    (:mod:`ferenda_spark.annoracle`) is bit-exact by the same
+    fold-order argument.
+
+    Scale notes: training is driver-side over a bounded hash-random
+    sample (:func:`train_sample_matrix` — unbiased w.r.t. partition
+    order); assignment is one shuffle-free Arrow stage with a
+    broadcast centroid matrix (k·d doubles — KBs), so the whole
+    operator is a single narrow pass over the corpus.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StructField, StructType)
+    M = train_sample_matrix(items, train_sample, vec_col, id_col)
+    C = _kmeans_centroids(M, n_clusters, iters=iters, seed=seed)
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("cluster", IntegerType()),
+                         StructField("sim", DoubleType())])
+
+    def run(batches):
+        import numpy as np
+        Cl = np.asarray(C)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy().astype("int64")
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                               1e-12)
+            S = _fold_matmul(V, Cl.T)
+            best = S.argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": ids, "cluster": best.astype("int32"),
+                 "sim": S[np.arange(len(best)), best]})
+
+    return (ensure_parallelism(items.select(F.col(id_col), vec_col))
+            .mapInPandas(run, schema)
+            .orderBy("vec_id"))

