@@ -376,6 +376,29 @@ def _q_kg_sparql_stats(spark, sf_dir):
                                 _KG_SPARQL_STATS)
 
 
+_KG_SPARQL_BIND = """
+PREFIX dct: <http://purl.org/dc/terms/>
+PREFIX bibo: <http://purl.org/ontology/bibo/>
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+SELECT ?s ?type ?label WHERE {
+  ?s a ?type .
+  ?s dct:title ?title .
+  VALUES ?type { foaf:Document bibo:DocumentPart }
+  BIND(concat(?type, "|", ?title) AS ?label)
+} ORDER BY ?s ?type LIMIT 500
+"""
+
+
+def _q_kg_sparql_bind(spark, sf_dir):
+    """VALUES + BIND through the SPARQL compiler: restrict by an inline
+    type list, project a computed label — the parameterized-query shape
+    a reference user gets from triplestore.select with initBindings.
+    Twinned SQL oracle from the same parse (ferenda_spark/sparql.py)."""
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_BIND)
+
+
 def _q_kg_sparql(spark, sf_dir):
     """Ad-hoc SPARQL surface (triplestore.select analog): the generic
     BGP/OPTIONAL/FILTER compiler over the triples table. The oracle is
@@ -816,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql": _q_kg_sparql,
         "kg_describe": _q_kg_describe,
         "kg_sparql_stats": _q_kg_sparql_stats,
+        "kg_sparql_bind": _q_kg_sparql_bind,
         "kg_versions": _q_kg_versions,
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
@@ -907,6 +931,8 @@ def oracle_sql() -> dict[str, str]:
             _ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),
         "kg_sparql_stats": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_STATS),
+        "kg_sparql_bind": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_SPARQL_BIND),
         "kg_versions": kgoracle.sql_versions(kg, KG_NEW_URL),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views

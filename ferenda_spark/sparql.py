@@ -17,7 +17,12 @@ Supported subset (what ferenda's own queries use):
   ``a`` / string-literal (with optional ``@lang``) / numeric terms
 - single-level ``OPTIONAL { … }`` groups (with their own FILTERs)
 - ``FILTER`` expressions: ``= != < <= > >=``, ``IN (…)``,
-  ``regex(?v, "pat")``, ``bound(?v)``, ``str(?v)``, ``! && ||``
+  ``regex(?v, "pat")``, ``bound(?v)``, ``str(?v)``, ``concat(…)``,
+  ``! && ||``
+- ``BIND(expr AS ?v)`` (top-level group; after BGP/UNION/VALUES,
+  before FILTER/OPTIONAL), ``VALUES ?v { … }`` / ``VALUES (?a ?b)
+  { (…)… }`` with ``UNDEF``
+- ``ASK { … }`` → one boolean row
 - ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``
 
 Compilation is twinned: :func:`compile_spark` builds the DataFrame
@@ -101,6 +106,8 @@ class Triple:
 class Group:
     triples: list = field(default_factory=list)
     filters: list = field(default_factory=list)   # expr ASTs
+    binds: list = field(default_factory=list)     # [(Expr, var-name)]
+    values: list = field(default_factory=list)    # [(var-names, rows)]
 
 
 @dataclass
@@ -114,6 +121,7 @@ class Query:
     unions: list = field(default_factory=list)   # list[list[Group]]
     construct: list | None = None                # template triples
     group_by: list = field(default_factory=list)
+    ask: bool = False                            # ASK query → 1 bool row
     # proj items are var-name strings or
     # ("agg", FUNC, distinct, var_or_None, alias) tuples
 
@@ -242,6 +250,19 @@ class ENot(Expr):
 
 
 @dataclass
+class EConcat(Expr):
+    parts: list   # Expr
+
+    def spark(self, env):
+        return F.concat(*[p.spark(env).cast("string")
+                          for p in self.parts])
+
+    def sql(self, env):
+        return "(%s)" % " || ".join("CAST(%s AS VARCHAR)" % p.sql(env)
+                                    for p in self.parts)
+
+
+@dataclass
 class EBool(Expr):
     op: str   # "&&" | "||"
     left: Expr
@@ -296,7 +317,10 @@ class _Parser:
                 raise SparqlError("bad PREFIX uri %r" % vu)
             self.prefixes[name] = vu[1:-1]
         construct = None
-        if self.kw("CONSTRUCT"):
+        ask = False
+        if self.kw("ASK"):
+            ask, distinct, proj = True, False, []
+        elif self.kw("CONSTRUCT"):
             distinct, proj = True, []
             construct = []
             self.expect_op("{")
@@ -349,8 +373,9 @@ class _Parser:
             if not proj:
                 raise SparqlError("empty projection")
         else:
-            raise SparqlError("only SELECT/CONSTRUCT queries are supported")
-        if not self.kw("WHERE"):
+            raise SparqlError(
+                "only SELECT/CONSTRUCT/ASK queries are supported")
+        if not self.kw("WHERE") and not ask:    # ASK may omit WHERE
             raise SparqlError("missing WHERE")
         where, optionals, unions = self.group(allow_optional=True)
         group_by: list = []
@@ -397,8 +422,10 @@ class _Parser:
             raise SparqlError("trailing tokens at %r" % (self.peek(),))
         if construct is not None and (order or limit is not None):
             raise SparqlError("ORDER/LIMIT on CONSTRUCT is not supported")
+        if ask and (order or limit is not None or group_by):
+            raise SparqlError("ORDER/LIMIT/GROUP BY on ASK is not valid")
         return Query(distinct, proj, where, optionals, order, limit,
-                     unions, construct, group_by)
+                     unions, construct, group_by, ask)
 
     def group(self, allow_optional: bool):
         self.expect_op("{")
@@ -435,9 +462,71 @@ class _Parser:
                 g.filters.append(self.expr())
                 self.expect_op(")")
                 continue
+            if k == "kw" and v.upper() == "BIND":
+                if not allow_optional:
+                    raise SparqlError("BIND inside OPTIONAL/UNION is "
+                                      "not supported")
+                self.i += 1
+                self.expect_op("(")
+                e = self.expr()
+                if not self.kw("AS"):
+                    raise SparqlError("BIND needs AS ?var")
+                kn, vn = self.next()
+                if kn != "var":
+                    raise SparqlError("BIND target must be a variable")
+                self.expect_op(")")
+                g.binds.append((e, vn[1:]))
+                continue
+            if k == "kw" and v.upper() == "VALUES":
+                if not allow_optional:
+                    raise SparqlError("VALUES inside OPTIONAL/UNION is "
+                                      "not supported")
+                self.i += 1
+                g.values.append(self.values_block())
+                continue
             g.triples.append(self.triple())
             if self.peek()[1] in (".", ";"):
                 self.i += 1
+
+    def values_block(self):
+        """``VALUES ?v { t… }`` or ``VALUES (?a ?b) { (ta tb)… }`` →
+        (var-names, [row-tuples]); each row value is a term tuple or
+        None (the UNDEF keyword)."""
+        def row_term(self):
+            k, v = self.peek()
+            if k == "kw" and v.upper() == "UNDEF":
+                self.i += 1
+                return None
+            return self.term()
+        if self.peek()[1] == "(":
+            self.i += 1
+            names = []
+            while self.peek()[0] == "var":
+                names.append(self.next()[1][1:])
+            self.expect_op(")")
+            if not names:
+                raise SparqlError("empty VALUES variable list")
+            self.expect_op("{")
+            rows = []
+            while self.peek()[1] != "}":
+                self.expect_op("(")
+                row = tuple(row_term(self) for _ in names)
+                self.expect_op(")")
+                rows.append(row)
+            self.i += 1
+        else:
+            k, v = self.next()
+            if k != "var":
+                raise SparqlError("VALUES needs ?var or (?var…)")
+            names = [v[1:]]
+            self.expect_op("{")
+            rows = []
+            while self.peek()[1] != "}":
+                rows.append((row_term(self),))
+            self.i += 1
+        if not rows:
+            raise SparqlError("empty VALUES block")
+        return (names, rows)
 
     def simple_group(self) -> Group:
         g, optionals, unions = self.group(allow_optional=False)
@@ -539,6 +628,15 @@ class _Parser:
             kv, vv = self.next()
             self.expect_op(")")
             return EBound(EVar(vv[1:]))
+        if k == "kw" and v.lower() == "concat":
+            self.i += 1
+            self.expect_op("(")
+            parts = [self.expr()]
+            while self.peek()[1] == ",":
+                self.i += 1
+                parts.append(self.expr())
+            self.expect_op(")")
+            return EConcat(parts)
         if k == "kw" and v.lower() == "str":
             # str(?v) — identity here: objects are stored as strings
             self.i += 1
@@ -746,6 +844,43 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
             for v in all_vars:
                 env_cols.setdefault(v, canon[v])
 
+    # VALUES blocks join as tiny inline relations (broadcast by AQE);
+    # UNDEF rows leave that variable unconstrained for the row
+    for names, rows in query.where.values:
+        vname = "v%d" % counter[0]
+        counter[0] += 1
+        cols = {v: "%s__%s" % (vname, v) for v in names}
+        data = [tuple(None if t is None else t[1] for t in row)
+                for row in rows]
+        vdf = triples.sparkSession.createDataFrame(
+            data, schema=", ".join("%s string" % cols[v] for v in names))
+        if plan is None:
+            plan, env_cols = vdf, dict(cols)
+            continue
+        shared = [v for v in names if v in env_cols]
+        if shared:
+            cond = None
+            for v in shared:
+                c = (F.col(cols[v]).isNull() |
+                     (F.col(env_cols[v]) == F.col(cols[v])))
+                cond = c if cond is None else (cond & c)
+            plan = plan.join(F.broadcast(vdf), cond, "inner")
+        else:
+            plan = plan.crossJoin(F.broadcast(vdf))
+        for v, c in cols.items():
+            env_cols.setdefault(v, c)
+
+    # BINDs project new columns; evaluated after BGP/UNION/VALUES and
+    # before FILTER/OPTIONAL (documented subset restriction)
+    for bi2, (e, var) in enumerate(query.where.binds):
+        if var in env_cols:
+            raise SparqlError("BIND target ?%s is already bound" % var)
+        if plan is None:
+            raise SparqlError("BIND requires a preceding pattern")
+        cname = "b%d__%s" % (bi2, var)
+        plan = plan.withColumn(cname, e.spark(colenv(env_cols)))
+        env_cols[var] = cname
+
     # group-level FILTERs range over the whole group, union blocks
     # included, so they apply after the union joins
     for f in query.where.filters:
@@ -786,6 +921,11 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                              F.col("object").isNotNull())
             out = row if out is None else out.unionByName(row)
         return out.dropDuplicates()
+
+    if query.ask:
+        return (plan.limit(1)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .select((F.col("c") > 0).alias("ask")))
 
     proj = query.proj
     if proj == ["*"]:
@@ -961,6 +1101,44 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         for v in all_vars:
             env_cols.setdefault(v, canon[v])
 
+    # VALUES blocks: inline relations, same null-means-UNDEF join
+    # condition as the Spark backend
+    for names, rows in query.where.values:
+        alias = "v%d" % n[0]
+        n[0] += 1
+        cols = {v: "%s__%s" % (alias, v) for v in names}
+
+        def vterm(t):
+            return "NULL" if t is None else \
+                "'%s'" % t[1].replace("'", "''")
+        rows_sql = ", ".join(
+            "(%s)" % ", ".join(vterm(t) for t in row) for row in rows)
+        rel = "(VALUES %s) %s(%s)" % (
+            rows_sql, alias, ", ".join(cols[v] for v in names))
+        shared = [v for v in names if v in env_cols]
+        if not parts:
+            parts.append("FROM %s" % rel)
+        elif shared:
+            on = " AND ".join(
+                "(%s IS NULL OR %s = %s)" % (cols[v], env_cols[v], cols[v])
+                for v in shared)
+            parts.append("JOIN %s ON %s" % (rel, on))
+        else:
+            parts.append("CROSS JOIN %s" % rel)
+        for v, c in cols.items():
+            env_cols.setdefault(v, c)
+
+    # BINDs become SQL expressions carried in env_cols — projection,
+    # later FILTERs and GROUP/ORDER BY all substitute the text
+    bind_vars = set()
+    for e, var in query.where.binds:
+        if var in env_cols:
+            raise SparqlError("BIND target ?%s is already bound" % var)
+        if not parts:
+            raise SparqlError("BIND requires a preceding pattern")
+        env_cols[var] = e.sql(sqlenv(env_cols))
+        bind_vars.add(var)
+
     where_conds = [f.sql(sqlenv(env_cols)) for f in query.where.filters]
 
     for g in query.optionals:
@@ -1000,9 +1178,21 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             return ""
         return "WITH RECURSIVE %s " % ", ".join(allc)
 
+    if query.ask:
+        inner = "SELECT 1 AS one %s" % " ".join(parts)
+        if where_conds:
+            inner += " WHERE " + " AND ".join(where_conds)
+        return "%sSELECT (COUNT(*) > 0) AS ask FROM (%s LIMIT 1) askq" \
+            % (with_prefix(), inner)
+
     if query.construct is not None:
+        # bind vars carry an expression, not a column reference — give
+        # them a plain alias inside the solution CTE
+        sol_cols = {v: ("bind__%s" % v if v in bind_vars else c)
+                    for v, c in env_cols.items()}
         sol = "SELECT %s %s" % (
-            ", ".join("%s AS %s" % (c, c) for c in env_cols.values()),
+            ", ".join("%s AS %s" % (c, sol_cols[v])
+                      for v, c in env_cols.items()),
             " ".join(parts))
         if where_conds:
             sol += " WHERE " + " AND ".join(where_conds)
@@ -1012,7 +1202,7 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                 if term[1] not in env_cols:
                     raise SparqlError("unbound template variable ?%s"
                                       % term[1])
-                return env_cols[term[1]]
+                return sol_cols[term[1]]
             return "'%s'" % term[1].replace("'", "''")
         selects = []
         for t in query.construct:

@@ -240,3 +240,78 @@ def test_join_order_most_bound_first():
     ordered = sparql._order_patterns(q.where.triples)
     # the fully-bound-but-for-?u pattern (2 consts) anchors the plan
     assert ordered[0].o == ("uri", "p1")
+
+
+def test_ask(graph):
+    out = run_both(graph, PREFIXES + """
+        ASK { ?s dct:publisher <p1> }
+    """)
+    assert bool(out.iloc[0]["ask"]) is True
+    out = run_both(graph, PREFIXES + """
+        ASK WHERE { ?s dct:publisher <p99> }
+    """)
+    assert bool(out.iloc[0]["ask"]) is False
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse("ASK { ?s ?p ?o } LIMIT 5")
+
+
+def test_bind_concat(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?label WHERE {
+          ?s a foaf:Document .
+          ?s dct:title ?t .
+          BIND(concat(?s, "=", ?t) AS ?label)
+        } ORDER BY ?s
+    """)
+    assert list(out["label"]) == [
+        "d1=Alpha report", "d2=Beta memo", "d3=Gamma"]
+    # a BIND var participates in later FILTERs
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE {
+          ?s dct:title ?t .
+          BIND(concat(?t, "!") AS ?x)
+          FILTER(?x = "Gamma!")
+        }
+    """)
+    assert list(out["s"]) == ["d3"]
+    with pytest.raises(sparql.SparqlError):
+        sparql.compile_sql("triples", PREFIXES + """
+            SELECT ?t WHERE { ?s dct:title ?t . BIND(?s AS ?t) }
+        """)
+
+
+def test_values_single_and_multi(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?t WHERE {
+          ?s dct:title ?t .
+          VALUES ?s { <d1> <d3> }
+        } ORDER BY ?s
+    """)
+    assert list(out["s"]) == ["d1", "d3"]
+    # two-var rows incl. UNDEF: (d1, *) matches any title for d1
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?t WHERE {
+          ?s dct:title ?t .
+          VALUES (?s ?t) { (<d1> UNDEF) (<d2> "Beta memo") (<d2> "nope") }
+        } ORDER BY ?s
+    """)
+    assert list(map(tuple, out[["s", "t"]].values)) == [
+        ("d1", "Alpha report"), ("d2", "Beta memo")]
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse(PREFIXES + "SELECT ?s WHERE { VALUES ?s { } }")
+
+
+def test_values_construct_and_bind_construct(graph):
+    # VALUES restricting a CONSTRUCT; BIND flowing into the template
+    out = run_both(graph, PREFIXES + """
+        CONSTRUCT { ?s dct:alternative ?alt }
+        WHERE {
+          ?s dct:title ?t .
+          VALUES ?s { <d1> <d2> }
+          BIND(concat("alt:", ?t) AS ?alt)
+        }
+    """)
+    got = set(map(tuple, out.values))
+    assert got == {
+        ("d1", DCT + "alternative", "alt:Alpha report"),
+        ("d2", DCT + "alternative", "alt:Beta memo")}
