@@ -16,13 +16,21 @@ Supported subset (what ferenda's own queries use):
 - basic graph patterns: ``?s <p> ?o`` triples with URI / prefixed /
   ``a`` / string-literal (with optional ``@lang``) / numeric terms
 - single-level ``OPTIONAL { … }`` groups (with their own FILTERs)
+- basic graph patterns with Turtle ``;`` predicate-object and ``,``
+  object lists
 - ``FILTER`` expressions: ``= != < <= > >=``, ``IN (…)``,
   ``regex(?v, "pat")``, ``bound(?v)``, ``str(?v)``, ``concat(…)``,
-  ``! && ||``
-- ``BIND(expr AS ?v)`` (top-level group; after BGP/UNION/VALUES,
-  before FILTER/OPTIONAL), ``VALUES ?v { … }`` / ``VALUES (?a ?b)
-  { (…)… }`` with ``UNDEF``
+  ``strstarts(e, e)``, ``isUri/isIRI/isLiteral(?v)`` (top-level
+  conjuncts — compiled to objtype scan constraints), ``! && ||``
+- ``BIND(expr AS ?v)`` (top-level group and UNION branches; after the
+  branch BGP, before its FILTERs), ``VALUES ?v { … }`` /
+  ``VALUES (?a ?b) { (…)… }`` with ``UNDEF``
+- ``GRAPH <ctx> { … }`` → context-column constraint on the scans
 - ``ASK { … }`` → one boolean row
+
+The reference's shipped annotation queries — res/sparql/annotations.rq
+and sources/tech/res/sparql/rfc-annotations.rq — both run verbatim
+(tests/test_sparql.py).
 - ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``
 
 Compilation is twinned: :func:`compile_spark` builds the DataFrame
@@ -100,6 +108,12 @@ class Triple:
     s: tuple
     p: tuple
     o: tuple
+    # compile-time scan constraints (set by the parser/rewriter, read
+    # by the shared _scan_spec so both backends get them identically):
+    # o_objtype: "uri"/"literal" — an isUri/isLiteral FILTER conjunct
+    # pushed into the scan; graph: GRAPH <uri> context
+    o_objtype: str | None = None
+    graph: str | None = None
 
 
 @dataclass
@@ -250,6 +264,36 @@ class ENot(Expr):
 
 
 @dataclass
+class EStrStarts(Expr):
+    left: Expr
+    right: Expr
+
+    def spark(self, env):
+        return self.left.spark(env).startswith(self.right.spark(env))
+
+    def sql(self, env):
+        return "starts_with(%s, %s)" % (self.left.sql(env),
+                                        self.right.sql(env))
+
+
+@dataclass
+class EIsType(Expr):
+    """isUri/isIRI/isLiteral — only valid as a top-level FILTER
+    conjunct, where the rewriter turns it into an objtype constraint on
+    the scan that binds the variable (predicate pushdown, not a
+    post-join test). Reaching spark()/sql() means it survived in a
+    position the rewrite cannot handle."""
+    var: EVar
+    kind: str   # "uri" | "literal"
+
+    def spark(self, env):
+        raise SparqlError("isUri/isLiteral is only supported as a "
+                          "top-level FILTER conjunct")
+
+    sql = spark
+
+
+@dataclass
 class EConcat(Expr):
     parts: list   # Expr
 
@@ -325,9 +369,7 @@ class _Parser:
             construct = []
             self.expect_op("{")
             while self.peek()[1] != "}":
-                construct.append(self.triple())
-                if self.peek()[1] in (".", ";"):
-                    self.i += 1
+                construct.extend(self.triples_same_subject())
             self.i += 1
             if not construct:
                 raise SparqlError("empty CONSTRUCT template")
@@ -424,8 +466,12 @@ class _Parser:
             raise SparqlError("ORDER/LIMIT on CONSTRUCT is not supported")
         if ask and (order or limit is not None or group_by):
             raise SparqlError("ORDER/LIMIT/GROUP BY on ASK is not valid")
-        return Query(distinct, proj, where, optionals, order, limit,
-                     unions, construct, group_by, ask)
+        q = Query(distinct, proj, where, optionals, order, limit,
+                  unions, construct, group_by, ask)
+        for g in ([q.where] + q.optionals
+                  + [a for alts in q.unions for a in alts]):
+            _rewrite_istype(g)
+        return q
 
     def group(self, allow_optional: bool):
         self.expect_op("{")
@@ -462,10 +508,21 @@ class _Parser:
                 g.filters.append(self.expr())
                 self.expect_op(")")
                 continue
+            if k == "kw" and v.upper() == "GRAPH":
+                # GRAPH <ctx> { … }: stamp the context on every scan
+                # of the inner (simple) group, then inline it
+                self.i += 1
+                ctx = self.term()
+                if ctx[0] != "uri":
+                    raise SparqlError("GRAPH needs a URI context")
+                sub = self.simple_group()
+                for t in sub.triples:
+                    t.graph = ctx[1]
+                g.triples.extend(sub.triples)
+                g.filters.extend(sub.filters)
+                g.binds.extend(sub.binds)
+                continue
             if k == "kw" and v.upper() == "BIND":
-                if not allow_optional:
-                    raise SparqlError("BIND inside OPTIONAL/UNION is "
-                                      "not supported")
                 self.i += 1
                 self.expect_op("(")
                 e = self.expr()
@@ -484,9 +541,7 @@ class _Parser:
                 self.i += 1
                 g.values.append(self.values_block())
                 continue
-            g.triples.append(self.triple())
-            if self.peek()[1] in (".", ";"):
-                self.i += 1
+            g.triples.extend(self.triples_same_subject())
 
     def values_block(self):
         """``VALUES ?v { t… }`` or ``VALUES (?a ?b) { (ta tb)… }`` →
@@ -539,6 +594,32 @@ class _Parser:
         if p[0] == "uri" and self.peek()[1] in ("*", "+"):
             p = ("path", p[1], self.next()[1])
         return Triple(s, p, self.term())
+
+    def triples_same_subject(self) -> list:
+        """``s p1 o1 ; p2 o2a, o2b .`` → expanded triple list (Turtle
+        predicate-object and object lists; the shape the reference's
+        rfc-annotations.rq uses)."""
+        out = []
+        s = self.term()
+        while True:
+            p = self.term()
+            if p[0] == "uri" and self.peek()[1] in ("*", "+"):
+                p = ("path", p[1], self.next()[1])
+            while True:
+                out.append(Triple(s, p, self.term()))
+                if self.peek()[1] == ",":
+                    self.i += 1
+                    continue
+                break
+            if self.peek()[1] == ";":
+                self.i += 1
+                if self.peek()[1] in (".", "}"):   # dangling ;
+                    break
+                continue
+            break
+        if self.peek()[1] == ".":
+            self.i += 1
+        return out
 
     def term(self) -> tuple:
         k, v = self.next()
@@ -628,6 +709,23 @@ class _Parser:
             kv, vv = self.next()
             self.expect_op(")")
             return EBound(EVar(vv[1:]))
+        if k == "kw" and v.lower() == "strstarts":
+            self.i += 1
+            self.expect_op("(")
+            left = self.expr()
+            self.expect_op(",")
+            right = self.expr()
+            self.expect_op(")")
+            return EStrStarts(left, right)
+        if k == "kw" and v.lower() in ("isuri", "isiri", "isliteral"):
+            kind = "literal" if v.lower() == "isliteral" else "uri"
+            self.i += 1
+            self.expect_op("(")
+            kv, vv = self.next()
+            if kv != "var":
+                raise SparqlError("%s needs a variable" % v)
+            self.expect_op(")")
+            return EIsType(EVar(vv[1:]), kind)
         if k == "kw" and v.lower() == "concat":
             self.i += 1
             self.expect_op("(")
@@ -648,6 +746,46 @@ class _Parser:
             self.i += 1
             return EVar(v[1:])
         return EConst(self.term())
+
+
+def _split_conj(e: Expr) -> list:
+    if isinstance(e, EBool) and e.op == "&&":
+        return _split_conj(e.left) + _split_conj(e.right)
+    return [e]
+
+
+def _rewrite_istype(g: Group) -> None:
+    """Split each FILTER into && conjuncts; turn isUri/isLiteral
+    conjuncts (plain or negated — objects in the triple model are
+    exactly uri or literal, so NOT flips the kind) into objtype
+    constraints on every scan binding the variable at object position.
+    Both backends read the constraint from _scan_spec, so the pushdown
+    cannot diverge between them."""
+    kept = []
+    for f in g.filters:
+        for c in _split_conj(f):
+            m = None
+            if isinstance(c, EIsType):
+                m = (c.var.name, c.kind)
+            elif isinstance(c, ENot) and isinstance(c.inner, EIsType):
+                m = (c.inner.var.name,
+                     "literal" if c.inner.kind == "uri" else "uri")
+            if m is None:
+                kept.append(c)
+                continue
+            var, kind = m
+            hits = [t for t in g.triples
+                    if t.o == ("var", var) and t.p[0] != "path"]
+            if not hits:
+                raise SparqlError(
+                    "isUri/isLiteral needs ?%s bound at an object "
+                    "position in the same group" % var)
+            for t in hits:
+                if t.o_objtype and t.o_objtype != kind:
+                    raise SparqlError(
+                        "contradictory isUri/isLiteral on ?%s" % var)
+                t.o_objtype = kind
+    g.filters = kept
 
 
 def parse(text: str) -> Query:
@@ -712,6 +850,10 @@ def _scan_spec(t: Triple, alias: str):
                 consts.append(("lang", term[2]))
         else:   # num — objects are stored as strings
             consts.append((col, term[1]))
+    if t.o_objtype and t.o[0] == "var":
+        consts.append(("objtype", t.o_objtype))
+    if t.graph:
+        consts.append(("context", t.graph))
     return consts, varcols, intra
 
 
@@ -809,6 +951,13 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         compiled = []
         for g in alts:
             sub, cols = chain(g.triples, "u")
+            for bj, (e, var) in enumerate(g.binds):
+                if var in cols:
+                    raise SparqlError("BIND target ?%s is already bound"
+                                      % var)
+                bname = "ub%d__%s" % (bj, var)
+                sub = sub.withColumn(bname, e.spark(colenv(cols)))
+                cols[var] = bname
             for f in g.filters:
                 sub = sub.filter(f.spark(colenv(cols)))
             compiled.append((sub, cols))
@@ -887,6 +1036,9 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         plan = plan.filter(f.spark(colenv(env_cols)))
 
     for g in query.optionals:
+        if g.binds or g.values:
+            raise SparqlError("BIND/VALUES inside OPTIONAL is not "
+                              "supported")
         sub, sub_cols = chain(g.triples, "o")
         for f in g.filters:
             sub = sub.filter(f.spark(colenv(sub_cols)))
@@ -1064,6 +1216,11 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                 g_parts.append("CROSS JOIN %s" % sub)
             for v, c in cols.items():
                 g_cols.setdefault(v, c)
+        for e, var in g.binds:
+            if var in g_cols:
+                raise SparqlError("BIND target ?%s is already bound"
+                                  % var)
+            g_cols[var] = e.sql(sqlenv(g_cols))
         fconds = [f.sql(sqlenv(g_cols)) for f in g.filters]
         body = " ".join(g_parts)
         if fconds:
@@ -1142,6 +1299,9 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
     where_conds = [f.sql(sqlenv(env_cols)) for f in query.where.filters]
 
     for g in query.optionals:
+        if g.binds or g.values:
+            raise SparqlError("BIND/VALUES inside OPTIONAL is not "
+                              "supported")
         sub_cols: dict[str, str] = {}
         sub_parts: list[str] = []
         for t in _order_patterns(g.triples):

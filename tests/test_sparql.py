@@ -315,3 +315,111 @@ def test_values_construct_and_bind_construct(graph):
     assert got == {
         ("d1", DCT + "alternative", "alt:Alpha report"),
         ("d2", DCT + "alternative", "alt:Beta memo")}
+
+
+RFC = "http://example.org/ontology/rfc/"
+
+RFC_EXTRA = [
+    # rfc-annotations.rq corpus: d10 updates d3, d11 obsoletes d3
+    ("d10", RFC + "updates", "d3", "uri", ""),
+    ("d10", DCT + "title", "Update doc", "literal", "en"),
+    ("d11", RFC + "obsoletes", "d3", "uri", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def rfc_graph(spark, tmp_path_factory):
+    pdf = pd.DataFrame(TRIPLES + RFC_EXTRA, columns=[
+        "subject", "predicate", "object", "objtype", "lang"])
+    pdf["datatype"] = ""
+    # two named graphs: org resources vs everything else
+    pdf["context"] = ["orgs" if s in ("p1", "p2") else "docs"
+                      for s in pdf["subject"]]
+    path = str(tmp_path_factory.mktemp("sparql_rfc") / "triples.parquet")
+    pdf.to_parquet(path)
+    return spark.createDataFrame(pdf), path
+
+
+def test_rfc_annotations_verbatim(rfc_graph):
+    """The reference's RFC annotation query
+    (ferenda/sources/tech/res/sparql/rfc-annotations.rq) runs verbatim:
+    ;-lists, BIND inside UNION, isUri, strstarts, IN over prefixed
+    names, references+ property path."""
+    import os
+    rq = "/root/reference/ferenda/sources/tech/res/sparql/rfc-annotations.rq"
+    if not os.path.exists(rq):
+        pytest.skip("reference fixture tree not present")
+    out = run_both(rfc_graph, open(rq).read() % {"uri": "d3"})
+    got = set(map(tuple, out.values))
+    # branch 1: d3's literal metadata only
+    assert ("d3", DCT + "title", "Gamma") in got
+    assert ("d3", DCT + "identifier", "7") in got
+    assert ("d3", DCT + "publisher", "p2") not in got   # uri object
+    # branch 2: the citing doc's triples + synthesized isReferencedBy
+    assert ("d9", DCT + "title", "Citing note") in got
+    assert ("d9", DCT + "references", "d3") in got      # strstarts pass
+    assert ("d3", DCT + "isReferencedBy", "d9") in got
+    # branch 3: updater/obsoleter metadata
+    assert ("d10", DCT + "title", "Update doc") in got
+    # branches 4/5: synthesized inverse edges
+    assert ("d3", RFC + "isObsoletedBy", "d11") in got
+    assert ("d3", RFC + "isUpdatedBy", "d10") in got
+    # nothing about unrelated documents
+    assert not any(s == "d1" for s, _, _ in got)
+
+
+def test_semicolon_and_comma_lists(rfc_graph):
+    out = run_both(rfc_graph, PREFIXES + """
+        SELECT ?t ?n WHERE {
+          ?s dct:title ?t ; dct:identifier ?n .
+        } ORDER BY ?n
+    """)
+    assert list(out["t"]) == ["Beta memo", "Alpha report", "Gamma"]
+    out = run_both(rfc_graph, PREFIXES + """
+        SELECT ?s WHERE { ?s dct:title "Gamma", "Alpha report" . }
+    """)
+    assert len(out) == 0   # no subject carries both titles
+    out = run_both(rfc_graph, PREFIXES + """
+        SELECT ?s ?t WHERE { ?s dct:title ?t, ?t . } ORDER BY ?s
+    """)
+    assert len(out) == 6   # ?t,?t self-join is a no-op
+
+
+def test_istype_filters(rfc_graph):
+    out = run_both(rfc_graph, PREFIXES + """
+        SELECT ?p ?o WHERE {
+          <d3> ?p ?o . FILTER(isLiteral(?o))
+        } ORDER BY ?p
+    """)
+    assert set(out["o"]) == {"Gamma", "7"}
+    out = run_both(rfc_graph, PREFIXES + """
+        SELECT ?o WHERE { <d3> ?p ?o . FILTER(!isLiteral(?o)) }
+    """)
+    assert set(out["o"]) >= {"p2", "d1"}
+    with pytest.raises(sparql.SparqlError):
+        sparql.compile_sql("triples", PREFIXES + """
+            SELECT ?s WHERE { ?s dct:title ?t .
+                              FILTER(isUri(?t) || bound(?t)) }
+        """)
+
+
+def test_strstarts(rfc_graph):
+    out = run_both(rfc_graph, PREFIXES + """
+        SELECT ?s ?t WHERE {
+          ?s dct:title ?t . FILTER(strstarts(?t, "Alpha"))
+        }
+    """)
+    assert list(out["s"]) == ["d1"]
+
+
+def test_graph_clause(rfc_graph):
+    out = run_both(rfc_graph, PREFIXES + """
+        SELECT ?s ?t WHERE {
+          GRAPH <orgs> { ?s dct:title ?t }
+        }
+    """)
+    assert list(out["s"]) == ["p1"]
+    out = run_both(rfc_graph, PREFIXES + """
+        ASK { GRAPH <nope> { ?s ?p ?o } }
+    """)
+    assert bool(out.iloc[0]["ask"]) is False
