@@ -361,6 +361,51 @@ def _q_kg_describe(spark, sf_dir):
                                 _ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI})
 
 
+_RFC_ANNOTATIONS_RQ = """
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+PREFIX dcterms: <http://purl.org/dc/terms/>
+PREFIX bibo: <http://purl.org/ontology/bibo/>
+PREFIX rfc: <http://example.org/ontology/rfc/>
+CONSTRUCT {?s ?p ?o .
+           <%(uri)s> rfc:isObsoletedBy ?obsoleter .
+           <%(uri)s> rfc:isUpdatedBy ?updater .
+           <%(uri)s> dcterms:isReferencedBy ?referencer .
+          }
+WHERE
+{
+   { ?s ?p ?o .
+     FILTER(?s = <%(uri)s> && !isUri(?o))
+   }
+   UNION
+   { ?s dcterms:references+ <%(uri)s> ;
+        ?p ?o .
+     BIND(?s as ?referencer)
+     FILTER(?p != dcterms:references || strstarts(str(?o), "%(uri)s"))
+   }
+   UNION
+   { ?s ?x <%(uri)s> ;
+        ?p ?o .
+     FILTER(?x in (rfc:updates, rfc:obsoletes) && ?p != dcterms:references)
+   }
+   UNION { ?obsoleter rfc:obsoletes <%(uri)s> . }
+   UNION { ?updater   rfc:updates   <%(uri)s> . }
+}
+"""  # ≙ sources/tech/res/sparql/rfc-annotations.rq, comment lines
+# dropped (tests/test_sparql.py runs the reference file itself
+# verbatim; this driver copy avoids depending on /root/reference)
+
+
+def _q_kg_describe_rfc(spark, sf_dir):
+    """The reference's RFC-repo annotation query (;-lists, BIND inside
+    UNION, isUri→objtype scan constraint, strstarts, references+ path)
+    over the kg triples — what `ferenda-build.py rfc generate` asks the
+    triplestore per document."""
+    from ferenda_spark import sparql
+    return sparql.compile_spark(
+        _kg_read(spark, "triples"),
+        _RFC_ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI})
+
+
 _KG_SPARQL_STATS = """
 SELECT ?p (COUNT(*) AS ?n_triples) (COUNT(DISTINCT ?s) AS ?n_subjects)
 WHERE { ?s ?p ?o } GROUP BY ?p ORDER BY ?p
@@ -598,6 +643,28 @@ def _q_stratified_sample(spark, sf_dir):
     from ferenda_spark.operators.sampling import stratified_sample
     return stratified_sample(_read(spark, sf_dir, "documents"),
                              "lang", 0.3)
+
+
+_MIXTURE_WEIGHTS = {"en": 0.3, "zh": 0.2, "es": 0.2,
+                    "de": 0.15, "fr": 0.15}
+_MIXTURE_TOTAL = 300
+
+
+def _q_resample_mixture(spark, sf_dir):
+    """Deterministic mixture resampling: per-language quotas from
+    target domain weights (floor(w·300), capped at stratum size),
+    hash-rank selection — the static domain re-weighting step of a
+    training-data pipeline."""
+    from ferenda_spark.operators.sampling import resample_mixture
+    return resample_mixture(_read(spark, sf_dir, "documents"), "lang",
+                            _MIXTURE_WEIGHTS, _MIXTURE_TOTAL)
+
+
+def _q_top_ngrams(spark, sf_dir):
+    """Corpus bigram census: top-50 word bigrams with occurrence and
+    document counts (map-side partial agg + TakeOrdered top-k)."""
+    from ferenda_spark.operators.textops import top_ngrams
+    return top_ngrams(_read(spark, sf_dir, "documents"), n=2, k=50)
 
 
 def _q_pack_sequences(spark, sf_dir):
@@ -840,12 +907,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe": _q_kg_describe,
         "kg_sparql_stats": _q_kg_sparql_stats,
         "kg_sparql_bind": _q_kg_sparql_bind,
+        "kg_describe_rfc": _q_kg_describe_rfc,
         "kg_versions": _q_kg_versions,
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
         "token_stats": _q_token_stats,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
+        "resample_mixture": _q_resample_mixture,
+        "top_ngrams": _q_top_ngrams,
         "corpus_curate": _q_corpus_curate,
         "quality_score": _q_quality,
         "language_id": _q_langid,
@@ -933,6 +1003,9 @@ def oracle_sql() -> dict[str, str]:
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_STATS),
         "kg_sparql_bind": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_BIND),
+        "kg_describe_rfc": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"],
+            _RFC_ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),
         "kg_versions": kgoracle.sql_versions(kg, KG_NEW_URL),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
@@ -941,6 +1014,10 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": sampling.oracle_sql_stratified(
             "documents", "lang", 0.3,
             ["doc_id", "text", "lang", "source", "n_chars"]),
+        "resample_mixture": sampling.oracle_sql_mixture(
+            "documents", "lang", _MIXTURE_WEIGHTS, _MIXTURE_TOTAL,
+            ["doc_id", "text", "lang", "source", "n_chars"]),
+        "top_ngrams": textops.oracle_sql_top_ngrams(n=2, k=50),
         "corpus_curate": _corpus_curate_sql(),
         "quality_score": textops.oracle_sql_quality(),
         "language_id": textops.oracle_sql_language_id(),

@@ -122,6 +122,15 @@ def main() -> None:
         from ferenda_spark import sparql
         return sparql.compile_spark(stages["triples"], E._KG_SPARQL_QUERY)
 
+    def kg_describe_rfc(spark, _):
+        # the reference's rfc-annotations.rq verbatim shape: 5-branch
+        # UNION (one with a references+ closure), BIND, isUri pushed as
+        # an objtype scan constraint
+        from ferenda_spark import sparql
+        return sparql.compile_spark(
+            stages["triples"],
+            E._RFC_ANNOTATIONS_RQ % {"uri": E._DESCRIBE_URI})
+
     qs = E.queries()
     bench_queries = {
         "kg_extract": kg_extract,
@@ -134,6 +143,7 @@ def main() -> None:
         "kg_search": kg_search,
         "kg_search_indexed": kg_search_indexed,
         "kg_sparql": kg_sparql,
+        "kg_describe_rfc": kg_describe_rfc,
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute
@@ -142,6 +152,7 @@ def main() -> None:
         "ann_topk": qs["ann_topk"],
         "pack_sequences": qs["pack_sequences"],
         "token_stats": qs["token_stats"],
+        "top_ngrams": qs["top_ngrams"],
         "quality_score": qs["quality_score"],
         "language_id": qs["language_id"],
         "facet_pivot": qs["facet_pivot"],

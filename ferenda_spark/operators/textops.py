@@ -216,3 +216,57 @@ def oracle_sql_fingerprint(table: str = "documents") -> str:
                               '[0-9]+', '#', 'g')) AS fp_shape
     FROM {table}
     """
+
+
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 100,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level n-gram statistics: the ``k`` most frequent word
+    ``n``-grams with occurrence and document counts — the vocabulary /
+    boilerplate-phrase census step of a corpus audit.
+
+    → (ngram, n_docs, n_occurrences), ordered by occurrences desc with
+    the ngram string as a deterministic tiebreak.
+
+    Scale shape: the explode→count is the canonical word-count plan —
+    map-side partial aggregation absorbs hot n-grams before the single
+    shuffle on the gram key; the top-k is a TakeOrdered (per-partition
+    heap + driver merge of k rows), never a full sort. countDistinct
+    adds one expand pass; at 100 TB swap it for an (ngram, doc_id)
+    dropDuplicates pre-pass if doc-counts dominate the plan.
+    """
+    words = words_col(F.col(text_col))
+    nw = F.size(words)
+    grams = F.when(
+        nw >= n,
+        F.transform(F.sequence(F.lit(1), nw - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(words, i + j)
+                               for j in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col), F.explode(grams).alias("ngram"))
+    return (ex.groupBy("ngram")
+            .agg(F.countDistinct(id_col).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+            .limit(k))
+
+
+def oracle_sql_top_ngrams(table: str = "documents", n: int = 2,
+                          k: int = 100) -> str:
+    gram = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    grams = (f"CASE WHEN len(words) >= {n} THEN "
+             f"[ {gram} for i in range(1, len(words) - {n - 2}) ] "
+             f"ELSE []::varchar[] END")
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text)='' THEN []::varchar[]
+                  ELSE {_sql_words()} END AS words
+      FROM {table}
+    ), g AS (SELECT doc_id, unnest({grams}) AS ngram FROM base)
+    SELECT ngram, count(DISTINCT doc_id)::bigint AS n_docs,
+           count(*)::bigint AS n_occurrences
+    FROM g GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram LIMIT {k}
+    """

@@ -420,3 +420,49 @@ def test_kmeans_clusters_quality(spark):
     assert len(sizes) > 1
     assert sizes.iloc[0] < 0.9 * len(out)
     assert (out["sim"] > -1.0).all() and (out["sim"] <= 1.0 + 1e-9).all()
+
+
+def test_resample_mixture_quotas_and_caps(spark):
+    """Quota = floor(weight·total) capped at stratum size; unweighted
+    strata are dropped; selection deterministic under repartitioning."""
+    import pandas as pd
+    from ferenda_spark.operators.sampling import resample_mixture
+    # 60 en, 20 de, 5 fr, 15 xx (unweighted)
+    langs = ["en"] * 60 + ["de"] * 20 + ["fr"] * 5 + ["xx"] * 15
+    rows = [(i, "t%d" % i, lg) for i, lg in enumerate(langs)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]),
+        schema="doc_id long, text string, lang string")
+    weights = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    out = resample_mixture(df, "lang", weights, total=40).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, []).append(r)
+    assert len(by["en"]) == 20                  # floor(0.5*40)
+    assert len(by["de"]) == 12                  # floor(0.3*40)
+    assert len(by["fr"]) == 5                   # floor(0.2*40)=8, capped
+    assert by["fr"][0].quota == 5               # shortfall is visible
+    assert "xx" not in by                       # no weight → dropped
+    again = resample_mixture(df.repartition(7), "lang", weights,
+                             total=40).collect()
+    assert sorted(r.doc_id for r in again) == \
+        sorted(r.doc_id for r in out)
+
+
+def test_top_ngrams_counts_and_order(spark):
+    import pandas as pd
+    from ferenda_spark.operators.textops import top_ngrams
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3],
+                      "text": ["a b a b c",
+                               "a b x",
+                               "single"]}),
+        schema="doc_id long, text string")
+    out = top_ngrams(docs, n=2, k=3).collect()
+    # "a b": doc1 twice + doc2 once = 3 occurrences, 2 docs; ties
+    # ("b a", "b c", "b x") break on the gram string ascending
+    assert (out[0].ngram, out[0].n_docs, out[0].n_occurrences) == \
+        ("a b", 2, 3)
+    assert [r.ngram for r in out[1:]] == ["b a", "b c"]
+    # a 1-word doc contributes no bigrams
+    assert all("single" not in r.ngram for r in out)
