@@ -47,3 +47,40 @@ def ispartof_closure(triples: DataFrame) -> DataFrame:
                      F.col("object").alias("dst")))
     return transitive_closure(edges).select(
         F.col("a").alias("part"), F.col("b").alias("ancestor"))
+
+
+def reachable_nodes(edges: DataFrame, start: str, reverse: bool = False,
+                    src: str = "src", dst: str = "dst",
+                    max_depth: int = 32) -> DataFrame:
+    """Single-column (n) DataFrame: nodes reachable FROM ``start`` in
+    1..max_depth hops — or nodes that can REACH it when ``reverse``.
+
+    The seeded twin of :func:`transitive_closure` for property paths
+    with one constant endpoint (``?s dcterms:references+ <uri>`` — the
+    describe/annotations shape): each round broadcast-joins the tiny
+    frontier against the edge scan, so cost tracks the visited
+    neighborhood, never the all-pairs closure of the whole graph."""
+    a, b = (dst, src) if reverse else (src, dst)
+    base = (edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
+            .distinct().localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(start,)], "n string") \
+        .localCheckpoint(eager=True)
+    seen = frontier
+    out = None
+    for _ in range(max_depth):
+        nxt = (base.join(F.broadcast(frontier),
+                         base["s"] == frontier["n"])
+               .select(F.col("d").alias("n")).distinct()
+               .localCheckpoint(eager=True))
+        frontier = nxt.join(seen, "n", "left_anti") \
+                      .localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        seen = seen.union(frontier).localCheckpoint(eager=True)
+        out = frontier if out is None else out.union(frontier)
+    if out is None:
+        return spark.createDataFrame([], "n string")
+    # a cycle can re-reach start; transitive_closure (and the SQL
+    # recursive CTE) exclude reflexive pairs, so drop it here too
+    return out.where(F.col("n") != start).distinct()

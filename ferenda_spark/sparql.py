@@ -63,6 +63,11 @@ from pyspark.sql import functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
+# constant-endpoint property paths switch from the shared all-pairs
+# closure to a seeded frontier BFS above this edge count (the same
+# hybrid-branch pattern as operators/graphops.py)
+PATH_DRIVER_THRESHOLD = 2_000_000
+
 # ------------------------------------------------------------ tokenizer
 
 _TOKEN = re.compile(r"""
@@ -892,11 +897,58 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                 path_cache[(uri, "*")] = rel
         return path_cache[(uri, mod)]
 
+    def seeded_path(uri: str, mod: str, const: str,
+                    forward: bool) -> DataFrame:
+        """(a, b) path pairs when one endpoint is a constant. Hybrid
+        like graphops: below ``PATH_DRIVER_THRESHOLD`` edges the
+        all-pairs closure wins (computed once, shared by every branch,
+        ≤8 bulk rounds — per-hop frontier jobs would pay fixed
+        scheduling cost × chain depth); above it, a bounded frontier
+        BFS seeded at the constant (broadcast semi-joins — cost tracks
+        the visited neighborhood, never the whole graph's closure).
+        Same pair set as path_relation filtered to the constant,
+        including the graph-term-gated reflexive row for "*"."""
+        from .graph.closure import reachable_nodes
+        if (uri, "#edges") not in path_cache:
+            path_cache[(uri, "#edges")] = (
+                triples.filter(F.col("predicate") == uri).count())
+        if path_cache[(uri, "#edges")] <= PATH_DRIVER_THRESHOLD:
+            return path_relation(uri, mod)
+        key = (uri, mod, const, forward)
+        if key not in path_cache:
+            edges = (triples.filter(F.col("predicate") == uri)
+                     .select(F.col("subject").alias("src"),
+                             F.col("object").alias("dst")))
+            reach = reachable_nodes(edges, const, reverse=not forward)
+            if forward:
+                rel = reach.select(F.lit(const).alias("a"),
+                                   F.col("n").alias("b"))
+            else:
+                rel = reach.select(F.col("n").alias("a"),
+                                   F.lit(const).alias("b"))
+            if mod == "*":
+                # zero-length hop iff the constant is a graph term
+                # (matches path_relation's reflexive-node set)
+                terms = (triples.select(F.col("subject").alias("n"))
+                         .union(triples.filter(F.col("objtype") == "uri")
+                                .select(F.col("object").alias("n")))
+                         .where(F.col("n") == const).distinct())
+                rel = rel.unionByName(
+                    terms.select(F.lit(const).alias("a"),
+                                 F.lit(const).alias("b")))
+            path_cache[key] = rel
+        return path_cache[key]
+
     def scan(t: Triple, prefix: str):
         alias = "%s%d" % (prefix, counter[0])
         counter[0] += 1
         if t.p[0] == "path":
-            df = path_relation(t.p[1], t.p[2])
+            s_bound, o_bound = t.s[0] != "var", t.o[0] != "var"
+            if s_bound != o_bound:
+                df = seeded_path(t.p[1], t.p[2],
+                                 (t.s if s_bound else t.o)[1], s_bound)
+            else:
+                df = path_relation(t.p[1], t.p[2])
             varcols, sel = {}, []
             for col, term in (("a", t.s), ("b", t.o)):
                 if term[0] == "var":
@@ -1166,7 +1218,8 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                     conds.append("%s = '%s'"
                                  % (col, term[1].replace("'", "''")))
             cols = ", ".join("%s AS %s__%s" % (col, alias, var)
-                             for var, col in varcols.items())
+                             for var, col in varcols.items()) \
+                or "1 AS %s__x" % alias   # all-const existence pattern
             where = (" WHERE " + " AND ".join(conds)) if conds else ""
             sub = "(SELECT %s FROM %s%s) %s" % (cols, rel, where, alias)
             return sub, {var: "%s__%s" % (alias, var) for var in varcols}
@@ -1175,7 +1228,8 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                  for col, val in consts]
         conds += ["%s = %s" % (c1, c2) for c1, c2 in intra]
         cols = ", ".join("%s AS %s__%s" % (col, alias, var)
-                         for var, col in varcols.items())
+                         for var, col in varcols.items()) \
+            or "1 AS %s__x" % alias       # all-const existence pattern
         where = (" WHERE " + " AND ".join(conds)) if conds else ""
         sub = "(SELECT %s FROM %s%s) %s" % (cols, table_sql, where, alias)
         return sub, {var: "%s__%s" % (alias, var) for var in varcols}
@@ -1244,7 +1298,7 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             sel = ", ".join(
                 ("%s AS %s" % (cols[v], canon[v])) if v in cols
                 else ("CAST(NULL AS VARCHAR) AS %s" % canon[v])
-                for v in all_vars)
+                for v in all_vars) or "1 AS ub%d__x" % bi
             selects.append("SELECT %s %s" % (sel, body))
         alias = "ub%d" % bi
         union_sql = "(%s) %s" % (" UNION ALL ".join(selects), alias)
@@ -1319,7 +1373,7 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                 sub_cols.setdefault(v, c)
         fconds = [f.sql(sqlenv(sub_cols)) for f in g.filters]
         inner_cols = ", ".join("%s AS %s" % (c, c)
-                               for c in sub_cols.values())
+                               for c in sub_cols.values()) or "1 AS x"
         inner = "SELECT %s %s" % (inner_cols, " ".join(sub_parts))
         if fconds:
             inner += " WHERE " + " AND ".join(fconds)

@@ -423,3 +423,25 @@ def test_graph_clause(rfc_graph):
         ASK { GRAPH <nope> { ?s ?p ?o } }
     """)
     assert bool(out.iloc[0]["ask"]) is False
+
+
+def test_seeded_path_equals_closure(graph, monkeypatch):
+    """Constant-endpoint property paths switch to a seeded frontier
+    BFS above the edge threshold; forcing the switch must not change
+    any result (including the zero-length "*" row and cycle
+    exclusion — `self references self` must NOT yield (self,self)
+    for references+)."""
+    queries = [
+        "SELECT ?p WHERE { ?p dct:isPartOf* <d1> } ORDER BY ?p",
+        "SELECT ?p WHERE { ?p dct:isPartOf+ <d1> } ORDER BY ?p",
+        "SELECT ?o WHERE { <d4> dct:isPartOf+ ?o } ORDER BY ?o",
+        "SELECT ?o WHERE { <d4> dct:isPartOf* ?o } ORDER BY ?o",
+        "SELECT ?x WHERE { ?x dct:references+ <self> }",
+        # constant absent from the graph: "*" must NOT add (nope,nope)
+        "SELECT ?p WHERE { ?p dct:isPartOf* <nope> }",
+    ]
+    base = [run_both(graph, PREFIXES + q) for q in queries]
+    monkeypatch.setattr(sparql, "PATH_DRIVER_THRESHOLD", -1)
+    for q, expect in zip(queries, base):
+        got = run_both(graph, PREFIXES + q)
+        pd.testing.assert_frame_equal(got, expect)

@@ -1,0 +1,175 @@
+"""Property-based cross-backend SPARQL parity: hypothesis generates
+random small graphs and random queries from the supported subset; the
+Spark plan and the DuckDB SQL emission must agree on every one.
+
+This is the adversarial twin of test_sparql.py's hand goldens — the
+generators reach pattern/filter/OPTIONAL/UNION/BIND/VALUES combinations
+nobody thought to write down. Spark-session queries are slow (~100 ms
+each), so the example counts are deliberately small but the strategy
+space is dense; failures shrink to minimal query + graph.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ferenda_spark import sparql
+
+SUBJECTS = ["d1", "d2", "d3", "d4"]
+PREDS = {"t": "http://p/t", "r": "http://p/r", "k": "http://p/k"}
+LITS = ["alpha", "beta", "gamma", ""]
+PREFIX = "PREFIX p: <http://p/>\n"
+
+# graph = set of (s, pred-key, object, objtype) choices
+triple_st = st.tuples(
+    st.sampled_from(SUBJECTS),
+    st.sampled_from(sorted(PREDS)),
+    st.one_of(st.sampled_from(LITS), st.sampled_from(SUBJECTS)),
+)
+graph_st = st.lists(triple_st, min_size=1, max_size=12, unique=True)
+
+var_st = st.sampled_from(["a", "b", "c"])
+
+
+def term_sparql(t):
+    kind, v = t
+    return "?%s" % v if kind == "var" else \
+        ("<%s>" % v if v in SUBJECTS else '"%s"' % v)
+
+
+pattern_st = st.tuples(
+    st.one_of(st.tuples(st.just("var"), var_st),
+              st.tuples(st.just("const"), st.sampled_from(SUBJECTS))),
+    st.sampled_from(sorted(PREDS)),
+    st.one_of(st.tuples(st.just("var"), var_st),
+              st.tuples(st.just("const"), st.sampled_from(LITS + SUBJECTS))),
+)
+
+
+def bgp_sparql(patterns):
+    return " . ".join(
+        "%s p:%s %s" % (term_sparql(s), p, term_sparql(o))
+        for s, p, o in patterns)
+
+
+filter_st = st.one_of(
+    st.tuples(st.just("eq"), var_st,
+              st.sampled_from(LITS + SUBJECTS)),
+    st.tuples(st.just("neq"), var_st,
+              st.sampled_from(LITS + SUBJECTS)),
+    st.tuples(st.just("regex"), var_st,
+              st.sampled_from(["a", "^d", "m|t", "a.*a"])),
+    st.tuples(st.just("bound"), var_st, st.none()),
+    st.tuples(st.just("strstarts"), var_st,
+              st.sampled_from(["d", "al", "g"])),
+)
+
+
+def filter_sparql(f):
+    op, v, arg = f
+    if op == "eq":
+        return 'FILTER(?%s = %s)' % (v, term_sparql(("const", arg)))
+    if op == "neq":
+        return 'FILTER(?%s != %s)' % (v, term_sparql(("const", arg)))
+    if op == "regex":
+        return 'FILTER(regex(?%s, "%s"))' % (v, arg)
+    if op == "bound":
+        return 'FILTER(bound(?%s))' % v
+    return 'FILTER(strstarts(?%s, "%s"))' % (v, arg)
+
+
+query_st = st.fixed_dictionaries({
+    "patterns": st.lists(pattern_st, min_size=1, max_size=3),
+    "optional": st.one_of(st.none(),
+                          st.lists(pattern_st, min_size=1, max_size=2)),
+    "union": st.one_of(st.none(),
+                       st.tuples(st.lists(pattern_st, min_size=1,
+                                          max_size=2),
+                                 st.lists(pattern_st, min_size=1,
+                                          max_size=2))),
+    "filters": st.lists(filter_st, max_size=2),
+    "distinct": st.booleans(),
+})
+
+
+def render_query(q):
+    """→ SPARQL text or None when the draw is inconsistent with the
+    subset (no projectable vars; filters on unbound vars; UNION
+    branches binding different outer variables)."""
+    def pvars(pats):
+        out = set()
+        for s, _, o in pats:
+            if s[0] == "var":
+                out.add(s[1])
+            if o[0] == "var":
+                out.add(o[1])
+        return out
+
+    base_vars = pvars(q["patterns"])
+    all_vars = set(base_vars)
+    body = bgp_sparql(q["patterns"]) + " . "
+    if q["union"]:
+        l, r = q["union"]
+        # both branches must share the same vars with the outer BGP
+        if base_vars and (pvars(l) & base_vars) != (pvars(r) & base_vars):
+            return None
+        # and at least one shared var when an outer BGP exists (the
+        # subset allows the cross join, but DISTINCT-less cross joins
+        # explode row counts for no test value)
+        body += "{ %s } UNION { %s } " % (bgp_sparql(l), bgp_sparql(r))
+        all_vars |= pvars(l) | pvars(r)
+    for f in q["filters"]:
+        if f[1] not in all_vars or (q["union"] and f[1] not in base_vars):
+            return None   # unbound, or evaluated before union vars exist
+        body += filter_sparql(f) + " "
+    if q["optional"]:
+        opt_vars = pvars(q["optional"])
+        body += "OPTIONAL { %s } " % bgp_sparql(q["optional"])
+        all_vars |= opt_vars
+    if not all_vars:
+        return None
+    proj = " ".join("?%s" % v for v in sorted(all_vars))
+    return "%sSELECT %s%s WHERE { %s}" % (
+        PREFIX, "DISTINCT " if q["distinct"] else "", proj, body)
+
+
+@pytest.fixture(scope="module")
+def duck_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("sparql_fuzz")
+
+
+_counter = [0]
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(graph=graph_st, q=query_st)
+def test_fuzz_spark_duckdb_parity(spark, duck_dir, graph, q):
+    text = render_query(q)
+    if text is None:
+        return
+    rows = [(s, PREDS[p], o, "uri" if o in SUBJECTS else "literal", "")
+            for s, p, o in graph]
+    pdf = pd.DataFrame(rows, columns=[
+        "subject", "predicate", "object", "objtype", "lang"])
+    pdf["datatype"] = ""
+    _counter[0] += 1
+    path = str(duck_dir / ("g%d.parquet" % _counter[0]))
+    pdf.to_parquet(path)
+    try:
+        sdf = sparql.compile_spark(spark.createDataFrame(pdf),
+                                   text).toPandas()
+        sql = sparql.compile_sql("read_parquet('%s')" % path, text)
+    except sparql.SparqlError:
+        return   # draw outside the supported subset — fine
+    odf = duckdb.sql(sql).df()
+
+    def norm(d):
+        return (d[sorted(d.columns)].fillna("@null@").astype(str)
+                .sort_values(by=sorted(d.columns))
+                .reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(norm(sdf), norm(odf))
