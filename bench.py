@@ -176,6 +176,7 @@ def main() -> None:
      .select(_warm(col("id").cast("double"))).count())
     warmup_s = round(time.perf_counter() - t0, 3)
 
+    load_before = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, fn in bench_queries.items():
@@ -197,6 +198,10 @@ def main() -> None:
         "rows": rows,
         "warmup_s": warmup_s,
         "cpus": int(cpus),
+        # host 1-min loadavg at start/end — this box is shared, and
+        # runs overlapping other 32-thread JVMs measure 1.5-2x slower
+        # (see BENCH.md); a load figure ≫ cpus flags such a run
+        "loadavg_1m": [load_before, round(os.getloadavg()[0], 2)],
     }))
 
 
