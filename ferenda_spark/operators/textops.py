@@ -234,17 +234,30 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 100,
     heap + driver merge of k rows), never a full sort. countDistinct
     adds one expand pass; at 100 TB swap it for an (ngram, doc_id)
     dropDuplicates pre-pass if doc-counts dominate the plan.
+
+    Gram rows come from an Arrow stage, not a native transform()
+    expression: element_at(words, i) under transform re-inlines the
+    split() child per element (no cross-expression CSE — the same
+    O(len²) trap dedup.shingle_table documents); the Python fold is
+    O(len) and measured 2.7× faster at sf0.1.
     """
-    words = words_col(F.col(text_col))
-    nw = F.size(words)
-    grams = F.when(
-        nw >= n,
-        F.transform(F.sequence(F.lit(1), nw - (n - 1)),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at(words, i + j)
-                               for j in range(n)]))
-    ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(F.col(id_col), F.explode(grams).alias("ngram"))
+    import pandas as pd
+
+    from .util import ensure_parallelism
+
+    def run(batches):
+        for pdf in batches:
+            ids, grams = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                w = (t or "").split()
+                for j in range(len(w) - n + 1):
+                    ids.append(i)
+                    grams.append(" ".join(w[j:j + n]))
+            yield pd.DataFrame({id_col: pd.array(ids, dtype="int64"),
+                                "ngram": grams})
+
+    ex = ensure_parallelism(df.select(id_col, text_col)) \
+        .mapInPandas(run, "%s long, ngram string" % id_col)
     return (ex.groupBy("ngram")
             .agg(F.countDistinct(id_col).alias("n_docs"),
                  F.count(F.lit(1)).alias("n_occurrences"))
