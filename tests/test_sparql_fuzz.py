@@ -9,6 +9,8 @@ each), so the example counts are deliberately small but the strategy
 space is dense; failures shrink to minimal query + graph.
 """
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
@@ -143,7 +145,8 @@ def duck_dir(tmp_path_factory):
 _counter = [0]
 
 
-@settings(max_examples=40, deadline=None,
+@settings(max_examples=int(os.environ.get("SPARQL_FUZZ_EXAMPLES", "40")),
+          deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(graph=graph_st, q=query_st)
