@@ -667,6 +667,15 @@ def _q_top_ngrams(spark, sf_dir):
     return top_ngrams(_read(spark, sf_dir, "documents"), n=2, k=50)
 
 
+def _q_bpe_pairs(spark, sf_dir):
+    """Tokenizer-training statistics: corpus-weighted adjacent
+    character-pair counts (the first BPE merge decision). Pairs are
+    generated per DISTINCT word — the vocabulary, not the corpus,
+    crosses into Python."""
+    from ferenda_spark.operators.textops import bpe_pair_counts
+    return bpe_pair_counts(_read(spark, sf_dir, "documents"), k=100)
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Greedy sequence packing into 256-token bins, 8 shards — the
     training-batch construction step (shard-parallel applyInPandas;
@@ -916,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "resample_mixture": _q_resample_mixture,
         "top_ngrams": _q_top_ngrams,
+        "bpe_pairs": _q_bpe_pairs,
         "corpus_curate": _q_corpus_curate,
         "quality_score": _q_quality,
         "language_id": _q_langid,
@@ -1018,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "lang", _MIXTURE_WEIGHTS, _MIXTURE_TOTAL,
             ["doc_id", "text", "lang", "source", "n_chars"]),
         "top_ngrams": textops.oracle_sql_top_ngrams(n=2, k=50),
+        "bpe_pairs": textops.oracle_sql_bpe_pairs(k=100),
         "corpus_curate": _corpus_curate_sql(),
         "quality_score": textops.oracle_sql_quality(),
         "language_id": textops.oracle_sql_language_id(),

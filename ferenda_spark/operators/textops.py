@@ -283,3 +283,65 @@ def oracle_sql_top_ngrams(table: str = "documents", n: int = 2,
     FROM g GROUP BY ngram
     ORDER BY n_occurrences DESC, ngram LIMIT {k}
     """
+
+
+def bpe_pair_counts(df: DataFrame, k: int = 100, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """First iteration of BPE tokenizer training: corpus-weighted
+    adjacent character-pair frequencies — the statistic whose argmax is
+    the first merge rule (Sennrich et al.'s public algorithm).
+
+    → (pair, pair_count) for the ``k`` most frequent pairs, pair
+    rendered "left right", count = Σ over words of
+    (occurrences of the pair within the word) × (word frequency).
+
+    Scale shape: the classic BPE optimization — pairs are generated
+    per DISTINCT word (the word-frequency groupBy shrinks web text by
+    orders of magnitude before any Python runs), so the Arrow stage
+    sees the vocabulary, not the corpus. Two shuffles total (word
+    count, pair sum — both partial-aggregated), then TakeOrdered.
+    """
+    import pandas as pd
+
+    from .util import ensure_parallelism
+
+    words = words_col(F.col(text_col))
+    wc = (df.select(F.explode(words).alias("word"))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+
+    def run(batches):
+        for pdf in batches:
+            pairs, ns = [], []
+            for w, n in zip(pdf["word"], pdf["n"]):
+                for a, b in zip(w, w[1:]):
+                    pairs.append(a + " " + b)
+                    ns.append(n)
+            yield pd.DataFrame({"pair": pairs,
+                                "n": pd.array(ns, dtype="int64")})
+
+    ex = ensure_parallelism(wc).mapInPandas(run, "pair string, n long")
+    return (ex.groupBy("pair").agg(F.sum("n").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(k))
+
+
+def oracle_sql_bpe_pairs(table: str = "documents", k: int = 100) -> str:
+    return f"""
+    WITH base AS (
+      SELECT CASE WHEN trim(text)='' THEN []::varchar[]
+                  ELSE {_sql_words()} END AS words
+      FROM {table}
+    ), wc AS (
+      SELECT word, count(*)::bigint AS n
+      FROM (SELECT unnest(words) AS word FROM base) GROUP BY word
+    ), ch AS (
+      SELECT n, regexp_split_to_array(word, '') AS cs FROM wc
+    ), p AS (
+      SELECT n, unnest([cs[i] || ' ' || cs[i+1]
+                        for i in range(1, len(cs))]) AS pair
+      FROM ch
+    )
+    SELECT pair, sum(n)::bigint AS pair_count
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT {k}
+    """

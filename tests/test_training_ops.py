@@ -466,3 +466,21 @@ def test_top_ngrams_counts_and_order(spark):
     assert [r.ngram for r in out[1:]] == ["b a", "b c"]
     # a 1-word doc contributes no bigrams
     assert all("single" not in r.ngram for r in out)
+
+
+def test_bpe_pair_counts(spark):
+    """Hand-checked corpus: pair count = within-word occurrences ×
+    word frequency; unicode chars pair correctly; 1-char words
+    contribute nothing."""
+    import pandas as pd
+    from ferenda_spark.operators.textops import bpe_pair_counts
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2],
+                      "text": ["aa aa ab", "aa x é漢"]}),
+        schema="doc_id long, text string")
+    out = {r.pair: r.pair_count for r in bpe_pair_counts(docs).collect()}
+    # "aa" appears 3× (pair "a a" once per occurrence), "ab" once
+    assert out["a a"] == 3
+    assert out["a b"] == 1
+    assert out["é 漢"] == 1
+    assert "x" not in " ".join(out)   # 1-char word → no pairs
