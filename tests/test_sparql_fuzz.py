@@ -176,3 +176,113 @@ def test_fuzz_spark_duckdb_parity(spark, duck_dir, graph, q):
                 .reset_index(drop=True))
 
     pd.testing.assert_frame_equal(norm(sdf), norm(odf))
+
+
+# ---- second generator: aggregates, property paths, VALUES ----------
+
+agg_st = st.sampled_from(["COUNT", "SUM", "MIN", "MAX", "AVG"])
+
+aggq_st = st.fixed_dictionaries({
+    "patterns": st.lists(pattern_st, min_size=1, max_size=2),
+    "group_var": var_st,
+    "agg": agg_st,
+    "agg_distinct": st.booleans(),
+    "agg_var": var_st,
+    "values": st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(SUBJECTS + LITS[:2]),
+                 min_size=1, max_size=3, unique=True)),
+})
+
+
+def render_agg_query(q):
+    def pvars(pats):
+        out = set()
+        for s, _, o in pats:
+            if s[0] == "var":
+                out.add(s[1])
+            if o[0] == "var":
+                out.add(o[1])
+        return out
+    bound = pvars(q["patterns"])
+    if q["group_var"] not in bound or q["agg_var"] not in bound:
+        return None
+    body = bgp_sparql(q["patterns"]) + " . "
+    if q["values"]:
+        body += "VALUES ?%s { %s } " % (
+            q["group_var"],
+            " ".join(term_sparql(("const", v)) for v in q["values"]))
+    dist = "DISTINCT " if q["agg_distinct"] else ""
+    return (PREFIX + "SELECT ?%s (%s(%s?%s) AS ?agg) WHERE { %s} "
+            "GROUP BY ?%s"
+            % (q["group_var"], q["agg"], dist, q["agg_var"], body,
+               q["group_var"]))
+
+
+@settings(max_examples=int(os.environ.get("SPARQL_FUZZ_EXAMPLES", "30")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(graph=graph_st, q=aggq_st)
+def test_fuzz_aggregates(spark, duck_dir, graph, q):
+    text = render_agg_query(q)
+    if text is None:
+        return
+    _run_fuzz(spark, duck_dir, graph, text)
+
+
+pathq_st = st.fixed_dictionaries({
+    "mod": st.sampled_from(["*", "+"]),
+    "endpoint": st.sampled_from(SUBJECTS),
+    "direction": st.booleans(),      # True: const is subject
+    "force_bfs": st.booleans(),      # exercise the seeded-BFS branch
+    "extra": st.one_of(st.none(), pattern_st),
+})
+
+
+def render_path_query(q):
+    s, o = (("const", q["endpoint"]), ("var", "a")) \
+        if q["direction"] else (("var", "a"), ("const", q["endpoint"]))
+    body = "%s p:r%s %s . " % (term_sparql(s), q["mod"], term_sparql(o))
+    if q["extra"]:
+        es, ep, eo = q["extra"]
+        if "a" not in [t[1] for t in (es, eo) if t[0] == "var"]:
+            es = ("var", "a")     # keep the pattern connected
+        body += "%s p:%s %s . " % (term_sparql(es), ep, term_sparql(eo))
+    return PREFIX + "SELECT * WHERE { %s}" % body
+
+
+@settings(max_examples=int(os.environ.get("SPARQL_FUZZ_EXAMPLES", "30")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(graph=graph_st, q=pathq_st)
+def test_fuzz_paths(spark, duck_dir, graph, q, monkeypatch):
+    monkeypatch.setattr(sparql, "PATH_DRIVER_THRESHOLD",
+                        -1 if q["force_bfs"] else 2_000_000)
+    _run_fuzz(spark, duck_dir, graph, render_path_query(q))
+
+
+def _run_fuzz(spark, duck_dir, graph, text):
+    rows = [(s, PREDS[p], o, "uri" if o in SUBJECTS else "literal", "")
+            for s, p, o in graph]
+    pdf = pd.DataFrame(rows, columns=[
+        "subject", "predicate", "object", "objtype", "lang"])
+    pdf["datatype"] = ""
+    _counter[0] += 1
+    path = str(duck_dir / ("g%d.parquet" % _counter[0]))
+    pdf.to_parquet(path)
+    try:
+        sdf = sparql.compile_spark(spark.createDataFrame(pdf),
+                                   text).toPandas()
+        sql = sparql.compile_sql("read_parquet('%s')" % path, text)
+    except sparql.SparqlError:
+        return
+    odf = duckdb.sql(sql).df()
+
+    def norm(d):
+        return (d[sorted(d.columns)].fillna("@null@").astype(str)
+                .sort_values(by=sorted(d.columns))
+                .reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(norm(sdf), norm(odf))
