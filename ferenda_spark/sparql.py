@@ -27,11 +27,11 @@ Supported subset (what ferenda's own queries use):
   ``VALUES (?a ?b) { (…)… }`` with ``UNDEF``
 - ``GRAPH <ctx> { … }`` → context-column constraint on the scans
 - ``ASK { … }`` → one boolean row
+- ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``
 
 The reference's shipped annotation queries — res/sparql/annotations.rq
 and sources/tech/res/sparql/rfc-annotations.rq — both run verbatim
 (tests/test_sparql.py).
-- ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``
 
 Compilation is twinned: :func:`compile_spark` builds the DataFrame
 plan, :func:`compile_sql` emits structurally identical ANSI SQL (the
@@ -204,9 +204,9 @@ class ECmp(Expr):
         lc, rc = l.spark(env), r.spark(env)
         if numeric:
             if isinstance(l, EVar):
-                lc = lc.cast("double")
+                lc = lc.try_cast("double")
             if isinstance(r, EVar):
-                rc = rc.cast("double")
+                rc = rc.try_cast("double")
         return lc, rc
 
     def spark(self, env):
@@ -1143,7 +1143,7 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
             if func == "COUNT":
                 c = F.countDistinct(col) if dist else F.count(col)
             elif func in ("SUM", "AVG"):
-                c = getattr(F, func.lower())(col.cast("double"))
+                c = getattr(F, func.lower())(col.try_cast("double"))
             else:
                 c = getattr(F, func.lower())(col)
             return c.alias(alias)
