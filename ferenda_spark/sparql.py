@@ -26,12 +26,15 @@ Supported subset (what ferenda's own queries use):
   branch BGP, before its FILTERs), ``VALUES ?v { … }`` /
   ``VALUES (?a ?b) { (…)… }`` with ``UNDEF``
 - ``GRAPH <ctx> { … }`` → context-column constraint on the scans
+- property paths ``p*`` / ``p+`` / bounded ``p{m,n}`` & ``p{,n}``;
+  plain nested ``{ … }`` groups inline at any depth (UNION only at
+  the top level)
 - ``ASK { … }`` → one boolean row
 - ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``
 
-The reference's shipped annotation queries — res/sparql/annotations.rq
-and sources/tech/res/sparql/rfc-annotations.rq — both run verbatim
-(tests/test_sparql.py).
+Every ``.rq`` file shipped in the reference tree (18 files: core +
+RFC + legal-SE + lagen.nu) parses and compiles through both backends;
+tests/test_sparql.py runs the annotation/describe ones verbatim.
 
 Compilation is twinned: :func:`compile_spark` builds the DataFrame
 plan, :func:`compile_sql` emits structurally identical ANSI SQL (the
@@ -488,15 +491,16 @@ class _Parser:
                 return g, optionals, unions
             if v == "{":
                 # { alt1 } UNION { alt2 } [UNION { alt3 }…]
-                if not allow_optional:
-                    raise SparqlError("nested group is not supported here")
                 alts = [self.simple_group()]
                 while self.kw("UNION"):
                     alts.append(self.simple_group())
                 if len(alts) == 1:
-                    # a plain nested group is just inlined
+                    # a plain nested group is just inlined (any depth)
                     g.triples.extend(alts[0].triples)
                     g.filters.extend(alts[0].filters)
+                    g.binds.extend(alts[0].binds)
+                elif not allow_optional:
+                    raise SparqlError("nested UNION is not supported")
                 else:
                     unions.append(alts)
                 continue
@@ -593,11 +597,35 @@ class _Parser:
         assert not optionals and not unions
         return g
 
+    def path_mod(self):
+        """``*`` | ``+`` | ``{m,n}`` / ``{,n}`` (bounded quantifier, the
+        reference's prop-annotations.rq uses ``{,1}``) after a URI
+        predicate → "*" | "+" | (m, n) tuple; None when absent."""
+        if self.peek()[1] in ("*", "+"):
+            return self.next()[1]
+        if self.peek()[1] == "{":
+            self.i += 1
+            m = 0
+            if self.peek()[0] == "num":
+                m = int(self.next()[1])
+            self.expect_op(",")
+            kn, vn = self.next()
+            if kn != "num":
+                raise SparqlError("path quantifier needs an upper bound")
+            n = int(vn)
+            self.expect_op("}")
+            if n < max(m, 1):
+                raise SparqlError("bad path quantifier {%d,%d}" % (m, n))
+            return (m, n)
+        return None
+
     def triple(self) -> Triple:
         s = self.term()
         p = self.term()
-        if p[0] == "uri" and self.peek()[1] in ("*", "+"):
-            p = ("path", p[1], self.next()[1])
+        if p[0] == "uri":
+            mod = self.path_mod()
+            if mod is not None:
+                p = ("path", p[1], mod)
         return Triple(s, p, self.term())
 
     def triples_same_subject(self) -> list:
@@ -608,8 +636,10 @@ class _Parser:
         s = self.term()
         while True:
             p = self.term()
-            if p[0] == "uri" and self.peek()[1] in ("*", "+"):
-                p = ("path", p[1], self.next()[1])
+            if p[0] == "uri":
+                mod = self.path_mod()
+                if mod is not None:
+                    p = ("path", p[1], mod)
             while True:
                 out.append(Triple(s, p, self.term()))
                 if self.peek()[1] == ",":
@@ -873,12 +903,43 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
     counter = [0]
     path_cache: dict[tuple, DataFrame] = {}
 
-    def path_relation(uri: str, mod: str) -> DataFrame:
+    def all_terms():
+        return (triples.select(F.col("subject").alias("n"))
+                .union(triples.filter(F.col("objtype") == "uri")
+                       .select(F.col("object").alias("n")))
+                .distinct())
+
+    def path_relation(uri: str, mod) -> DataFrame:
         """(a, b) pairs connected by 1+ hops of ``uri`` edges; for "*"
-        additionally the reflexive pairs over every graph term. Cached
-        per compile — the same path in two UNION branches (the
+        additionally the reflexive pairs over every graph term; for a
+        bounded (m, n) quantifier, pairs within m..n hops (n rounds of
+        self-join — quantifiers in practice are {,1}). Cached per
+        compile — the same path in two UNION branches (the
         annotations.rq shape) computes its closure once."""
         from .graph.closure import transitive_closure
+        if isinstance(mod, tuple):
+            if (uri, mod) not in path_cache:
+                m, n = mod
+                edges = (triples.filter(F.col("predicate") == uri)
+                         .select(F.col("subject").alias("a"),
+                                 F.col("object").alias("b"))
+                         .where(F.col("a") != F.col("b")).distinct())
+                rel = edges if m <= 1 else None
+                cur = edges
+                for _ in range(2, n + 1):
+                    cur = (cur.alias("p")
+                           .join(edges.alias("e"),
+                                 F.col("p.b") == F.col("e.a"))
+                           .select(F.col("p.a").alias("a"),
+                                   F.col("e.b").alias("b"))
+                           .where(F.col("a") != F.col("b")).distinct())
+                    rel = cur if rel is None else rel.union(cur)
+                if m == 0:
+                    rel = rel.unionByName(
+                        all_terms().select(F.col("n").alias("a"),
+                                           F.col("n").alias("b")))
+                path_cache[(uri, mod)] = rel.distinct()
+            return path_cache[(uri, mod)]
         if (uri, mod) not in path_cache:
             if (uri, "+") not in path_cache:
                 edges = (triples.filter(F.col("predicate") == uri)
@@ -887,13 +948,9 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                 path_cache[(uri, "+")] = transitive_closure(edges)
             rel = path_cache[(uri, "+")]
             if mod == "*":
-                nodes = (triples.select(F.col("subject").alias("n"))
-                         .union(triples.filter(F.col("objtype") == "uri")
-                                .select(F.col("object").alias("n")))
-                         .distinct())
                 rel = rel.unionByName(
-                    nodes.select(F.col("n").alias("a"),
-                                 F.col("n").alias("b")))
+                    all_terms().select(F.col("n").alias("a"),
+                                       F.col("n").alias("b")))
                 path_cache[(uri, "*")] = rel
         return path_cache[(uri, mod)]
 
@@ -944,10 +1001,10 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         counter[0] += 1
         if t.p[0] == "path":
             s_bound, o_bound = t.s[0] != "var", t.o[0] != "var"
-            if s_bound != o_bound:
+            if s_bound != o_bound and t.p[2] in ("*", "+"):
                 df = seeded_path(t.p[1], t.p[2],
                                  (t.s if s_bound else t.o)[1], s_bound)
-            else:
+            else:   # both/neither bound, or a bounded quantifier
                 df = path_relation(t.p[1], t.p[2])
             varcols, sel = {}, []
             for col, term in (("a", t.s), ("b", t.o)):
@@ -1153,7 +1210,11 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         out = out.select(*[p if isinstance(p, str) else p[4]
                            for p in proj])
     else:
-        out = plan.select(*[F.col(env_cols[v]).alias(v) for v in proj])
+        # a projected variable bound nowhere is NULL (SPARQL allows it;
+        # the reference's sfs_forfattningskommentar.rq projects one)
+        out = plan.select(*[
+            (F.col(env_cols[v]) if v in env_cols
+             else F.lit(None).cast("string")).alias(v) for v in proj])
         if query.distinct:
             out = out.dropDuplicates()
     if query.order:
@@ -1177,11 +1238,33 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
     ctes: list[str] = []
     path_names: dict[tuple, str] = {}
 
-    def path_cte(uri: str, mod: str) -> str:
+    def path_cte(uri: str, mod) -> str:
         """Emit (once) the recursive CTE for 1+ hops of ``uri`` edges,
-        plus the reflexive-extended twin for "*"."""
+        plus the reflexive-extended twin for "*" and the
+        depth-tracked bounded variant for (m, n) quantifiers."""
         if (uri, mod) in path_names:
             return path_names[(uri, mod)]
+        if isinstance(mod, tuple):
+            m, n = mod
+            inner = "pb%d" % len(ctes)
+            ctes.append(
+                "%s AS (SELECT subject AS a, object AS b, 1 AS d FROM %s"
+                " WHERE predicate = '%s' AND subject <> object"
+                " UNION ALL SELECT p.a, e.object, p.d + 1 FROM %s p"
+                " JOIN %s e ON p.b = e.subject AND e.predicate = '%s'"
+                " WHERE p.d < %d AND p.a <> e.object)"
+                % (inner, table_sql, uri, inner, table_sql, uri, n))
+            name = "pathq%d" % len(ctes)
+            sel = ("SELECT DISTINCT a, b FROM %s WHERE d BETWEEN %d AND %d"
+                   % (inner, max(m, 1), n))
+            if m == 0:
+                sel += (" UNION SELECT n, n FROM"
+                        " (SELECT subject AS n FROM %s"
+                        " UNION SELECT object FROM %s WHERE objtype = 'uri')"
+                        % (table_sql, table_sql))
+            ctes.append("%s AS (%s)" % (name, sel))
+            path_names[(uri, mod)] = name
+            return name
         if (uri, "+") not in path_names:
             name = "path%d" % len(ctes)
             ctes.append(
@@ -1454,7 +1537,9 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             sql += " GROUP BY " + ", ".join(env_cols[v]
                                             for v in query.group_by)
     else:
-        sel = ", ".join("%s AS %s" % (env_cols[v], v) for v in proj)
+        sel = ", ".join(
+            "%s AS %s" % (env_cols.get(v, "CAST(NULL AS VARCHAR)"), v)
+            for v in proj)
         sql = "%sSELECT %s%s %s" % (with_prefix(),
                                     "DISTINCT " if query.distinct else "",
                                     sel, " ".join(parts))

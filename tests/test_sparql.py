@@ -324,6 +324,8 @@ RFC_EXTRA = [
     ("d10", RFC + "updates", "d3", "uri", ""),
     ("d10", DCT + "title", "Update doc", "literal", "en"),
     ("d11", RFC + "obsoletes", "d3", "uri", ""),
+    # keyword_sfs.rq corpus: d4 tagged with subject kw1
+    ("d4", DCT + "subject", "kw1", "uri", ""),
 ]
 
 
@@ -445,3 +447,70 @@ def test_seeded_path_equals_closure(graph, monkeypatch):
     for q, expect in zip(queries, base):
         got = run_both(graph, PREFIXES + q)
         pd.testing.assert_frame_equal(got, expect)
+
+
+def test_bounded_path_quantifier(graph):
+    # {,1}: zero hops (graph-term-gated) + one hop — NOT two
+    out = run_both(graph, PREFIXES + """
+        SELECT ?p WHERE { ?p dct:isPartOf{,1} <d1> } ORDER BY ?p
+    """)
+    assert list(out["p"]) == ["d1", "d3"]        # d4 is 2 hops away
+    out = run_both(graph, PREFIXES + """
+        SELECT ?p WHERE { ?p dct:isPartOf{1,2} <d1> } ORDER BY ?p
+    """)
+    assert list(out["p"]) == ["d3", "d4"]        # no zero-hop row
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse(PREFIXES +
+                     "SELECT ?p WHERE { ?p dct:isPartOf{2,1} <d1> }")
+
+
+def test_every_reference_rq_compiles():
+    """Every SPARQL file the reference ships — core, RFC, legal-SE,
+    lagen.nu — parses and compiles through BOTH backends (the 'a
+    reference user can run every query they run today' bar)."""
+    import glob
+    import os
+    files = sorted(glob.glob("/root/reference/**/*.rq", recursive=True))
+    if not files:
+        pytest.skip("reference tree not present")
+    subs = {"uri": "http://example.org/res/doc/1",
+            "context": "http://example.org/ctx"}
+    assert len(files) >= 18
+    for f in files:
+        text = open(f).read()
+        try:
+            text = text % subs
+        except (KeyError, ValueError):
+            pass
+        sql = sparql.compile_sql("triples", text)   # must not raise
+        assert "SELECT" in sql
+
+
+def test_prop_annotations_verbatim(graph):
+    """legal-SE prop-annotations.rq verbatim: bounded {,1} paths with
+    two variable endpoints + multi-variable strstarts."""
+    import os
+    rq = ("/root/reference/ferenda/sources/legal/se/res/sparql/"
+          "prop-annotations.rq")
+    if not os.path.exists(rq):
+        pytest.skip("reference tree not present")
+    out = run_both(graph, open(rq).read() % {"uri": "d1"})
+    got = set(map(tuple, out.values))
+    # d3 references d1 (isPartOf counts: "?references may be any
+    # predicate"); d3's root within one hop sharing its prefix is d3
+    assert ("d1", DCT + "isReferencedBy", "d3") in got
+    assert ("d3", DCT + "title", "Gamma") in got
+
+
+def test_keyword_queries_verbatim(rfc_graph):
+    """lagen.nu keyword_sfs.rq verbatim: GRAPH wrapping a nested
+    group, ;-lists, isPartOf* with two variables."""
+    import os
+    rq = "/root/reference/lagen/nu/res/sparql/keyword_sfs.rq"
+    if not os.path.exists(rq):
+        pytest.skip("reference tree not present")
+    out = run_both(rfc_graph, open(rq).read()
+                   % {"uri": "kw1", "context": "docs"})
+    rows = set(map(tuple, out[["uri", "baseuri", "label"]].values))
+    assert rows == {("d4", "d3", "Gamma"),
+                    ("d4", "d1", "Alpha report")}
