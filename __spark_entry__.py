@@ -406,6 +406,43 @@ def _q_kg_describe_rfc(spark, sf_dir):
         _RFC_ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI})
 
 
+_DESCRIBE_BASE_RQ = """
+PREFIX dcterms: <http://purl.org/dc/terms/>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+CONSTRUCT {
+  <%(uri)s> dcterms:isReferencedBy ?referer .
+  ?referer ?p ?o .
+  ?o rdfs:label ?olabel .
+  <%(uri)s> ?rp ?ro .
+  ?ro ?rrp ?rro
+}
+WHERE
+{
+  {
+    <%(uri)s> ?rp ?ro .
+  } UNION {
+    <%(uri)s> ?rp ?ro .
+    ?ro ?rrp ?rro .
+  } UNION {
+      ?referer dcterms:references <%(uri)s> .
+      ?referer ?p ?o .
+      ?o rdfs:label ?olabel .
+  }
+}
+"""  # ≙ sources/legal/se/res/sparql/describe-base.rq, unused PREFIXes
+# dropped (the reference file itself compiles verbatim —
+# tests/test_sparql.py::test_every_reference_rq_compiles)
+
+
+def _q_kg_describe_base(spark, sf_dir):
+    """The legal-SE per-document describe query (describe-base.rq
+    shape): own triples + one-hop neighborhood + labeled referers."""
+    from ferenda_spark import sparql
+    return sparql.compile_spark(
+        _kg_read(spark, "triples"),
+        _DESCRIBE_BASE_RQ % {"uri": _DESCRIBE_URI})
+
+
 _KG_SPARQL_STATS = """
 SELECT ?p (COUNT(*) AS ?n_triples) (COUNT(DISTINCT ?s) AS ?n_subjects)
 WHERE { ?s ?p ?o } GROUP BY ?p ORDER BY ?p
@@ -917,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_stats": _q_kg_sparql_stats,
         "kg_sparql_bind": _q_kg_sparql_bind,
         "kg_describe_rfc": _q_kg_describe_rfc,
+        "kg_describe_base": _q_kg_describe_base,
         "kg_versions": _q_kg_versions,
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
@@ -1016,6 +1054,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_describe_rfc": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _RFC_ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),
+        "kg_describe_base": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"],
+            _DESCRIBE_BASE_RQ % {"uri": _DESCRIBE_URI}),
         "kg_versions": kgoracle.sql_versions(kg, KG_NEW_URL),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
