@@ -153,6 +153,7 @@ def main() -> None:
         "pack_sequences": qs["pack_sequences"],
         "token_stats": qs["token_stats"],
         "top_ngrams": qs["top_ngrams"],
+        "bpe_pairs": qs["bpe_pairs"],
         "quality_score": qs["quality_score"],
         "language_id": qs["language_id"],
         "facet_pivot": qs["facet_pivot"],
