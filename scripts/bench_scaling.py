@@ -46,22 +46,12 @@ P.build_pages(spark, n_docs, 64).write.mode("overwrite").parquet(path)
 print("pages written")
 '''
 
-WORKER = r'''
-import json, sys, time
-sys.path.insert(0, %(repo)r)
-cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); reps = int(sys.argv[3])
-path = sys.argv[4]
-from ferenda_spark.session import get_spark
-import ferenda_spark.pages as P
+WORKLOAD_EXTRACT = r'''
 from ferenda_spark.operators.extract import extract_stage, triples_table
 from ferenda_spark.operators.relate import canonicalize_triples
 from ferenda_spark.uris import RepoConfig
-spark = get_spark("scaling", master="local[%%d]" %% cores,
-                  shuffle_partitions=cores * 2)
-spark.sparkContext.setLogLevel("ERROR")
 cfg = RepoConfig(alias="doc", url="http://example.org/")
-
-TRIPLES = "/tmp/scaling_triples_%%d_c%%d" %% (n_docs, cores)
+TRIPLES = "/tmp/scaling_triples_%d_c%d" % (n_docs, cores)
 
 def run():
     # the generator wrote 64 partitions — divisible work for both
@@ -75,6 +65,49 @@ def run():
         .write.mode("overwrite").parquet(TRIPLES)
     t = spark.read.parquet(TRIPLES)
     return canonicalize_triples(t).count()
+'''
+
+WORKLOAD_DEDUP = r'''
+# shuffle-heavy counterpart to the shuffle-free extract: MinHash
+# signatures (Arrow stage) -> banded self-join -> exact-Jaccard verify.
+# Input: a dedicated corpus with BOUNDED duplicate groups (10pct of docs
+# copy their group leader, group size <= 2) — the realistic web-dedup
+# shape. The fixture pages corpus is wrong for this workload: its
+# grammar families make near-dup pair count superlinear in n, so the
+# verify stage dominates quadratically and measures the corpus, not
+# the engine. Text is generated natively (md5-chunk pseudo-words,
+# seeded by doc id) so both levels scan identical deterministic input.
+from pyspark.sql import functions as F
+from ferenda_spark.operators.dedup import minhash_lsh_pairs
+
+DEDUP_PATH = "/tmp/scaling_dedup_docs_%d" % n_docs
+if not __import__("os").path.exists(DEDUP_PATH):
+    base = F.when(F.col("id") % 10 == 7, F.col("id") - 7) \
+            .otherwise(F.col("id")).cast("string")
+    words = [F.substring(F.md5(F.concat(base, F.lit(":%d" % i))), 1, 8)
+             for i in range(60)]
+    (spark.range(n_docs).repartition(64)
+     .select(F.col("id").alias("doc_id"),
+             F.concat_ws(" ", *words).alias("text"))
+     .write.mode("overwrite").parquet(DEDUP_PATH))
+
+def run():
+    return minhash_lsh_pairs(spark.read.parquet(DEDUP_PATH)).count()
+'''
+
+WORKLOADS = {"extract": WORKLOAD_EXTRACT, "dedup": WORKLOAD_DEDUP}
+
+WORKER = r'''
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); reps = int(sys.argv[3])
+path = sys.argv[4]
+from ferenda_spark.session import get_spark
+import ferenda_spark.pages as P
+spark = get_spark("scaling", master="local[%%d]" %% cores,
+                  shuffle_partitions=cores * 2)
+spark.sparkContext.setLogLevel("ERROR")
+%(workload)s
 
 import os as _os, threading as _th
 pre_load = round(_os.getloadavg()[0], 2)   # before any Spark work
@@ -114,9 +147,10 @@ print(json.dumps({"cores": cores, "n_docs": n_docs, "sec": best,
 
 
 def run_level(repo: str, cores: int, n_docs: int, reps: int,
-              path: str) -> dict:
+              path: str, workload: str = "extract") -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER % {"repo": repo},
+        [sys.executable, "-c",
+         WORKER % {"repo": repo, "workload": WORKLOADS[workload]},
          str(cores), str(n_docs), str(reps), path],
         capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -126,10 +160,11 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    workload = sys.argv[3] if len(sys.argv) > 3 else "extract"
     reps = int(os.environ.get("SCALING_REPS", "2"))
     rounds = int(os.environ.get("SCALING_ROUNDS", "1"))
     path = "/tmp/scaling_pages_%d" % n_docs
-    if not os.path.exists(path):
+    if workload == "extract" and not os.path.exists(path):
         subprocess.run([sys.executable, "-c", GEN % {"repo": repo},
                         str(n_docs), path], check=True)
     # this sandbox carries EXTERNAL background load (load avg 4-8 with
@@ -140,14 +175,15 @@ def main() -> None:
     # sample the same noise distribution.
     lo = hi = None
     for _ in range(rounds):
-        lo_r = run_level(repo, n_cores, n_docs, reps, path)
-        hi_r = run_level(repo, n_cores * 4, n_docs, reps, path)
+        lo_r = run_level(repo, n_cores, n_docs, reps, path, workload)
+        hi_r = run_level(repo, n_cores * 4, n_docs, reps, path, workload)
         if lo is None or lo_r["sec"] < lo["sec"]:
             lo = lo_r
         if hi is None or hi_r["sec"] < hi["sec"]:
             hi = hi_r
     eff = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
     result = {
+        "workload": workload,
         "n_docs": n_docs,
         "input": "materialized parquet pages table (%s)" % path,
         "low": lo, "high": hi,
@@ -155,7 +191,9 @@ def main() -> None:
         "criterion": "tput(4N) / (4 * tput(N)) >= 0.8",
         "passes": eff >= 0.8,
     }
-    with open(os.path.join(repo, "BENCH_SCALING.json"), "w") as f:
+    suffix = "" if workload == "extract" else "_" + workload.upper()
+    with open(os.path.join(repo, "BENCH_SCALING%s.json" % suffix),
+              "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
 
