@@ -704,6 +704,19 @@ def _q_top_ngrams(spark, sf_dir):
     return top_ngrams(_read(spark, sf_dir, "documents"), n=2, k=50)
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderdate", "o_orderpriority"]
+
+
+def _q_profile_orders(spark, sf_dir):
+    """Single-pass data-quality census over the orders table (row/
+    null/distinct counts + min/max per column) — the profile-before-
+    training sanity step; all columns aggregate in ONE hash-aggregate
+    pass."""
+    from ferenda_spark.operators.textops import profile_columns
+    return profile_columns(_read(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
 def _q_bpe_pairs(spark, sf_dir):
     """Tokenizer-training statistics: corpus-weighted adjacent
     character-pair counts (the first BPE merge decision). Pairs are
@@ -964,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mixture": _q_resample_mixture,
         "top_ngrams": _q_top_ngrams,
         "bpe_pairs": _q_bpe_pairs,
+        "profile_orders": _q_profile_orders,
         "corpus_curate": _q_corpus_curate,
         "quality_score": _q_quality,
         "language_id": _q_langid,
@@ -1070,6 +1084,8 @@ def oracle_sql() -> dict[str, str]:
             ["doc_id", "text", "lang", "source", "n_chars"]),
         "top_ngrams": textops.oracle_sql_top_ngrams(n=2, k=50),
         "bpe_pairs": textops.oracle_sql_bpe_pairs(k=100),
+        "profile_orders": textops.oracle_sql_profile(
+            "orders", _PROFILE_COLS),
         "corpus_curate": _corpus_curate_sql(),
         "quality_score": textops.oracle_sql_quality(),
         "language_id": textops.oracle_sql_language_id(),

@@ -345,3 +345,53 @@ def oracle_sql_bpe_pairs(table: str = "documents", k: int = 100) -> str:
     FROM p GROUP BY pair
     ORDER BY pair_count DESC, pair LIMIT {k}
     """
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Data-quality census over arbitrary columns: one output row per
+    column with row/null/distinct counts and lexicographic min/max
+    (values cast to string so heterogeneous columns stack into one
+    typed result — the profile-before-training sanity step).
+
+    Scale shape: ONE pass — all per-column aggregates compute in a
+    single global hash-aggregate (partial combine map-side, a
+    single-row exchange), then unpivot driver-side expressions; no
+    per-column scans, no shuffle beyond the 1-row final agg.
+    """
+    aggs = []
+    for c in columns:
+        sc = F.col(c).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias("%s__n" % c),
+            F.sum(F.when(sc.isNull(), 1).otherwise(0))
+             .alias("%s__nnull" % c),
+            F.countDistinct(sc).alias("%s__ndist" % c),
+            F.min(sc).alias("%s__min" % c),
+            F.max(sc).alias("%s__max" % c),
+        ]
+    one = df.agg(*aggs)
+    rows = None
+    for c in columns:
+        row = one.select(
+            F.lit(c).alias("column"),
+            F.col("%s__n" % c).alias("n_rows"),
+            F.col("%s__nnull" % c).alias("n_null"),
+            F.col("%s__ndist" % c).alias("n_distinct"),
+            F.col("%s__min" % c).alias("min_value"),
+            F.col("%s__max" % c).alias("max_value"))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("column")
+
+
+def oracle_sql_profile(table: str, columns: list[str]) -> str:
+    selects = []
+    for c in columns:
+        selects.append(f"""
+        SELECT '{c}' AS "column", count(*)::bigint AS n_rows,
+               sum(CASE WHEN {c}::VARCHAR IS NULL THEN 1 ELSE 0 END)::bigint
+                 AS n_null,
+               count(DISTINCT {c}::VARCHAR)::bigint AS n_distinct,
+               min({c}::VARCHAR) AS min_value,
+               max({c}::VARCHAR) AS max_value
+        FROM {table}""")
+    return '%s ORDER BY "column"' % " UNION ALL ".join(selects)

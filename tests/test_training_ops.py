@@ -484,3 +484,17 @@ def test_bpe_pair_counts(spark):
     assert out["a b"] == 1
     assert out["é 漢"] == 1
     assert "x" not in " ".join(out)   # 1-char word → no pairs
+
+
+def test_profile_columns(spark):
+    import pandas as pd
+    from ferenda_spark.operators.textops import profile_columns
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": ["x", "y", None, "x"],
+                      "b": [1, 2, 2, None]}),
+        schema="a string, b long")
+    out = {r.column: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert out["a"].n_rows == 4 and out["a"].n_null == 1
+    assert out["a"].n_distinct == 2           # nulls not counted
+    assert (out["a"].min_value, out["a"].max_value) == ("x", "y")
+    assert out["b"].n_null == 1 and out["b"].n_distinct == 2
