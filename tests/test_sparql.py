@@ -514,3 +514,48 @@ def test_keyword_queries_verbatim(rfc_graph):
     rows = set(map(tuple, out[["uri", "baseuri", "label"]].values))
     assert rows == {("d4", "d3", "Gamma"),
                     ("d4", "d1", "Alpha report")}
+
+
+RPUBL = "http://rinfo.lagrummet.se/ns/2008/11/rinfo/publ#"
+BIBO = "http://purl.org/ontology/bibo/"
+
+DV_TRIPLES = [
+    # court decision r1 cites statute d1; referat ref1 reports r1
+    ("r1", RPUBL + "rattsfall", "d1", "uri", ""),
+    ("ref1", RPUBL + "referatAvDomstolsavgorande", "r1", "uri", ""),
+    ("ref1", RDF_TYPE, RPUBL + "Rattsfallsreferat", "uri", ""),
+    ("ref1", DCT + "identifier", "NJA 2001 s. 3", "literal", ""),
+    ("ref1", RPUBL + "referatrubrik", "Om d1", "literal", "sv"),
+    # chapter c1 of proposition p1 references d1
+    ("c1", DCT + "references", "d1", "uri", ""),
+    ("c1", DCT + "isPartOf", "p1", "uri", ""),
+    ("c1", BIBO + "chapter", "2", "literal", ""),
+    ("p1", RDF_TYPE, RPUBL + "Proposition", "uri", ""),
+    ("p1", DCT + "identifier", "Prop. 1997/98:44", "literal", ""),
+    ("p1", DCT + "title", "Personuppgiftslag", "literal", "sv"),
+]
+
+
+def test_dv_annotations_verbatim(spark, tmp_path):
+    """legal-SE dv-annotations.rq verbatim: 3-branch UNION over an
+    rpubl-shaped graph (court decisions, referat, propositions)."""
+    import os
+    rq = ("/root/reference/ferenda/sources/legal/se/res/sparql/"
+          "dv-annotations.rq")
+    if not os.path.exists(rq):
+        pytest.skip("reference tree not present")
+    pdf = pd.DataFrame(DV_TRIPLES, columns=[
+        "subject", "predicate", "object", "objtype", "lang"])
+    pdf["datatype"] = ""
+    path = str(tmp_path / "dv.parquet")
+    pdf.to_parquet(path)
+    g = (spark.createDataFrame(pdf), path)
+    out = run_both(g, open(rq).read() % {"uri": "d1"})
+    got = set(map(tuple, out.values))
+    assert ("d1", DCT + "isReferencedBy", "ref1") in got
+    assert ("ref1", DCT + "identifier", "NJA 2001 s. 3") in got
+    assert ("ref1", RPUBL + "referatrubrik", "Om d1") in got
+    # the forarbete branch: chapter c1 walks isPartOf* to p1
+    assert ("d1", DCT + "isReferencedBy", "p1") in got
+    assert ("p1", BIBO + "chapter", "2") in got
+    assert ("p1", DCT + "title", "Personuppgiftslag") in got
