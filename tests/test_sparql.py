@@ -559,3 +559,46 @@ def test_dv_annotations_verbatim(spark, tmp_path):
     assert ("d1", DCT + "isReferencedBy", "p1") in got
     assert ("p1", BIBO + "chapter", "2") in got
     assert ("p1", DCT + "title", "Personuppgiftslag") in got
+
+
+def test_sfs_changes_verbatim(spark, tmp_path):
+    """legal-SE sfs_changes.rq verbatim: ;-lists, OPTIONAL ;-list,
+    var-predicate IN filter and STRSTARTS prefix gate."""
+    import os
+    rq = ("/root/reference/ferenda/sources/legal/se/res/sparql/"
+          "sfs_changes.rq")
+    if not os.path.exists(rq):
+        pytest.skip("reference tree not present")
+    rows = [
+        ("ch1", RPUBL + "ersatter", "d1#p1", "uri", ""),
+        ("ch1", DCT + "identifier", "SFS 1998:204", "literal", ""),
+        ("ch1", RPUBL + "forarbete", "prop1", "uri", ""),
+        ("prop1", RDF_TYPE, RPUBL + "Proposition", "uri", ""),
+        ("prop1", DCT + "identifier", "Prop. 1997/98:44", "literal", ""),
+        ("prop1", DCT + "title", "PUL", "literal", "sv"),
+        # changetype outside the IN list → excluded
+        ("ch2", RPUBL + "kommenterar", "d1#p2", "uri", ""),
+        ("ch2", DCT + "identifier", "X", "literal", ""),
+        ("ch2", RPUBL + "forarbete", "prop1", "uri", ""),
+        # lagrum outside the uri prefix → excluded
+        ("ch3", RPUBL + "upphaver", "other#p1", "uri", ""),
+        ("ch3", DCT + "identifier", "Y", "literal", ""),
+        ("ch3", RPUBL + "forarbete", "prop1", "uri", ""),
+        # proposition without identifier/title → OPTIONAL leaves nulls
+        ("ch4", RPUBL + "inforsI", "d1#p3", "uri", ""),
+        ("ch4", DCT + "identifier", "SFS 1999:1", "literal", ""),
+        ("ch4", RPUBL + "forarbete", "prop2", "uri", ""),
+        ("prop2", RDF_TYPE, RPUBL + "Proposition", "uri", ""),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "subject", "predicate", "object", "objtype", "lang"])
+    pdf["datatype"] = ""
+    path = str(tmp_path / "sfs.parquet")
+    pdf.to_parquet(path)
+    g = (spark.createDataFrame(pdf), path)
+    out = run_both(g, open(rq).read() % {"uri": "d1"})
+    by = {r["change"]: r for _, r in out.iterrows()}
+    assert set(by) == {"ch1", "ch4"}
+    assert by["ch1"]["changetype"] == RPUBL + "ersatter"
+    assert by["ch1"]["propid"] == "Prop. 1997/98:44"
+    assert pd.isna(by["ch4"]["propid"])        # optional miss → null

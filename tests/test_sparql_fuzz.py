@@ -86,6 +86,7 @@ query_st = st.fixed_dictionaries({
     "patterns": st.lists(pattern_st, min_size=1, max_size=3),
     "optional": st.one_of(st.none(),
                           st.lists(pattern_st, min_size=1, max_size=2)),
+    "optional_filter": st.one_of(st.none(), filter_st),
     "union": st.one_of(st.none(),
                        st.tuples(st.lists(pattern_st, min_size=1,
                                           max_size=2),
@@ -128,7 +129,11 @@ def render_query(q):
         body += filter_sparql(f) + " "
     if q["optional"]:
         opt_vars = pvars(q["optional"])
-        body += "OPTIONAL { %s } " % bgp_sparql(q["optional"])
+        opt_body = bgp_sparql(q["optional"])
+        f = q.get("optional_filter")
+        if f is not None and f[1] in opt_vars:
+            opt_body += " . " + filter_sparql(f)
+        body += "OPTIONAL { %s } " % opt_body
         all_vars |= opt_vars
     if not all_vars:
         return None
