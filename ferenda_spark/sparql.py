@@ -1489,7 +1489,8 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                     for v, c in env_cols.items()}
         sol = "SELECT %s %s" % (
             ", ".join("%s AS %s" % (c, sol_cols[v])
-                      for v, c in env_cols.items()),
+                      for v, c in env_cols.items())
+            or "1 AS x",    # fully-constant WHERE: existence rows only
             " ".join(parts))
         if where_conds:
             sol += " WHERE " + " AND ".join(where_conds)
@@ -1506,9 +1507,13 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             s, p, o = pos(t.s), pos(t.p), pos(t.o)
             nn = " AND ".join("%s IS NOT NULL" % c
                               for c in (s, p, o) if not c.startswith("'"))
+            # DISTINCT inside each branch: UNION dedups across
+            # branches, but a single-template CONSTRUCT has no UNION —
+            # the result is a graph (a set) either way
             selects.append(
-                "SELECT %s AS subject, %s AS predicate, %s AS object"
-                " FROM sol%s" % (s, p, o, (" WHERE " + nn) if nn else ""))
+                "SELECT DISTINCT %s AS subject, %s AS predicate,"
+                " %s AS object FROM sol%s"
+                % (s, p, o, (" WHERE " + nn) if nn else ""))
         return "%s%s" % (with_prefix(["sol AS (%s)" % sol]),
                          " UNION ".join(selects))
 

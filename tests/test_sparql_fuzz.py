@@ -291,3 +291,61 @@ def _run_fuzz(spark, duck_dir, graph, text):
                 .reset_index(drop=True))
 
     pd.testing.assert_frame_equal(norm(sdf), norm(odf))
+
+
+# ---- fourth generator: CONSTRUCT templates --------------------------
+
+constructq_st = st.fixed_dictionaries({
+    "patterns": st.lists(pattern_st, min_size=1, max_size=2),
+    "optional": st.one_of(st.none(),
+                          st.lists(pattern_st, min_size=1, max_size=1)),
+    # template rows: (s, p, o) each a var name or a constant
+    "template": st.lists(
+        st.tuples(
+            st.one_of(st.tuples(st.just("var"), var_st),
+                      st.tuples(st.just("const"),
+                                st.sampled_from(SUBJECTS))),
+            st.sampled_from(sorted(PREDS)),
+            st.one_of(st.tuples(st.just("var"), var_st),
+                      st.tuples(st.just("const"),
+                                st.sampled_from(LITS[:3] + SUBJECTS)))),
+        min_size=1, max_size=2),
+})
+
+
+def render_construct(q):
+    def pvars(pats):
+        out = set()
+        for s, _, o in pats:
+            if s[0] == "var":
+                out.add(s[1])
+            if o[0] == "var":
+                out.add(o[1])
+        return out
+    bound = pvars(q["patterns"])
+    if q["optional"]:
+        bound |= pvars(q["optional"])
+    # template vars must be bound somewhere (unbound template vars are
+    # a compile error by design); optional-only vars exercise NULL-skip
+    for s, _, o in q["template"]:
+        for t in (s, o):
+            if t[0] == "var" and t[1] not in bound:
+                return None
+    tmpl = " . ".join("%s p:%s %s" % (term_sparql(s), p, term_sparql(o))
+                      for s, p, o in q["template"])
+    body = bgp_sparql(q["patterns"]) + " . "
+    if q["optional"]:
+        body += "OPTIONAL { %s } " % bgp_sparql(q["optional"])
+    return "%sCONSTRUCT { %s } WHERE { %s}" % (PREFIX, tmpl, body)
+
+
+@settings(max_examples=int(os.environ.get("SPARQL_FUZZ_EXAMPLES", "30")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(graph=graph_st, q=constructq_st)
+def test_fuzz_construct(spark, duck_dir, graph, q):
+    text = render_construct(q)
+    if text is None:
+        return
+    _run_fuzz(spark, duck_dir, graph, text)
