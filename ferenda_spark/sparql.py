@@ -30,7 +30,10 @@ Supported subset (what ferenda's own queries use):
   plain nested ``{ … }`` groups inline at any depth (UNION only at
   the top level)
 - ``ASK { … }`` → one boolean row
-- ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``
+- ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``, ``OFFSET n`` (OFFSET
+  requires ORDER BY; deterministic across engines only when the order
+  key is a total order — the same caveat the reference's own WSGI
+  pagination carries)
 
 Every ``.rq`` file shipped in the reference tree (18 files: core +
 RFC + legal-SE + lagen.nu) parses and compiles through both backends;
@@ -144,6 +147,7 @@ class Query:
     construct: list | None = None                # template triples
     group_by: list = field(default_factory=list)
     ask: bool = False                            # ASK query → 1 bool row
+    offset: int | None = None
     # proj items are var-name strings or
     # ("agg", FUNC, distinct, var_or_None, alias) tuples
 
@@ -462,20 +466,34 @@ class _Parser:
                     order.append((v[1:], False)); self.i += 1
                 else:
                     break
-        limit = None
-        if self.kw("LIMIT"):
-            k, v = self.next()
-            if k != "num":
-                raise SparqlError("LIMIT needs a number")
-            limit = int(v)
+        limit = offset = None
+        while True:     # LIMIT/OFFSET accepted in either order
+            if limit is None and self.kw("LIMIT"):
+                k, v = self.next()
+                if k != "num":
+                    raise SparqlError("LIMIT needs a number")
+                limit = int(v)
+                continue
+            if offset is None and self.kw("OFFSET"):
+                k, v = self.next()
+                if k != "num":
+                    raise SparqlError("OFFSET needs a number")
+                offset = int(v)
+                continue
+            break
         if self.peek()[0] != "eof":
             raise SparqlError("trailing tokens at %r" % (self.peek(),))
-        if construct is not None and (order or limit is not None):
+        if construct is not None and (order or limit is not None
+                                      or offset is not None):
             raise SparqlError("ORDER/LIMIT on CONSTRUCT is not supported")
-        if ask and (order or limit is not None or group_by):
+        if ask and (order or limit is not None or offset is not None
+                    or group_by):
             raise SparqlError("ORDER/LIMIT/GROUP BY on ASK is not valid")
+        if offset and not order:
+            raise SparqlError("OFFSET without ORDER BY is not "
+                              "deterministic; add an ORDER BY")
         q = Query(distinct, proj, where, optionals, order, limit,
-                  unions, construct, group_by, ask)
+                  unions, construct, group_by, ask, offset)
         for g in ([q.where] + q.optionals
                   + [a for alts in q.unions for a in alts]):
             _rewrite_istype(g)
@@ -1220,6 +1238,8 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
     if query.order:
         out = out.orderBy(*[F.col(v).desc() if d else F.col(v).asc()
                             for v, d in query.order])
+    if query.offset is not None:
+        out = out.offset(query.offset)
     if query.limit is not None:
         out = out.limit(query.limit)
     return out
@@ -1555,4 +1575,6 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             "%s%s" % (v, " DESC" if d else "") for v, d in query.order)
     if query.limit is not None:
         sql += " LIMIT %d" % query.limit
+    if query.offset is not None:
+        sql += " OFFSET %d" % query.offset
     return sql

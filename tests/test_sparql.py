@@ -602,3 +602,19 @@ def test_sfs_changes_verbatim(spark, tmp_path):
     assert by["ch1"]["changetype"] == RPUBL + "ersatter"
     assert by["ch1"]["propid"] == "Prop. 1997/98:44"
     assert pd.isna(by["ch4"]["propid"])        # optional miss → null
+
+
+def test_offset_pagination(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?n WHERE { ?s dct:identifier ?n }
+        ORDER BY ?s LIMIT 2 OFFSET 1
+    """)
+    assert list(out["s"]) == ["d2", "d3"]
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?n WHERE { ?s dct:identifier ?n }
+        ORDER BY ?s OFFSET 2
+    """)
+    assert list(out["s"]) == ["d3"]
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse(PREFIXES +
+                     "SELECT ?s WHERE { ?s dct:identifier ?n } OFFSET 1")
