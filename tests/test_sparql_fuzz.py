@@ -237,7 +237,7 @@ def test_fuzz_aggregates(spark, duck_dir, graph, q):
 
 
 pathq_st = st.fixed_dictionaries({
-    "mod": st.sampled_from(["*", "+"]),
+    "mod": st.sampled_from(["*", "+", "{,1}", "{1,2}", "{0,2}", "{2,3}"]),
     "endpoint": st.sampled_from(SUBJECTS),
     "direction": st.booleans(),      # True: const is subject
     "force_bfs": st.booleans(),      # exercise the seeded-BFS branch
