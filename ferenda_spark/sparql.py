@@ -25,6 +25,9 @@ Supported subset (what ferenda's own queries use):
 - ``BIND(expr AS ?v)`` (top-level group and UNION branches; after the
   branch BGP, before its FILTERs), ``VALUES ?v { … }`` /
   ``VALUES (?a ?b) { (…)… }`` with ``UNDEF``
+- ``FILTER [NOT] EXISTS { … }`` (top-level; compiled to a left-semi /
+  left-anti join — Spark's native form — and a correlated (NOT)
+  EXISTS subquery in the SQL twin)
 - ``GRAPH <ctx> { … }`` → context-column constraint on the scans
 - property paths ``p*`` / ``p+`` / bounded ``p{m,n}`` & ``p{,n}``;
   plain nested ``{ … }`` groups inline at any depth (UNION only at
@@ -133,6 +136,7 @@ class Group:
     filters: list = field(default_factory=list)   # expr ASTs
     binds: list = field(default_factory=list)     # [(Expr, var-name)]
     values: list = field(default_factory=list)    # [(var-names, rows)]
+    exists: list = field(default_factory=list)    # [(positive, Group)]
 
 
 @dataclass
@@ -495,7 +499,8 @@ class _Parser:
         q = Query(distinct, proj, where, optionals, order, limit,
                   unions, construct, group_by, ask, offset)
         for g in ([q.where] + q.optionals
-                  + [a for alts in q.unions for a in alts]):
+                  + [a for alts in q.unions for a in alts]
+                  + [eg for _, eg in q.where.exists]):
             _rewrite_istype(g)
         return q
 
@@ -531,9 +536,26 @@ class _Parser:
                 continue
             if k == "kw" and v.upper() == "FILTER":
                 self.i += 1
-                self.expect_op("(")
-                g.filters.append(self.expr())
-                self.expect_op(")")
+                parens = self.peek()[1] == "("
+                if parens:
+                    self.i += 1
+                # FILTER [NOT] EXISTS { … } — a statement-level form,
+                # compiled to a semi/anti join (never an expression)
+                kn, vn = self.peek()
+                if kn == "kw" and vn.upper() in ("EXISTS", "NOT"):
+                    positive = vn.upper() == "EXISTS"
+                    self.i += 1
+                    if not positive and not self.kw("EXISTS"):
+                        raise SparqlError("expected NOT EXISTS")
+                    if not allow_optional:
+                        raise SparqlError("FILTER EXISTS inside "
+                                          "OPTIONAL/UNION is not "
+                                          "supported")
+                    g.exists.append((positive, self.simple_group()))
+                else:
+                    g.filters.append(self.expr())
+                if parens:
+                    self.expect_op(")")
                 continue
             if k == "kw" and v.upper() == "GRAPH":
                 # GRAPH <ctx> { … }: stamp the context on every scan
@@ -1162,6 +1184,21 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
     for f in query.where.filters:
         plan = plan.filter(f.spark(colenv(env_cols)))
 
+    # FILTER [NOT] EXISTS → left-semi / left-anti join on the shared
+    # variables (the Spark-native form: no row multiplication, the
+    # probe side streams, AQE broadcasts a small EXISTS pattern)
+    for positive, g in query.where.exists:
+        sub, sub_cols = chain(g.triples, "e")
+        for f in g.filters:
+            sub = sub.filter(f.spark(colenv(sub_cols)))
+        shared = [v for v in sub_cols if v in env_cols]
+        cond = None
+        for v in shared:
+            c = F.col(env_cols[v]) == F.col(sub_cols[v])
+            cond = c if cond is None else (cond & c)
+        plan = plan.join(sub, cond if cond is not None else F.lit(True),
+                         "left_semi" if positive else "left_anti")
+
     for g in query.optionals:
         if g.binds or g.values:
             raise SparqlError("BIND/VALUES inside OPTIONAL is not "
@@ -1454,6 +1491,33 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         bind_vars.add(var)
 
     where_conds = [f.sql(sqlenv(env_cols)) for f in query.where.filters]
+
+    # FILTER [NOT] EXISTS → correlated (NOT) EXISTS subquery joined to
+    # the outer scan aliases on the shared variables
+    for positive, g in query.where.exists:
+        e_cols: dict[str, str] = {}
+        e_parts: list[str] = []
+        for t in _order_patterns(g.triples):
+            sub, cols = scan_sql(t, "e")
+            shared = [v for v in cols if v in e_cols]
+            if not e_parts:
+                e_parts.append("FROM %s" % sub)
+            elif shared:
+                on = " AND ".join("%s = %s" % (e_cols[v], cols[v])
+                                  for v in shared)
+                e_parts.append("JOIN %s ON %s" % (sub, on))
+            else:
+                e_parts.append("CROSS JOIN %s" % sub)
+            for v, c in cols.items():
+                e_cols.setdefault(v, c)
+        conds = [f.sql(sqlenv(e_cols)) for f in g.filters]
+        conds += ["%s = %s" % (e_cols[v], env_cols[v])
+                  for v in sorted(e_cols) if v in env_cols]
+        inner = "SELECT 1 %s" % " ".join(e_parts)
+        if conds:
+            inner += " WHERE " + " AND ".join(conds)
+        where_conds.append("%sEXISTS (%s)"
+                           % ("" if positive else "NOT ", inner))
 
     for g in query.optionals:
         if g.binds or g.values:

@@ -618,3 +618,39 @@ def test_offset_pagination(graph):
     with pytest.raises(sparql.SparqlError):
         sparql.parse(PREFIXES +
                      "SELECT ?s WHERE { ?s dct:identifier ?n } OFFSET 1")
+
+
+def test_filter_not_exists(graph):
+    # documents with a title but NO publisher (the anti-join shape)
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE {
+          ?s a foaf:Document .
+          FILTER NOT EXISTS { ?s dct:publisher ?p }
+        } ORDER BY ?s
+    """)
+    assert list(out["s"]) == ["d2"]
+    # positive EXISTS with its own inner FILTER, parenthesized form
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE {
+          ?s a foaf:Document .
+          FILTER (EXISTS { ?s dct:publisher ?pub .
+                           FILTER(?pub = <p1>) })
+        }
+    """)
+    assert list(out["s"]) == ["d1"]
+    # EXISTS sharing no variables: keeps all rows iff pattern matches
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE {
+          ?s a foaf:Organization .
+          FILTER NOT EXISTS { ?x dct:title "No such title" }
+        } ORDER BY ?s
+    """)
+    assert list(out["s"]) == ["p1", "p2"]
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse(PREFIXES + """
+            SELECT ?s WHERE {
+              ?s a foaf:Document .
+              OPTIONAL { ?s dct:publisher ?p .
+                         FILTER EXISTS { ?p a foaf:Organization } }
+            }
+        """)

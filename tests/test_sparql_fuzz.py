@@ -93,6 +93,10 @@ query_st = st.fixed_dictionaries({
                                  st.lists(pattern_st, min_size=1,
                                           max_size=2))),
     "filters": st.lists(filter_st, max_size=2),
+    "exists": st.one_of(
+        st.none(),
+        st.tuples(st.booleans(),
+                  st.lists(pattern_st, min_size=1, max_size=2))),
     "distinct": st.booleans(),
 })
 
@@ -127,6 +131,10 @@ def render_query(q):
         if f[1] not in all_vars or (q["union"] and f[1] not in base_vars):
             return None   # unbound, or evaluated before union vars exist
         body += filter_sparql(f) + " "
+    if q.get("exists"):
+        positive, pats = q["exists"]
+        body += "FILTER %sEXISTS { %s } " % (
+            "" if positive else "NOT ", bgp_sparql(pats))
     if q["optional"]:
         opt_vars = pvars(q["optional"])
         opt_body = bgp_sparql(q["optional"])
