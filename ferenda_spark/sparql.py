@@ -20,8 +20,9 @@ Supported subset (what ferenda's own queries use):
   object lists
 - ``FILTER`` expressions: ``= != < <= > >=``, ``IN (…)``,
   ``regex(?v, "pat")``, ``bound(?v)``, ``str(?v)``, ``concat(…)``,
-  ``strstarts(e, e)``, ``isUri/isIRI/isLiteral(?v)`` (top-level
-  conjuncts — compiled to objtype scan constraints), ``! && ||``
+  ``strstarts(e, e)``, ``isUri/isIRI/isLiteral(?v)`` and
+  ``lang(?v) = "tag"`` (top-level conjuncts — compiled to objtype /
+  lang scan constraints), ``! && ||``
 - ``BIND(expr AS ?v)`` (top-level group and UNION branches; after the
   branch BGP, before its FILTERs), ``VALUES ?v { … }`` /
   ``VALUES (?a ?b) { (…)… }`` with ``UNDEF``
@@ -127,6 +128,7 @@ class Triple:
     # o_objtype: "uri"/"literal" — an isUri/isLiteral FILTER conjunct
     # pushed into the scan; graph: GRAPH <uri> context
     o_objtype: str | None = None
+    o_lang: str | None = None
     graph: str | None = None
 
 
@@ -290,6 +292,20 @@ class EStrStarts(Expr):
     def sql(self, env):
         return "starts_with(%s, %s)" % (self.left.sql(env),
                                         self.right.sql(env))
+
+
+@dataclass
+class ELang(Expr):
+    """lang(?v) — only valid as ``lang(?v) = "tag"`` in a top-level
+    FILTER conjunct, where the rewriter pushes a lang-column constraint
+    into the scan binding the variable at object position."""
+    var: EVar
+
+    def spark(self, env):
+        raise SparqlError('lang() is only supported as a top-level '
+                          'FILTER conjunct lang(?v) = "tag"')
+
+    sql = spark
 
 
 @dataclass
@@ -792,6 +808,14 @@ class _Parser:
             right = self.expr()
             self.expect_op(")")
             return EStrStarts(left, right)
+        if k == "kw" and v.lower() == "lang":
+            self.i += 1
+            self.expect_op("(")
+            kv, vv = self.next()
+            if kv != "var":
+                raise SparqlError("lang needs a variable")
+            self.expect_op(")")
+            return ELang(EVar(vv[1:]))
         if k == "kw" and v.lower() in ("isuri", "isiri", "isliteral"):
             kind = "literal" if v.lower() == "isliteral" else "uri"
             self.i += 1
@@ -845,21 +869,34 @@ def _rewrite_istype(g: Group) -> None:
             elif isinstance(c, ENot) and isinstance(c.inner, EIsType):
                 m = (c.inner.var.name,
                      "literal" if c.inner.kind == "uri" else "uri")
-            if m is None:
+            lm = None   # lang(?v) = "tag" conjunct → (var, tag)
+            if (m is None and isinstance(c, ECmp) and c.op == "="):
+                for a, b in ((c.left, c.right), (c.right, c.left)):
+                    if isinstance(a, ELang) and isinstance(b, EConst) \
+                            and not b.numeric:
+                        lm = (a.var.name, b.term[1])
+            if m is None and lm is None:
                 kept.append(c)
                 continue
-            var, kind = m
+            var = (m or lm)[0]
             hits = [t for t in g.triples
                     if t.o == ("var", var) and t.p[0] != "path"]
             if not hits:
                 raise SparqlError(
-                    "isUri/isLiteral needs ?%s bound at an object "
+                    "isUri/isLiteral/lang needs ?%s bound at an object "
                     "position in the same group" % var)
             for t in hits:
-                if t.o_objtype and t.o_objtype != kind:
-                    raise SparqlError(
-                        "contradictory isUri/isLiteral on ?%s" % var)
-                t.o_objtype = kind
+                if m is not None:
+                    kind = m[1]
+                    if t.o_objtype and t.o_objtype != kind:
+                        raise SparqlError(
+                            "contradictory isUri/isLiteral on ?%s" % var)
+                    t.o_objtype = kind
+                else:
+                    if t.o_lang and t.o_lang != lm[1]:
+                        raise SparqlError(
+                            "contradictory lang() on ?%s" % var)
+                    t.o_lang = lm[1]
     g.filters = kept
 
 
@@ -927,6 +964,8 @@ def _scan_spec(t: Triple, alias: str):
             consts.append((col, term[1]))
     if t.o_objtype and t.o[0] == "var":
         consts.append(("objtype", t.o_objtype))
+    if t.o_lang and t.o[0] == "var":
+        consts.append(("lang", t.o_lang))
     if t.graph:
         consts.append(("context", t.graph))
     return consts, varcols, intra

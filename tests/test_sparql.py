@@ -654,3 +654,24 @@ def test_filter_not_exists(graph):
                          FILTER EXISTS { ?p a foaf:Organization } }
             }
         """)
+
+
+def test_lang_filter(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?t WHERE {
+          ?s dct:title ?t . FILTER(lang(?t) = "sv")
+        }
+    """)
+    assert list(map(tuple, out.values)) == [("d3", "Gamma")]
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE {
+          ?s dct:title ?t .
+          FILTER("en" = lang(?t) && strstarts(?t, "Alpha"))
+        }
+    """)
+    assert list(out["s"]) == ["d1"]
+    with pytest.raises(sparql.SparqlError):
+        sparql.compile_sql("t", PREFIXES + """
+            SELECT ?s WHERE { ?s dct:title ?t .
+                              FILTER(lang(?t) != "en") }
+        """)
