@@ -717,6 +717,15 @@ def _q_profile_orders(spark, sf_dir):
     return profile_columns(_read(spark, sf_dir, "orders"), _PROFILE_COLS)
 
 
+def _q_top_terms(spark, sf_dir):
+    """Per-document keyword extraction: top-5 terms by tf·idf (raw
+    inverse idf — log-free so ranks are bit-identical across engines).
+    One explode-count shuffle + a df agg over the tf table + a window
+    on the existing doc-hash partitioning."""
+    from ferenda_spark.operators.textops import top_terms_per_doc
+    return top_terms_per_doc(_read(spark, sf_dir, "documents"), k=5)
+
+
 def _q_bpe_pairs(spark, sf_dir):
     """Tokenizer-training statistics: corpus-weighted adjacent
     character-pair counts (the first BPE merge decision). Pairs are
@@ -978,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,
         "bpe_pairs": _q_bpe_pairs,
         "profile_orders": _q_profile_orders,
+        "top_terms": _q_top_terms,
         "corpus_curate": _q_corpus_curate,
         "quality_score": _q_quality,
         "language_id": _q_langid,
@@ -1086,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": textops.oracle_sql_bpe_pairs(k=100),
         "profile_orders": textops.oracle_sql_profile(
             "orders", _PROFILE_COLS),
+        "top_terms": textops.oracle_sql_top_terms(k=5),
         "corpus_curate": _corpus_curate_sql(),
         "quality_score": textops.oracle_sql_quality(),
         "language_id": textops.oracle_sql_language_id(),

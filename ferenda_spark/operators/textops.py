@@ -395,3 +395,67 @@ def oracle_sql_profile(table: str, columns: list[str]) -> str:
                max({c}::VARCHAR) AS max_value
         FROM {table}""")
     return '%s ORDER BY "column"' % " UNION ALL ".join(selects)
+
+
+def top_terms_per_doc(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document keyword extraction: top-``k`` terms by tf·idf with
+    the raw-inverse idf (score = tf · N/df). The log-free idf keeps the
+    score a product/quotient of exact integers — bit-identical across
+    engines (ln() differs in the last ulp between libm and the JVM,
+    which would flip ranks on near-ties).
+
+    → (doc_id, term, tf, df, score, rank), rank 1..k per document,
+    ties broken by the term string.
+
+    Scale shape: explode → (doc, term) count with map-side partial
+    combine (one shuffle); df aggregates FROM the tf table (already
+    unique per (doc, term) — no second pass over the corpus); N is a
+    broadcast 1-row aggregate; the per-doc top-k is a window over the
+    doc-hash partitioning the tf count already produced.
+    """
+    words = words_col(F.col(text_col))
+    ex = df.select(F.col(id_col), F.explode(words).alias("term"))
+    tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n))
+              .withColumn("score",
+                          F.round(F.col("tf") *
+                                  (F.col("n_docs").cast("double") /
+                                   F.col("df").cast("double")), 6)))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"),
+                                           F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", "tf", "df", "score", "rank")
+            .orderBy(id_col, "rank"))
+
+
+def oracle_sql_top_terms(table: str = "documents", k: int = 5) -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text)='' THEN []::varchar[]
+                  ELSE {_sql_words()} END AS words
+      FROM {table}
+    ),
+    ex AS (SELECT doc_id, unnest(words) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*)::bigint AS tf
+           FROM ex GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*)::bigint AS n_docs FROM {table}),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * (n.n_docs::double / dfreq.df::double), 6)
+               AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, tf, df, score, rank
+    FROM ranked WHERE rank <= {k} ORDER BY doc_id, rank
+    """

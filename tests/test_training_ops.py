@@ -498,3 +498,25 @@ def test_profile_columns(spark):
     assert out["a"].n_distinct == 2           # nulls not counted
     assert (out["a"].min_value, out["a"].max_value) == ("x", "y")
     assert out["b"].n_null == 1 and out["b"].n_distinct == 2
+
+
+def test_top_terms_per_doc(spark):
+    """tf·idf with raw-inverse idf: a corpus-wide word scores low, a
+    doc-unique word scores high; rank ties break on the term string."""
+    import pandas as pd
+    from ferenda_spark.operators.textops import top_terms_per_doc
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3],
+                      "text": ["common rare1 rare1 common",
+                               "common rare2",
+                               "common filler"]}),
+        schema="doc_id long, text string")
+    out = top_terms_per_doc(docs, k=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.doc_id, []).append(r)
+    # doc1: rare1 tf=2 df=1 → score 6.0 beats common tf=2 df=3 → 2.0
+    assert by[1][0].term == "rare1" and by[1][0].score == 6.0
+    assert by[1][1].term == "common" and by[1][1].score == 2.0
+    assert by[2][0].term == "rare2"
+    assert all(r.rank <= 2 for rs in by.values() for r in rs)
