@@ -443,6 +443,27 @@ def _q_kg_describe_base(spark, sf_dir):
         _DESCRIBE_BASE_RQ % {"uri": _DESCRIBE_URI})
 
 
+_KG_SPARQL_ORPHANS = """
+PREFIX dct: <http://purl.org/dc/terms/>
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+SELECT ?s ?title WHERE {
+  ?s a foaf:Document .
+  ?s dct:title ?title .
+  FILTER NOT EXISTS { ?citer dct:references ?s }
+  FILTER EXISTS { ?s dct:publisher ?pub }
+} ORDER BY ?s
+"""
+
+
+def _q_kg_sparql_orphans(spark, sf_dir):
+    """Published-but-never-cited documents: FILTER NOT EXISTS/EXISTS
+    compiled to left-anti/left-semi joins (the citation-gap audit a
+    reference user runs against the store)."""
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_ORPHANS)
+
+
 _KG_SPARQL_STATS = """
 SELECT ?p (COUNT(*) AS ?n_triples) (COUNT(DISTINCT ?s) AS ?n_subjects)
 WHERE { ?s ?p ?o } GROUP BY ?p ORDER BY ?p
@@ -975,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe": _q_kg_describe,
         "kg_sparql_stats": _q_kg_sparql_stats,
         "kg_sparql_bind": _q_kg_sparql_bind,
+        "kg_sparql_orphans": _q_kg_sparql_orphans,
         "kg_describe_rfc": _q_kg_describe_rfc,
         "kg_describe_base": _q_kg_describe_base,
         "kg_versions": _q_kg_versions,
@@ -1075,6 +1097,8 @@ def oracle_sql() -> dict[str, str]:
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_STATS),
         "kg_sparql_bind": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_BIND),
+        "kg_sparql_orphans": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_SPARQL_ORPHANS),
         "kg_describe_rfc": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _RFC_ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),
