@@ -40,8 +40,9 @@ Supported subset (what ferenda's own queries use):
   pagination carries)
 
 Every ``.rq`` file shipped in the reference tree (18 files: core +
-RFC + legal-SE + lagen.nu) parses and compiles through both backends;
-tests/test_sparql.py runs the annotation/describe ones verbatim.
+RFC + legal-SE + lagen.nu) parses, compiles AND runs through both
+backends with row-for-row agreement (tests/test_sparql.py — six of
+them additionally against hand-built semantic goldens).
 
 Compilation is twinned: :func:`compile_spark` builds the DataFrame
 plan, :func:`compile_sql` emits structurally identical ANSI SQL (the
