@@ -97,6 +97,9 @@ query_st = st.fixed_dictionaries({
         st.none(),
         st.tuples(st.booleans(),
                   st.lists(pattern_st, min_size=1, max_size=2))),
+    # wrap the base BGP in GRAPH <g1|g2> (fixture rows alternate
+    # contexts by subject)
+    "graph": st.one_of(st.none(), st.sampled_from(["g1", "g2"])),
     "distinct": st.booleans(),
 })
 
@@ -116,7 +119,11 @@ def render_query(q):
 
     base_vars = pvars(q["patterns"])
     all_vars = set(base_vars)
-    body = bgp_sparql(q["patterns"]) + " . "
+    if q.get("graph"):
+        body = "GRAPH <%s> { %s } " % (q["graph"],
+                                       bgp_sparql(q["patterns"]))
+    else:
+        body = bgp_sparql(q["patterns"]) + " . "
     if q["union"]:
         l, r = q["union"]
         # both branches must share the same vars with the outer BGP
@@ -167,28 +174,7 @@ def test_fuzz_spark_duckdb_parity(spark, duck_dir, graph, q):
     text = render_query(q)
     if text is None:
         return
-    rows = [(s, PREDS[p], o, "uri" if o in SUBJECTS else "literal", "")
-            for s, p, o in graph]
-    pdf = pd.DataFrame(rows, columns=[
-        "subject", "predicate", "object", "objtype", "lang"])
-    pdf["datatype"] = ""
-    _counter[0] += 1
-    path = str(duck_dir / ("g%d.parquet" % _counter[0]))
-    pdf.to_parquet(path)
-    try:
-        sdf = sparql.compile_spark(spark.createDataFrame(pdf),
-                                   text).toPandas()
-        sql = sparql.compile_sql("read_parquet('%s')" % path, text)
-    except sparql.SparqlError:
-        return   # draw outside the supported subset — fine
-    odf = duckdb.sql(sql).df()
-
-    def norm(d):
-        return (d[sorted(d.columns)].fillna("@null@").astype(str)
-                .sort_values(by=sorted(d.columns))
-                .reset_index(drop=True))
-
-    pd.testing.assert_frame_equal(norm(sdf), norm(odf))
+    _run_fuzz(spark, duck_dir, graph, text)
 
 
 # ---- second generator: aggregates, property paths, VALUES ----------
@@ -282,6 +268,9 @@ def _run_fuzz(spark, duck_dir, graph, text):
     pdf = pd.DataFrame(rows, columns=[
         "subject", "predicate", "object", "objtype", "lang"])
     pdf["datatype"] = ""
+    # alternate named graphs by subject parity (for GRAPH draws)
+    pdf["context"] = ["g%d" % (1 + int(s[1:]) % 2)
+                      for s in pdf["subject"]]
     _counter[0] += 1
     path = str(duck_dir / ("g%d.parquet" % _counter[0]))
     pdf.to_parquet(path)
