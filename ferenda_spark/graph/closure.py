@@ -81,6 +81,7 @@ def reachable_nodes(edges: DataFrame, start: str, reverse: bool = False,
         out = frontier if out is None else out.union(frontier)
     if out is None:
         return spark.createDataFrame([], "n string")
-    # a cycle can re-reach start; transitive_closure (and the SQL
-    # recursive CTE) exclude reflexive pairs, so drop it here too
-    return out.where(F.col("n") != start).distinct()
+    # start itself can never appear: seen is seeded with it, so a
+    # cycle's re-reach is anti-joined away before entering out —
+    # matching transitive_closure's reflexive-pair exclusion
+    return out.distinct()

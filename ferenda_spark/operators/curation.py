@@ -133,8 +133,8 @@ def oracle_sql_decontaminate(table: str = "documents", n: int = 3,
     WITH sh AS (
       SELECT doc_id, {_sql_shingles(n)} AS sh
       FROM (SELECT doc_id,
-                   CASE WHEN trim(text)='' THEN []::varchar[]
-                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+                   CASE WHEN trim(coalesce(text, ''))='' THEN []::varchar[]
+                        ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+') END AS words
             FROM {table})
     ),
     bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE {bench_pred}),
@@ -161,8 +161,8 @@ def oracle_sql_repetition(table: str = "documents", n: int = 3) -> str:
     return f"""
     WITH base AS (
       SELECT doc_id,
-             CASE WHEN trim(text)='' THEN []::varchar[]
-                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+             CASE WHEN trim(coalesce(text, ''))='' THEN []::varchar[]
+                  ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+') END AS words
       FROM {table}
     ), feat AS (
       SELECT doc_id, len(words) AS nw,

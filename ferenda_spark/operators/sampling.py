@@ -103,7 +103,7 @@ def oracle_sql_mixture(table: str, strata_col: str,
                        columns: list[str], id_col: str = "doc_id",
                        seed: int = 0) -> str:
     cols = ", ".join(columns)
-    vals = ", ".join(f"('{k}', {float(v)!r})"
+    vals = ", ".join("('%s', %r)" % (k.replace("'", "''"), float(v))
                      for k, v in sorted(weights.items()))
     return f"""
     WITH w({strata_col}, weight) AS (VALUES {vals}),

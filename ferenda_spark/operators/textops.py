@@ -37,10 +37,26 @@ EN_STOPWORDS = LANG_MARKERS["en"]
 
 
 def words_col(text: Column) -> Column:
-    """Whitespace word split (empty string → empty array)."""
-    t = F.trim(text)
+    """Whitespace word split (NULL/empty string → empty array)."""
+    t = F.trim(F.coalesce(text, F.lit("")))
     return F.when(t == "", F.array().cast("array<string>")) \
             .otherwise(F.split(t, r"\s+"))
+
+
+# Java/RE2 \s is ASCII-only — a Python fold that must match words_col
+# byte-for-byte has to split on exactly this class (str.split() also
+# breaks on U+00A0 etc., silently diverging from the SQL twin)
+import re as _re
+
+_ASCII_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def py_words(text: str | None) -> list[str]:
+    """Pure-Python twin of :func:`words_col` (trim = ASCII-space strip
+    like Spark/DuckDB trim(); split keeps the leading empty token a
+    leading tab would produce, exactly like split(..., '\\s+'))."""
+    t = (text or "").strip(" ")
+    return _ASCII_WS.split(t) if t else []
 
 
 def token_stats(df: DataFrame, text_col: str = "text",
@@ -48,10 +64,11 @@ def token_stats(df: DataFrame, text_col: str = "text",
     """Per-document token counts: whitespace words + regex (BPE-ish)
     tokens + distinct-word count."""
     words = words_col(F.col(text_col))
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         F.col(id_col),
         F.size(words).alias("n_words"),
-        F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).alias("n_tokens"),
+        F.regexp_count(txt, F.lit(TOKEN_RE)).alias("n_tokens"),
         F.size(F.array_distinct(words)).alias("n_distinct_words"),
     )
 
@@ -65,7 +82,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
     (distinct/total words). Composite = mean of clamped sub-scores,
     rounded to 4dp for cross-engine comparison stability.
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     words = words_col(text)
     n_words = F.size(words)
     n_chars = F.length(text)
@@ -124,7 +141,9 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     """Deterministic document fingerprint: md5 over case/whitespace
     normalized text (the exact-dedup key), plus a coarser "shape"
     fingerprint that drops digits (catches template-only edits)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+        r"\s+", " ")
     return df.select(
         F.col(id_col),
         F.md5(norm).alias("fp_exact"),
@@ -135,18 +154,21 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 def oracle_sql_token_stats(table: str = "documents") -> str:
     return f"""
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
-           len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) END
+           CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) END AS n_words,
+           len(regexp_extract_all(coalesce(text, ''), '{TOKEN_RE}')) AS n_tokens,
+           CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                ELSE len(list_distinct(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))) END
              AS n_distinct_words
     FROM {table}
     """
 
 
-def _sql_words(expr: str = "trim(text)") -> str:
+def _sql_words(expr: str = "trim(coalesce(text, ''))") -> str:
     return f"regexp_split_to_array({expr}, '\\s+')"
+
+
+_LOWER_TEXT = "lower(trim(coalesce(text, '')))"
 
 
 def oracle_sql_quality(table: str = "documents") -> str:
@@ -154,15 +176,15 @@ def oracle_sql_quality(table: str = "documents") -> str:
     return f"""
     WITH base AS (
       SELECT doc_id, text,
-             CASE WHEN trim(text)='' THEN []::varchar[]
+             CASE WHEN trim(coalesce(text, ''))='' THEN []::varchar[]
                   ELSE {_sql_words()} END AS words,
-             length(text) AS n_chars
+             length(coalesce(text, '')) AS n_chars
       FROM {table}
     ), feat AS (
       SELECT doc_id, len(words) AS n_words, n_chars,
              greatest(CASE WHEN len(words)>0 THEN len(words) ELSE 1 END, 1)::double AS nw,
              len(list_filter(words, w -> list_contains({stop_list}, w))) AS n_stop,
-             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             len(regexp_extract_all(coalesce(text, ''), '[^A-Za-z0-9\\s]')) AS n_punct,
              len(list_distinct(words)) AS n_distinct
       FROM base
     )
@@ -194,8 +216,8 @@ def oracle_sql_language_id(table: str = "documents") -> str:
     return f"""
     WITH base AS (
       SELECT doc_id,
-             CASE WHEN trim(text)='' THEN []::varchar[]
-                  ELSE {_sql_words('lower(trim(text))')} END AS words
+             CASE WHEN trim(coalesce(text, ''))='' THEN []::varchar[]
+                  ELSE {_sql_words(_LOWER_TEXT)} END AS words
       FROM {table}
     ), hits AS (
       SELECT doc_id, {", ".join(hit_cols)} FROM base
@@ -211,8 +233,8 @@ def oracle_sql_language_id(table: str = "documents") -> str:
 def oracle_sql_fingerprint(table: str = "documents") -> str:
     return f"""
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_exact,
-           md5(regexp_replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+           md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp_exact,
+           md5(regexp_replace(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'),
                               '[0-9]+', '#', 'g')) AS fp_shape
     FROM {table}
     """
@@ -249,7 +271,7 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 100,
         for pdf in batches:
             ids, grams = [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                w = (t or "").split()
+                w = py_words(t)     # exact words_col/regexp_split twin
                 for j in range(len(w) - n + 1):
                     ids.append(i)
                     grams.append(" ".join(w[j:j + n]))
@@ -274,7 +296,7 @@ def oracle_sql_top_ngrams(table: str = "documents", n: int = 2,
     return f"""
     WITH base AS (
       SELECT doc_id,
-             CASE WHEN trim(text)='' THEN []::varchar[]
+             CASE WHEN trim(coalesce(text, ''))='' THEN []::varchar[]
                   ELSE {_sql_words()} END AS words
       FROM {table}
     ), g AS (SELECT doc_id, unnest({grams}) AS ngram FROM base)
@@ -328,7 +350,7 @@ def bpe_pair_counts(df: DataFrame, k: int = 100, id_col: str = "doc_id",
 def oracle_sql_bpe_pairs(table: str = "documents", k: int = 100) -> str:
     return f"""
     WITH base AS (
-      SELECT CASE WHEN trim(text)='' THEN []::varchar[]
+      SELECT CASE WHEN trim(coalesce(text, ''))='' THEN []::varchar[]
                   ELSE {_sql_words()} END AS words
       FROM {table}
     ), wc AS (
@@ -438,7 +460,7 @@ def oracle_sql_top_terms(table: str = "documents", k: int = 5) -> str:
     return f"""
     WITH base AS (
       SELECT doc_id,
-             CASE WHEN trim(text)='' THEN []::varchar[]
+             CASE WHEN trim(coalesce(text, ''))='' THEN []::varchar[]
                   ELSE {_sql_words()} END AS words
       FROM {table}
     ),

@@ -239,12 +239,37 @@ class EIn(Expr):
     var: EVar
     items: list   # EConst
 
+    def _split(self):
+        nums = [float(c.term[1]) for c in self.items if c.numeric]
+        strs = [c for c in self.items if not c.numeric]
+        return nums, strs
+
     def spark(self, env):
-        return self.var.spark(env).isin([c.term[1] for c in self.items])
+        # numeric items compare under the same TRY_CAST coercion as
+        # ECmp; string/URI items compare lexically — mirror of sql()
+        nums, strs = self._split()
+        col = self.var.spark(env)
+        conds = []
+        if nums:
+            conds.append(col.try_cast("double").isin(nums))
+        if strs:
+            conds.append(col.isin([c.term[1] for c in strs]))
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
 
     def sql(self, env):
-        return "(%s IN (%s))" % (self.var.sql(env),
-                                 ", ".join(c.sql(env) for c in self.items))
+        nums, strs = self._split()
+        col = self.var.sql(env)
+        conds = []
+        if nums:
+            conds.append("(TRY_CAST(%s AS DOUBLE) IN (%s))"
+                         % (col, ", ".join(repr(v) for v in nums)))
+        if strs:
+            conds.append("(%s IN (%s))"
+                         % (col, ", ".join(c.sql(env) for c in strs)))
+        return "(%s)" % " OR ".join(conds)
 
 
 @dataclass
@@ -1006,14 +1031,15 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                          .where(F.col("a") != F.col("b")).distinct())
                 rel = edges if m <= 1 else None
                 cur = edges
-                for _ in range(2, n + 1):
+                for k in range(2, n + 1):
                     cur = (cur.alias("p")
                            .join(edges.alias("e"),
                                  F.col("p.b") == F.col("e.a"))
                            .select(F.col("p.a").alias("a"),
                                    F.col("e.b").alias("b"))
                            .where(F.col("a") != F.col("b")).distinct())
-                    rel = cur if rel is None else rel.union(cur)
+                    if k >= m:      # depths below m are NOT in the path
+                        rel = cur if rel is None else rel.union(cur)
                 if m == 0:
                     rel = rel.unionByName(
                         all_terms().select(F.col("n").alias("a"),
@@ -1279,6 +1305,8 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         return out.dropDuplicates()
 
     if query.ask:
+        if plan is None:    # ASK {} — trivially true, like the SQL twin
+            plan = triples.sparkSession.range(1)
         return (plan.limit(1)
                 .agg(F.count(F.lit(1)).alias("c"))
                 .select((F.col("c") > 0).alias("ask")))
@@ -1295,8 +1323,12 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
             if func == "COUNT":
                 c = F.countDistinct(col) if dist else F.count(col)
             elif func in ("SUM", "AVG"):
-                c = getattr(F, func.lower())(col.try_cast("double"))
-            else:
+                if dist:    # SUM/AVG(DISTINCT ?v) — SQL-expression form
+                    c = F.expr("%s(DISTINCT try_cast(%s AS double))"
+                               % (func.lower(), env_cols[var]))
+                else:
+                    c = getattr(F, func.lower())(col.try_cast("double"))
+            else:           # MIN/MAX: DISTINCT is a no-op
                 c = getattr(F, func.lower())(col)
             return c.alias(alias)
         keys = [F.col(env_cols[v]).alias(v) for v in query.group_by]
@@ -1654,7 +1686,8 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                 return "COUNT(%s%s) AS %s" % ("DISTINCT " if dist else "",
                                               c, alias)
             if func in ("SUM", "AVG"):
-                return "%s(TRY_CAST(%s AS DOUBLE)) AS %s" % (func, c, alias)
+                return "%s(%sTRY_CAST(%s AS DOUBLE)) AS %s" % (
+                    func, "DISTINCT " if dist else "", c, alias)
             return "%s(%s) AS %s" % (func, c, alias)
         sel = ", ".join(
             ("%s AS %s" % (env_cols[p], p)) if isinstance(p, str)

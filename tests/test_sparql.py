@@ -723,3 +723,25 @@ def test_all_reference_rq_run_cross_backend(spark, tmp_path):
     # the fixture is rich enough that most queries return rows — a
     # sweep where everything is empty would prove nothing
     assert nonzero >= 10, nonzero
+
+
+def test_review_fixes(graph):
+    """Code-review regressions: {m,n} with m>=3 excludes shorter
+    paths; numeric IN coerces like ECmp; SUM(DISTINCT) dedups;
+    ASK {} is trivially true."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?p WHERE { ?p dct:isPartOf{3,5} <d1> }
+    """)
+    assert len(out) == 0            # longest chain is 2 hops
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE { ?s dct:identifier ?n . FILTER(?n IN (7, 12.0))
+        } ORDER BY ?s
+    """)
+    assert list(out["s"]) == ["d2", "d3"]   # "12" matches 12.0 as number
+    out = run_both(graph, PREFIXES + """
+        SELECT (SUM(DISTINCT ?n) AS ?t) WHERE { ?x dct:identifier ?n .
+          ?y dct:identifier ?n }
+    """)
+    assert float(out.iloc[0]["t"]) == 22.0  # 3+12+7, dup rows collapsed
+    out = run_both(graph, "ASK {}")
+    assert bool(out.iloc[0]["ask"]) is True

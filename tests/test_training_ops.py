@@ -520,3 +520,34 @@ def test_top_terms_per_doc(spark):
     assert by[1][1].term == "common" and by[1][1].score == 2.0
     assert by[2][0].term == "rare2"
     assert all(r.rank <= 2 for rs in by.values() for r in rs)
+
+
+def test_null_text_and_unicode_ws_parity(spark, duck):
+    """Code-review regressions: NULL text rows and non-ASCII
+    whitespace behave identically in the operators and their SQL
+    twins (Java/RE2 \\s is ASCII-only; str.split() is not)."""
+    import pandas as pd
+    from ferenda_spark.operators import textops
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [None, "foo bar baz", "plain words here"]})
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    duck.register("nulldocs", pdf)
+    for op, osql in [
+            (textops.token_stats, textops.oracle_sql_token_stats),
+            (textops.quality_score, textops.oracle_sql_quality),
+            (textops.language_id, textops.oracle_sql_language_id),
+            (textops.fingerprint, textops.oracle_sql_fingerprint),
+            (lambda d: textops.top_ngrams(d, 2, 10),
+             lambda t: textops.oracle_sql_top_ngrams(t, 2, 10))]:
+        spdf = op(df).toPandas()
+        odf = duck.sql(osql("nulldocs")).df()
+        cols = sorted(spdf.columns)
+        a = (spdf[cols].astype(str).sort_values(by=cols)
+             .reset_index(drop=True))
+        b = (odf[cols].astype(str).sort_values(by=cols)
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+    # the U+00A0 word must stay ONE token (ASCII-only \s)
+    ts = {r.doc_id: r for r in textops.token_stats(df).collect()}
+    assert ts[2].n_words == 2 and ts[1].n_words == 0
