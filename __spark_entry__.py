@@ -659,7 +659,7 @@ def _q_fingerprint(spark, sf_dir):
 
 def _q_corpus_curate(spark, sf_dir):
     """End-to-end training-corpus curation: quality filter
-    (quality ≥ 0.5) → exact dedup (keep the min doc_id per normalized
+    (quality ≥ 0.65) → exact dedup (keep the min doc_id per normalized
     fingerprint) → greedy sequence packing — the composed pipeline a
     training-data user actually runs, with every stage an
     already-oracled operator."""
@@ -680,9 +680,7 @@ def _q_corpus_curate(spark, sf_dir):
 
 def _corpus_curate_sql() -> str:
     from ferenda_spark.operators import packing, textops
-    dup_docs = ("(SELECT doc_id, text FROM documents UNION ALL "
-                "SELECT doc_id + 100000, text FROM documents "
-                "WHERE doc_id % 7 = 0)")
+    dup_docs = DUP_DOCS_SQL
     survivors = f"""(
       WITH q AS (SELECT doc_id FROM ({textops.oracle_sql_quality(dup_docs)})
                  WHERE quality >= 0.65),
@@ -782,6 +780,13 @@ def _q_repetition_stats(spark, sf_dir):
     degenerate-text filter features)."""
     from ferenda_spark.operators.curation import repetition_stats
     return repetition_stats(_read(spark, sf_dir, "documents"), n=3)
+
+
+# SQL twin of _with_injected_dups — change BOTH or parity breaks,
+# which is why they sit side by side as the single definition site
+DUP_DOCS_SQL = ("(SELECT doc_id, text FROM documents UNION ALL "
+                "SELECT doc_id + 100000, text FROM documents "
+                "WHERE doc_id % 7 = 0)")
 
 
 def _with_injected_dups(docs: DataFrame) -> DataFrame:
@@ -1045,9 +1050,7 @@ def oracle_sql() -> dict[str, str]:
                                          packing, sampling, similarity,
                                          textops)
     jaccard_oracle = dedup.oracle_sql_ngram_jaccard(threshold=0.5)
-    dup_docs = ("(SELECT doc_id, text FROM documents UNION ALL "
-                "SELECT doc_id + 100000, text FROM documents "
-                "WHERE doc_id % 7 = 0)")
+    dup_docs = DUP_DOCS_SQL
     # materialize the KG extraction + ANN-twin parquet before the
     # driver runs the SQL below (pure pandas/pyarrow; no-op when cached)
     kg = _kg_paths()

@@ -23,7 +23,11 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/"))
+                   .replace("sf", "") or 0.1)
+    except ValueError:          # non-sf<N> dir name → just label it
+        sf = 0.1
     kg_n = int(os.environ.get("SPARK_GRAFT_KG_N", max(int(sf * 20000), 200)))
 
     import __spark_entry__ as E
@@ -41,15 +45,23 @@ def main() -> None:
     cfg = RepoConfig(alias="doc", url="http://example.org/")
 
     def kg_extract(spark, _):
+        # NOTE: the timed region includes synthetic page GENERATION
+        # (both are one fused mapInPandas pipeline here) — kept for
+        # cross-round comparability; the generation-free extraction
+        # throughput is what BENCH_SCALING.json measures (materialized
+        # pages table, scan-to-triples only)
         pages = P.build_pages(spark, kg_n, int(cpus) * 2)
         return extract_stage(pages, cfg, P.COMMONDATA)
+
+    persisted: list = []   # unpersisted right after the owning query
 
     def kg_full(spark, _):
         pages = P.build_pages(spark, kg_n, int(cpus) * 2)
         # persist: extraction fans out into CC derivation + both
         # canonicalization joins (≙ inter-stage table materialization)
         t = triples_table(extract_stage(pages, cfg, P.COMMONDATA), "kg")
-        return canonicalize_triples(t.persist())
+        persisted.append(t.persist())
+        return canonicalize_triples(t)
 
     # downstream read-path queries run over a triples/resources parquet
     # materialized ONCE at bench scale (the inter-stage Iceberg table);
@@ -184,6 +196,10 @@ def main() -> None:
         t0 = time.perf_counter()
         rows[name] = _count(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release caches owned by the finished query so they don't
+        # squat executor storage memory under later queries
+        while persisted:
+            persisted.pop().unpersist()
 
     shutil.rmtree(kg_tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)

@@ -81,7 +81,9 @@ from pyspark.sql import functions as F
 from ferenda_spark.operators.dedup import minhash_lsh_pairs
 
 DEDUP_PATH = "/tmp/scaling_dedup_docs_%d" % n_docs
-if not __import__("os").path.exists(DEDUP_PATH):
+# gate on _SUCCESS, not the dir: an interrupted write leaves a partial
+# dir that would silently shrink the measured corpus
+if not __import__("os").path.exists(DEDUP_PATH + "/_SUCCESS"):
     base = F.when(F.col("id") % 10 == 7, F.col("id") - 7) \
             .otherwise(F.col("id")).cast("string")
     words = [F.substring(F.md5(F.concat(base, F.lit(":%d" % i))), 1, 8)
@@ -164,7 +166,9 @@ def main() -> None:
     reps = int(os.environ.get("SCALING_REPS", "2"))
     rounds = int(os.environ.get("SCALING_ROUNDS", "1"))
     path = "/tmp/scaling_pages_%d" % n_docs
-    if workload == "extract" and not os.path.exists(path):
+    # gate on _SUCCESS (an interrupted generator leaves a partial dir)
+    if workload == "extract" and \
+            not os.path.exists(os.path.join(path, "_SUCCESS")):
         subprocess.run([sys.executable, "-c", GEN % {"repo": repo},
                         str(n_docs), path], check=True)
     # this sandbox carries EXTERNAL background load (load avg 4-8 with

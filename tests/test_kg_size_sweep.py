@@ -28,7 +28,9 @@ def entrymod():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.KG_N = SWEEP_N
-    return mod
+    # derive both dicts ONCE (oracle_sql re-parses every SPARQL twin
+    # and re-checks the kg cache; 9 parametrized cases share them)
+    return mod.queries(), mod.oracle_sql()
 
 
 def canon(pdf):
@@ -39,10 +41,10 @@ def canon(pdf):
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_kg_query_parity_at_sweep_n(spark, entrymod, name):
-    sdf = entrymod.queries()[name](spark, "/root/testdata/sf0.01")
-    spdf = sdf.toPandas()
+    queries, oracles = entrymod
+    spdf = queries[name](spark, "/root/testdata/sf0.01").toPandas()
     con = duckdb.connect()
-    odf = con.sql(entrymod.oracle_sql()[name]).df()
+    odf = con.sql(oracles[name]).df()
     assert len(spdf) == len(odf), (name, len(spdf), len(odf))
     assert len(spdf) > 0, "%s returned nothing at n=%d" % (name, SWEEP_N)
     a, b = canon(spdf), canon(odf)
