@@ -1,29 +1,36 @@
-"""Bounded transitive closure — the dcterms:isPartOf* analog.
+"""Transitive closure to fixpoint — the dcterms:isPartOf* analog.
 
 The reference's annotation query uses a SPARQL property path
 ``?s dcterms:isPartOf* <uri>`` (ref res/sparql/annotations.rq:12-17,
-driver ferenda/documentrepository.py:2557-2612). Document part trees are
-shallow (depth <= 3 in the fixtures), so a bounded iterative self-join to
-fixpoint is exact and cheap; the depth cap also bounds shuffle rounds at
-scale.
+driver ferenda/documentrepository.py:2557-2612). Both iterative
+variants run to FIXPOINT by default — the same semantics as the SQL
+twin's recursive CTE, so the three codepaths (all-pairs closure,
+seeded BFS, DuckDB oracle) can never diverge on deep chains. The loop
+terminates because the frontier is anti-joined against everything
+seen: pair/node sets grow strictly, bounded by |V|² / |V|.
+``max_depth`` remains available as an explicit bound for callers that
+want one (bounded SPARQL quantifiers pass their own n).
 """
 
 from __future__ import annotations
+
+import itertools
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
-                       max_depth: int = 8) -> DataFrame:
+                       max_depth: int | None = None) -> DataFrame:
     """edges(src,dst) → all (src,dst) pairs reachable in 1..max_depth
-    hops (reflexive pairs excluded)."""
+    hops (reflexive pairs excluded); ``max_depth=None`` = fixpoint."""
     base = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .where(F.col("a") != F.col("b")).distinct()
             .localCheckpoint(eager=True))
     paths = base
     frontier = base
-    for _ in range(max_depth - 1):
+    rounds = itertools.count() if max_depth is None else range(max_depth - 1)
+    for _ in rounds:
         nxt = (frontier.alias("p")
                .join(base.alias("e"), F.col("p.b") == F.col("e.a"))
                .select(F.col("p.a").alias("a"), F.col("e.b").alias("b"))
@@ -51,9 +58,12 @@ def ispartof_closure(triples: DataFrame) -> DataFrame:
 
 def reachable_nodes(edges: DataFrame, start: str, reverse: bool = False,
                     src: str = "src", dst: str = "dst",
-                    max_depth: int = 32) -> DataFrame:
+                    max_depth: int | None = None) -> DataFrame:
     """Single-column (n) DataFrame: nodes reachable FROM ``start`` in
-    1..max_depth hops — or nodes that can REACH it when ``reverse``.
+    1..max_depth hops — or nodes that can REACH it when ``reverse``;
+    ``max_depth=None`` = fixpoint (same depth semantics as
+    :func:`transitive_closure`, so the seeded/all-pairs hybrid switch
+    in sparql.py cannot change query results).
 
     The seeded twin of :func:`transitive_closure` for property paths
     with one constant endpoint (``?s dcterms:references+ <uri>`` — the
@@ -68,7 +78,8 @@ def reachable_nodes(edges: DataFrame, start: str, reverse: bool = False,
         .localCheckpoint(eager=True)
     seen = frontier
     out = None
-    for _ in range(max_depth):
+    rounds = itertools.count() if max_depth is None else range(max_depth)
+    for _ in rounds:
         nxt = (base.join(F.broadcast(frontier),
                          base["s"] == frontier["n"])
                .select(F.col("d").alias("n")).distinct()

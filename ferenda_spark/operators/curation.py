@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _sql_shingles, shingle_table
-from .textops import words_col
+from .textops import WS_SPLIT, words_col
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: int = 3,
@@ -134,7 +134,7 @@ def oracle_sql_decontaminate(table: str = "documents", n: int = 3,
       SELECT doc_id, {_sql_shingles(n)} AS sh
       FROM (SELECT doc_id,
                    CASE WHEN trim(coalesce(text, ''))='' THEN []::varchar[]
-                        ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+') END AS words
+                        ELSE regexp_split_to_array(trim(coalesce(text, '')), '{WS_SPLIT}') END AS words
             FROM {table})
     ),
     bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE {bench_pred}),
@@ -162,7 +162,7 @@ def oracle_sql_repetition(table: str = "documents", n: int = 3) -> str:
     WITH base AS (
       SELECT doc_id,
              CASE WHEN trim(coalesce(text, ''))='' THEN []::varchar[]
-                  ELSE regexp_split_to_array(trim(coalesce(text, '')), '\\s+') END AS words
+                  ELSE regexp_split_to_array(trim(coalesce(text, '')), '{WS_SPLIT}') END AS words
       FROM {table}
     ), feat AS (
       SELECT doc_id, len(words) AS nw,

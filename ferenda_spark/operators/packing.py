@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (IntegerType, LongType, StructField,
                                StructType)
 
+from .textops import WS_SPLIT
+
 PACK_SCHEMA = StructType([
     StructField("shard", LongType()),
     StructField("bin_id", LongType()),
@@ -101,7 +103,7 @@ def oracle_sql_pack(documents_table: str = "documents",
       SELECT ({id_col} % {n_shards})::BIGINT AS shard,
              {id_col}::BIGINT AS doc_id,
              len(list_filter(regexp_split_to_array(trim({text_col}),
-                 '\\s+'), w -> w <> ''))::BIGINT AS n_tokens,
+                 '{WS_SPLIT}'), w -> w <> ''))::BIGINT AS n_tokens,
              row_number() OVER (PARTITION BY {id_col} % {n_shards}
                                 ORDER BY {id_col}) AS rn
       FROM {documents_table}

@@ -30,8 +30,18 @@ LANG_MARKERS = {
     "sv": ["och", "att", "det", "som", "en", "av", "för", "med", "till", "den"],
 }
 
+# Java's \s is [ \t\n\x0b\f\r]; RE2's (DuckDB's regex engine) \s
+# EXCLUDES \x0b (vertical tab). Every pattern shared across the two
+# engines therefore spells the class out explicitly — texts containing
+# a VT cannot make the twins diverge (ADVICE r3). The doubled
+# backslashes survive into the pattern text, where both engines parse
+# \t/\n/\x0b/\f/\r identically.
+WS_CLASS = " \\t\\n\\x0b\\f\\r"
+WS_SPLIT = "[%s]+" % WS_CLASS           # the \s+ twin
+PUNCT_RE = "[^A-Za-z0-9%s]" % WS_CLASS  # the [^A-Za-z0-9\s] twin
+
 # BPE-ish tokenization regex: letter runs, digit runs, single other glyphs
-TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|" + PUNCT_RE
 
 EN_STOPWORDS = LANG_MARKERS["en"]
 
@@ -40,12 +50,12 @@ def words_col(text: Column) -> Column:
     """Whitespace word split (NULL/empty string → empty array)."""
     t = F.trim(F.coalesce(text, F.lit("")))
     return F.when(t == "", F.array().cast("array<string>")) \
-            .otherwise(F.split(t, r"\s+"))
+            .otherwise(F.split(t, WS_SPLIT))
 
 
-# Java/RE2 \s is ASCII-only — a Python fold that must match words_col
-# byte-for-byte has to split on exactly this class (str.split() also
-# breaks on U+00A0 etc., silently diverging from the SQL twin)
+# The Python fold twin splits on exactly the same ASCII class
+# (str.split() also breaks on U+00A0 etc., silently diverging from the
+# SQL twin)
 import re as _re
 
 _ASCII_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
@@ -54,7 +64,7 @@ _ASCII_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
 def py_words(text: str | None) -> list[str]:
     """Pure-Python twin of :func:`words_col` (trim = ASCII-space strip
     like Spark/DuckDB trim(); split keeps the leading empty token a
-    leading tab would produce, exactly like split(..., '\\s+'))."""
+    leading tab would produce, exactly like split on WS_SPLIT)."""
     t = (text or "").strip(" ")
     return _ASCII_WS.split(t) if t else []
 
@@ -89,7 +99,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
     nw = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(1.0))
     stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
-    n_punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
+    n_punct = F.regexp_count(text, F.lit(PUNCT_RE))
     mean_word_len = (n_chars.cast("double") - (n_words - 1)) / nw
     stop_ratio = n_stop.cast("double") / nw
     punct_ratio = n_punct.cast("double") / F.greatest(n_chars.cast("double"),
@@ -143,7 +153,7 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     fingerprint that drops digits (catches template-only edits)."""
     norm = F.regexp_replace(
         F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-        r"\s+", " ")
+        WS_SPLIT, " ")
     return df.select(
         F.col(id_col),
         F.md5(norm).alias("fp_exact"),
@@ -155,17 +165,17 @@ def oracle_sql_token_stats(table: str = "documents") -> str:
     return f"""
     SELECT doc_id,
            CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) END AS n_words,
+                ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '{WS_SPLIT}')) END AS n_words,
            len(regexp_extract_all(coalesce(text, ''), '{TOKEN_RE}')) AS n_tokens,
            CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                ELSE len(list_distinct(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))) END
+                ELSE len(list_distinct(regexp_split_to_array(trim(coalesce(text, '')), '{WS_SPLIT}'))) END
              AS n_distinct_words
     FROM {table}
     """
 
 
 def _sql_words(expr: str = "trim(coalesce(text, ''))") -> str:
-    return f"regexp_split_to_array({expr}, '\\s+')"
+    return f"regexp_split_to_array({expr}, '{WS_SPLIT}')"
 
 
 _LOWER_TEXT = "lower(trim(coalesce(text, '')))"
@@ -184,7 +194,7 @@ def oracle_sql_quality(table: str = "documents") -> str:
       SELECT doc_id, len(words) AS n_words, n_chars,
              greatest(CASE WHEN len(words)>0 THEN len(words) ELSE 1 END, 1)::double AS nw,
              len(list_filter(words, w -> list_contains({stop_list}, w))) AS n_stop,
-             len(regexp_extract_all(coalesce(text, ''), '[^A-Za-z0-9\\s]')) AS n_punct,
+             len(regexp_extract_all(coalesce(text, ''), '{PUNCT_RE}')) AS n_punct,
              len(list_distinct(words)) AS n_distinct
       FROM base
     )
@@ -233,8 +243,8 @@ def oracle_sql_language_id(table: str = "documents") -> str:
 def oracle_sql_fingerprint(table: str = "documents") -> str:
     return f"""
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp_exact,
-           md5(regexp_replace(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'),
+           md5(regexp_replace(lower(trim(coalesce(text, ''))), '{WS_SPLIT}', ' ', 'g')) AS fp_exact,
+           md5(regexp_replace(regexp_replace(lower(trim(coalesce(text, ''))), '{WS_SPLIT}', ' ', 'g'),
                               '[0-9]+', '#', 'g')) AS fp_shape
     FROM {table}
     """

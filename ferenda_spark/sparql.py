@@ -15,9 +15,12 @@ Supported subset (what ferenda's own queries use):
 - ``PREFIX`` declarations, ``SELECT [DISTINCT] ?v… | *``
 - basic graph patterns: ``?s <p> ?o`` triples with URI / prefixed /
   ``a`` / string-literal (with optional ``@lang``) / numeric terms
-- single-level ``OPTIONAL { … }`` groups (with their own FILTERs)
+- ``OPTIONAL { … }`` groups with their own FILTERs and BINDs,
+  nested to any depth (``OPTIONAL { … OPTIONAL { … } }``)
+- ``MINUS { … }`` (top level; per-spec no-op when the domains are
+  disjoint — the rule that distinguishes it from NOT EXISTS)
 - basic graph patterns with Turtle ``;`` predicate-object and ``,``
-  object lists
+  object lists, and inverse predicates ``^p`` (incl. ``^p+``/``^p*``)
 - ``FILTER`` expressions: ``= != < <= > >=``, ``IN (…)``,
   ``regex(?v, "pat")``, ``bound(?v)``, ``str(?v)``, ``concat(…)``,
   ``strstarts(e, e)``, ``isUri/isIRI/isLiteral(?v)`` and
@@ -29,7 +32,13 @@ Supported subset (what ferenda's own queries use):
 - ``FILTER [NOT] EXISTS { … }`` (top-level; compiled to a left-semi /
   left-anti join — Spark's native form — and a correlated (NOT)
   EXISTS subquery in the SQL twin)
-- ``GRAPH <ctx> { … }`` → context-column constraint on the scans
+- ``GRAPH <ctx> { … }`` → context-column constraint on the scans,
+  property-path triples included (the closure runs over that
+  context's edges only)
+- aggregates ``COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT`` (SAMPLE
+  is deterministic-MIN; GROUP_CONCAT concatenates in sorted order —
+  both choices valid per spec and identical across backends), with
+  ``GROUP BY`` and ``HAVING`` (over group vars + agg aliases)
 - property paths ``p*`` / ``p+`` / bounded ``p{m,n}`` & ``p{,n}``;
   plain nested ``{ … }`` groups inline at any depth (UNION only at
   the top level)
@@ -90,7 +99,7 @@ _TOKEN = re.compile(r"""
   | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+^])
 """, re.VERBOSE)
 
 
@@ -140,6 +149,8 @@ class Group:
     binds: list = field(default_factory=list)     # [(Expr, var-name)]
     values: list = field(default_factory=list)    # [(var-names, rows)]
     exists: list = field(default_factory=list)    # [(positive, Group)]
+    minus: list = field(default_factory=list)     # [Group]
+    optionals: list = field(default_factory=list)  # nested OPTIONALs
 
 
 @dataclass
@@ -155,8 +166,9 @@ class Query:
     group_by: list = field(default_factory=list)
     ask: bool = False                            # ASK query → 1 bool row
     offset: int | None = None
+    having: object | None = None                 # Expr over aliases/keys
     # proj items are var-name strings or
-    # ("agg", FUNC, distinct, var_or_None, alias) tuples
+    # ("agg", FUNC, distinct, var_or_None, alias, sep_or_None) tuples
 
 
 # ----------------------------------------------------------- expressions
@@ -443,7 +455,8 @@ class _Parser:
                     self.i += 1
                     kf, vf = self.next()
                     if kf != "kw" or vf.upper() not in (
-                            "COUNT", "SUM", "AVG", "MIN", "MAX"):
+                            "COUNT", "SUM", "AVG", "MIN", "MAX",
+                            "SAMPLE", "GROUP_CONCAT"):
                         raise SparqlError("unknown aggregate %r" % vf)
                     func = vf.upper()
                     self.expect_op("(")
@@ -457,6 +470,20 @@ class _Parser:
                         var = va[1:]
                     else:
                         raise SparqlError("aggregate needs ?var or *")
+                    sep = None
+                    if func == "GROUP_CONCAT":
+                        sep = " "           # SPARQL 1.1 default separator
+                        if self.peek()[1] == ";":
+                            self.i += 1
+                            if not self.kw("SEPARATOR"):
+                                raise SparqlError(
+                                    "GROUP_CONCAT(…; expects SEPARATOR")
+                            self.expect_op("=")
+                            ks, vs = self.next()
+                            if ks != "str":
+                                raise SparqlError(
+                                    "SEPARATOR needs a string")
+                            sep = vs[1:-1]
                     self.expect_op(")")
                     if not self.kw("AS"):
                         raise SparqlError("aggregate needs AS ?alias")
@@ -464,7 +491,8 @@ class _Parser:
                     if kn != "var":
                         raise SparqlError("aggregate alias must be a var")
                     self.expect_op(")")
-                    proj.append(("agg", func, agg_distinct, var, vn[1:]))
+                    proj.append(("agg", func, agg_distinct, var, vn[1:],
+                                 sep))
                 elif v == "*":
                     proj = ["*"]; self.i += 1
                     break
@@ -486,6 +514,17 @@ class _Parser:
                 group_by.append(self.next()[1][1:])
             if not group_by:
                 raise SparqlError("empty GROUP BY")
+        having = None
+        if self.kw("HAVING"):
+            having = self.expr()    # expr() consumes its own parens
+            aliases = {p[4] for p in proj if not isinstance(p, str)}
+            if not group_by and not aliases:
+                raise SparqlError("HAVING without GROUP BY/aggregates")
+            loose = _expr_vars(having) - set(group_by) - aliases
+            if loose:
+                raise SparqlError(
+                    "HAVING may only reference GROUP BY variables and "
+                    "aggregate aliases, not %s" % sorted(loose))
         if proj != ["*"]:
             plain = [p for p in proj if isinstance(p, str)]
             has_agg = any(not isinstance(p, str) for p in proj)
@@ -539,14 +578,23 @@ class _Parser:
             raise SparqlError("OFFSET without ORDER BY is not "
                               "deterministic; add an ORDER BY")
         q = Query(distinct, proj, where, optionals, order, limit,
-                  unions, construct, group_by, ask, offset)
-        for g in ([q.where] + q.optionals
-                  + [a for alts in q.unions for a in alts]
-                  + [eg for _, eg in q.where.exists]):
-            _rewrite_istype(g)
+                  unions, construct, group_by, ask, offset, having)
+
+        def walk(g):
+            yield g
+            for ng in g.optionals:
+                yield from walk(ng)
+            for mg in g.minus:
+                yield from walk(mg)
+            for _, eg in g.exists:
+                yield from walk(eg)
+        for top in ([q.where] + q.optionals
+                    + [a for alts in q.unions for a in alts]):
+            for g in walk(top):
+                _rewrite_istype(g)
         return q
 
-    def group(self, allow_optional: bool):
+    def group(self, allow_optional: bool, in_optional: bool = False):
         self.expect_op("{")
         g, optionals, unions = Group(), [], []
         while True:
@@ -570,11 +618,22 @@ class _Parser:
                     unions.append(alts)
                 continue
             if k == "kw" and v.upper() == "OPTIONAL":
-                if not allow_optional:
-                    raise SparqlError("nested OPTIONAL is not supported")
+                # supported at the top level AND nested inside OPTIONAL
+                # groups (any depth); inside UNION/EXISTS/MINUS it stays
+                # unsupported
+                if not (allow_optional or in_optional):
+                    raise SparqlError("OPTIONAL inside UNION/EXISTS/"
+                                      "MINUS is not supported")
                 self.i += 1
-                sub = self.simple_group()
-                optionals.append(sub)
+                sub = self.optional_group()
+                (optionals if allow_optional else g.optionals).append(sub)
+                continue
+            if k == "kw" and v.upper() == "MINUS":
+                if not allow_optional:
+                    raise SparqlError("MINUS inside OPTIONAL/UNION is "
+                                      "not supported")
+                self.i += 1
+                g.minus.append(self.simple_group())
                 continue
             if k == "kw" and v.upper() == "FILTER":
                 self.i += 1
@@ -679,6 +738,15 @@ class _Parser:
         assert not optionals and not unions
         return g
 
+    def optional_group(self) -> Group:
+        """An OPTIONAL body: triples, FILTERs, BINDs and nested
+        OPTIONALs (attached to ``g.optionals``); UNION/VALUES/EXISTS
+        inside OPTIONAL stay unsupported."""
+        g, optionals, unions = self.group(allow_optional=False,
+                                          in_optional=True)
+        assert not optionals and not unions
+        return g
+
     def path_mod(self):
         """``*`` | ``+`` | ``{m,n}`` / ``{,n}`` (bounded quantifier, the
         reference's prop-annotations.rq uses ``{,1}``) after a URI
@@ -701,14 +769,22 @@ class _Parser:
             return (m, n)
         return None
 
-    def triple(self) -> Triple:
-        s = self.term()
+    def pred(self) -> tuple:
+        """Predicate position: URI / var / ``a``, with an optional
+        leading ``^`` (inverse path — SPARQL 1.1 ``^p``; the triple is
+        stored with subject/object swapped) and optional trailing path
+        quantifier. → (term, inverted)."""
+        inv = self.peek()[1] == "^"
+        if inv:
+            self.i += 1
         p = self.term()
         if p[0] == "uri":
             mod = self.path_mod()
             if mod is not None:
                 p = ("path", p[1], mod)
-        return Triple(s, p, self.term())
+        elif inv:
+            raise SparqlError("^ needs a URI predicate")
+        return p, inv
 
     def triples_same_subject(self) -> list:
         """``s p1 o1 ; p2 o2a, o2b .`` → expanded triple list (Turtle
@@ -717,13 +793,10 @@ class _Parser:
         out = []
         s = self.term()
         while True:
-            p = self.term()
-            if p[0] == "uri":
-                mod = self.path_mod()
-                if mod is not None:
-                    p = ("path", p[1], mod)
+            p, inv = self.pred()
             while True:
-                out.append(Triple(s, p, self.term()))
+                o = self.term()
+                out.append(Triple(o, p, s) if inv else Triple(s, p, o))
                 if self.peek()[1] == ",":
                     self.i += 1
                     continue
@@ -873,6 +946,32 @@ class _Parser:
         return EConst(self.term())
 
 
+class _Env(dict):
+    """Variable→(Column, sql-text) environment; a miss is a query
+    error (a FILTER/BIND referencing a variable not bound in its own
+    group — SPARQL evaluates groups bottom-up, so outer bindings are
+    not visible inside OPTIONAL/UNION/EXISTS bodies), reported as
+    SparqlError instead of a raw KeyError."""
+
+    def __missing__(self, key):
+        raise SparqlError("?%s is not bound in the group where it is "
+                          "used (group-scoped evaluation)" % key)
+
+
+def _expr_vars(e: Expr) -> set:
+    """All variable names referenced anywhere in an expression AST."""
+    import dataclasses
+    if isinstance(e, EVar):
+        return {e.name}
+    out: set = set()
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        for item in (v if isinstance(v, list) else [v]):
+            if isinstance(item, Expr):
+                out |= _expr_vars(item)
+    return out
+
+
 def _split_conj(e: Expr) -> list:
     if isinstance(e, EBool) and e.op == "&&":
         return _split_conj(e.left) + _split_conj(e.right)
@@ -1008,13 +1107,23 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
     counter = [0]
     path_cache: dict[tuple, DataFrame] = {}
 
-    def all_terms():
-        return (triples.select(F.col("subject").alias("n"))
-                .union(triples.filter(F.col("objtype") == "uri")
+    def in_graph(graph):
+        """Triples scan restricted to a GRAPH context (None = all) —
+        every path-edge/term scan below goes through this, so GRAPH
+        constraints apply to property-path triples exactly as to plain
+        scans."""
+        if graph is None:
+            return triples
+        return triples.filter(F.col("context") == graph)
+
+    def all_terms(graph=None):
+        t = in_graph(graph)
+        return (t.select(F.col("subject").alias("n"))
+                .union(t.filter(F.col("objtype") == "uri")
                        .select(F.col("object").alias("n")))
                 .distinct())
 
-    def path_relation(uri: str, mod) -> DataFrame:
+    def path_relation(uri: str, mod, graph=None) -> DataFrame:
         """(a, b) pairs connected by 1+ hops of ``uri`` edges; for "*"
         additionally the reflexive pairs over every graph term; for a
         bounded (m, n) quantifier, pairs within m..n hops (n rounds of
@@ -1023,9 +1132,10 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         annotations.rq shape) computes its closure once."""
         from .graph.closure import transitive_closure
         if isinstance(mod, tuple):
-            if (uri, mod) not in path_cache:
+            if (uri, mod, graph) not in path_cache:
                 m, n = mod
-                edges = (triples.filter(F.col("predicate") == uri)
+                edges = (in_graph(graph)
+                         .filter(F.col("predicate") == uri)
                          .select(F.col("subject").alias("a"),
                                  F.col("object").alias("b"))
                          .where(F.col("a") != F.col("b")).distinct())
@@ -1042,26 +1152,27 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                         rel = cur if rel is None else rel.union(cur)
                 if m == 0:
                     rel = rel.unionByName(
-                        all_terms().select(F.col("n").alias("a"),
-                                           F.col("n").alias("b")))
-                path_cache[(uri, mod)] = rel.distinct()
-            return path_cache[(uri, mod)]
-        if (uri, mod) not in path_cache:
-            if (uri, "+") not in path_cache:
-                edges = (triples.filter(F.col("predicate") == uri)
+                        all_terms(graph).select(F.col("n").alias("a"),
+                                                F.col("n").alias("b")))
+                path_cache[(uri, mod, graph)] = rel.distinct()
+            return path_cache[(uri, mod, graph)]
+        if (uri, mod, graph) not in path_cache:
+            if (uri, "+", graph) not in path_cache:
+                edges = (in_graph(graph)
+                         .filter(F.col("predicate") == uri)
                          .select(F.col("subject").alias("src"),
                                  F.col("object").alias("dst")))
-                path_cache[(uri, "+")] = transitive_closure(edges)
-            rel = path_cache[(uri, "+")]
+                path_cache[(uri, "+", graph)] = transitive_closure(edges)
+            rel = path_cache[(uri, "+", graph)]
             if mod == "*":
                 rel = rel.unionByName(
-                    all_terms().select(F.col("n").alias("a"),
-                                       F.col("n").alias("b")))
-                path_cache[(uri, "*")] = rel
-        return path_cache[(uri, mod)]
+                    all_terms(graph).select(F.col("n").alias("a"),
+                                            F.col("n").alias("b")))
+                path_cache[(uri, "*", graph)] = rel
+        return path_cache[(uri, mod, graph)]
 
     def seeded_path(uri: str, mod: str, const: str,
-                    forward: bool) -> DataFrame:
+                    forward: bool, graph=None) -> DataFrame:
         """(a, b) path pairs when one endpoint is a constant. Hybrid
         like graphops: below ``PATH_DRIVER_THRESHOLD`` edges the
         all-pairs closure wins (computed once, shared by every branch,
@@ -1072,14 +1183,15 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         Same pair set as path_relation filtered to the constant,
         including the graph-term-gated reflexive row for "*"."""
         from .graph.closure import reachable_nodes
-        if (uri, "#edges") not in path_cache:
-            path_cache[(uri, "#edges")] = (
-                triples.filter(F.col("predicate") == uri).count())
-        if path_cache[(uri, "#edges")] <= PATH_DRIVER_THRESHOLD:
-            return path_relation(uri, mod)
-        key = (uri, mod, const, forward)
+        if (uri, "#edges", graph) not in path_cache:
+            path_cache[(uri, "#edges", graph)] = (
+                in_graph(graph).filter(F.col("predicate") == uri).count())
+        if path_cache[(uri, "#edges", graph)] <= PATH_DRIVER_THRESHOLD:
+            return path_relation(uri, mod, graph)
+        key = (uri, mod, const, forward, graph)
         if key not in path_cache:
-            edges = (triples.filter(F.col("predicate") == uri)
+            edges = (in_graph(graph)
+                     .filter(F.col("predicate") == uri)
                      .select(F.col("subject").alias("src"),
                              F.col("object").alias("dst")))
             reach = reachable_nodes(edges, const, reverse=not forward)
@@ -1092,8 +1204,9 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
             if mod == "*":
                 # zero-length hop iff the constant is a graph term
                 # (matches path_relation's reflexive-node set)
-                terms = (triples.select(F.col("subject").alias("n"))
-                         .union(triples.filter(F.col("objtype") == "uri")
+                tg = in_graph(graph)
+                terms = (tg.select(F.col("subject").alias("n"))
+                         .union(tg.filter(F.col("objtype") == "uri")
                                 .select(F.col("object").alias("n")))
                          .where(F.col("n") == const).distinct())
                 rel = rel.unionByName(
@@ -1109,9 +1222,10 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
             s_bound, o_bound = t.s[0] != "var", t.o[0] != "var"
             if s_bound != o_bound and t.p[2] in ("*", "+"):
                 df = seeded_path(t.p[1], t.p[2],
-                                 (t.s if s_bound else t.o)[1], s_bound)
+                                 (t.s if s_bound else t.o)[1], s_bound,
+                                 t.graph)
             else:   # both/neither bound, or a bounded quantifier
-                df = path_relation(t.p[1], t.p[2])
+                df = path_relation(t.p[1], t.p[2], t.graph)
             varcols, sel = {}, []
             for col, term in (("a", t.s), ("b", t.o)):
                 if term[0] == "var":
@@ -1158,24 +1272,45 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         return plan, env_cols
 
     def colenv(cols):
-        return {v: (F.col(c), c) for v, c in cols.items()}
+        return _Env((v, (F.col(c), c)) for v, c in cols.items())
+
+    def compile_group(g: Group, prefix: str):
+        """One sub-group (UNION branch / OPTIONAL / EXISTS / MINUS
+        body) → (DataFrame, cols): chain its BGP, project BINDs,
+        LEFT-JOIN nested OPTIONALs (recursively), then apply FILTERs —
+        SPARQL group scoping (filters see the whole group incl. its
+        optionals)."""
+        sub, cols = chain(g.triples, prefix)
+        for e, var in g.binds:
+            if var in cols:
+                raise SparqlError("BIND target ?%s is already bound"
+                                  % var)
+            if sub is None:
+                raise SparqlError("BIND requires a preceding pattern")
+            bname = "%sb%d__%s" % (prefix, counter[0], var)
+            counter[0] += 1
+            sub = sub.withColumn(bname, e.spark(colenv(cols)))
+            cols[var] = bname
+        for ng in g.optionals:
+            nsub, ncols = compile_group(ng, prefix)
+            shared = [v for v in ncols if v in cols]
+            cond = None
+            for v in shared:
+                c = F.col(cols[v]) == F.col(ncols[v])
+                cond = c if cond is None else (cond & c)
+            sub = sub.join(nsub,
+                           cond if cond is not None else F.lit(True),
+                           "left")
+            for v, c in ncols.items():
+                cols.setdefault(v, c)
+        for f in g.filters:
+            sub = sub.filter(f.spark(colenv(cols)))
+        return sub, cols
 
     plan, env_cols = chain(query.where.triples, "t")
 
     for bi, alts in enumerate(query.unions):
-        compiled = []
-        for g in alts:
-            sub, cols = chain(g.triples, "u")
-            for bj, (e, var) in enumerate(g.binds):
-                if var in cols:
-                    raise SparqlError("BIND target ?%s is already bound"
-                                      % var)
-                bname = "ub%d__%s" % (bj, var)
-                sub = sub.withColumn(bname, e.spark(colenv(cols)))
-                cols[var] = bname
-            for f in g.filters:
-                sub = sub.filter(f.spark(colenv(cols)))
-            compiled.append((sub, cols))
+        compiled = [compile_group(g, "u") for g in alts]
         all_vars = []
         for _, cols in compiled:
             for v in cols:
@@ -1250,13 +1385,19 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
     for f in query.where.filters:
         plan = plan.filter(f.spark(colenv(env_cols)))
 
+    # a WHERE group with no patterns but FILTER EXISTS / MINUS blocks
+    # evaluates them against the single empty solution (SPARQL
+    # semantics; the SQL twin compiles to SELECT … WHERE EXISTS(…)
+    # without a FROM — same one-or-zero-rows result)
+    if plan is None and (query.where.exists or query.where.minus):
+        plan = triples.sparkSession.range(1).select(
+            F.lit(1).alias("__one"))
+
     # FILTER [NOT] EXISTS → left-semi / left-anti join on the shared
     # variables (the Spark-native form: no row multiplication, the
     # probe side streams, AQE broadcasts a small EXISTS pattern)
     for positive, g in query.where.exists:
-        sub, sub_cols = chain(g.triples, "e")
-        for f in g.filters:
-            sub = sub.filter(f.spark(colenv(sub_cols)))
+        sub, sub_cols = compile_group(g, "e")
         shared = [v for v in sub_cols if v in env_cols]
         cond = None
         for v in shared:
@@ -1265,13 +1406,24 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         plan = plan.join(sub, cond if cond is not None else F.lit(True),
                          "left_semi" if positive else "left_anti")
 
+    # MINUS { … } → left-anti join on the shared variables; with NO
+    # shared variable the domains are disjoint and SPARQL MINUS removes
+    # nothing (the spec's incompatibility rule — unlike NOT EXISTS)
+    for g in query.where.minus:
+        sub, sub_cols = compile_group(g, "m")
+        shared = [v for v in sub_cols if v in env_cols]
+        if not shared:
+            continue
+        cond = None
+        for v in shared:
+            c = F.col(env_cols[v]) == F.col(sub_cols[v])
+            cond = c if cond is None else (cond & c)
+        plan = plan.join(sub, cond, "left_anti")
+
     for g in query.optionals:
-        if g.binds or g.values:
-            raise SparqlError("BIND/VALUES inside OPTIONAL is not "
-                              "supported")
-        sub, sub_cols = chain(g.triples, "o")
-        for f in g.filters:
-            sub = sub.filter(f.spark(colenv(sub_cols)))
+        if g.values:
+            raise SparqlError("VALUES inside OPTIONAL is not supported")
+        sub, sub_cols = compile_group(g, "o")
         shared = [v for v in sub_cols if v in env_cols]
         cond = None
         for v in shared:
@@ -1316,7 +1468,7 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         proj = list(env_cols)
     aggs = [p for p in proj if not isinstance(p, str)]
     if aggs or query.group_by:
-        def aggcol(func, dist, var, alias):
+        def aggcol(func, dist, var, alias, sep):
             if var is None:
                 return F.count(F.lit(1)).alias(alias)
             col = F.col(env_cols[var])
@@ -1328,12 +1480,28 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                                % (func.lower(), env_cols[var]))
                 else:
                     c = getattr(F, func.lower())(col.try_cast("double"))
+            elif func == "SAMPLE":
+                # SAMPLE may return any group member; MIN is a valid,
+                # deterministic choice (identical in the SQL twin)
+                c = F.min(col)
+            elif func == "GROUP_CONCAT":
+                # concatenation order is unspecified in SPARQL; both
+                # backends sort group members so results are stable
+                # and engine-independent
+                vals = F.collect_set(col) if dist else F.collect_list(col)
+                c = F.array_join(F.array_sort(vals), sep)
             else:           # MIN/MAX: DISTINCT is a no-op
                 c = getattr(F, func.lower())(col)
             return c.alias(alias)
         keys = [F.col(env_cols[v]).alias(v) for v in query.group_by]
         out = plan.groupBy(*keys).agg(
-            *[aggcol(f, d, v, a) for (_, f, d, v, a) in aggs])
+            *[aggcol(f, d, v, a, s) for (_, f, d, v, a, s) in aggs])
+        if query.having is not None:
+            # HAVING ranges over group keys and projected agg aliases —
+            # applied as a post-aggregation filter (the SQL twin wraps
+            # the grouped subquery for the same reason: alias scope)
+            henv = {c: (F.col(c), c) for c in out.columns}
+            out = out.filter(query.having.spark(henv))
         out = out.select(*[p if isinstance(p, str) else p[4]
                            for p in proj])
     else:
@@ -1367,58 +1535,67 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
     ctes: list[str] = []
     path_names: dict[tuple, str] = {}
 
-    def path_cte(uri: str, mod) -> str:
+    def path_cte(uri: str, mod, graph=None) -> str:
         """Emit (once) the recursive CTE for 1+ hops of ``uri`` edges,
         plus the reflexive-extended twin for "*" and the
-        depth-tracked bounded variant for (m, n) quantifiers."""
-        if (uri, mod) in path_names:
-            return path_names[(uri, mod)]
+        depth-tracked bounded variant for (m, n) quantifiers. A GRAPH
+        context restricts every edge/term scan (mirror of the Spark
+        backend's in_graph)."""
+        esc = None if graph is None else graph.replace("'", "''")
+        gc = "" if esc is None else " AND context = '%s'" % esc
+        gce = "" if esc is None else " AND e.context = '%s'" % esc
+        if (uri, mod, graph) in path_names:
+            return path_names[(uri, mod, graph)]
         if isinstance(mod, tuple):
-            m, n = mod
+            m, n2 = mod
             inner = "pb%d" % len(ctes)
             ctes.append(
                 "%s AS (SELECT subject AS a, object AS b, 1 AS d FROM %s"
-                " WHERE predicate = '%s' AND subject <> object"
+                " WHERE predicate = '%s'%s AND subject <> object"
                 " UNION ALL SELECT p.a, e.object, p.d + 1 FROM %s p"
-                " JOIN %s e ON p.b = e.subject AND e.predicate = '%s'"
+                " JOIN %s e ON p.b = e.subject AND e.predicate = '%s'%s"
                 " WHERE p.d < %d AND p.a <> e.object)"
-                % (inner, table_sql, uri, inner, table_sql, uri, n))
+                % (inner, table_sql, uri, gc, inner, table_sql, uri,
+                   gce, n2))
             name = "pathq%d" % len(ctes)
             sel = ("SELECT DISTINCT a, b FROM %s WHERE d BETWEEN %d AND %d"
-                   % (inner, max(m, 1), n))
+                   % (inner, max(m, 1), n2))
             if m == 0:
                 sel += (" UNION SELECT n, n FROM"
-                        " (SELECT subject AS n FROM %s"
-                        " UNION SELECT object FROM %s WHERE objtype = 'uri')"
-                        % (table_sql, table_sql))
+                        " (SELECT subject AS n FROM %s WHERE TRUE%s"
+                        " UNION SELECT object FROM %s"
+                        " WHERE objtype = 'uri'%s)"
+                        % (table_sql, gc, table_sql, gc))
             ctes.append("%s AS (%s)" % (name, sel))
-            path_names[(uri, mod)] = name
+            path_names[(uri, mod, graph)] = name
             return name
-        if (uri, "+") not in path_names:
+        if (uri, "+", graph) not in path_names:
             name = "path%d" % len(ctes)
             ctes.append(
                 "%s AS (SELECT subject AS a, object AS b FROM %s"
-                " WHERE predicate = '%s' AND subject <> object"
+                " WHERE predicate = '%s'%s AND subject <> object"
                 " UNION SELECT p.a, e.object FROM %s p JOIN %s e"
-                " ON p.b = e.subject AND e.predicate = '%s'"
+                " ON p.b = e.subject AND e.predicate = '%s'%s"
                 " WHERE p.a <> e.object)"
-                % (name, table_sql, uri, name, table_sql, uri))
-            path_names[(uri, "+")] = name
+                % (name, table_sql, uri, gc, name, table_sql, uri, gce))
+            path_names[(uri, "+", graph)] = name
         if mod == "*":
             name = "star%d" % len(ctes)
             ctes.append(
                 "%s AS (SELECT a, b FROM %s UNION"
                 " SELECT n, n FROM (SELECT subject AS n FROM %s"
-                " UNION SELECT object FROM %s WHERE objtype = 'uri'))"
-                % (name, path_names[(uri, "+")], table_sql, table_sql))
-            path_names[(uri, "*")] = name
-        return path_names[(uri, mod)]
+                " WHERE TRUE%s"
+                " UNION SELECT object FROM %s WHERE objtype = 'uri'%s))"
+                % (name, path_names[(uri, "+", graph)], table_sql, gc,
+                   table_sql, gc))
+            path_names[(uri, "*", graph)] = name
+        return path_names[(uri, mod, graph)]
 
     def scan_sql(t: Triple, prefix: str):
         alias = "%s%d" % (prefix, n[0])
         n[0] += 1
         if t.p[0] == "path":
-            rel = path_cte(t.p[1], t.p[2])
+            rel = path_cte(t.p[1], t.p[2], t.graph)
             varcols, conds = {}, []
             for col, term in (("a", t.s), ("b", t.o)):
                 if term[0] == "var":
@@ -1463,10 +1640,19 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             env_cols.setdefault(v, c)
 
     def sqlenv(cols):
-        return {v: (None, c) for v, c in cols.items()}
+        return _Env((v, (None, c)) for v, c in cols.items())
+
+    def render(g_parts, fconds):
+        body = " ".join(g_parts)
+        if fconds:
+            body += " WHERE " + " AND ".join(fconds)
+        return body
 
     def group_select(g: Group, prefix: str):
-        """One UNION alternative as (cols-map, 'FROM …[ WHERE …]')."""
+        """One sub-group (UNION branch / OPTIONAL / EXISTS / MINUS
+        body) → (cols-map, FROM/JOIN parts, WHERE conds). BINDs become
+        carried expressions; nested OPTIONALs recurse into LEFT-JOINed
+        subqueries (mirror of the Spark backend's compile_group)."""
         g_cols: dict[str, str] = {}
         g_parts: list[str] = []
         for t in _order_patterns(g.triples):
@@ -1486,32 +1672,46 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             if var in g_cols:
                 raise SparqlError("BIND target ?%s is already bound"
                                   % var)
+            if not g_parts:
+                raise SparqlError("BIND requires a preceding pattern")
             g_cols[var] = e.sql(sqlenv(g_cols))
+        for ng in g.optionals:
+            ncols, nparts, nconds = group_select(ng, prefix)
+            al = "n%d" % n[0]
+            n[0] += 1
+            out_cols = {v: "%s__%s" % (al, v) for v in ncols}
+            inner_sel = ", ".join("%s AS %s" % (ncols[v], out_cols[v])
+                                  for v in ncols) or "1 AS %s__x" % al
+            inner = "SELECT %s %s" % (inner_sel, render(nparts, nconds))
+            shared = [v for v in ncols if v in g_cols]
+            on = " AND ".join("%s = %s" % (g_cols[v], out_cols[v])
+                              for v in shared) or "TRUE"
+            g_parts.append("LEFT JOIN (%s) %s ON %s" % (inner, al, on))
+            for v, c in out_cols.items():
+                g_cols.setdefault(v, c)
         fconds = [f.sql(sqlenv(g_cols)) for f in g.filters]
-        body = " ".join(g_parts)
-        if fconds:
-            body += " WHERE " + " AND ".join(fconds)
-        return g_cols, body
+        return g_cols, g_parts, fconds
 
     for bi, alts in enumerate(query.unions):
         compiled = [group_select(g, "u") for g in alts]
         all_vars: list[str] = []
-        for cols, _ in compiled:
+        for cols, _, _ in compiled:
             for v in cols:
                 if v not in all_vars:
                     all_vars.append(v)
-        shared_sets = [set(cols) & set(env_cols) for cols, _ in compiled]
+        shared_sets = [set(cols) & set(env_cols)
+                       for cols, _, _ in compiled]
         if parts and len(set(map(frozenset, shared_sets))) > 1:
             raise SparqlError(
                 "UNION branches must bind the same outer variables")
         canon = {v: "ub%d__%s" % (bi, v) for v in all_vars}
         selects = []
-        for cols, body in compiled:
+        for cols, g_parts, fconds in compiled:
             sel = ", ".join(
                 ("%s AS %s" % (cols[v], canon[v])) if v in cols
                 else ("CAST(NULL AS VARCHAR) AS %s" % canon[v])
                 for v in all_vars) or "1 AS ub%d__x" % bi
-            selects.append("SELECT %s %s" % (sel, body))
+            selects.append("SELECT %s %s" % (sel, render(g_parts, fconds)))
         alias = "ub%d" % bi
         union_sql = "(%s) %s" % (" UNION ALL ".join(selects), alias)
         if not parts:
@@ -1567,62 +1767,40 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
     # FILTER [NOT] EXISTS → correlated (NOT) EXISTS subquery joined to
     # the outer scan aliases on the shared variables
     for positive, g in query.where.exists:
-        e_cols: dict[str, str] = {}
-        e_parts: list[str] = []
-        for t in _order_patterns(g.triples):
-            sub, cols = scan_sql(t, "e")
-            shared = [v for v in cols if v in e_cols]
-            if not e_parts:
-                e_parts.append("FROM %s" % sub)
-            elif shared:
-                on = " AND ".join("%s = %s" % (e_cols[v], cols[v])
-                                  for v in shared)
-                e_parts.append("JOIN %s ON %s" % (sub, on))
-            else:
-                e_parts.append("CROSS JOIN %s" % sub)
-            for v, c in cols.items():
-                e_cols.setdefault(v, c)
-        conds = [f.sql(sqlenv(e_cols)) for f in g.filters]
+        e_cols, e_parts, conds = group_select(g, "e")
         conds += ["%s = %s" % (e_cols[v], env_cols[v])
                   for v in sorted(e_cols) if v in env_cols]
-        inner = "SELECT 1 %s" % " ".join(e_parts)
-        if conds:
-            inner += " WHERE " + " AND ".join(conds)
+        inner = "SELECT 1 %s" % render(e_parts, conds)
         where_conds.append("%sEXISTS (%s)"
                            % ("" if positive else "NOT ", inner))
 
+    # MINUS → NOT EXISTS on the shared variables; no shared variable →
+    # disjoint domains, MINUS removes nothing (per-spec asymmetry with
+    # NOT EXISTS — same rule as the Spark backend)
+    for g in query.where.minus:
+        m_cols, m_parts, conds = group_select(g, "m")
+        shared = [v for v in sorted(m_cols) if v in env_cols]
+        if not shared:
+            continue
+        conds += ["%s = %s" % (m_cols[v], env_cols[v]) for v in shared]
+        where_conds.append("NOT EXISTS (SELECT 1 %s)"
+                           % render(m_parts, conds))
+
     for g in query.optionals:
-        if g.binds or g.values:
-            raise SparqlError("BIND/VALUES inside OPTIONAL is not "
-                              "supported")
-        sub_cols: dict[str, str] = {}
-        sub_parts: list[str] = []
-        for t in _order_patterns(g.triples):
-            sub, cols = scan_sql(t, "o")
-            shared = [v for v in cols if v in sub_cols]
-            if not sub_parts:
-                sub_parts.append("FROM %s" % sub)
-            elif shared:
-                on = " AND ".join("%s = %s" % (sub_cols[v], cols[v])
-                                  for v in shared)
-                sub_parts.append("JOIN %s ON %s" % (sub, on))
-            else:
-                sub_parts.append("CROSS JOIN %s" % sub)
-            for v, c in cols.items():
-                sub_cols.setdefault(v, c)
-        fconds = [f.sql(sqlenv(sub_cols)) for f in g.filters]
-        inner_cols = ", ".join("%s AS %s" % (c, c)
-                               for c in sub_cols.values()) or "1 AS x"
-        inner = "SELECT %s %s" % (inner_cols, " ".join(sub_parts))
-        if fconds:
-            inner += " WHERE " + " AND ".join(fconds)
+        if g.values:
+            raise SparqlError("VALUES inside OPTIONAL is not supported")
+        sub_cols, sub_parts, fconds = group_select(g, "o")
         alias = "g%d" % n[0]
         n[0] += 1
+        out_cols = {v: "%s__%s" % (alias, v) for v in sub_cols}
+        inner_sel = ", ".join("%s AS %s" % (sub_cols[v], out_cols[v])
+                              for v in sub_cols) or "1 AS x"
+        inner = "SELECT %s %s" % (inner_sel, render(sub_parts, fconds))
         shared = [v for v in sub_cols if v in env_cols]
-        on = " AND ".join("%s = %s.%s" % (env_cols[v], alias, sub_cols[v])
+        on = " AND ".join("%s = %s" % (env_cols[v], out_cols[v])
                           for v in shared) or "TRUE"
         parts.append("LEFT JOIN (%s) %s ON %s" % (inner, alias, on))
-        for v, c in sub_cols.items():
+        for v, c in out_cols.items():
             env_cols.setdefault(v, c)
 
     def with_prefix(extra_ctes=()):
@@ -1678,7 +1856,7 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         proj = list(env_cols)
     aggs = [p for p in proj if not isinstance(p, str)]
     if aggs or query.group_by:
-        def aggsql(func, dist, var, alias):
+        def aggsql(func, dist, var, alias, sep):
             if var is None:
                 return "COUNT(*) AS %s" % alias
             c = env_cols[var]
@@ -1688,16 +1866,33 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             if func in ("SUM", "AVG"):
                 return "%s(%sTRY_CAST(%s AS DOUBLE)) AS %s" % (
                     func, "DISTINCT " if dist else "", c, alias)
+            if func == "SAMPLE":
+                # deterministic SAMPLE: MIN (same choice as Spark)
+                return "MIN(%s) AS %s" % (c, alias)
+            if func == "GROUP_CONCAT":
+                # sorted concatenation — mirror of the Spark backend's
+                # array_sort(collect_*) ordering
+                return "string_agg(%s%s, '%s' ORDER BY %s) AS %s" % (
+                    "DISTINCT " if dist else "", c,
+                    sep.replace("'", "''"), c, alias)
             return "%s(%s) AS %s" % (func, c, alias)
         sel = ", ".join(
             ("%s AS %s" % (env_cols[p], p)) if isinstance(p, str)
-            else aggsql(p[1], p[2], p[3], p[4]) for p in proj)
+            else aggsql(p[1], p[2], p[3], p[4], p[5]) for p in proj)
         sql = "%sSELECT %s %s" % (with_prefix(), sel, " ".join(parts))
         if where_conds:
             sql += " WHERE " + " AND ".join(where_conds)
         if query.group_by:
             sql += " GROUP BY " + ", ".join(env_cols[v]
                                             for v in query.group_by)
+        if query.having is not None:
+            # aliases aren't in scope in an ANSI HAVING — wrap the
+            # grouped query instead (mirror of the Spark backend's
+            # post-aggregation filter)
+            henv = {v: (None, v) for v in query.group_by}
+            henv.update({p[4]: (None, p[4]) for p in aggs})
+            sql = "SELECT * FROM (%s) havq WHERE %s" % (
+                sql, query.having.sql(henv))
     else:
         sel = ", ".join(
             "%s AS %s" % (env_cols.get(v, "CAST(NULL AS VARCHAR)"), v)

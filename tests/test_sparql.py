@@ -745,3 +745,117 @@ def test_review_fixes(graph):
     assert float(out.iloc[0]["t"]) == 22.0  # 3+12+7, dup rows collapsed
     out = run_both(graph, "ASK {}")
     assert bool(out.iloc[0]["ask"]) is True
+
+
+def test_minus(graph):
+    """MINUS removes compatible solutions; with disjoint domains it
+    removes nothing (the spec rule that distinguishes it from NOT
+    EXISTS)."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE { ?s a foaf:Document .
+          MINUS { ?s dct:publisher ?p } } ORDER BY ?s
+    """)
+    assert list(out["s"]) == ["d2"]
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE { ?s a foaf:Document .
+          MINUS { ?x dct:nothere ?y } } ORDER BY ?s
+    """)
+    assert list(out["s"]) == ["d1", "d2", "d3"]   # disjoint → no-op
+
+
+def test_nested_optional_and_bind_in_optional(graph):
+    """OPTIONAL nested in OPTIONAL plus BIND inside OPTIONAL (both
+    raised SparqlError before round 4)."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?lbl ?org WHERE { ?s a foaf:Document .
+          OPTIONAL { ?s dct:publisher ?p . BIND(concat("pub:", ?p) AS ?lbl)
+                     OPTIONAL { ?p dct:title ?org } }
+        } ORDER BY ?s
+    """)
+    assert list(out["s"]) == ["d1", "d2", "d3"]
+    assert list(out["lbl"].fillna("-")) == ["pub:p1", "-", "pub:p2"]
+    assert list(out["org"].fillna("-")) == ["Org One", "-", "-"]
+
+
+def test_inverse_path(graph):
+    """^p swaps subject/object; ^p+ is the inverse closure."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?part WHERE { <d1> ^dct:isPartOf ?part } ORDER BY ?part
+    """)
+    assert list(out["part"]) == ["d3"]
+    out = run_both(graph, PREFIXES + """
+        SELECT ?part WHERE { <d1> ^dct:isPartOf+ ?part } ORDER BY ?part
+    """)
+    assert list(out["part"]) == ["d3", "d4"]
+    # in a ;-list the inverse applies to its own predicate only
+    out = run_both(graph, PREFIXES + """
+        SELECT ?t ?part WHERE {
+          <d1> dct:title ?t ; ^dct:isPartOf ?part } ORDER BY ?part
+    """)
+    assert list(out["t"]) == ["Alpha report"]
+    assert list(out["part"]) == ["d3"]
+
+
+def test_graph_scoped_property_path(rfc_graph):
+    """ADVICE r3: GRAPH context must constrain property-path edge
+    scans, not just plain scans. The isPartOf chain lives entirely in
+    the 'docs' context, so scoping to 'orgs' must yield nothing."""
+    docs = run_both(rfc_graph, PREFIXES + """
+        SELECT ?p ?a WHERE { GRAPH <docs> { ?p dct:isPartOf+ ?a } }
+        ORDER BY ?p ?a
+    """)
+    assert len(docs) == 3     # d3→d1, d4→d3, d4→d1
+    orgs = run_both(rfc_graph, PREFIXES + """
+        SELECT ?p ?a WHERE { GRAPH <orgs> { ?p dct:isPartOf+ ?a } }
+    """)
+    assert len(orgs) == 0
+    # GRAPH-scoped * : reflexive set is the context's terms only
+    star = run_both(rfc_graph, PREFIXES + """
+        SELECT ?n WHERE { GRAPH <orgs> { ?n dct:isPartOf* ?n } }
+        ORDER BY ?n
+    """)
+    # subjects + URI objects of the orgs context only ("Org One" is a
+    # literal and is never a graph term)
+    assert set(star["n"]) == {"p1", "p2", FOAF + "Organization"}
+
+
+def test_group_concat_sample_having(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s (GROUP_CONCAT(?o; SEPARATOR="|") AS ?objs)
+               (SAMPLE(?o) AS ?one) (COUNT(?o) AS ?n)
+        WHERE { ?s ?p ?o . FILTER(isLiteral(?o)) }
+        GROUP BY ?s HAVING (?n >= 2) ORDER BY ?s
+    """)
+    d1 = out[out["s"] == "d1"].iloc[0]
+    assert d1["objs"] == "3|Alpha report"      # sorted concatenation
+    assert d1["one"] == "3"                    # SAMPLE = deterministic MIN
+    # d9 carries a single literal (its title) → dropped by HAVING
+    assert set(out["s"]) == {"d1", "d2", "d3"}
+    # default separator is a single space
+    out = run_both(graph, PREFIXES + """
+        SELECT (GROUP_CONCAT(?t) AS ?all) WHERE {
+          ?s a foaf:Document . ?s dct:title ?t }
+    """)
+    assert out.iloc[0]["all"] == "Alpha report Beta memo Gamma"
+
+
+def test_exists_without_pattern(graph):
+    """A WHERE group with only FILTER [NOT] EXISTS evaluates against
+    the single empty solution (crashed with AttributeError before
+    round 4; ADVICE r3)."""
+    out = run_both(graph, "ASK { FILTER EXISTS { ?s ?p ?o } }")
+    assert bool(out.iloc[0]["ask"]) is True
+    out = run_both(graph, PREFIXES +
+                   "ASK { FILTER NOT EXISTS { ?s dct:nothere ?o } }")
+    assert bool(out.iloc[0]["ask"]) is True
+    out = run_both(graph, PREFIXES +
+                   "ASK { FILTER EXISTS { ?s dct:nothere ?o } }")
+    assert bool(out.iloc[0]["ask"]) is False
+
+
+def test_having_rejects_loose_vars():
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse("""SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+                        GROUP BY ?s HAVING (?o > 1)""")
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse("SELECT ?s WHERE { ?s ?p ?o } HAVING (?s > 1)")

@@ -97,6 +97,13 @@ query_st = st.fixed_dictionaries({
         st.none(),
         st.tuples(st.booleans(),
                   st.lists(pattern_st, min_size=1, max_size=2))),
+    "minus": st.one_of(st.none(),
+                       st.lists(pattern_st, min_size=1, max_size=2)),
+    # nested OPTIONAL inside the OPTIONAL group, and a BIND inside it
+    "optional_nested": st.one_of(st.none(),
+                                 st.lists(pattern_st, min_size=1,
+                                          max_size=1)),
+    "optional_bind": st.booleans(),
     # wrap the base BGP in GRAPH <g1|g2> (fixture rows alternate
     # contexts by subject)
     "graph": st.one_of(st.none(), st.sampled_from(["g1", "g2"])),
@@ -142,12 +149,22 @@ def render_query(q):
         positive, pats = q["exists"]
         body += "FILTER %sEXISTS { %s } " % (
             "" if positive else "NOT ", bgp_sparql(pats))
+    if q.get("minus"):
+        body += "MINUS { %s } " % bgp_sparql(q["minus"])
     if q["optional"]:
         opt_vars = pvars(q["optional"])
         opt_body = bgp_sparql(q["optional"])
         f = q.get("optional_filter")
         if f is not None and f[1] in opt_vars:
             opt_body += " . " + filter_sparql(f)
+        if q.get("optional_bind") and opt_vars:
+            bv = sorted(opt_vars)[0]
+            opt_body += ' . BIND(concat("x:", ?%s) AS ?z)' % bv
+            all_vars.add("z")
+        if q.get("optional_nested"):
+            opt_body += " . OPTIONAL { %s }" % bgp_sparql(
+                q["optional_nested"])
+            all_vars |= pvars(q["optional_nested"])
         body += "OPTIONAL { %s } " % opt_body
         all_vars |= opt_vars
     if not all_vars:
@@ -179,7 +196,8 @@ def test_fuzz_spark_duckdb_parity(spark, duck_dir, graph, q):
 
 # ---- second generator: aggregates, property paths, VALUES ----------
 
-agg_st = st.sampled_from(["COUNT", "SUM", "MIN", "MAX", "AVG"])
+agg_st = st.sampled_from(["COUNT", "SUM", "MIN", "MAX", "AVG",
+                          "SAMPLE", "GROUP_CONCAT"])
 
 aggq_st = st.fixed_dictionaries({
     "patterns": st.lists(pattern_st, min_size=1, max_size=2),
@@ -187,6 +205,9 @@ aggq_st = st.fixed_dictionaries({
     "agg": agg_st,
     "agg_distinct": st.booleans(),
     "agg_var": var_st,
+    "sep": st.sampled_from([None, ",", " | "]),
+    # HAVING over a COUNT alias (numeric, so the draw is always valid)
+    "having": st.one_of(st.none(), st.integers(1, 3)),
     "values": st.one_of(
         st.none(),
         st.lists(st.sampled_from(SUBJECTS + LITS[:2]),
@@ -212,10 +233,17 @@ def render_agg_query(q):
             q["group_var"],
             " ".join(term_sparql(("const", v)) for v in q["values"]))
     dist = "DISTINCT " if q["agg_distinct"] else ""
-    return (PREFIX + "SELECT ?%s (%s(%s?%s) AS ?agg) WHERE { %s} "
-            "GROUP BY ?%s"
-            % (q["group_var"], q["agg"], dist, q["agg_var"], body,
-               q["group_var"]))
+    sep = ""
+    if q["agg"] == "GROUP_CONCAT" and q["sep"] is not None:
+        sep = '; SEPARATOR="%s"' % q["sep"]
+    extra = having = ""
+    if q["having"] is not None:
+        extra = " (COUNT(?%s) AS ?n)" % q["agg_var"]
+        having = " HAVING (?n >= %d)" % q["having"]
+    return (PREFIX + "SELECT ?%s (%s(%s?%s%s) AS ?agg)%s WHERE { %s} "
+            "GROUP BY ?%s%s"
+            % (q["group_var"], q["agg"], dist, q["agg_var"], sep, extra,
+               body, q["group_var"], having))
 
 
 @settings(max_examples=int(os.environ.get("SPARQL_FUZZ_EXAMPLES", "30")),
@@ -235,6 +263,10 @@ pathq_st = st.fixed_dictionaries({
     "endpoint": st.sampled_from(SUBJECTS),
     "direction": st.booleans(),      # True: const is subject
     "force_bfs": st.booleans(),      # exercise the seeded-BFS branch
+    "inverse": st.booleans(),        # ^p:r — inverse path
+    # GRAPH-scoped path: the closure must use that context's edges
+    # only (ADVICE r3 regression)
+    "graph": st.one_of(st.none(), st.sampled_from(["g1", "g2"])),
     "extra": st.one_of(st.none(), pattern_st),
 })
 
@@ -242,7 +274,12 @@ pathq_st = st.fixed_dictionaries({
 def render_path_query(q):
     s, o = (("const", q["endpoint"]), ("var", "a")) \
         if q["direction"] else (("var", "a"), ("const", q["endpoint"]))
-    body = "%s p:r%s %s . " % (term_sparql(s), q["mod"], term_sparql(o))
+    caret = "^" if q.get("inverse") else ""
+    path = "%s %sp:r%s %s . " % (term_sparql(s), caret, q["mod"],
+                                 term_sparql(o))
+    if q.get("graph"):
+        path = "GRAPH <%s> { %s} " % (q["graph"], path)
+    body = path
     if q["extra"]:
         es, ep, eo = q["extra"]
         if "a" not in [t[1] for t in (es, eo) if t[0] == "var"]:
