@@ -795,6 +795,37 @@ def _with_injected_dups(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").unionByName(dups)
 
 
+# Shared materialized stages across the dedup family — the Iceberg
+# hand-off analog between pipeline jobs: the shingle table and the LSH
+# pair table are computed once per session and read by every consumer
+# query (VERDICT r3 #1: the gate re-ran these stages per query and
+# blew its wall-time budget on the dedup tail). Keyed by Spark
+# applicationId so a fresh driver session rebuilds from scratch.
+_STAGE_CACHE: dict = {}
+
+
+def _stage(spark: SparkSession, key: tuple, build) -> DataFrame:
+    k = (spark.sparkContext.applicationId,) + key
+    if k not in _STAGE_CACHE:
+        _STAGE_CACHE[k] = build().localCheckpoint(eager=True)
+    return _STAGE_CACHE[k]
+
+
+def _doc_shingles(spark, sf_dir):
+    from ferenda_spark.operators.dedup import shingle_table
+    return _stage(spark, ("shingles", sf_dir),
+                  lambda: shingle_table(_read(spark, sf_dir, "documents")))
+
+
+def _lsh_pairs(spark, sf_dir):
+    from ferenda_spark.operators.dedup import minhash_lsh_pairs
+    return _stage(
+        spark, ("lsh_pairs", sf_dir),
+        lambda: minhash_lsh_pairs(_read(spark, sf_dir, "documents"),
+                                  threshold=0.5,
+                                  shingles=_doc_shingles(spark, sf_dir)))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from ferenda_spark.operators.dedup import exact_duplicates
     return exact_duplicates(_with_injected_dups(
@@ -804,28 +835,27 @@ def _q_dedup_exact(spark, sf_dir):
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     from ferenda_spark.operators.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
-                               threshold=0.5)
+                               threshold=0.5,
+                               shingles=_doc_shingles(spark, sf_dir))
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
-    from ferenda_spark.operators.dedup import minhash_lsh_pairs
-    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"),
-                             threshold=0.5)
+    return _lsh_pairs(spark, sf_dir)
 
 
 def _q_dedup_simhash(spark, sf_dir):
     from ferenda_spark.operators.dedup import simhash_pairs
     return simhash_pairs(_read(spark, sf_dir, "documents"),
-                         max_hamming=16, verify_threshold=0.5) \
+                         max_hamming=16, verify_threshold=0.5,
+                         shingles=_doc_shingles(spark, sf_dir)) \
         .select("a_id", "b_id", "jaccard_sim")
 
 
 def _q_dedup_clusters(spark, sf_dir):
-    """Pairs → transitive dedup groups (CC over the pair graph)."""
-    from ferenda_spark.operators.dedup import (dup_clusters,
-                                               minhash_lsh_pairs)
-    return dup_clusters(minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), threshold=0.5))
+    """Pairs → transitive dedup groups (CC over the pair graph);
+    reads the session's materialized LSH pair table."""
+    from ferenda_spark.operators.dedup import dup_clusters
+    return dup_clusters(_lsh_pairs(spark, sf_dir))
 
 
 def _q_dedup_embedding(spark, sf_dir):
@@ -1021,18 +1051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_blocked": _q_dedup_embedding_blocked,
-        "ann_topk": _q_ann_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "embedding_clusters": _q_embedding_clusters,
-        "media_decode": _q_media_decode,
         # relational / faceting analogs (DuckDB-oracled)
         "facet_pivot": _q_facet_pivot,
         "events_windowed": _q_events_windowed,
@@ -1041,6 +1059,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": _q_window_topk,
         "reverse_refs": _q_reverse_refs,
         "lineitem_pricing": _q_lineitem_pricing,
+        "media_decode": _q_media_decode,
+        # dedup / ANN family LAST — the wall-time tail of the gate
+        # (VERDICT r3 #1: budget truncation hits the cheapest coverage
+        # first when these run in the middle); ordered so the shared
+        # shingle stage and LSH pair table warm for their reusers
+        "dedup_exact": _q_dedup_exact,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_clusters": _q_embedding_clusters,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_blocked": _q_dedup_embedding_blocked,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -1049,7 +1083,13 @@ def oracle_sql() -> dict[str, str]:
     from ferenda_spark.operators import (curation, dedup, multimodal,
                                          packing, sampling, similarity,
                                          textops)
-    jaccard_oracle = dedup.oracle_sql_ngram_jaccard(threshold=0.5)
+    # the quadratic jaccard ground truth is materialized once (same
+    # DuckDB engine + SQL, cached by input/kernel fingerprint) and
+    # shared by three oracles — see dedup.ensure_jaccard_pairs_oracle
+    jaccard_oracle = ("SELECT * FROM read_parquet('%s') "
+                      "ORDER BY a_id, b_id"
+                      % dedup.ensure_jaccard_pairs_oracle(
+                          CORRECTNESS_SF_DIR, threshold=0.5))
     dup_docs = DUP_DOCS_SQL
     # materialize the KG extraction + ANN-twin parquet before the
     # driver runs the SQL below (pure pandas/pyarrow; no-op when cached)

@@ -30,6 +30,23 @@ def main() -> None:
         sf = 0.1
     kg_n = int(os.environ.get("SPARK_GRAFT_KG_N", max(int(sf * 20000), 200)))
 
+    # self-defending measurement (VERDICT r3 #2): refuse to start while
+    # the host is already loaded — BENCH_r03.json was recorded under a
+    # competing 32-thread JVM (loadavg 6.3→9.5) and read 1.5-3.6×
+    # slower than the clean runs. Retry a few one-minute decay periods;
+    # if the host never calms down, run anyway but stamp the record as
+    # contaminated so no one compares it round-over-round.
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    load_retries = int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "3"))
+    gate_waited = 0.0
+    for attempt in range(load_retries + 1):
+        start_load = os.getloadavg()[0]
+        if start_load <= load_gate or attempt == load_retries:
+            break
+        time.sleep(60)
+        gate_waited += 60
+    contaminated = start_load > load_gate
+
     import __spark_entry__ as E
     from ferenda_spark.session import get_spark
     spark = get_spark("bench", master="local[%s]" % cpus,
@@ -46,12 +63,17 @@ def main() -> None:
 
     def kg_extract(spark, _):
         # NOTE: the timed region includes synthetic page GENERATION
-        # (both are one fused mapInPandas pipeline here) — kept for
-        # cross-round comparability; the generation-free extraction
-        # throughput is what BENCH_SCALING.json measures (materialized
-        # pages table, scan-to-triples only)
+        # (both are one fused mapInPandas pipeline here) — kept one
+        # more round for cross-round comparability; the generation-free
+        # number is kg_extract_materialized below (VERDICT r3 #3)
         pages = P.build_pages(spark, kg_n, int(cpus) * 2)
         return extract_stage(pages, cfg, P.COMMONDATA)
+
+    def kg_extract_materialized(spark, _):
+        # scan→extract only: pages were written to parquet untimed
+        # (prep_s disclosed below) — this is the honest docs/sec for
+        # the north-rule throughput metric
+        return extract_stage(stages["pages"], cfg, P.COMMONDATA)
 
     persisted: list = []   # unpersisted right after the owning query
 
@@ -146,6 +168,7 @@ def main() -> None:
     qs = E.queries()
     bench_queries = {
         "kg_extract": kg_extract,
+        "kg_extract_materialized": kg_extract_materialized,
         "kg_full_pipeline": kg_full,
         "kg_materialize": kg_materialize,
         "kg_toc": kg_toc,
@@ -187,6 +210,12 @@ def main() -> None:
         return v * 1.0
     (spark.range(0, int(cpus) * 4, 1, int(cpus))
      .select(_warm(col("id").cast("double"))).count())
+    # untimed prep for kg_extract_materialized: land the pages table
+    # once (the Iceberg input analog; its cost is the generation share
+    # that r3's fused kg_extract number conflated with extraction)
+    P.build_pages(spark, kg_n, int(cpus) * 2).write.mode("overwrite") \
+        .parquet(kg_tmp + "/pages")
+    stages["pages"] = spark.read.parquet(kg_tmp + "/pages")
     warmup_s = round(time.perf_counter() - t0, 3)
 
     load_before = round(os.getloadavg()[0], 2)
@@ -204,6 +233,7 @@ def main() -> None:
     shutil.rmtree(kg_tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)
     kg_secs = timings["kg_extract"]
+    kg_mat_secs = timings["kg_extract_materialized"]
     print(json.dumps({
         "metric": "headline_total",
         "value": total,
@@ -212,6 +242,9 @@ def main() -> None:
         "sf": sf,
         "kg_docs": kg_n,
         "kg_docs_per_sec": round(kg_n / kg_secs, 1) if kg_secs else None,
+        # generation-free extraction throughput (north-rule docs/sec)
+        "kg_docs_per_sec_materialized":
+            round(kg_n / kg_mat_secs, 1) if kg_mat_secs else None,
         "rows": rows,
         "warmup_s": warmup_s,
         "cpus": int(cpus),
@@ -219,6 +252,13 @@ def main() -> None:
         # runs overlapping other 32-thread JVMs measure 1.5-2x slower
         # (see BENCH.md); a load figure ≫ cpus flags such a run
         "loadavg_1m": [load_before, round(os.getloadavg()[0], 2)],
+        # pre-JVM load gate: waited gate_waited_s in 60 s steps until
+        # loadavg_at_gate <= threshold (or retries ran out →
+        # load_contaminated: true — do not compare that run)
+        "load_gate": {"threshold": load_gate,
+                      "loadavg_at_gate": round(start_load, 2),
+                      "waited_s": gate_waited,
+                      "load_contaminated": contaminated},
     }))
 
 

@@ -56,11 +56,15 @@ def jaccard(a, b):
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                         n: int = 3, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        shingles: DataFrame | None = None) -> DataFrame:
     """O(n²) brute-force near-dup pairs by word-n-gram Jaccard —
     the small-SF oracle twin of :func:`minhash_lsh_pairs`.
-    → (a_id, b_id, jaccard_sim), a_id < b_id."""
-    sh = shingle_table(df, n, text_col, id_col)
+    ``shingles`` lets callers reuse a materialized shingle stage
+    across the dedup family (the lake hand-off between pipeline
+    steps). → (a_id, b_id, jaccard_sim), a_id < b_id."""
+    sh = (shingle_table(df, n, text_col, id_col)
+          if shingles is None else shingles)
     a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
     return (a.join(b, F.col("a_id") < F.col("b_id"))
@@ -195,7 +199,8 @@ def minhash_band_table(df: DataFrame, n: int = 3, num_hashes: int = 128,
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
                       n: int = 3, num_hashes: int = 128, bands: int = 64,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      shingles: DataFrame | None = None) -> DataFrame:
     """Scale-path near-dup detection: MinHash signatures banded into
     ``bands`` buckets; docs colliding in ≥1 band become candidates;
     candidates are verified with EXACT n-gram Jaccard, so output
@@ -218,7 +223,8 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
                     F.col("b.id").alias("b_id"))
             .distinct())
     # exact verification against materialized shingle arrays
-    shx = shingle_table(df, n, text_col, id_col)
+    shx = (shingle_table(df, n, text_col, id_col)
+           if shingles is None else shingles)
     cand = (cand
             .join(shx.withColumnRenamed("id", "a_id")
                      .withColumnRenamed("sh", "a_sh"), "a_id")
@@ -272,7 +278,8 @@ def simhash_table(df: DataFrame, n: int = 3, text_col: str = "text",
 def simhash_pairs(df: DataFrame, max_hamming: int = 6,
                   verify_threshold: float = 0.5, n: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
-                  num_blocks: int = 8) -> DataFrame:
+                  num_blocks: int = 8,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """SimHash near-dup pairs at scale: 64-bit fingerprints blocked into
     ``num_blocks`` segments; by pigeonhole, hamming ≤ max_hamming with
     max_hamming < num_blocks guarantees ≥1 identical block, so
@@ -301,7 +308,8 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 6,
                     hamming.alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .distinct())
-    shx = shingle_table(df, n, text_col, id_col)
+    shx = (shingle_table(df, n, text_col, id_col)
+           if shingles is None else shingles)
     cand = (cand
             .join(shx.withColumnRenamed("id", "a_id")
                      .withColumnRenamed("sh", "a_sh"), "a_id")
@@ -610,6 +618,46 @@ def oracle_sql_dup_clusters(pairs_sql: str) -> str:
 
 
 # ----------------------------------------------------------- oracles
+
+def ensure_jaccard_pairs_oracle(sf_dir: str, threshold: float = 0.5,
+                                n: int = 3) -> str:
+    """Materialize the quadratic DuckDB jaccard-pairs oracle ONCE per
+    (input bytes, kernel bytes, params) fingerprint; → parquet path.
+
+    Three driver oracles (dedup_ngram_jaccard, dedup_minhash_lsh,
+    dedup_clusters) share the same ground-truth pair set; without this
+    the correctness gate runs the same O(n²) SQL three times (the r3
+    gate ran out of budget on exactly this tail — VERDICT r3 #1). The
+    parquet IS :func:`oracle_sql_ngram_jaccard`'s output, produced by
+    the same DuckDB engine — caching changes when the oracle runs, not
+    what is checked."""
+    import hashlib
+    import os
+
+    import duckdb
+    docs = os.path.join(sf_dir, "documents.parquet")
+    h = hashlib.sha256()
+    with open(docs, "rb") as f:
+        h.update(f.read())
+    with open(os.path.abspath(__file__), "rb") as f:
+        h.update(f.read())
+    h.update(("%r|%r" % (threshold, n)).encode())
+    root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    out_dir = os.path.join(root, ".dedup_cache", h.hexdigest()[:16])
+    out = os.path.join(out_dir, "jaccard_pairs.parquet")
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "read_parquet('%s')" % docs)
+        tmp = out + ".tmp"
+        con.execute("COPY (%s) TO '%s' (FORMAT PARQUET)"
+                    % (oracle_sql_ngram_jaccard(threshold=threshold, n=n),
+                       tmp))
+        os.replace(tmp, out)
+    return out
+
 
 def oracle_sql_exact_duplicates(table: str = "documents") -> str:
     return f"""
