@@ -573,6 +573,50 @@ def _q_kg_citations(spark, sf_dir):
                              CORPUS_PATTERNS, corpus_formatter())
 
 
+# the ready-made formatters (ref ferenda/uriformats.py) exercised over
+# the kg corpus: `url` reassembles each resource's source URL from its
+# parsed parts; `generic` turns RFC citations into querystring URIs
+KG_WEBURL_PAT = (r"(?P<scheme>https?)://(?P<netloc>[^/\s]+)"
+                 r"(?P<path>/[^\s#?]*)")
+KG_RFC_PAT = r"\[?RFC ?(?P<rfc>\d+)\]?"
+
+
+def _q_kg_citations_stock(spark, sf_dir):
+    """Stock uriformats.generic/url through the URIFormatter registry
+    (ref ferenda/uriformats.py:14-44) — closes SURVEY §2.3's
+    'ready-made formatters' row with a hard oracle."""
+    from ferenda_spark import uriformats
+    from ferenda_spark.operators.citations import (URIFormatter,
+                                                   extract_citations)
+    res = _kg_read(spark, "resources")
+    by_url = extract_citations(
+        res, [("weburl", KG_WEBURL_PAT)],
+        URIFormatter(("weburl", uriformats.url)), text_col="url")
+    by_text = extract_citations(
+        res, [("rfc_generic", KG_RFC_PAT)],
+        URIFormatter(("rfc_generic", uriformats.generic)))
+    return by_url.unionByName(by_text)
+
+
+def _kg_citations_stock_sql(kg_paths: dict) -> str:
+    res = "read_parquet('%s')" % kg_paths["resources"]
+    return f"""
+    SELECT url, resource_uri, 'weburl' AS name,
+           regexp_extract(url, '{KG_WEBURL_PAT}') AS cite,
+           regexp_extract(url, '{KG_WEBURL_PAT}', 1) || '://' ||
+           regexp_extract(url, '{KG_WEBURL_PAT}', 2) ||
+           regexp_extract(url, '{KG_WEBURL_PAT}', 3) AS uri
+    FROM {res} WHERE regexp_matches(url, '{KG_WEBURL_PAT}')
+    UNION ALL
+    SELECT url, resource_uri, 'rfc_generic' AS name, cite,
+           'http://example.org/?rfc=' ||
+             regexp_extract(cite, '{KG_RFC_PAT}', 1) AS uri
+    FROM (SELECT url, resource_uri,
+                 unnest(regexp_extract_all(text, '{KG_RFC_PAT}')) AS cite
+          FROM {res})
+    """
+
+
 def _kg_news_inputs(spark):
     from ferenda_spark.operators.facets import faceted_data
     from ferenda_spark.operators.news import news_facet_entries
@@ -1024,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_news_feedsets": _q_kg_news_feedsets,
         "kg_news_feed_entries": _q_kg_news_feed_entries,
         "kg_citations": _q_kg_citations,
+        "kg_citations_stock": _q_kg_citations_stock,
         "kg_routing": _q_kg_routing,
         "kg_search": _q_kg_search,
         "kg_search_indexed": _q_kg_search_indexed,
@@ -1128,6 +1173,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_news_feed_entries":
             kgoracle.sql_news_feed_entries(kg, _kg_commondata()),
         "kg_citations": kgoracle.sql_citations(kg),
+        "kg_citations_stock": _kg_citations_stock_sql(kg),
         "kg_routing": _kg_routing_sql(kg),
         "kg_search": _kg_search_sql(kg),
         "kg_search_indexed": _kg_search_sql(kg),

@@ -85,7 +85,10 @@ def extract_citations(df: DataFrame, patterns: list[tuple[str, str]],
                     remaining = rx.sub("", remaining)
             yield pd.DataFrame(rows, columns=CITE_SCHEMA.fieldNames())
 
-    return ensure_parallelism(df.select(url_col, uri_col, text_col)) \
+    # text_col may BE one of the key columns (e.g. mining the url
+    # column itself) — select each column once
+    cols = list(dict.fromkeys([url_col, uri_col, text_col]))
+    return ensure_parallelism(df.select(*cols)) \
         .mapInPandas(run, CITE_SCHEMA)
 
 

@@ -66,18 +66,39 @@ def bucket_of(col):
 
 
 def write_triples(triples: DataFrame, path: str):
-    """Initial write: bucketed by source_url hash so a later partial
-    re-run only rewrites affected buckets."""
+    """Initial write, partitioned (bucket, predicate):
+
+    - ``bucket`` = source_url hash — the idempotent re-run/overwrite
+      unit (a changed page rewrites one bucket);
+    - ``predicate`` — the SPARQL read axis: every triple pattern scan
+      is predicate-bound (sparql._scan_spec), so a pattern like
+      ``?s dct:title ?o`` prunes to 1/|preds| of the files at the
+      directory level before any I/O (VERDICT r3 #7; plan evidence in
+      BENCH.md). RDF predicates are a small closed set (~dozens), so
+      bucket×predicate stays far from the small-files cliff at any
+      scale, and the skewed-predicate problem (rdf:type is huge) is
+      spread by the bucket dimension.
+
+    Rows sort by subject within each file for row-group skipping on
+    subject-bound scans."""
     (triples.withColumn("bucket", bucket_of(F.col("source_url")))
-     .repartition("bucket")
-     .sortWithinPartitions("subject", "predicate")
-     .write.partitionBy("bucket").mode("overwrite").parquet(path))
+     .repartition("bucket", "predicate")
+     .sortWithinPartitions("subject")
+     .write.partitionBy("bucket", "predicate").mode("overwrite")
+     .parquet(path))
 
 
 def merge_triples(spark: SparkSession, new_triples: DataFrame, path: str):
     """Idempotent per-url replace: buckets containing changed urls are
-    rewritten with old-minus-changed ∪ new (Iceberg MERGE analog);
-    dynamic partition overwrite leaves other buckets untouched."""
+    rewritten with old-minus-changed ∪ new (Iceberg MERGE analog).
+
+    Affected buckets are replaced WHOLE (their directories dropped,
+    merged rows appended): with predicate sub-partitions, leaf-level
+    dynamic overwrite would leave a stale ``(bucket, predicate)`` dir
+    behind whenever a re-parsed url stopped emitting some predicate
+    and no other url in the bucket carries it. In production this
+    read-union-rewrite is one atomic Iceberg MERGE INTO; the local
+    parquet form trades that atomicity for the same end state."""
     if not os.path.exists(path):
         write_triples(new_triples, path)
         return
@@ -90,11 +111,13 @@ def merge_triples(spark: SparkSession, new_triples: DataFrame, path: str):
                 .where(F.col("bucket").isin(buckets))
                 .join(changed_urls.select("source_url").distinct(),
                       "source_url", "left_anti"))
-    # materialize before overwriting the path we just read
-    # (Iceberg MERGE INTO replaces this read-union-rewrite in production)
+    # materialize before touching the path we just read
     merged = existing.unionByName(new_b).localCheckpoint(eager=True)
-    (merged.repartition("bucket")
-     .sortWithinPartitions("subject", "predicate")
-     .write.partitionBy("bucket")
-     .option("partitionOverwriteMode", "dynamic")
-     .mode("overwrite").parquet(path))
+    import shutil
+    for b in buckets:
+        shutil.rmtree(os.path.join(path, "bucket=%d" % b),
+                      ignore_errors=True)
+    (merged.repartition("bucket", "predicate")
+     .sortWithinPartitions("subject")
+     .write.partitionBy("bucket", "predicate")
+     .mode("append").parquet(path))

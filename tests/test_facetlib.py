@@ -154,22 +154,40 @@ def test_swedish_collation_page_order(spark):
     assert sorted(sv, key=lambda s: collate_key(s, "sv_SE")) == sv
 
 
-def test_swedish_collation_matches_strxfrm_if_locale_present():
-    """Cross-check the translate key against glibc's own sv_SE
-    collation when the locale is installed (skip otherwise)."""
+def test_swedish_collation_matches_strxfrm(tmp_path):
+    """Cross-check the translate key against glibc's OWN sv_SE
+    collation. The container ships no precompiled sv_SE locale, so the
+    test compiles one into tmp_path with localedef + LOCPATH (glibc
+    consults LOCPATH at setlocale time) — it only skips when even the
+    locale *sources* are absent. Previously this skipped here
+    unconditionally, leaving the repo's one claimed collation
+    unexercised by the gate (VERDICT r3 #6)."""
     import locale
+    import os
+    import subprocess
     try:
         locale.setlocale(locale.LC_COLLATE, "sv_SE.UTF-8")
     except locale.Error:
-        pytest.skip("sv_SE locale not installed in this container")
+        subprocess.run(
+            ["localedef", "-i", "sv_SE", "-f", "UTF-8",
+             str(tmp_path / "sv_SE.UTF-8")],
+            check=False, capture_output=True)
+        os.environ["LOCPATH"] = str(tmp_path)
+        try:
+            locale.setlocale(locale.LC_COLLATE, "sv_SE.UTF-8")
+        except locale.Error:
+            os.environ.pop("LOCPATH", None)
+            pytest.skip("sv_SE locale sources not available")
     try:
         from ferenda_spark.operators.facetlib import collate_key
-        words = ["zebra", "åke", "ärlig", "örn", "boken", "ek", "yxa"]
+        words = ["zebra", "åke", "ärlig", "örn", "boken", "ek", "yxa",
+                 "vas", "wien", "van", "watt", "angra", "ängra"]
         ours = sorted(words, key=lambda s: collate_key(s, "sv_SE"))
         glibc = sorted(words, key=locale.strxfrm)
         assert ours == glibc
     finally:
         locale.setlocale(locale.LC_COLLATE, "C")
+        os.environ.pop("LOCPATH", None)
 
 
 def test_toc_documents_empty_facet_list(spark):
