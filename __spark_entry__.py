@@ -242,6 +242,29 @@ def _q_kg_citation_degrees(spark, sf_dir):
     return degrees(citation_edges(_kg_read(spark, "triples")))
 
 
+def _q_kg_citation_map(spark, sf_dir):
+    """Gold-standard ranking evaluation (ref graphanalyze.py:760-806):
+    information needs = the corpus keywords (sanitized dcterms:subject
+    tags), gold set = the docs carrying each tag, ranking = citation
+    pagerank (desc, uri tie-break). AP per need + the '__MAP__' row."""
+    from pyspark.sql import Window
+    from ferenda_spark.operators.graphops import (
+        citation_edges, pagerank, ranked_average_precision)
+    pr = pagerank(citation_edges(_kg_read(spark, "triples")))
+    ranked = pr.select(
+        F.col("node").alias("uri"),
+        F.row_number().over(
+            Window.orderBy(F.desc("rank"), F.asc("node"))).alias("pos"))
+    sanitized = F.trim(F.regexp_replace("object", r"[\[\]{}|#<>&]", ""))
+    gold = (_kg_read(spark, "triples_raw")
+            .where(F.col("predicate") ==
+                   "http://purl.org/dc/terms/subject")
+            .select(sanitized.alias("need"),
+                    F.col("subject").alias("uri"))
+            .where(F.col("need") != "").distinct())
+    return ranked_average_precision(ranked, gold)
+
+
 def _q_kg_doc_stats(spark, sf_dir):
     """Per-document triple/typed-resource counts (W3Standards.stats +
     triple_count analog)."""
@@ -500,6 +523,45 @@ def _q_kg_sparql_bind(spark, sf_dir):
     from ferenda_spark import sparql
     return sparql.compile_spark(_kg_read(spark, "triples"),
                                 _KG_SPARQL_BIND)
+
+
+_KG_SPARQL_MINUS = """
+PREFIX dct: <http://purl.org/dc/terms/>
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+SELECT ?s ?title ?pub WHERE {
+  ?s a foaf:Document .
+  ?s dct:title ?title .
+  OPTIONAL { ?s dct:publisher ?pub
+             OPTIONAL { ?pub dct:title ?publabel } }
+  MINUS { ?s ^dct:references ?citer }
+} ORDER BY ?s
+"""  # round-4 subset additions in one user-shaped query: MINUS
+# (never-cited docs), inverse path ^dct:references, nested OPTIONAL
+
+
+_KG_SPARQL_AGG = """
+PREFIX dct: <http://purl.org/dc/terms/>
+SELECT ?type (COUNT(?s) AS ?n) (SAMPLE(?id) AS ?first_id)
+       (GROUP_CONCAT(DISTINCT ?pub; SEPARATOR="|") AS ?pubs)
+WHERE {
+  ?s a ?type .
+  ?s dct:identifier ?id .
+  OPTIONAL { ?s dct:publisher ?pub }
+} GROUP BY ?type HAVING (?n >= 5) ORDER BY ?type
+"""  # round-4 aggregate surface: SAMPLE (deterministic MIN),
+# GROUP_CONCAT DISTINCT + separator (sorted), HAVING over an alias
+
+
+def _q_kg_sparql_minus(spark, sf_dir):
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_MINUS)
+
+
+def _q_kg_sparql_agg(spark, sf_dir):
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_AGG)
 
 
 def _q_kg_sparql(spark, sf_dir):
@@ -1060,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_hits": _q_kg_hits,
         "kg_citation_degrees": _q_kg_citation_degrees,
+        "kg_citation_map": _q_kg_citation_map,
         "kg_doc_stats": _q_kg_doc_stats,
         "kg_keyword_hubs": _q_kg_keyword_hubs,
         "kg_minted_uris": _q_kg_minted_uris,
@@ -1077,6 +1140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_stats": _q_kg_sparql_stats,
         "kg_sparql_bind": _q_kg_sparql_bind,
         "kg_sparql_orphans": _q_kg_sparql_orphans,
+        "kg_sparql_minus": _q_kg_sparql_minus,
+        "kg_sparql_agg": _q_kg_sparql_agg,
         "kg_describe_rfc": _q_kg_describe_rfc,
         "kg_describe_base": _q_kg_describe_base,
         "kg_versions": _q_kg_versions,
@@ -1164,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": kgoracle.sql_pagerank(kg),
         "kg_hits": kgoracle.sql_hits(kg),
         "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
+        "kg_citation_map": kgoracle.sql_citation_map(kg),
         "kg_doc_stats": kgoracle.sql_doc_stats(kg),
         "kg_keyword_hubs": kgoracle.sql_keyword_hubs(kg),
         "kg_minted_uris": kgoracle.sql_minted_uris(kg),
@@ -1188,6 +1254,10 @@ def oracle_sql() -> dict[str, str]:
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_BIND),
         "kg_sparql_orphans": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_ORPHANS),
+        "kg_sparql_minus": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_SPARQL_MINUS),
+        "kg_sparql_agg": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_SPARQL_AGG),
         "kg_describe_rfc": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _RFC_ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),

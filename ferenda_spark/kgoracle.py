@@ -728,3 +728,45 @@ def sql_stage_counters(paths) -> str:
     FROM {_t(paths, 'documents')}
     GROUP BY stage, status ORDER BY stage, status
     """
+
+
+def sql_citation_map(paths, damping: float = 0.85, iters: int = 15,
+                     round_to: int = 6) -> str:
+    """ranked_average_precision twin: gold = sanitized dcterms:subject
+    tags (one information need per keyword), ranking = the unrolled
+    pagerank ordered (rank DESC, node ASC) — AP per need + the
+    '__MAP__' mean row (ref graphanalyze.py:760-806 semantics)."""
+    pr = sql_pagerank(paths, damping, iters, round_to)
+    return f"""
+    WITH prq AS MATERIALIZED (SELECT * FROM ({pr}) q),
+    ranking AS (
+      SELECT node AS uri,
+             row_number() OVER (ORDER BY rank DESC, node ASC) AS pos
+      FROM prq),
+    gold AS (
+      SELECT DISTINCT
+             trim(regexp_replace(object, '[\\[\\]{{}}|#<>&]', '', 'g'))
+               AS need,
+             subject AS uri
+      FROM {_t(paths, 'triples_raw')}
+      WHERE predicate = '{DCT}subject'
+        AND trim(regexp_replace(object, '[\\[\\]{{}}|#<>&]', '', 'g'))
+              <> ''),
+    found AS (SELECT g.need, r.pos FROM gold g JOIN ranking r USING (uri)),
+    prec AS (
+      SELECT need,
+             (row_number() OVER (PARTITION BY need ORDER BY pos))::DOUBLE
+               / pos::DOUBLE AS prec
+      FROM found),
+    nrel AS (SELECT need, count(DISTINCT uri) AS n_rel
+             FROM gold GROUP BY need),
+    sums AS (SELECT need, sum(prec) AS s FROM prec GROUP BY need),
+    ap AS (
+      SELECT n.need, coalesce(m.s, 0.0) / n.n_rel::DOUBLE AS ap0,
+             n.n_rel
+      FROM nrel n LEFT JOIN sums m USING (need))
+    SELECT need, round(ap0, 6) AS ap, n_rel::BIGINT AS n_rel FROM ap
+    UNION ALL
+    SELECT '__MAP__', round(avg(ap0), 6), count(*)::BIGINT FROM ap
+    ORDER BY need
+    """

@@ -259,3 +259,53 @@ def keyword_hubs(triples: DataFrame,
             .agg(F.countDistinct("doc").alias("n_docs"),
                  F.sort_array(F.collect_set("doc")).alias("docs"))
             .orderBy("term"))
+
+
+def ranked_average_precision(ranked: DataFrame, gold: DataFrame,
+                             need_col: str = "need",
+                             uri_col: str = "uri",
+                             pos_col: str = "pos") -> DataFrame:
+    """Gold-standard ranking evaluation: AP per information need plus
+    the corpus MAP — the reference's eval_calc_aps / eval_calc_map
+    (ref ferenda/sources/general/graphanalyze.py:760-806), set-at-a-
+    time instead of per-need Python loops.
+
+    ``ranked``: (need-independent or per-need) ranking with 1-based
+    ``pos``; ``gold``: the relevant (need, uri) pairs. For a relevant
+    doc found at position p, precision@p = #relevants at positions ≤ p
+    divided by p — a row_number over the found relevants ordered by
+    position, no per-prefix rescan. Relevants absent from the ranking
+    contribute 0 (the reference's ValueError branch); AP divides by
+    |gold(need)|. One extra row need='__MAP__' carries the mean AP.
+
+    Scale: two hash joins on (need, uri) + one window partitioned by
+    need — need count bounds the window partitions, no skew beyond the
+    gold-set sizes themselves.
+    """
+    from pyspark.sql import Window
+    if need_col not in ranked.columns:
+        # a global ranking (the baseline/pagerank shape) serves every
+        # need — join on uri alone
+        found = gold.join(ranked, uri_col)
+    else:
+        found = gold.join(ranked, [need_col, uri_col])
+    w = Window.partitionBy(need_col).orderBy(pos_col)
+    prec = (found.withColumn("rel_cnt", F.row_number().over(w))
+            .select(need_col,
+                    (F.col("rel_cnt").cast("double") /
+                     F.col(pos_col).cast("double")).alias("prec")))
+    n_rel = (gold.groupBy(need_col)
+             .agg(F.countDistinct(uri_col).alias("n_rel")))
+    ap = (prec.groupBy(need_col).agg(F.sum("prec").alias("s"))
+          .join(n_rel, need_col, "right")
+          .select(F.col(need_col),
+                  (F.coalesce(F.col("s"), F.lit(0.0)) /
+                   F.col("n_rel").cast("double")).alias("ap0"),
+                  F.col("n_rel")))
+    per_need = ap.select(F.col(need_col).alias("need"),
+                         F.round("ap0", 6).alias("ap"),
+                         F.col("n_rel").cast("long").alias("n_rel"))
+    map_row = ap.agg(F.round(F.avg("ap0"), 6).alias("ap"),
+                     F.count(F.lit(1)).cast("long").alias("n_rel")) \
+        .select(F.lit("__MAP__").alias("need"), "ap", "n_rel")
+    return per_need.unionByName(map_row).orderBy("need")
