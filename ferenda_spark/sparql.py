@@ -21,6 +21,9 @@ Supported subset (what ferenda's own queries use):
   disjoint — the rule that distinguishes it from NOT EXISTS)
 - basic graph patterns with Turtle ``;`` predicate-object and ``,``
   object lists, and inverse predicates ``^p`` (incl. ``^p+``/``^p*``)
+- property-path alternation ``(p1|p2)`` (plain → predicate IN scan;
+  quantified → closure over the union edge set) and negated property
+  sets ``!p`` / ``!(p1|p2)`` (→ predicate NOT IN scan)
 - ``FILTER`` expressions: ``= != < <= > >=``, ``IN (…)``,
   ``regex(?v, "pat")``, ``bound(?v)``, ``str(?v)``, ``concat(…)``,
   ``strstarts(e, e)``, ``isUri/isIRI/isLiteral(?v)`` and
@@ -99,7 +102,7 @@ _TOKEN = re.compile(r"""
   | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+^])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+^|])
 """, re.VERBOSE)
 
 
@@ -769,21 +772,56 @@ class _Parser:
             return (m, n)
         return None
 
+    def _iri(self) -> str:
+        t = self.term()
+        if t[0] != "uri":
+            raise SparqlError("expected an IRI in a property path, "
+                              "got %r" % (t,))
+        return t[1]
+
     def pred(self) -> tuple:
-        """Predicate position: URI / var / ``a``, with an optional
-        leading ``^`` (inverse path — SPARQL 1.1 ``^p``; the triple is
-        stored with subject/object swapped) and optional trailing path
-        quantifier. → (term, inverted)."""
+        """Predicate position: URI / var / ``a`` / alternation
+        ``(p1|p2)`` / negated property set ``!p`` | ``!(p1|p2)``, with
+        an optional leading ``^`` (inverse path — the triple is stored
+        with subject/object swapped) and optional trailing path
+        quantifier (URI and alternation forms). → (term, inverted)."""
         inv = self.peek()[1] == "^"
         if inv:
             self.i += 1
+        if self.peek()[1] == "!":
+            self.i += 1
+            if self.peek()[1] == "(":
+                self.i += 1
+                uris = [self._iri()]
+                while self.peek()[1] == "|":
+                    self.i += 1
+                    uris.append(self._iri())
+                self.expect_op(")")
+            else:
+                uris = [self._iri()]
+            if self.path_mod() is not None:
+                raise SparqlError("quantifiers on negated property "
+                                  "sets are not supported")
+            return ("negset", tuple(uris)), inv
+        if self.peek()[1] == "(":
+            self.i += 1
+            uris = [self._iri()]
+            while self.peek()[1] == "|":
+                self.i += 1
+                uris.append(self._iri())
+            self.expect_op(")")
+            mod = self.path_mod()
+            if mod is not None:
+                return ("path", tuple(uris), mod), inv
+            return ("alt", tuple(uris)), inv
         p = self.term()
         if p[0] == "uri":
             mod = self.path_mod()
             if mod is not None:
                 p = ("path", p[1], mod)
         elif inv:
-            raise SparqlError("^ needs a URI predicate")
+            raise SparqlError("^ needs a URI predicate or property "
+                              "path")
         return p, inv
 
     def triples_same_subject(self) -> list:
@@ -1046,9 +1084,10 @@ def _order_patterns(triples: list) -> list:
     original position (stable)."""
     def score(t: Triple) -> int:
         # subject consts are the most selective, object consts next; an
-        # rdf:type predicate const is near-worthless (huge fan-out)
+        # rdf:type predicate const is near-worthless (huge fan-out),
+        # and a negated property set is barely a constraint at all
         s = 3 * (t.s[0] != "var") + 2 * (t.o[0] != "var")
-        if t.p[0] != "var" and t.p[1] != RDF_TYPE:
+        if t.p[0] in ("uri", "path", "alt") and t.p[1] != RDF_TYPE:
             s += 1
         return s
 
@@ -1068,8 +1107,10 @@ def _order_patterns(triples: list) -> list:
 
 def _scan_spec(t: Triple, alias: str):
     """→ (constant filters [(col, value)], var projection {var: col},
-    intra-pattern equalities [(col, col)])."""
-    consts, varcols, intra = [], {}, []
+    intra-pattern equalities [(col, col)],
+    set filters [(col, values, positive)] — predicate alternation /
+    negated property sets)."""
+    consts, varcols, intra, sets = [], {}, [], []
     for (short, col), term in zip(_POS, (t.s, t.p, t.o)):
         if term[0] == "var":
             if term[1] in varcols:
@@ -1080,6 +1121,10 @@ def _scan_spec(t: Triple, alias: str):
             consts.append((col, term[1]))
             if col == "object":
                 consts.append(("objtype", "uri"))
+        elif term[0] == "alt":     # (p1|p2) → predicate IN
+            sets.append((col, term[1], True))
+        elif term[0] == "negset":  # !p / !(p1|p2) → predicate NOT IN
+            sets.append((col, term[1], False))
         elif term[0] == "lit":
             consts.append((col, term[1]))
             consts.append(("objtype", "literal"))
@@ -1093,7 +1138,7 @@ def _scan_spec(t: Triple, alias: str):
         consts.append(("lang", t.o_lang))
     if t.graph:
         consts.append(("context", t.graph))
-    return consts, varcols, intra
+    return consts, varcols, intra, sets
 
 
 # --------------------------------------------------------- spark backend
@@ -1116,6 +1161,13 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
             return triples
         return triples.filter(F.col("context") == graph)
 
+    def pred_cond(uri):
+        """Edge filter for a path base: one URI, or an alternation
+        tuple ((p1|p2)+ closes over the UNION of the edge sets)."""
+        if isinstance(uri, tuple):
+            return F.col("predicate").isin(list(uri))
+        return F.col("predicate") == uri
+
     def all_terms(graph=None):
         t = in_graph(graph)
         return (t.select(F.col("subject").alias("n"))
@@ -1135,7 +1187,7 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
             if (uri, mod, graph) not in path_cache:
                 m, n = mod
                 edges = (in_graph(graph)
-                         .filter(F.col("predicate") == uri)
+                         .filter(pred_cond(uri))
                          .select(F.col("subject").alias("a"),
                                  F.col("object").alias("b"))
                          .where(F.col("a") != F.col("b")).distinct())
@@ -1159,7 +1211,7 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         if (uri, mod, graph) not in path_cache:
             if (uri, "+", graph) not in path_cache:
                 edges = (in_graph(graph)
-                         .filter(F.col("predicate") == uri)
+                         .filter(pred_cond(uri))
                          .select(F.col("subject").alias("src"),
                                  F.col("object").alias("dst")))
                 path_cache[(uri, "+", graph)] = transitive_closure(edges)
@@ -1185,13 +1237,13 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         from .graph.closure import reachable_nodes
         if (uri, "#edges", graph) not in path_cache:
             path_cache[(uri, "#edges", graph)] = (
-                in_graph(graph).filter(F.col("predicate") == uri).count())
+                in_graph(graph).filter(pred_cond(uri)).count())
         if path_cache[(uri, "#edges", graph)] <= PATH_DRIVER_THRESHOLD:
             return path_relation(uri, mod, graph)
         key = (uri, mod, const, forward, graph)
         if key not in path_cache:
             edges = (in_graph(graph)
-                     .filter(F.col("predicate") == uri)
+                     .filter(pred_cond(uri))
                      .select(F.col("subject").alias("src"),
                              F.col("object").alias("dst")))
             reach = reachable_nodes(edges, const, reverse=not forward)
@@ -1239,10 +1291,13 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                    for var, col in varcols.items()]
             return df.select(*sel), {var: "%s__%s" % (alias, var)
                                      for var in varcols}
-        consts, varcols, intra = _scan_spec(t, alias)
+        consts, varcols, intra, sets = _scan_spec(t, alias)
         df = triples
         for col, val in consts:
             df = df.filter(F.col(col) == val)
+        for col, vals, positive in sets:
+            cond = F.col(col).isin(list(vals))
+            df = df.filter(cond if positive else ~cond)
         for c1, c2 in intra:
             df = df.filter(F.col(c1) == F.col(c2))
         sel = [F.col(col).alias("%s__%s" % (alias, var))
@@ -1544,6 +1599,15 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         esc = None if graph is None else graph.replace("'", "''")
         gc = "" if esc is None else " AND context = '%s'" % esc
         gce = "" if esc is None else " AND e.context = '%s'" % esc
+
+        def pc(prefix=""):
+            # one URI, or an alternation tuple → IN list
+            if isinstance(uri, tuple):
+                return "%spredicate IN (%s)" % (
+                    prefix, ", ".join("'%s'" % u.replace("'", "''")
+                                      for u in uri))
+            return "%spredicate = '%s'" % (prefix,
+                                           uri.replace("'", "''"))
         if (uri, mod, graph) in path_names:
             return path_names[(uri, mod, graph)]
         if isinstance(mod, tuple):
@@ -1551,12 +1615,12 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             inner = "pb%d" % len(ctes)
             ctes.append(
                 "%s AS (SELECT subject AS a, object AS b, 1 AS d FROM %s"
-                " WHERE predicate = '%s'%s AND subject <> object"
+                " WHERE %s%s AND subject <> object"
                 " UNION ALL SELECT p.a, e.object, p.d + 1 FROM %s p"
-                " JOIN %s e ON p.b = e.subject AND e.predicate = '%s'%s"
+                " JOIN %s e ON p.b = e.subject AND %s%s"
                 " WHERE p.d < %d AND p.a <> e.object)"
-                % (inner, table_sql, uri, gc, inner, table_sql, uri,
-                   gce, n2))
+                % (inner, table_sql, pc(), gc, inner, table_sql,
+                   pc("e."), gce, n2))
             name = "pathq%d" % len(ctes)
             sel = ("SELECT DISTINCT a, b FROM %s WHERE d BETWEEN %d AND %d"
                    % (inner, max(m, 1), n2))
@@ -1573,11 +1637,12 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             name = "path%d" % len(ctes)
             ctes.append(
                 "%s AS (SELECT subject AS a, object AS b FROM %s"
-                " WHERE predicate = '%s'%s AND subject <> object"
+                " WHERE %s%s AND subject <> object"
                 " UNION SELECT p.a, e.object FROM %s p JOIN %s e"
-                " ON p.b = e.subject AND e.predicate = '%s'%s"
+                " ON p.b = e.subject AND %s%s"
                 " WHERE p.a <> e.object)"
-                % (name, table_sql, uri, gc, name, table_sql, uri, gce))
+                % (name, table_sql, pc(), gc, name, table_sql,
+                   pc("e."), gce))
             path_names[(uri, "+", graph)] = name
         if mod == "*":
             name = "star%d" % len(ctes)
@@ -1612,9 +1677,14 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             where = (" WHERE " + " AND ".join(conds)) if conds else ""
             sub = "(SELECT %s FROM %s%s) %s" % (cols, rel, where, alias)
             return sub, {var: "%s__%s" % (alias, var) for var in varcols}
-        consts, varcols, intra = _scan_spec(t, alias)
+        consts, varcols, intra, sets = _scan_spec(t, alias)
         conds = ["%s = '%s'" % (col, val.replace("'", "''"))
                  for col, val in consts]
+        conds += ["%s %sIN (%s)"
+                  % (col, "" if positive else "NOT ",
+                     ", ".join("'%s'" % v.replace("'", "''")
+                               for v in vals))
+                  for col, vals, positive in sets]
         conds += ["%s = %s" % (c1, c2) for c1, c2 in intra]
         cols = ", ".join("%s AS %s__%s" % (col, alias, var)
                          for var, col in varcols.items()) \

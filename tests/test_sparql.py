@@ -859,3 +859,29 @@ def test_having_rejects_loose_vars():
                         GROUP BY ?s HAVING (?o > 1)""")
     with pytest.raises(sparql.SparqlError):
         sparql.parse("SELECT ?s WHERE { ?s ?p ?o } HAVING (?s > 1)")
+
+
+def test_path_alternation_and_negated_sets(graph):
+    """(p1|p2) plain alternation, quantified alternation (closure over
+    the union edge set), and negated property sets !p / !(p1|p2)."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?a WHERE { ?a (dct:isPartOf|dct:references)+ <d1> }
+        ORDER BY ?a
+    """)
+    # d3→d1 (isPartOf), d4→d3→d1, d9 --references--> d3 → d1
+    assert list(out["a"]) == ["d3", "d4", "d9"]
+    out = run_both(graph, PREFIXES + """
+        SELECT ?o WHERE { <d1> !(dct:title|dct:identifier) ?o }
+        ORDER BY ?o
+    """)
+    assert list(out["o"]) == [FOAF + "Document", "p1"]
+    out = run_both(graph, PREFIXES + """
+        SELECT ?o WHERE { <d9> !dct:references ?o } ORDER BY ?o
+    """)
+    assert list(out["o"]) == ["Citing note"]
+    # inverse alternation composes
+    out = run_both(graph, PREFIXES + """
+        SELECT ?a WHERE { <d3> ^(dct:isPartOf|dct:references) ?a }
+        ORDER BY ?a
+    """)
+    assert list(out["a"]) == ["d4", "d9"]

@@ -264,6 +264,7 @@ pathq_st = st.fixed_dictionaries({
     "direction": st.booleans(),      # True: const is subject
     "force_bfs": st.booleans(),      # exercise the seeded-BFS branch
     "inverse": st.booleans(),        # ^p:r — inverse path
+    "alt": st.booleans(),            # (p:r|p:k) — union edge set
     # GRAPH-scoped path: the closure must use that context's edges
     # only (ADVICE r3 regression)
     "graph": st.one_of(st.none(), st.sampled_from(["g1", "g2"])),
@@ -275,8 +276,9 @@ def render_path_query(q):
     s, o = (("const", q["endpoint"]), ("var", "a")) \
         if q["direction"] else (("var", "a"), ("const", q["endpoint"]))
     caret = "^" if q.get("inverse") else ""
-    path = "%s %sp:r%s %s . " % (term_sparql(s), caret, q["mod"],
-                                 term_sparql(o))
+    base = "(p:r|p:k)" if q.get("alt") else "p:r"
+    path = "%s %s%s%s %s . " % (term_sparql(s), caret, base, q["mod"],
+                                term_sparql(o))
     if q.get("graph"):
         path = "GRAPH <%s> { %s} " % (q["graph"], path)
     body = path
