@@ -552,6 +552,25 @@ WHERE {
 # GROUP_CONCAT DISTINCT + separator (sorted), HAVING over an alias
 
 
+_KG_SPARQL_SUBQUERY = """
+PREFIX dct: <http://purl.org/dc/terms/>
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+SELECT ?s ?title ?n_parts WHERE {
+  ?s a foaf:Document .
+  ?s dct:title ?title .
+  { SELECT ?s (COUNT(?part) AS ?n_parts) WHERE {
+      ?part dct:isPartOf ?s } GROUP BY ?s HAVING (?n_parts >= 3) }
+} ORDER BY ?s
+"""  # round-4 subquery surface: aggregate { SELECT … } joined to the
+# outer BGP — docs with >= 3 direct parts and their titles
+
+
+def _q_kg_sparql_subquery(spark, sf_dir):
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_SUBQUERY)
+
+
 def _q_kg_sparql_minus(spark, sf_dir):
     from ferenda_spark import sparql
     return sparql.compile_spark(_kg_read(spark, "triples"),
@@ -1142,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_orphans": _q_kg_sparql_orphans,
         "kg_sparql_minus": _q_kg_sparql_minus,
         "kg_sparql_agg": _q_kg_sparql_agg,
+        "kg_sparql_subquery": _q_kg_sparql_subquery,
         "kg_describe_rfc": _q_kg_describe_rfc,
         "kg_describe_base": _q_kg_describe_base,
         "kg_versions": _q_kg_versions,
@@ -1258,6 +1278,8 @@ def oracle_sql() -> dict[str, str]:
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_MINUS),
         "kg_sparql_agg": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_AGG),
+        "kg_sparql_subquery": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_SPARQL_SUBQUERY),
         "kg_describe_rfc": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _RFC_ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),

@@ -46,6 +46,10 @@ Supported subset (what ferenda's own queries use):
   plain nested ``{ … }`` groups inline at any depth (UNION only at
   the top level)
 - ``ASK { … }`` → one boolean row
+- subqueries ``{ SELECT … }`` at the top level of WHERE (explicit
+  projection required; the body recurses through the full compiler,
+  so aggregates/paths/OPTIONAL inside are legal), joined to the outer
+  pattern on the variables they project
 - ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``, ``OFFSET n`` (OFFSET
   requires ORDER BY; deterministic across engines only when the order
   key is a total order — the same caveat the reference's own WSGI
@@ -154,6 +158,7 @@ class Group:
     exists: list = field(default_factory=list)    # [(positive, Group)]
     minus: list = field(default_factory=list)     # [Group]
     optionals: list = field(default_factory=list)  # nested OPTIONALs
+    subqueries: list = field(default_factory=list)  # [Query]
 
 
 @dataclass
@@ -433,11 +438,20 @@ class _Parser:
             if ku != "uri":
                 raise SparqlError("bad PREFIX uri %r" % vu)
             self.prefixes[name] = vu[1:-1]
+        return self._query_body(subquery=False)
+
+    def _query_body(self, subquery: bool) -> Query:
+        """Everything after the PREFIX block. A ``subquery`` body is
+        the SELECT-only form inside ``{ … }`` (prefixes shared with
+        the outer query) and stops before the closing brace instead of
+        requiring eof."""
         construct = None
         ask = False
-        if self.kw("ASK"):
+        if not subquery and self.kw("ASK"):
             ask, distinct, proj = True, False, []
         elif self.kw("CONSTRUCT"):
+            if subquery:
+                raise SparqlError("subqueries must be SELECT queries")
             distinct, proj = True, []
             construct = []
             self.expect_op("{")
@@ -569,7 +583,11 @@ class _Parser:
                 offset = int(v)
                 continue
             break
-        if self.peek()[0] != "eof":
+        if subquery:
+            if proj == ["*"]:
+                raise SparqlError(
+                    "subqueries need an explicit projection")
+        elif self.peek()[0] != "eof":
             raise SparqlError("trailing tokens at %r" % (self.peek(),))
         if construct is not None and (order or limit is not None
                                       or offset is not None):
@@ -606,6 +624,18 @@ class _Parser:
                 self.i += 1
                 return g, optionals, unions
             if v == "{":
+                # { SELECT … } — a subquery (evaluated independently,
+                # joined on its projected variables)
+                k2, v2 = self.toks[self.i + 1]
+                if k2 == "kw" and v2.upper() == "SELECT":
+                    if not allow_optional:
+                        raise SparqlError("subqueries inside OPTIONAL/"
+                                          "UNION/EXISTS are not "
+                                          "supported")
+                    self.i += 1
+                    g.subqueries.append(self._query_body(subquery=True))
+                    self.expect_op("}")
+                    continue
                 # { alt1 } UNION { alt2 } [UNION { alt3 }…]
                 alts = [self.simple_group()]
                 while self.kw("UNION"):
@@ -1398,6 +1428,31 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
             for v in all_vars:
                 env_cols.setdefault(v, canon[v])
 
+    # subqueries: compiled by the same compiler (full recursion —
+    # aggregates, paths, nested OPTIONALs all legal inside), then
+    # joined on the variables they project that the outer query binds
+    for sq in query.where.subqueries:
+        names = [p if isinstance(p, str) else p[4] for p in sq.proj]
+        sub = compile_spark(triples, sq)
+        cols = {}
+        for v in names:
+            c = "sq%d__%s" % (counter[0], v)
+            counter[0] += 1
+            sub = sub.withColumnRenamed(v, c)
+            cols[v] = c
+        shared = [v for v in names if v in env_cols]
+        if plan is None:
+            plan, env_cols = sub, dict(cols)
+            continue
+        cond = None
+        for v in shared:
+            c = F.col(env_cols[v]) == F.col(cols[v])
+            cond = c if cond is None else (cond & c)
+        plan = (plan.join(sub, cond, "inner") if cond is not None
+                else plan.crossJoin(sub))
+        for v, c in cols.items():
+            env_cols.setdefault(v, c)
+
     # VALUES blocks join as tiny inline relations (broadcast by AQE);
     # UNDEF rows leave that variable unconstrained for the row
     for names, rows in query.where.values:
@@ -1793,6 +1848,27 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             parts.append("JOIN %s ON %s" % (union_sql, on))
         for v in all_vars:
             env_cols.setdefault(v, canon[v])
+
+    # subqueries: recursive compile_sql, joined on shared projected vars
+    for sq in query.where.subqueries:
+        names = [p if isinstance(p, str) else p[4] for p in sq.proj]
+        alias = "sq%d" % n[0]
+        n[0] += 1
+        cols = {v: "%s__%s" % (alias, v) for v in names}
+        inner = "SELECT %s FROM (%s) %s_raw" % (
+            ", ".join("%s AS %s" % (v, cols[v]) for v in names),
+            compile_sql(table_sql, sq), alias)
+        shared = [v for v in names if v in env_cols]
+        if not parts:
+            parts.append("FROM (%s) %s" % (inner, alias))
+        elif shared:
+            on = " AND ".join("%s = %s" % (env_cols[v], cols[v])
+                              for v in shared)
+            parts.append("JOIN (%s) %s ON %s" % (inner, alias, on))
+        else:
+            parts.append("CROSS JOIN (%s) %s" % (inner, alias))
+        for v, c in cols.items():
+            env_cols.setdefault(v, c)
 
     # VALUES blocks: inline relations, same null-means-UNDEF join
     # condition as the Spark backend

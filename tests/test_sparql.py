@@ -885,3 +885,26 @@ def test_path_alternation_and_negated_sets(graph):
         ORDER BY ?a
     """)
     assert list(out["a"]) == ["d4", "d9"]
+
+
+def test_subquery(graph):
+    """{ SELECT … } subqueries: aggregate subquery joined to the outer
+    BGP on its projected variables; full compiler recursion inside."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?type ?n WHERE {
+          { SELECT ?type (COUNT(?s) AS ?n) WHERE { ?s a ?type }
+            GROUP BY ?type }
+        } ORDER BY ?type
+    """)
+    assert dict(zip(out["type"], out["n"].astype(int))) == {
+        FOAF + "Document": 3, FOAF + "Organization": 2}
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?title ?n WHERE {
+          ?s dct:title ?title .
+          { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+            GROUP BY ?s HAVING (?n >= 4) }
+        } ORDER BY ?s
+    """)
+    assert list(out["s"]) == ["d1", "d3"]      # 4- and 5-triple docs
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse("SELECT ?s WHERE { { SELECT * WHERE { ?s ?p ?o } } }")
