@@ -58,29 +58,55 @@ LABEL_PRIORITY = [
 
 
 # ----------------------------------------------------------- collation
-
-_SV_SRC = "åäöéü"
-_SV_DST = "{|}ey"   # å ä ö collate after z; é→e, ü→y (primary strength)
+#
+# The reference sorts TOC pages with locale.strxfrm under the repo's
+# locale (ref documentrepository.py:2843). Each entry below is a
+# strxfrm-equivalent sort key for LOWERCASED input (TOC keys are
+# lowercased upstream): multi-char folds applied first (Danish aa→å,
+# German ß→ss, French ligatures), then a translate() that places the
+# locale's letters at their primary positions ({|} sort after z), then
+# a \x00-separated secondary tail (the untranslated string) so words
+# that fold to the same primary key keep glibc's base-before-accented
+# order. Every table is cross-checked against a localedef-compiled
+# glibc locale in tests/test_facetlib.py.
+_COLLATIONS: dict[str, tuple[list, str, str]] = {
+    # (multi-char replacements, translate-src, translate-dst)
+    "sv_SE": ([], "åäöéü", "{|}ey"),
+    "da_DK": ([("aa", "}")], "æøåäöü", "{|}{|y"),
+    "de_DE": ([("ß", "ss")], "äöü", "aou"),
+    "fr_FR": ([("œ", "oe"), ("æ", "ae")],
+              "àâéèêëîïôùûüçÿ", "aaeeeeiiouuucy"),
+}
 
 
 def collate_expr(col: Column, collation: str = "C") -> Column:
     """Sort-key expression for page/value ordering. "C" = binary (the
-    default, what the driver oracles assume); "sv_SE" = the Swedish
-    strxfrm-equivalent primary-strength key."""
+    default, what the driver oracles assume); otherwise one of the
+    ``_COLLATIONS`` locales."""
     if collation == "C":
         return col
-    if collation == "sv_SE":
-        return F.translate(F.lower(col), _SV_SRC, _SV_DST)
-    raise ValueError("unknown collation %r" % collation)
+    if collation not in _COLLATIONS:
+        raise ValueError("unknown collation %r" % collation)
+    repl, src, dst = _COLLATIONS[collation]
+    low = F.lower(col)
+    prim = low
+    for a, b in repl:
+        prim = F.replace(prim, F.lit(a), F.lit(b))
+    return F.concat(F.translate(prim, src, dst), F.lit("\x00"), low)
 
 
 def collate_key(s: str, collation: str = "C") -> str:
     """Pure-Python twin of :func:`collate_expr` (golden/test use)."""
     if collation == "C":
         return s
-    if collation == "sv_SE":
-        return s.lower().translate(str.maketrans(_SV_SRC, _SV_DST))
-    raise ValueError("unknown collation %r" % collation)
+    if collation not in _COLLATIONS:
+        raise ValueError("unknown collation %r" % collation)
+    repl, src, dst = _COLLATIONS[collation]
+    low = s.lower()
+    prim = low
+    for a, b in repl:
+        prim = prim.replace(a, b)
+    return prim.translate(str.maketrans(src, dst)) + "\x00" + low
 
 
 # ------------------------------------------------------ selector exprs
