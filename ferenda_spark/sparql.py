@@ -26,7 +26,9 @@ Supported subset (what ferenda's own queries use):
   sets ``!p`` / ``!(p1|p2)`` (→ predicate NOT IN scan)
 - ``FILTER`` expressions: ``= != < <= > >=``, ``IN (…)``,
   ``regex(?v, "pat")``, ``bound(?v)``, ``str(?v)``, ``concat(…)``,
-  ``strstarts(e, e)``, ``isUri/isIRI/isLiteral(?v)`` and
+  ``strstarts(e, e)``, ``strlen/ucase/lcase/contains/substr/replace``
+  (1:1 engine builtins, usable in FILTER and BIND),
+  ``isUri/isIRI/isLiteral(?v)`` and
   ``lang(?v) = "tag"`` (top-level conjuncts — compiled to objtype /
   lang scan constraints), ``! && ||``
 - ``BIND(expr AS ?v)`` (top-level group and UNION branches; after the
@@ -372,6 +374,50 @@ class EIsType(Expr):
 
 
 @dataclass
+class EFunc(Expr):
+    """SPARQL string functions with 1:1 engine builtins: STRLEN,
+    UCASE, LCASE, CONTAINS, SUBSTR(s, start, len), REPLACE(s, find,
+    repl — literal find, not regex, per SPARQL REPLACE's simple use).
+    SUBSTR positions are 1-based in SPARQL, Spark and DuckDB alike;
+    position args are cast to int in both backends so numeric literals
+    (parsed as doubles) behave identically."""
+    name: str   # strlen|ucase|lcase|contains|substr|replace
+    args: list
+
+    ARITY = {"strlen": 1, "ucase": 1, "lcase": 1, "contains": 2,
+             "substr": 3, "replace": 3}
+
+    def spark(self, env):
+        a = [x.spark(env) for x in self.args]
+        if self.name == "strlen":
+            return F.length(a[0])
+        if self.name == "ucase":
+            return F.upper(a[0])
+        if self.name == "lcase":
+            return F.lower(a[0])
+        if self.name == "contains":
+            return a[0].contains(a[1])
+        if self.name == "substr":
+            return F.substring(a[0], a[1].cast("int"), a[2].cast("int"))
+        return F.replace(a[0], a[1], a[2])
+
+    def sql(self, env):
+        a = [x.sql(env) for x in self.args]
+        if self.name == "strlen":
+            return "length(%s)" % a[0]
+        if self.name == "ucase":
+            return "upper(%s)" % a[0]
+        if self.name == "lcase":
+            return "lower(%s)" % a[0]
+        if self.name == "contains":
+            return "contains(%s, %s)" % (a[0], a[1])
+        if self.name == "substr":
+            return "substr(%s, CAST(%s AS INTEGER), CAST(%s AS INTEGER))" \
+                % (a[0], a[1], a[2])
+        return "replace(%s, %s, %s)" % (a[0], a[1], a[2])
+
+
+@dataclass
 class EConcat(Expr):
     parts: list   # Expr
 
@@ -468,13 +514,25 @@ class _Parser:
                 if k == "var":
                     proj.append(v[1:]); self.i += 1
                 elif v == "(":
-                    # (AGG([DISTINCT] ?v | *) AS ?alias)
+                    # (AGG([DISTINCT] ?v | *) AS ?alias) — or a plain
+                    # SELECT expression (expr AS ?alias)
                     self.i += 1
-                    kf, vf = self.next()
-                    if kf != "kw" or vf.upper() not in (
+                    kf, vf = self.peek()
+                    if not (kf == "kw" and vf.upper() in (
                             "COUNT", "SUM", "AVG", "MIN", "MAX",
-                            "SAMPLE", "GROUP_CONCAT"):
-                        raise SparqlError("unknown aggregate %r" % vf)
+                            "SAMPLE", "GROUP_CONCAT")):
+                        e = self.expr()
+                        if not self.kw("AS"):
+                            raise SparqlError(
+                                "SELECT expression needs AS ?alias")
+                        kn, vn = self.next()
+                        if kn != "var":
+                            raise SparqlError(
+                                "SELECT expression alias must be a var")
+                        self.expect_op(")")
+                        proj.append(("expr", e, vn[1:]))
+                        continue
+                    self.i += 1
                     func = vf.upper()
                     self.expect_op("(")
                     agg_distinct = self.kw("DISTINCT")
@@ -534,7 +592,8 @@ class _Parser:
         having = None
         if self.kw("HAVING"):
             having = self.expr()    # expr() consumes its own parens
-            aliases = {p[4] for p in proj if not isinstance(p, str)}
+            aliases = {p[4] for p in proj
+                       if not isinstance(p, str) and p[0] == "agg"}
             if not group_by and not aliases:
                 raise SparqlError("HAVING without GROUP BY/aggregates")
             loose = _expr_vars(having) - set(group_by) - aliases
@@ -544,11 +603,22 @@ class _Parser:
                     "aggregate aliases, not %s" % sorted(loose))
         if proj != ["*"]:
             plain = [p for p in proj if isinstance(p, str)]
-            has_agg = any(not isinstance(p, str) for p in proj)
+            has_agg = any(not isinstance(p, str) and p[0] == "agg"
+                          for p in proj)
             if (has_agg or group_by) and set(plain) - set(group_by):
                 raise SparqlError(
                     "non-aggregated vars %s must appear in GROUP BY"
                     % sorted(set(plain) - set(group_by)))
+            if has_agg or group_by:
+                # SELECT expressions under aggregation may only use
+                # group keys (evaluated on the grouped output)
+                for p in proj:
+                    if not isinstance(p, str) and p[0] == "expr":
+                        loose = _expr_vars(p[1]) - set(group_by)
+                        if loose:
+                            raise SparqlError(
+                                "SELECT expression over non-grouped "
+                                "vars %s" % sorted(loose))
         order: list = []
         if self.kw("ORDER"):
             if not self.kw("BY"):
@@ -992,6 +1062,19 @@ class _Parser:
                 raise SparqlError("%s needs a variable" % v)
             self.expect_op(")")
             return EIsType(EVar(vv[1:]), kind)
+        if k == "kw" and v.lower() in EFunc.ARITY:
+            name = v.lower()
+            self.i += 1
+            self.expect_op("(")
+            args = [self.expr()]
+            while self.peek()[1] == ",":
+                self.i += 1
+                args.append(self.expr())
+            self.expect_op(")")
+            if len(args) != EFunc.ARITY[name]:
+                raise SparqlError("%s() takes %d arguments"
+                                  % (name.upper(), EFunc.ARITY[name]))
+            return EFunc(name, args)
         if k == "kw" and v.lower() == "concat":
             self.i += 1
             self.expect_op("(")
@@ -1095,6 +1178,14 @@ def _rewrite_istype(g: Group) -> None:
 
 def parse(text: str) -> Query:
     return _Parser(text).parse()
+
+
+def _proj_alias(p) -> str:
+    """Output column name of one projection item (var name, aggregate
+    alias, or SELECT-expression alias)."""
+    if isinstance(p, str):
+        return p
+    return p[4] if p[0] == "agg" else p[2]
 
 
 # ------------------------------------------------------------- planning
@@ -1432,7 +1523,7 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
     # aggregates, paths, nested OPTIONALs all legal inside), then
     # joined on the variables they project that the outer query binds
     for sq in query.where.subqueries:
-        names = [p if isinstance(p, str) else p[4] for p in sq.proj]
+        names = [_proj_alias(p) for p in sq.proj]
         sub = compile_spark(triples, sq)
         cols = {}
         for v in names:
@@ -1576,7 +1667,8 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
     proj = query.proj
     if proj == ["*"]:
         proj = list(env_cols)
-    aggs = [p for p in proj if not isinstance(p, str)]
+    aggs = [p for p in proj if not isinstance(p, str) and p[0] == "agg"]
+    exprs = [p for p in proj if not isinstance(p, str) and p[0] == "expr"]
     if aggs or query.group_by:
         def aggcol(func, dist, var, alias, sep):
             if var is None:
@@ -1612,14 +1704,21 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
             # the grouped subquery for the same reason: alias scope)
             henv = {c: (F.col(c), c) for c in out.columns}
             out = out.filter(query.having.spark(henv))
-        out = out.select(*[p if isinstance(p, str) else p[4]
-                           for p in proj])
+        for _, e, alias in exprs:   # expressions over the group keys
+            out = out.withColumn(
+                alias, e.spark(_Env((c, (F.col(c), c))
+                                    for c in out.columns)))
+        out = out.select(*[_proj_alias(p) for p in proj])
     else:
         # a projected variable bound nowhere is NULL (SPARQL allows it;
         # the reference's sfs_forfattningskommentar.rq projects one)
-        out = plan.select(*[
-            (F.col(env_cols[v]) if v in env_cols
-             else F.lit(None).cast("string")).alias(v) for v in proj])
+        def proj_col(p):
+            if isinstance(p, str):
+                return (F.col(env_cols[p]) if p in env_cols
+                        else F.lit(None).cast("string")).alias(p)
+            _, e, alias = p         # ("expr", Expr, alias)
+            return e.spark(colenv(env_cols)).alias(alias)
+        out = plan.select(*[proj_col(p) for p in proj])
         if query.distinct:
             out = out.dropDuplicates()
     if query.order:
@@ -1851,7 +1950,7 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
 
     # subqueries: recursive compile_sql, joined on shared projected vars
     for sq in query.where.subqueries:
-        names = [p if isinstance(p, str) else p[4] for p in sq.proj]
+        names = [_proj_alias(p) for p in sq.proj]
         alias = "sq%d" % n[0]
         n[0] += 1
         cols = {v: "%s__%s" % (alias, v) for v in names}
@@ -2000,7 +2099,7 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
     proj = query.proj
     if proj == ["*"]:
         proj = list(env_cols)
-    aggs = [p for p in proj if not isinstance(p, str)]
+    aggs = [p for p in proj if not isinstance(p, str) and p[0] == "agg"]
     if aggs or query.group_by:
         def aggsql(func, dist, var, alias, sep):
             if var is None:
@@ -2022,9 +2121,13 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                     "DISTINCT " if dist else "", c,
                     sep.replace("'", "''"), c, alias)
             return "%s(%s) AS %s" % (func, c, alias)
-        sel = ", ".join(
-            ("%s AS %s" % (env_cols[p], p)) if isinstance(p, str)
-            else aggsql(p[1], p[2], p[3], p[4], p[5]) for p in proj)
+        def grouped_sel(p):
+            if isinstance(p, str):
+                return "%s AS %s" % (env_cols[p], p)
+            if p[0] == "expr":      # over group keys (validated)
+                return "%s AS %s" % (p[1].sql(sqlenv(env_cols)), p[2])
+            return aggsql(p[1], p[2], p[3], p[4], p[5])
+        sel = ", ".join(grouped_sel(p) for p in proj)
         sql = "%sSELECT %s %s" % (with_prefix(), sel, " ".join(parts))
         if where_conds:
             sql += " WHERE " + " AND ".join(where_conds)
@@ -2040,9 +2143,12 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             sql = "SELECT * FROM (%s) havq WHERE %s" % (
                 sql, query.having.sql(henv))
     else:
-        sel = ", ".join(
-            "%s AS %s" % (env_cols.get(v, "CAST(NULL AS VARCHAR)"), v)
-            for v in proj)
+        def plain_sel(p):
+            if isinstance(p, str):
+                return "%s AS %s" % (
+                    env_cols.get(p, "CAST(NULL AS VARCHAR)"), p)
+            return "%s AS %s" % (p[1].sql(sqlenv(env_cols)), p[2])
+        sel = ", ".join(plain_sel(p) for p in proj)
         sql = "%sSELECT %s%s %s" % (with_prefix(),
                                     "DISTINCT " if query.distinct else "",
                                     sel, " ".join(parts))

@@ -908,3 +908,48 @@ def test_subquery(graph):
     assert list(out["s"]) == ["d1", "d3"]      # 4- and 5-triple docs
     with pytest.raises(sparql.SparqlError):
         sparql.parse("SELECT ?s WHERE { { SELECT * WHERE { ?s ?p ?o } } }")
+
+
+def test_string_functions(graph):
+    """STRLEN/UCASE/LCASE/CONTAINS/SUBSTR/REPLACE in FILTER and BIND."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?u ?part WHERE {
+          ?s dct:title ?t .
+          FILTER(contains(?t, "a") && strlen(?t) >= 5)
+          BIND(ucase(?t) AS ?u)
+          BIND(substr(?t, 1, 3) AS ?part)
+        } ORDER BY ?s
+    """)
+    assert list(out["s"]) == ["d1", "d2", "d3"]
+    assert out.iloc[2]["u"] == "GAMMA" and out.iloc[2]["part"] == "Gam"
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?slug WHERE {
+          ?s dct:title ?t . FILTER(strlen(?t) > 6)
+          BIND(replace(lcase(?t), " ", "_") AS ?slug)
+        } ORDER BY ?s
+    """)
+    assert list(out["slug"]) == ["alpha_report", "beta_memo",
+                                 "citing_note", "org_one"]
+
+
+def test_select_expressions(graph):
+    """(expr AS ?alias) in the SELECT clause — plain and under GROUP
+    BY (over group keys only)."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s (ucase(?t) AS ?u) (strlen(?t) AS ?len) WHERE {
+          ?s a foaf:Document . ?s dct:title ?t
+        } ORDER BY ?s
+    """)
+    assert list(out["u"]) == ["ALPHA REPORT", "BETA MEMO", "GAMMA"]
+    assert [int(x) for x in out["len"]] == [12, 9, 5]
+    out = run_both(graph, PREFIXES + """
+        SELECT ?type (concat("type=", ?type) AS ?label)
+               (COUNT(?s) AS ?n)
+        WHERE { ?s a ?type } GROUP BY ?type ORDER BY ?type
+    """)
+    assert list(out["label"]) == ["type=" + FOAF + "Document",
+                                  "type=" + FOAF + "Organization"]
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse("""PREFIX dct: <http://purl.org/dc/terms/>
+            SELECT ?t (ucase(?o) AS ?u) (COUNT(?s) AS ?n)
+            WHERE { ?s ?t ?o } GROUP BY ?t""")
