@@ -907,6 +907,49 @@ def _q_repetition_stats(spark, sf_dir):
     return repetition_stats(_read(spark, sf_dir, "documents"), n=3)
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction over web text: the synthetic corpus carries no
+    PII, so the query plants deterministic emails / phones / IPv4s
+    derived from doc_id (same expression in PII_DOCS_SQL) and the
+    operator must scrub exactly those — a pure codegen regexp pass."""
+    from ferenda_spark.operators.curation import pii_scrub
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    email = F.concat(F.lit(" mail user"), s(d), F.lit("@ex"),
+                     s(d % 10), F.lit(".org"))
+    phone = F.concat(F.lit(" call +1-555-"),
+                     F.lpad(s((d * 7) % 10000), 4, "0"))
+    ip = F.concat(F.lit(" host "), s(d % 256), F.lit(".10.20."),
+                  s((d * 3) % 256))
+    injected = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.when(d % 3 == 0, email).otherwise(F.lit("")),
+                 F.when(d % 5 == 0, phone).otherwise(F.lit("")),
+                 F.when(d % 7 == 0, ip).otherwise(F.lit("")))
+        .alias("text"))
+    return pii_scrub(injected)
+
+
+# SQL twin of _q_pii_scrub's injection — change BOTH or parity breaks
+PII_DOCS_SQL = (
+    "(SELECT doc_id, coalesce(text, '')"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || doc_id::varchar"
+    "         || '@ex' || (doc_id % 10)::varchar || '.org'"
+    "    ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-'"
+    "         || lpad(((doc_id * 7) % 10000)::varchar, 4, '0')"
+    "    ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' host ' || (doc_id % 256)::varchar"
+    "         || '.10.20.' || ((doc_id * 3) % 256)::varchar"
+    "    ELSE '' END AS text"
+    " FROM documents)")
+
+
 # SQL twin of _with_injected_dups — change BOTH or parity breaks,
 # which is why they sit side by side as the single definition site
 DUP_DOCS_SQL = ("(SELECT doc_id, text FROM documents UNION ALL "
@@ -1181,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
+        "pii_scrub": _q_pii_scrub,
         # relational / faceting analogs (DuckDB-oracled)
         "facet_pivot": _q_facet_pivot,
         "events_windowed": _q_events_windowed,
@@ -1309,6 +1353,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": curation.oracle_sql_decontaminate(
             n=3, threshold=0.2),
         "repetition_stats": curation.oracle_sql_repetition(n=3),
+        "pii_scrub": curation.oracle_sql_pii(table=PII_DOCS_SQL),
         "dedup_exact": dedup.oracle_sql_exact_duplicates(dup_docs),
         "dedup_ngram_jaccard": jaccard_oracle,
         # LSH verifies candidates with exact jaccard → same ground

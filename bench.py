@@ -191,6 +191,7 @@ def main() -> None:
         "bpe_pairs": qs["bpe_pairs"],
         "quality_score": qs["quality_score"],
         "language_id": qs["language_id"],
+        "pii_scrub": qs["pii_scrub"],
         "facet_pivot": qs["facet_pivot"],
         "events_windowed": qs["events_windowed"],
         "events_sessionize": qs["events_sessionize"],

@@ -123,6 +123,68 @@ def repetition_stats(df: DataFrame, n: int = 3, id_col: str = "doc_id",
             .orderBy(id_col))
 
 
+# PII patterns, written in the common Java-regex / RE2 dialect subset
+# (non-capturing groups, \b, bounded repetition) so the Spark and
+# DuckDB twins compile the SAME string. Scrub order matters and is
+# fixed: emails first (their local/domain parts contain digits and
+# dots that the later patterns could partially claim), then IPv4
+# (dotted digits that the phone pattern's [\d-] run could chew), then
+# phones. Counts are taken on the text as it stands at each step, so a
+# character sequence is attributed to exactly one category.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}(?:\.\d{1,3}){3}\b"
+PII_PHONE = r"\+\d[\d-]{6,13}\d"
+_PII_STEPS = (("n_emails", PII_EMAIL, "<EMAIL>"),
+              ("n_ips", PII_IPV4, "<IP>"),
+              ("n_phones", PII_PHONE, "<PHONE>"))
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone numbers from web text.
+
+    → (doc_id, clean_text, n_emails, n_ips, n_phones): the text with
+    each PII span replaced by a typed placeholder, plus per-document
+    match counts — the standard pre-training privacy scrub (the
+    regex-rule family used by the public C4/CCNet/Dolma pipelines).
+
+    Reference analog: none — ferenda normalizes legal-document text
+    (ferenda/textreader.py) but never redacts; this extends the
+    curation family the way ``decontaminate`` does.
+
+    Scale notes: pure codegen projection — three
+    ``regexp_count``/``regexp_replace`` pairs in one whole-stage
+    codegen span, no UDF, no shuffle; at 100 TB this is a map-only
+    pass whose cost is the parquet scan plus JVM regex time.
+    """
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for alias, pat, repl in _PII_STEPS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long")
+                      .alias(alias))
+        cur = F.regexp_replace(cur, pat, repl)
+    return (df.select(F.col(id_col), cur.alias("clean_text"), *counts)
+            .orderBy(id_col))
+
+
+def oracle_sql_pii(table: str = "documents",
+                   text_expr: str = "coalesce(text, '')") -> str:
+    """DuckDB twin of :func:`pii_scrub` over ``text_expr`` (the driver
+    query passes its PII-injection expression here)."""
+    cur = text_expr
+    counts = []
+    for alias, pat, _repl in _PII_STEPS:
+        counts.append("len(regexp_extract_all(%s, '%s'))::bigint AS %s"
+                      % (cur, pat, alias))
+        cur = "regexp_replace(%s, '%s', '%s', 'g')" % (cur, pat, _repl)
+    return f"""
+    SELECT doc_id, {cur} AS clean_text,
+           {", ".join(counts)}
+    FROM {table}
+    ORDER BY doc_id
+    """
+
+
 def oracle_sql_decontaminate(table: str = "documents", n: int = 3,
                              threshold: float = 0.2,
                              bench_pred: str = "doc_id % 37 = 0") -> str:

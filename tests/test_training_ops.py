@@ -394,6 +394,38 @@ def test_repetition_stats_oracle_parity(spark, duck):
                   duck, curation.oracle_sql_repetition(n=3))
 
 
+def test_pii_scrub_semantics(spark):
+    """Each PII class is replaced by its typed placeholder and counted;
+    scrub order protects email digits/dots from the IP/phone patterns;
+    clean text carries no match residue."""
+    import pandas as pd
+    from ferenda_spark.operators.curation import pii_scrub
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                      "text": ["write to jo.doe+spam@sub.ex.org today",
+                               "server at 10.0.255.7 then 8.8.8.8",
+                               "call +46-8-555-123-45 or +1-5550042",
+                               "plain text, no pii; v1.2 stays"]}),
+        schema="doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert out[1].clean_text == "write to <EMAIL> today"
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 0, 0)
+    assert out[2].clean_text == "server at <IP> then <IP>"
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 2, 0)
+    assert out[3].clean_text == "call <PHONE> or <PHONE>"
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 2)
+    assert out[4].clean_text == "plain text, no pii; v1.2 stays"
+    assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)
+
+
+def test_pii_scrub_driver_parity(spark, duck):
+    """The driver query (deterministic PII injection + scrub) against
+    its DuckDB twin — the same pair the correctness gate runs."""
+    import __spark_entry__ as E
+    assert_parity(E.queries()["pii_scrub"](spark, SF_DIR),
+                  duck, E.oracle_sql()["pii_scrub"])
+
+
 def test_kmeans_clusters_deterministic_and_twin_parity(spark):
     """Assignment is invariant to input partitioning and bit-equal to
     the single-threaded annoracle twin (same fold-order kernels)."""
