@@ -963,6 +963,39 @@ def _with_injected_dups(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").unionByName(dups)
 
 
+# SQL twin of _q_line_dedup's boilerplate injection — change BOTH or
+# parity breaks. Two ≥5-word lines planted at different moduli (only
+# the lowest doc_id keeps each) plus a 1-word line that the min_words
+# guard must keep everywhere.
+_BOILER_LINES = (
+    (4, "Subscribe to our newsletter for all the latest updates"),
+    (6, "This site uses cookies to improve your browsing experience"),
+    (5, "Home"),
+)
+BOILER_DOCS_SQL = (
+    "(SELECT doc_id, coalesce(text, '')"
+    + "".join(
+        " || CASE WHEN doc_id %% %d = 0 THEN chr(10) || '%s'"
+        "    ELSE '' END" % (m, line) for m, line in _BOILER_LINES)
+    + " AS text FROM documents)")
+
+
+def _q_line_dedup(spark, sf_dir):
+    """C4-style corpus-level line dedup: the synthetic corpus has no
+    cross-document boilerplate, so the query plants deterministic
+    boilerplate lines (same expression in BOILER_DOCS_SQL) — the
+    operator must keep each only at its first (doc_id, pos) and keep
+    the short 'Home' line everywhere."""
+    from ferenda_spark.operators.dedup import line_dedup
+    docs = _read(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    for m, line in _BOILER_LINES:
+        text = F.concat(text, F.when(F.col("doc_id") % m == 0,
+                                     F.lit("\n" + line))
+                        .otherwise(F.lit("")))
+    return line_dedup(docs.select("doc_id", text.alias("text")))
+
+
 # Shared materialized stages across the dedup family — the Iceberg
 # hand-off analog between pipeline jobs: the shingle table and the LSH
 # pair table are computed once per session and read by every consumer
@@ -1239,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first when these run in the middle); ordered so the shared
         # shingle stage and LSH pair table warm for their reusers
         "dedup_exact": _q_dedup_exact,
+        "dedup_lines": _q_line_dedup,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1355,6 +1389,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": curation.oracle_sql_repetition(n=3),
         "pii_scrub": curation.oracle_sql_pii(table=PII_DOCS_SQL),
         "dedup_exact": dedup.oracle_sql_exact_duplicates(dup_docs),
+        "dedup_lines": dedup.oracle_sql_line_dedup(table=BOILER_DOCS_SQL),
         "dedup_ngram_jaccard": jaccard_oracle,
         # LSH verifies candidates with exact jaccard → same ground
         # truth as brute force (recall checked by the oracle).

@@ -184,6 +184,7 @@ def main() -> None:
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute
         # twin in the headline; the twin remains the sf0.01 oracle
         "dedup_embedding": qs["dedup_embedding_blocked"],
+        "dedup_lines": qs["dedup_lines"],
         "ann_topk": qs["ann_topk"],
         "pack_sequences": qs["pack_sequences"],
         "token_stats": qs["token_stats"],

@@ -734,3 +734,107 @@ def oracle_sql_embedding_dup(table: str = "embeddings",
     WHERE cos_sim >= {threshold}
     ORDER BY a_id, b_id
     """
+
+
+# ------------------------------------------------------ line-level dedup
+
+def line_dedup(df: DataFrame, min_words: int = 5,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """C4-style corpus-level line dedup: every distinct line with at
+    least ``min_words`` whitespace-words is kept only at its first
+    occurrence (smallest ``(doc_id, pos)`` over the whole corpus);
+    shorter lines (headings, list items, blanks) are always kept, so
+    document structure survives.
+
+    → (doc_id, clean_text, n_lines, n_dropped) ordered by doc_id.
+    ``clean_text`` is the document re-assembled from its surviving
+    lines in original order; a document whose every line was dropped
+    still appears with ``clean_text = ''``.
+
+    Reference analog: none — the reference's dedup surface is exact
+    set-ops (documentrepository.py:845-866); this is the C4/CCNet
+    boilerplate-line pass the web-corpus north rule asks for.
+
+    Scale notes: explode is narrow; the winner derivation is a
+    groupBy on the line text whose ``min(struct)`` partial-aggregates
+    map-side, so a boilerplate line occurring in 10% of all documents
+    reduces to one row per input partition before the shuffle. The
+    join back re-shuffles line occurrences by the same hot key — that
+    side is AQE skew-split (sort-merge join, one relation replicated
+    per split), so no manual salting is needed. Word counting uses
+    the shared explicit-ASCII whitespace class (`WS_SPLIT`) so the
+    Spark and DuckDB twins cannot diverge on vertical tabs.
+    """
+    from .textops import words_col
+    d, sep = F.col(id_col), "\n"
+    lines = (df.select(d, F.posexplode(
+                 F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
+                 .alias("pos", "line"))
+             .withColumn("nw", F.size(words_col(F.col("line")))))
+    elig = lines.where(F.col("nw") >= min_words)
+    winners = elig.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col).alias("d"),
+                       F.col("pos").alias("p"))).alias("w"))
+    kept = (lines.where(F.col("nw") < min_words)
+            .select(id_col, "pos", "line")
+            .unionByName(
+                elig.join(winners, "line")
+                .where((F.col(id_col) == F.col("w.d"))
+                       & (F.col("pos") == F.col("w.p")))
+                .select(id_col, "pos", "line")))
+    rebuilt = (kept.groupBy(id_col).agg(
+        F.concat_ws(sep, F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))),
+            lambda s: s.line)).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept")))
+    n_lines = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             sep)).cast("long")
+    return (df.select(d, n_lines.alias("n_lines"))
+            .join(rebuilt, id_col, "left")
+            .select(d, F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text"),
+                    "n_lines",
+                    (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("long").alias("n_dropped"))
+            .orderBy(id_col))
+
+
+def oracle_sql_line_dedup(table: str = "documents",
+                          min_words: int = 5) -> str:
+    """DuckDB twin of :func:`line_dedup` (zip-unnest enumerates line
+    positions; row_number picks the same (doc_id, pos)-min winner as
+    the Spark side's min(struct))."""
+    return f"""
+    WITH l0 AS (SELECT doc_id,
+                       string_split(coalesce(text, ''), chr(10)) AS ls
+                FROM {table}),
+    lines AS (SELECT doc_id,
+                     unnest(generate_series(1, len(ls))) AS pos,
+                     unnest(ls) AS line
+              FROM l0),
+    nw AS (SELECT *, CASE WHEN trim(line) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(line),
+                                                    '{WS_SPLIT}'))
+                     END AS nw
+           FROM lines),
+    ranked AS (SELECT *, row_number() OVER
+                   (PARTITION BY line ORDER BY doc_id, pos) AS rn
+               FROM nw WHERE nw >= {min_words}),
+    kept AS (SELECT doc_id, pos, line FROM nw WHERE nw < {min_words}
+             UNION ALL
+             SELECT doc_id, pos, line FROM ranked WHERE rn = 1),
+    rebuilt AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos)
+                         AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           len(string_split(coalesce(d.text, ''), chr(10)))::bigint
+             AS n_lines,
+           (len(string_split(coalesce(d.text, ''), chr(10)))
+            - coalesce(r.n_kept, 0))::bigint AS n_dropped
+    FROM {table} d LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY doc_id
+    """

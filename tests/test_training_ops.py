@@ -583,3 +583,35 @@ def test_null_text_and_unicode_ws_parity(spark, duck):
     # the U+00A0 word must stay ONE token (ASCII-only \s)
     ts = {r.doc_id: r for r in textops.token_stats(df).collect()}
     assert ts[2].n_words == 2 and ts[1].n_words == 0
+
+
+def test_line_dedup_semantics(spark):
+    """Eligible (>=5-word) duplicate lines survive only at the lowest
+    (doc_id, pos) corpus-wide — including intra-document repeats —
+    while short lines are kept everywhere; reassembly preserves line
+    order and fully-deduped tails shrink counts."""
+    import pandas as pd
+    from ferenda_spark.operators.dedup import line_dedup
+    boiler = "repeated line with five words here"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3],
+                      "text": [f"alpha beta gamma delta epsilon\nshort\n{boiler}",
+                               f"{boiler}\nunique second doc line with words",
+                               f"short\n{boiler}\n{boiler}"]}),
+        schema="doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert out[1].clean_text == (
+        f"alpha beta gamma delta epsilon\nshort\n{boiler}")
+    assert (out[1].n_lines, out[1].n_dropped) == (3, 0)
+    assert out[2].clean_text == "unique second doc line with words"
+    assert (out[2].n_lines, out[2].n_dropped) == (2, 1)
+    assert out[3].clean_text == "short"
+    assert (out[3].n_lines, out[3].n_dropped) == (3, 2)
+
+
+def test_line_dedup_driver_parity(spark, duck):
+    """The driver query (deterministic boilerplate injection + line
+    dedup) against its DuckDB twin — the same pair the gate runs."""
+    import __spark_entry__ as E
+    assert_parity(E.queries()["dedup_lines"](spark, SF_DIR),
+                  duck, E.oracle_sql()["dedup_lines"])
