@@ -950,6 +950,68 @@ PII_DOCS_SQL = (
     " FROM documents)")
 
 
+# Mojibake injection for _q_normalize_text: one token list (ASCII str
+# or unicode codepoint int) renders BOTH the Spark literal and the SQL
+# chr()-concat — change the list, both twins follow.
+_MESS_SNIPPETS = (
+    (2, ("\r\nit", 0x2019, "s ", 0x201C, "fine", 0x201D)),
+    (3, (" x ", 0x2014, " y", 0x2026)),
+    (4, ("  double  spaced\t tail ",)),
+    (5, (0xA0, "nb", 0x200B, "zw")),
+    (7, ("\x01ctl\n\n\n\nafter ",)),
+)
+
+
+def _mess_py(parts) -> str:
+    return "".join(chr(p) if isinstance(p, int) else p for p in parts)
+
+
+def _mess_sql(parts) -> str:
+    exprs, buf = [], ""
+
+    def flush():
+        nonlocal buf
+        if buf:
+            exprs.append("'%s'" % buf.replace("'", "''"))
+            buf = ""
+    for p in parts:
+        if isinstance(p, int):
+            flush()
+            exprs.append("chr(%d)" % p)
+        else:
+            for ch in p:
+                if ord(ch) < 32:
+                    flush()
+                    exprs.append("chr(%d)" % ord(ch))
+                else:
+                    buf += ch
+    flush()
+    return " || ".join(exprs)
+
+
+MESS_DOCS_SQL = (
+    "(SELECT doc_id, coalesce(text, '')"
+    + "".join(" || CASE WHEN doc_id %% %d = 0 THEN %s ELSE '' END"
+              % (m, _mess_sql(parts)) for m, parts in _MESS_SNIPPETS)
+    + " AS text FROM documents)")
+
+
+def _q_normalize_text(spark, sf_dir):
+    """ftfy-lite normalization over web text: the synthetic corpus is
+    already clean, so the query plants deterministic mojibake (CRLF,
+    curly quotes, zero-widths, NBSP, control chars, runaway blank
+    lines — same token list renders MESS_DOCS_SQL) and the operator
+    must normalize exactly that — a pure codegen regexp chain."""
+    from ferenda_spark.operators.curation import normalize_text
+    docs = _read(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    for m, parts in _MESS_SNIPPETS:
+        text = F.concat(text, F.when(F.col("doc_id") % m == 0,
+                                     F.lit(_mess_py(parts)))
+                        .otherwise(F.lit("")))
+    return normalize_text(docs.select("doc_id", text.alias("text")))
+
+
 # SQL twin of _with_injected_dups — change BOTH or parity breaks,
 # which is why they sit side by side as the single definition site
 DUP_DOCS_SQL = ("(SELECT doc_id, text FROM documents UNION ALL "
@@ -1258,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
+        "normalize_text": _q_normalize_text,
         # relational / faceting analogs (DuckDB-oracled)
         "facet_pivot": _q_facet_pivot,
         "events_windowed": _q_events_windowed,
@@ -1388,6 +1451,8 @@ def oracle_sql() -> dict[str, str]:
             n=3, threshold=0.2),
         "repetition_stats": curation.oracle_sql_repetition(n=3),
         "pii_scrub": curation.oracle_sql_pii(table=PII_DOCS_SQL),
+        "normalize_text": curation.oracle_sql_normalize(
+            table=MESS_DOCS_SQL),
         "dedup_exact": dedup.oracle_sql_exact_duplicates(dup_docs),
         "dedup_lines": dedup.oracle_sql_line_dedup(table=BOILER_DOCS_SQL),
         "dedup_ngram_jaccard": jaccard_oracle,

@@ -193,6 +193,7 @@ def main() -> None:
         "quality_score": qs["quality_score"],
         "language_id": qs["language_id"],
         "pii_scrub": qs["pii_scrub"],
+        "normalize_text": qs["normalize_text"],
         "facet_pivot": qs["facet_pivot"],
         "events_windowed": qs["events_windowed"],
         "events_sessionize": qs["events_sessionize"],

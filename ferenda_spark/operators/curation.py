@@ -252,3 +252,88 @@ def oracle_sql_repetition(table: str = "documents", n: int = 3) -> str:
     FROM feat f LEFT JOIN top t USING (doc_id)
     ORDER BY doc_id
     """
+
+
+# ----------------------------------------------------- text normalization
+
+# ftfy-lite / CCNet-style cleanup chain. One ordered rule list shared
+# by both engines (Java regex and RE2 both parse \x{...} classes and
+# the explicit char classes below identically — same discipline as
+# WS_SPLIT). Order matters and is fixed:
+#   1. CR / CRLF → LF (so later newline rules see one convention)
+#   2. delete remaining C0/C1-ish control chars (keep \t \n)
+#   3. delete zero-width chars (ZWSP/ZWNJ/ZWJ/BOM)
+#   4. NBSP → space
+#   5. curly quotes / primes → ASCII quotes
+#   6. en/em/horizontal-bar dashes → hyphen; ellipsis → "..."
+#   7. collapse horizontal whitespace runs to one space
+#   8. strip spaces around newlines
+#   9. cap blank-line runs at one (\n{3,} → \n\n)
+#  10. trim leading/trailing whitespace
+NORM_STEPS = (
+    (r"\r\n?", "\n"),
+    (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),
+    (r"[\x{200b}-\x{200d}\x{feff}]", ""),
+    (r"\x{00a0}", " "),
+    (r"[\x{2018}\x{2019}\x{201a}\x{2032}]", "'"),
+    (r"[\x{201c}\x{201d}\x{201e}\x{2033}]", "\""),
+    (r"[\x{2013}\x{2014}\x{2015}]", "-"),
+    (r"\x{2026}", "..."),
+    (r"[ \t]+", " "),
+    (r" *\n *", "\n"),
+    (r"\n{3,}", "\n\n"),
+    (r"^[ \n]+|[ \n]+$", ""),
+)
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Unicode / whitespace normalization for scraped web text.
+
+    → (doc_id, clean_text, changed, n_chars_delta): the text after the
+    :data:`NORM_STEPS` chain, whether anything changed, and the
+    character-count delta — the mojibake/controls/typography cleanup
+    pass (ftfy-lite) every public web pipeline (CCNet, C4, Dolma) runs
+    before tokenization.
+
+    Reference analog: ferenda normalizes whitespace per text node
+    (ferenda/textreader.py linearization + testutil normalize_space)
+    but never at corpus scale; this is that step as a set operation.
+
+    Scale notes: a fixed chain of ``regexp_replace`` calls — one
+    whole-stage-codegen projection, no shuffle, no UDF; at 100 TB it
+    is a map-only pass like :func:`pii_scrub`.
+    """
+    orig = F.coalesce(F.col(text_col), F.lit(""))
+    cur = orig
+    for pat, repl in NORM_STEPS:
+        cur = F.regexp_replace(cur, pat, repl)
+    return (df.select(
+                F.col(id_col), cur.alias("clean_text"),
+                (cur != orig).alias("changed"),
+                (F.length(orig) - F.length(cur)).cast("long")
+                .alias("n_chars_delta"))
+            .orderBy(id_col))
+
+
+def oracle_sql_normalize(table: str = "documents",
+                         text_expr: str = "coalesce(text, '')") -> str:
+    """DuckDB twin of :func:`normalize_text` — the same
+    :data:`NORM_STEPS` chain through RE2 (patterns are written in the
+    dialect intersection, so the strings interpolate verbatim)."""
+    cur = text_expr
+    for pat, repl in NORM_STEPS:
+        # DuckDB single-quoted literals pass backslashes through
+        # verbatim, so the shared patterns interpolate unchanged (the
+        # WS_SPLIT convention); literal newlines become chr(10)
+        cur = ("regexp_replace(%s, '%s', '%s', 'g')"
+               % (cur, pat,
+                  repl.replace("'", "''")
+                      .replace("\n", "' || chr(10) || '")))
+    return f"""
+    SELECT doc_id, {cur} AS clean_text,
+           {cur} <> {text_expr} AS changed,
+           (length({text_expr}) - length({cur}))::bigint AS n_chars_delta
+    FROM {table}
+    ORDER BY doc_id
+    """

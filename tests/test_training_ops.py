@@ -615,3 +615,38 @@ def test_line_dedup_driver_parity(spark, duck):
     import __spark_entry__ as E
     assert_parity(E.queries()["dedup_lines"](spark, SF_DIR),
                   duck, E.oracle_sql()["dedup_lines"])
+
+
+def test_normalize_text_semantics(spark):
+    """Each NORM_STEPS rule fires and the fixed order composes: CRLF
+    unification feeds the newline rules, control/zero-width deletion,
+    NBSP/typography mapping, whitespace collapse, blank-line cap,
+    trim; clean text reports changed=false, delta 0."""
+    import pandas as pd
+    from ferenda_spark.operators.curation import normalize_text
+    rows = [
+        (1, "it’s “fine”", "it's \"fine\"", True),
+        (2, "a\r\nb\rc", "a\nb\nc", True),
+        (3, "x​y﻿z w", "xyz w", True),
+        (4, "a  \t b \n c\n\n\n\n\nd", "a b\nc\n\nd", True),
+        (5, " \n A — b… \n ", "A - b...", True),
+        (6, "a\x01b\x7fc", "abc", True),
+        (7, "plain text stays", "plain text stays", False),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "text": [r[1] for r in rows]}),
+        schema="doc_id long, text string")
+    out = {r.doc_id: r for r in normalize_text(df).collect()}
+    for doc_id, raw, want, want_changed in rows:
+        assert out[doc_id].clean_text == want, doc_id
+        assert out[doc_id].changed is want_changed, doc_id
+        assert out[doc_id].n_chars_delta == len(raw) - len(want), doc_id
+
+
+def test_normalize_text_driver_parity(spark, duck):
+    """The driver query (deterministic mojibake injection + normalize)
+    against its DuckDB twin — the same pair the gate runs."""
+    import __spark_entry__ as E
+    assert_parity(E.queries()["normalize_text"](spark, SF_DIR),
+                  duck, E.oracle_sql()["normalize_text"])
