@@ -571,6 +571,23 @@ def _q_kg_sparql_subquery(spark, sf_dir):
                                 _KG_SPARQL_SUBQUERY)
 
 
+_KG_SPARQL_SEQPATH = """
+PREFIX dct: <http://purl.org/dc/terms/>
+SELECT DISTINCT ?x ?anc_title ?cited_title WHERE {
+  ?x dct:isPartOf+/dct:title ?anc_title .
+  OPTIONAL { ?x dct:references/dct:title ?cited_title }
+} ORDER BY ?x ?anc_title
+"""  # round-4 sequence-path surface: quantified element composed in a
+# sequence (ancestor titles via isPartOf+ then one title hop) plus a
+# plain 2-element sequence inside OPTIONAL
+
+
+def _q_kg_sparql_seqpath(spark, sf_dir):
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_SEQPATH)
+
+
 def _q_kg_sparql_minus(spark, sf_dir):
     from ferenda_spark import sparql
     return sparql.compile_spark(_kg_read(spark, "triples"),
@@ -1300,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_minus": _q_kg_sparql_minus,
         "kg_sparql_agg": _q_kg_sparql_agg,
         "kg_sparql_subquery": _q_kg_sparql_subquery,
+        "kg_sparql_seqpath": _q_kg_sparql_seqpath,
         "kg_describe_rfc": _q_kg_describe_rfc,
         "kg_describe_base": _q_kg_describe_base,
         "kg_versions": _q_kg_versions,
@@ -1421,6 +1439,8 @@ def oracle_sql() -> dict[str, str]:
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_AGG),
         "kg_sparql_subquery": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_SUBQUERY),
+        "kg_sparql_seqpath": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_SPARQL_SEQPATH),
         "kg_describe_rfc": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _RFC_ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),

@@ -24,6 +24,11 @@ Supported subset (what ferenda's own queries use):
 - property-path alternation ``(p1|p2)`` (plain → predicate IN scan;
   quantified → closure over the union edge set) and negated property
   sets ``!p`` / ``!(p1|p2)`` (→ predicate NOT IN scan)
+- sequence paths ``e1/e2/…`` (elements may each carry ``^`` and
+  quantifiers, e.g. ``^p1+/p2``) — desugared at parse time into the
+  spec's fresh-variable triple chain, so every element composes with
+  the full path machinery; the internal variables never reach
+  ``SELECT *``
 - ``FILTER`` expressions: ``= != < <= > >=``, ``IN (…)``,
   ``regex(?v, "pat")``, ``bound(?v)``, ``str(?v)``, ``concat(…)``,
   ``strstarts(e, e)``, ``strlen/ucase/lcase/contains/substr/replace``
@@ -108,7 +113,7 @@ _TOKEN = re.compile(r"""
   | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+^|])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+^|/])
 """, re.VERBOSE)
 
 
@@ -453,6 +458,13 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._seq_n = 0
+
+    def _fresh_seq_var(self) -> str:
+        """Fresh internal variable for sequence-path desugaring; the
+        ``__seq`` prefix is reserved (excluded from SELECT *)."""
+        self._seq_n += 1
+        return "__seq%d" % self._seq_n
 
     def peek(self):
         return self.toks[self.i]
@@ -880,7 +892,27 @@ class _Parser:
         return t[1]
 
     def pred(self) -> tuple:
-        """Predicate position: URI / var / ``a`` / alternation
+        """Predicate position: a single path element, or a sequence
+        path ``e1/e2/…`` of them → ``("seq", ((term, inv), …)), False``
+        (desugared by the caller into a fresh-variable triple chain —
+        the SPARQL-spec translation ``X p1/p2 Y ≡ X p1 ?v . ?v p2 Y``,
+        which preserves multiset semantics). ``^`` binds tighter than
+        ``/``, so ``^p1/p2`` is ``(^p1)/p2`` per the grammar."""
+        p, inv = self._pred_elem()
+        if self.peek()[1] != "/":
+            return p, inv
+        elems = [(p, inv)]
+        while self.peek()[1] == "/":
+            self.i += 1
+            elems.append(self._pred_elem())
+        for pe, _ in elems:
+            if pe[0] == "var":
+                raise SparqlError("sequence path elements must be "
+                                  "IRIs or paths, not variables")
+        return ("seq", tuple(elems)), False
+
+    def _pred_elem(self) -> tuple:
+        """One path element: URI / var / ``a`` / alternation
         ``(p1|p2)`` / negated property set ``!p`` | ``!(p1|p2)``, with
         an optional leading ``^`` (inverse path — the triple is stored
         with subject/object swapped) and optional trailing path
@@ -934,7 +966,20 @@ class _Parser:
             p, inv = self.pred()
             while True:
                 o = self.term()
-                out.append(Triple(o, p, s) if inv else Triple(s, p, o))
+                if p[0] == "seq":
+                    # fresh-variable chain, one per object term; the
+                    # internal vars are excluded from SELECT *
+                    cur = s
+                    elems = p[1]
+                    for j, (pe, pinv) in enumerate(elems):
+                        nxt = (o if j == len(elems) - 1 else
+                               ("var", self._fresh_seq_var()))
+                        out.append(Triple(nxt, pe, cur) if pinv
+                                   else Triple(cur, pe, nxt))
+                        cur = nxt
+                else:
+                    out.append(Triple(o, p, s) if inv
+                               else Triple(s, p, o))
                 if self.peek()[1] == ",":
                     self.i += 1
                     continue
@@ -1666,7 +1711,7 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
 
     proj = query.proj
     if proj == ["*"]:
-        proj = list(env_cols)
+        proj = [v for v in env_cols if not v.startswith("__seq")]
     aggs = [p for p in proj if not isinstance(p, str) and p[0] == "agg"]
     exprs = [p for p in proj if not isinstance(p, str) and p[0] == "expr"]
     if aggs or query.group_by:
@@ -2098,7 +2143,7 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
 
     proj = query.proj
     if proj == ["*"]:
-        proj = list(env_cols)
+        proj = [v for v in env_cols if not v.startswith("__seq")]
     aggs = [p for p in proj if not isinstance(p, str) and p[0] == "agg"]
     if aggs or query.group_by:
         def aggsql(func, dist, var, alias, sep):

@@ -953,3 +953,48 @@ def test_select_expressions(graph):
         sparql.parse("""PREFIX dct: <http://purl.org/dc/terms/>
             SELECT ?t (ucase(?o) AS ?u) (COUNT(?s) AS ?n)
             WHERE { ?s ?t ?o } GROUP BY ?t""")
+
+
+def test_sequence_path(graph):
+    """p1/p2 desugars to the spec's fresh-variable chain: publisher
+    then title, only chains where both hops bind survive."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?d ?pn WHERE { ?d dct:publisher/dct:title ?pn }
+    """)
+    assert out.values.tolist() == [["d1", "Org One"]]
+
+
+def test_sequence_path_three_hops_and_star_projection(graph):
+    """A 3-element chain composes, and SELECT * must NOT leak the
+    internal __seq variables."""
+    out = run_both(graph, PREFIXES + """
+        SELECT * WHERE { ?x dct:isPartOf/dct:isPartOf/dct:title ?t }
+    """)
+    assert sorted(out.columns) == ["t", "x"]
+    assert out.values.tolist() == [["d4", "Alpha report"]]
+
+
+def test_sequence_path_inverse_element(graph):
+    """^ binds tighter than /: ^dct:publisher/dct:title walks from the
+    org back to its publishing document, then to that doc's title."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?p ?t WHERE { ?p ^dct:publisher/dct:title ?t }
+    """)
+    assert sorted(map(tuple, out.values.tolist())) == [
+        ("p1", "Alpha report"), ("p2", "Gamma")]
+
+
+def test_sequence_path_quantified_element(graph):
+    """A quantified element inside a sequence: isPartOf+ closure, then
+    one title hop off every reachable ancestor."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?x ?t WHERE { ?x dct:isPartOf+/dct:title ?t }
+    """)
+    assert sorted(map(tuple, out.values.tolist())) == [
+        ("d3", "Alpha report"), ("d4", "Alpha report"), ("d4", "Gamma")]
+
+
+def test_sequence_path_rejects_variable_element():
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse(PREFIXES
+                     + "SELECT ?x WHERE { ?x ?p/dct:title ?t }")

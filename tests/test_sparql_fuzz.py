@@ -269,6 +269,9 @@ pathq_st = st.fixed_dictionaries({
     # only (ADVICE r3 regression)
     "graph": st.one_of(st.none(), st.sampled_from(["g1", "g2"])),
     "extra": st.one_of(st.none(), pattern_st),
+    # sequence tail: base-path/p:<seq> — the fresh-variable desugar
+    # composed with every other path feature drawn above
+    "seq": st.one_of(st.none(), st.sampled_from(sorted(PREDS))),
 })
 
 
@@ -277,8 +280,9 @@ def render_path_query(q):
         if q["direction"] else (("var", "a"), ("const", q["endpoint"]))
     caret = "^" if q.get("inverse") else ""
     base = "(p:r|p:k)" if q.get("alt") else "p:r"
-    path = "%s %s%s%s %s . " % (term_sparql(s), caret, base, q["mod"],
-                                term_sparql(o))
+    tail = "/p:%s" % q["seq"] if q.get("seq") else ""
+    path = "%s %s%s%s%s %s . " % (term_sparql(s), caret, base, q["mod"],
+                                  tail, term_sparql(o))
     if q.get("graph"):
         path = "GRAPH <%s> { %s} " % (q["graph"], path)
     body = path
