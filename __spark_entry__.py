@@ -967,6 +967,51 @@ PII_DOCS_SQL = (
     " FROM documents)")
 
 
+def _q_url_stats(spark, sf_dir):
+    """Outbound-link census over web text: the synthetic corpus has no
+    URLs, so the query plants deterministic ones (same expression in
+    URL_DOCS_SQL) — shared domains across moduli exercise the
+    aggregation, a WWW./mixed-case host the normalization."""
+    from ferenda_spark.operators.textops import url_stats
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    u1 = F.concat(F.lit(" see https://www.example"), s(d % 5),
+                  F.lit(".com/page/"), s(d))
+    u2 = F.concat(F.lit(" at http://Blog.Example"), s(d % 7),
+                  F.lit(".org"))
+    u3 = F.concat(F.lit(" ref https://example"), s(d % 5),
+                  F.lit(".com/other?q="), s(d % 11))
+    injected = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.when(d % 3 == 0, u1).otherwise(F.lit("")),
+                 F.when(d % 4 == 0, u2).otherwise(F.lit("")),
+                 F.when(d % 6 == 0, u3).otherwise(F.lit("")))
+        .alias("text"))
+    return url_stats(injected)
+
+
+# SQL twin of _q_url_stats's injection — change BOTH or parity breaks
+URL_DOCS_SQL = (
+    "(SELECT doc_id, coalesce(text, '')"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' see https://www.example'"
+    "         || (doc_id % 5)::varchar || '.com/page/'"
+    "         || doc_id::varchar"
+    "    ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' at http://Blog.Example'"
+    "         || (doc_id % 7)::varchar || '.org'"
+    "    ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN ' ref https://example'"
+    "         || (doc_id % 5)::varchar || '.com/other?q='"
+    "         || (doc_id % 11)::varchar"
+    "    ELSE '' END AS text"
+    " FROM documents)")
+
+
 # Mojibake injection for _q_normalize_text: one token list (ASCII str
 # or unicode codepoint int) renders BOTH the Spark literal and the SQL
 # chr()-concat — change the list, both twins follow.
@@ -1339,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
+        "url_stats": _q_url_stats,
         # relational / faceting analogs (DuckDB-oracled)
         "facet_pivot": _q_facet_pivot,
         "events_windowed": _q_events_windowed,
@@ -1473,6 +1519,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": curation.oracle_sql_pii(table=PII_DOCS_SQL),
         "normalize_text": curation.oracle_sql_normalize(
             table=MESS_DOCS_SQL),
+        "url_stats": textops.oracle_sql_url_stats(table=URL_DOCS_SQL),
         "dedup_exact": dedup.oracle_sql_exact_duplicates(dup_docs),
         "dedup_lines": dedup.oracle_sql_line_dedup(table=BOILER_DOCS_SQL),
         "dedup_ngram_jaccard": jaccard_oracle,

@@ -194,6 +194,7 @@ def main() -> None:
         "language_id": qs["language_id"],
         "pii_scrub": qs["pii_scrub"],
         "normalize_text": qs["normalize_text"],
+        "url_stats": qs["url_stats"],
         "facet_pivot": qs["facet_pivot"],
         "events_windowed": qs["events_windowed"],
         "events_sessionize": qs["events_sessionize"],

@@ -491,3 +491,67 @@ def oracle_sql_top_terms(table: str = "documents", k: int = 5) -> str:
     SELECT doc_id, term, tf, df, score, rank
     FROM ranked WHERE rank <= {k} ORDER BY doc_id, rank
     """
+
+
+# ------------------------------------------------------------ URL census
+
+# http(s) URL matcher in the Java-regex / RE2 dialect intersection;
+# the negated path class spells out the ASCII whitespace set (WS_CLASS
+# discipline) so the twins cannot diverge on vertical tabs
+URL_RE = (r"https?://[A-Za-z0-9.-]+(?::[0-9]+)?"
+          r"(?:/[^%s\"<>]*)?" % WS_CLASS)
+_HOST_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_stats(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Corpus URL census: → (domain, n_urls, n_docs) per linked host
+    (lower-cased, leading ``www.`` stripped), ordered by frequency —
+    the per-domain inventory behind blocklist filtering and domain
+    mixture decisions in public web pipelines (C4's blocklists,
+    RefinedWeb/Dolma domain stats).
+
+    Reference analog: ferenda mines intra-corpus citation URIs
+    (operators/citations.py); this is the same census over *outbound
+    web links* in raw text.
+
+    Scale notes: extract + explode are narrow; the aggregation is a
+    two-level hash agg on (domain) with map-side partial combine —
+    one shuffle whose key count is the number of distinct hosts, with
+    hot domains (the whole point of the census) reduced map-side.
+    countDistinct(doc_id) expands to the standard two-round expand
+    agg; both rounds stay partial-aggregatable.
+    """
+    urls = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")),
+            F.lit(URL_RE), 0)).alias("url"))
+    domain = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("url"), _HOST_RE, 1)),
+        r"^www\.", "")
+    return (urls.select(domain.alias("domain"), id_col)
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct(F.col(id_col)).alias("n_docs"))
+            .orderBy(F.desc("n_urls"), "domain"))
+
+
+def oracle_sql_url_stats(table: str = "documents",
+                         text_expr: str = "coalesce(text, '')") -> str:
+    """DuckDB twin of :func:`url_stats` (same patterns through RE2)."""
+    return f"""
+    WITH urls AS (
+      SELECT doc_id, unnest(regexp_extract_all({text_expr},
+                                               '{URL_RE}')) AS url
+      FROM {table}),
+    dom AS (
+      SELECT doc_id,
+             regexp_replace(lower(regexp_extract(url, '{_HOST_RE}', 1)),
+                            '^www\\.', '') AS domain
+      FROM urls)
+    SELECT domain, count(*)::bigint AS n_urls,
+           count(DISTINCT doc_id)::bigint AS n_docs
+    FROM dom GROUP BY domain
+    ORDER BY n_urls DESC, domain
+    """

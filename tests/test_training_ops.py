@@ -650,3 +650,30 @@ def test_normalize_text_driver_parity(spark, duck):
     import __spark_entry__ as E
     assert_parity(E.queries()["normalize_text"](spark, SF_DIR),
                   duck, E.oracle_sql()["normalize_text"])
+
+
+def test_url_stats_semantics(spark):
+    """Hosts are lower-cased and www-stripped, ports and paths don't
+    split domains, n_docs counts distinct documents, and text without
+    a scheme match contributes nothing."""
+    import pandas as pd
+    from ferenda_spark.operators.textops import url_stats
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                      "text": ["see https://www.Ex.COM/a and http://ex.com:8080/b?q=1",
+                               "again https://EX.com plus https://other.org/x",
+                               "bare ex.com is not a url; ftp://ex.com neither",
+                               None]}),
+        schema="doc_id long, text string")
+    out = {r.domain: r for r in url_stats(df).collect()}
+    assert set(out) == {"ex.com", "other.org"}
+    assert (out["ex.com"].n_urls, out["ex.com"].n_docs) == (3, 2)
+    assert (out["other.org"].n_urls, out["other.org"].n_docs) == (1, 1)
+
+
+def test_url_stats_driver_parity(spark, duck):
+    """The driver query (deterministic URL injection + census) against
+    its DuckDB twin — the same pair the gate runs."""
+    import __spark_entry__ as E
+    assert_parity(E.queries()["url_stats"](spark, SF_DIR),
+                  duck, E.oracle_sql()["url_stats"])
