@@ -33,6 +33,9 @@ Supported subset (what ferenda's own queries use):
   ``regex(?v, "pat")``, ``bound(?v)``, ``str(?v)``, ``concat(…)``,
   ``strstarts(e, e)``, ``strlen/ucase/lcase/contains/substr/replace``
   (1:1 engine builtins, usable in FILTER and BIND),
+  numeric arithmetic ``+ - * /`` with parenthesized grouping
+  (operands double-coerced; non-numeric bindings and division by
+  zero → NULL in both backends),
   ``isUri/isIRI/isLiteral(?v)`` and
   ``lang(?v) = "tag"`` (top-level conjuncts — compiled to objtype /
   lang scan constraints), ``! && ||``
@@ -113,7 +116,7 @@ _TOKEN = re.compile(r"""
   | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+^|/])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+^|/-])
 """, re.VERBOSE)
 
 
@@ -233,7 +236,8 @@ class ECmp(Expr):
     def _sides(self, env, sqlmode):
         l, r = self.left, self.right
         numeric = (isinstance(l, EConst) and l.numeric) or \
-                  (isinstance(r, EConst) and r.numeric)
+                  (isinstance(r, EConst) and r.numeric) or \
+                  isinstance(l, EArith) or isinstance(r, EArith)
         if sqlmode:
             ls, rs = l.sql(env), r.sql(env)
             if numeric:
@@ -259,6 +263,46 @@ class ECmp(Expr):
         ls, rs = self._sides(env, True)
         op = "<>" if self.op == "!=" else self.op
         return "(%s %s %s)" % (ls, op, rs)
+
+
+@dataclass
+class EArith(Expr):
+    """Numeric arithmetic ``+ - * /`` over double-coerced operands.
+    Variables TRY_CAST to double (non-numeric bindings → NULL, the
+    SPARQL type-error-is-unbound rule); division by zero is NULL in
+    BOTH backends (the integer type-error semantics — chosen over
+    IEEE Inf because the two engines disagree on raw double /0)."""
+    op: str
+    left: Expr
+    right: Expr
+
+    def _coerce_spark(self, e, env):
+        c = e.spark(env)
+        if isinstance(e, EVar):
+            return c.try_cast("double")
+        return c
+
+    def _coerce_sql(self, e, env):
+        s = e.sql(env)
+        if isinstance(e, EVar):
+            return "TRY_CAST(%s AS DOUBLE)" % s
+        if isinstance(e, EConst):
+            return "CAST(%s AS DOUBLE)" % s
+        return s
+
+    def spark(self, env):
+        lc = self._coerce_spark(self.left, env)
+        rc = self._coerce_spark(self.right, env)
+        if self.op == "/":
+            return F.when(rc != 0, lc / rc)
+        return {"+": lc + rc, "-": lc - rc, "*": lc * rc}[self.op]
+
+    def sql(self, env):
+        ls = self._coerce_sql(self.left, env)
+        rs = self._coerce_sql(self.right, env)
+        if self.op == "/":
+            return "(%s / nullif(%s, 0))" % (ls, rs)
+        return "(%s %s %s)" % (ls, self.op, rs)
 
 
 @dataclass
@@ -1036,15 +1080,10 @@ class _Parser:
         if self.peek()[1] == "!":
             self.i += 1
             return ENot(self.expr_unary())
-        if self.peek()[1] == "(":
-            self.i += 1
-            e = self.expr()
-            self.expect_op(")")
-            return e
         return self.expr_rel()
 
     def expr_rel(self) -> Expr:
-        left = self.expr_primary()
+        left = self.expr_add()
         k, v = self.peek()
         if k == "kw" and v.upper() == "IN":
             if not isinstance(left, EVar):
@@ -1059,11 +1098,33 @@ class _Parser:
             return EIn(left, items)
         if v in ("=", "!=", "<", "<=", ">", ">="):
             self.i += 1
-            return ECmp(v, left, self.expr_primary())
+            return ECmp(v, left, self.expr_add())
         return left
+
+    def expr_add(self) -> Expr:
+        e = self.expr_mul()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            e = EArith(op, e, self.expr_mul())
+        return e
+
+    def expr_mul(self) -> Expr:
+        e = self.expr_primary()
+        while self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            e = EArith(op, e, self.expr_primary())
+        return e
 
     def expr_primary(self) -> Expr:
         k, v = self.peek()
+        if v == "(":
+            # parenthesized sub-expression: full boolean grammar
+            # inside, and the value can keep composing arithmetically
+            # outside — "(?a + 1) * 2" and "(?a = 1) && ?b" both parse
+            self.i += 1
+            e = self.expr()
+            self.expect_op(")")
+            return e
         if k == "kw" and v.lower() == "regex":
             self.i += 1
             self.expect_op("(")
@@ -2161,10 +2222,14 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                 return "MIN(%s) AS %s" % (c, alias)
             if func == "GROUP_CONCAT":
                 # sorted concatenation — mirror of the Spark backend's
-                # array_sort(collect_*) ordering
-                return "string_agg(%s%s, '%s' ORDER BY %s) AS %s" % (
-                    "DISTINCT " if dist else "", c,
-                    sep.replace("'", "''"), c, alias)
+                # array_sort(collect_*) ordering; coalesce matches the
+                # empty-sequence → "" rule (Spark's array_join over an
+                # empty collect_list) where string_agg yields NULL on
+                # an all-unbound group
+                return "coalesce(string_agg(%s%s, '%s' ORDER BY %s)," \
+                    " '') AS %s" % (
+                        "DISTINCT " if dist else "", c,
+                        sep.replace("'", "''"), c, alias)
             return "%s(%s) AS %s" % (func, c, alias)
         def grouped_sel(p):
             if isinstance(p, str):

@@ -998,3 +998,51 @@ def test_sequence_path_rejects_variable_element():
     with pytest.raises(sparql.SparqlError):
         sparql.parse(PREFIXES
                      + "SELECT ?x WHERE { ?x ?p/dct:title ?t }")
+
+
+def test_arithmetic_filter_and_bind(graph):
+    """Numeric arithmetic in FILTER and BIND: double coercion of
+    string-typed objects, precedence, and parenthesized grouping."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?d ?next WHERE {
+          ?d dct:identifier ?i .
+          BIND(?i + 1 AS ?next)
+          FILTER(?i * 2 > 10)
+        } ORDER BY ?d
+    """)
+    assert out.values.tolist() == [["d2", 13.0], ["d3", 8.0]]
+    out = run_both(graph, PREFIXES + """
+        SELECT ?d WHERE {
+          ?d dct:identifier ?i .
+          FILTER((?i + 1) * 2 >= 16)
+        } ORDER BY ?d
+    """)
+    assert out.values.tolist() == [["d2"], ["d3"]]
+
+
+def test_arithmetic_null_semantics(graph):
+    """Division by zero and arithmetic over non-numeric bindings are
+    NULL (unbound) in both backends — the SPARQL type-error rule."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?d ?z ?bad WHERE {
+          ?d dct:identifier ?i .
+          BIND(?i / 0 AS ?z)
+          BIND(?d - 1 AS ?bad)
+        } ORDER BY ?d
+    """)
+    assert len(out) == 3
+    assert out["z"].isna().all() and out["bad"].isna().all()
+
+
+def test_group_concat_all_unbound_group_is_empty_string(graph):
+    """GROUP_CONCAT over a group whose variable never binds is the
+    empty string in BOTH backends (the SPARQL empty-sequence rule) —
+    regression for the string_agg-NULL divergence the r4 gate caught."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?type (GROUP_CONCAT(?pub; SEPARATOR=",") AS ?pubs)
+        WHERE { ?s a ?type . OPTIONAL { ?s dct:publisher ?pub } }
+        GROUP BY ?type ORDER BY ?type
+    """)
+    by_type = out.set_index("type")["pubs"]
+    assert by_type[FOAF + "Document"] == "p1,p2"
+    assert by_type[FOAF + "Organization"] == ""

@@ -21,7 +21,7 @@ from ferenda_spark import sparql
 
 SUBJECTS = ["d1", "d2", "d3", "d4"]
 PREDS = {"t": "http://p/t", "r": "http://p/r", "k": "http://p/k"}
-LITS = ["alpha", "beta", "gamma", ""]
+LITS = ["alpha", "beta", "gamma", "", "3", "12"]
 PREFIX = "PREFIX p: <http://p/>\n"
 
 # graph = set of (s, pred-key, object, objtype) choices
@@ -66,6 +66,8 @@ filter_st = st.one_of(
     st.tuples(st.just("bound"), var_st, st.none()),
     st.tuples(st.just("strstarts"), var_st,
               st.sampled_from(["d", "al", "g"])),
+    # arithmetic: numeric-string objects coerce, others go NULL-false
+    st.tuples(st.just("arith"), var_st, st.integers(0, 20)),
 )
 
 
@@ -79,6 +81,8 @@ def filter_sparql(f):
         return 'FILTER(regex(?%s, "%s"))' % (v, arg)
     if op == "bound":
         return 'FILTER(bound(?%s))' % v
+    if op == "arith":
+        return 'FILTER((?%s + 1) * 2 >= %d)' % (v, arg)
     return 'FILTER(strstarts(?%s, "%s"))' % (v, arg)
 
 
