@@ -967,12 +967,10 @@ PII_DOCS_SQL = (
     " FROM documents)")
 
 
-def _q_url_stats(spark, sf_dir):
-    """Outbound-link census over web text: the synthetic corpus has no
-    URLs, so the query plants deterministic ones (same expression in
-    URL_DOCS_SQL) — shared domains across moduli exercise the
-    aggregation, a WWW./mixed-case host the normalization."""
-    from ferenda_spark.operators.textops import url_stats
+def _url_injected_docs(spark, sf_dir) -> DataFrame:
+    """documents with deterministic URLs planted (twin: URL_DOCS_SQL) —
+    shared domains across moduli exercise aggregation, a WWW./mixed-
+    case host the normalization."""
     docs = _read(spark, sf_dir, "documents")
     d = F.col("doc_id")
 
@@ -985,14 +983,36 @@ def _q_url_stats(spark, sf_dir):
                   F.lit(".org"))
     u3 = F.concat(F.lit(" ref https://example"), s(d % 5),
                   F.lit(".com/other?q="), s(d % 11))
-    injected = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(F.coalesce(F.col("text"), F.lit("")),
                  F.when(d % 3 == 0, u1).otherwise(F.lit("")),
                  F.when(d % 4 == 0, u2).otherwise(F.lit("")),
                  F.when(d % 6 == 0, u3).otherwise(F.lit("")))
         .alias("text"))
-    return url_stats(injected)
+
+
+def _q_url_stats(spark, sf_dir):
+    """Outbound-link census over web text (deterministic URL
+    injection, same expression in URL_DOCS_SQL)."""
+    from ferenda_spark.operators.textops import url_stats
+    return url_stats(_url_injected_docs(spark, sf_dir))
+
+
+# the blocklisted domains for _q_blocklist_filter — one definition,
+# rendered into both the Spark broadcast side and the oracle VALUES
+_BLOCKLIST_DOMAINS = ("example0.com", "example3.com", "blog.example2.org")
+
+
+def _q_blocklist_filter(spark, sf_dir):
+    """Domain-blocklist verdicts over the same injected-URL corpus:
+    per document, how many outbound links hit the blocklist and
+    whether the document would be dropped (C4's badwords/blocklist
+    step, done as a broadcast join against extracted domains)."""
+    from ferenda_spark.operators.textops import domain_blocklist_filter
+    bl = spark.createDataFrame([(d,) for d in _BLOCKLIST_DOMAINS],
+                               "domain string")
+    return domain_blocklist_filter(_url_injected_docs(spark, sf_dir), bl)
 
 
 # SQL twin of _q_url_stats's injection — change BOTH or parity breaks
@@ -1385,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
         "url_stats": _q_url_stats,
+        "blocklist_filter": _q_blocklist_filter,
         # relational / faceting analogs (DuckDB-oracled)
         "facet_pivot": _q_facet_pivot,
         "events_windowed": _q_events_windowed,
@@ -1520,6 +1541,8 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": curation.oracle_sql_normalize(
             table=MESS_DOCS_SQL),
         "url_stats": textops.oracle_sql_url_stats(table=URL_DOCS_SQL),
+        "blocklist_filter": textops.oracle_sql_blocklist(
+            _BLOCKLIST_DOMAINS, table=URL_DOCS_SQL),
         "dedup_exact": dedup.oracle_sql_exact_duplicates(dup_docs),
         "dedup_lines": dedup.oracle_sql_line_dedup(table=BOILER_DOCS_SQL),
         "dedup_ngram_jaccard": jaccard_oracle,

@@ -195,6 +195,7 @@ def main() -> None:
         "pii_scrub": qs["pii_scrub"],
         "normalize_text": qs["normalize_text"],
         "url_stats": qs["url_stats"],
+        "blocklist_filter": qs["blocklist_filter"],
         "facet_pivot": qs["facet_pivot"],
         "events_windowed": qs["events_windowed"],
         "events_sessionize": qs["events_sessionize"],

@@ -555,3 +555,69 @@ def oracle_sql_url_stats(table: str = "documents",
     FROM dom GROUP BY domain
     ORDER BY n_urls DESC, domain
     """
+
+
+def domain_blocklist_filter(df: DataFrame, blocklist: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Per-document domain-blocklist verdicts: → (doc_id,
+    n_blocked_urls, blocked) for EVERY document (callers drop with
+    ``.where(~F.col("blocked"))``) — the C4/RefinedWeb blocklist step
+    over outbound links. ``blocklist`` is a one-column ``domain``
+    DataFrame; matching is on the same lower-cased, www-stripped host
+    as :func:`url_stats`.
+
+    Scale notes: blocklists are the small side (10⁴–10⁷ domains vs a
+    100 TB corpus), so the match is an explicit ``broadcast`` hash
+    join — the corpus never shuffles; the per-document hit count is a
+    partial-aggregated groupBy on ``doc_id``, and the verdict join
+    back to the corpus is doc_id-equi (AQE-planned).
+    """
+    urls = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")),
+            F.lit(URL_RE), 0)).alias("url"))
+    domain = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("url"), _HOST_RE, 1)),
+        r"^www\.", "")
+    bl = blocklist.select(
+        F.regexp_replace(F.lower(F.col("domain")), r"^www\.", "")
+        .alias("domain")).distinct()
+    hits = (urls.select(F.col(id_col), domain.alias("domain"))
+            .join(F.broadcast(bl), "domain")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_blocked_urls")))
+    n = F.coalesce(F.col("n_blocked_urls"), F.lit(0)).cast("long")
+    return (df.select(id_col).join(hits, id_col, "left")
+            .select(F.col(id_col), n.alias("n_blocked_urls"),
+                    (n > 0).alias("blocked"))
+            .orderBy(id_col))
+
+
+def oracle_sql_blocklist(domains, table: str = "documents",
+                         text_expr: str = "coalesce(text, '')") -> str:
+    """DuckDB twin of :func:`domain_blocklist_filter` for a literal
+    domain list."""
+    vals = ", ".join("('%s')" % d.lower().replace("'", "''")
+                     for d in domains)
+    return f"""
+    WITH urls AS (
+      SELECT doc_id, unnest(regexp_extract_all({text_expr},
+                                               '{URL_RE}')) AS url
+      FROM {table}),
+    dom AS (
+      SELECT doc_id,
+             regexp_replace(lower(regexp_extract(url, '{_HOST_RE}', 1)),
+                            '^www\\.', '') AS domain
+      FROM urls),
+    bl AS (SELECT DISTINCT regexp_replace(lower(domain), '^www\\.', '')
+                    AS domain
+           FROM (VALUES {vals}) b(domain)),
+    hits AS (SELECT doc_id, count(*) AS n
+             FROM dom JOIN bl USING (domain) GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(h.n, 0)::bigint AS n_blocked_urls,
+           coalesce(h.n, 0) > 0 AS blocked
+    FROM {table} d LEFT JOIN hits h USING (doc_id)
+    ORDER BY d.doc_id
+    """

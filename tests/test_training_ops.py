@@ -677,3 +677,28 @@ def test_url_stats_driver_parity(spark, duck):
     import __spark_entry__ as E
     assert_parity(E.queries()["url_stats"](spark, SF_DIR),
                   duck, E.oracle_sql()["url_stats"])
+
+
+def test_blocklist_filter_semantics(spark):
+    """Blocklist hits count per document (www-/case-normalized on both
+    sides), unlinked and clean documents survive with blocked=false."""
+    import pandas as pd
+    from ferenda_spark.operators.textops import domain_blocklist_filter
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3],
+                      "text": ["bad https://www.Evil.COM/x and https://evil.com/y",
+                               "fine https://good.org only",
+                               "no links at all"]}),
+        schema="doc_id long, text string")
+    bl = spark.createDataFrame([("WWW.evil.com",)], "domain string")
+    out = {r.doc_id: r for r in
+           domain_blocklist_filter(docs, bl).collect()}
+    assert (out[1].n_blocked_urls, out[1].blocked) == (2, True)
+    assert (out[2].n_blocked_urls, out[2].blocked) == (0, False)
+    assert (out[3].n_blocked_urls, out[3].blocked) == (0, False)
+
+
+def test_blocklist_filter_driver_parity(spark, duck):
+    import __spark_entry__ as E
+    assert_parity(E.queries()["blocklist_filter"](spark, SF_DIR),
+                  duck, E.oracle_sql()["blocklist_filter"])
