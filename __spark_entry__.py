@@ -1101,6 +1101,36 @@ DUP_DOCS_SQL = ("(SELECT doc_id, text FROM documents UNION ALL "
                 "WHERE doc_id % 7 = 0)")
 
 
+# 25-token paragraph planted into every doc_id % 9 == 0 document for
+# _q_dedup_windows: windows fully inside it (25-k+1 per doc) are
+# corpus-duplicated, junction windows differ per document
+_BOILER25 = ("the quick brown fox jumps over the lazy dog while the "
+             "sun sets behind the distant hills and the river flows "
+             "quietly toward the sea")
+SPAN_DOCS_SQL = (
+    "(SELECT doc_id, coalesce(text, '')"
+    " || CASE WHEN doc_id %% 9 = 0 THEN ' %s' ELSE '' END AS text"
+    " FROM documents)" % _BOILER25)
+
+
+def _q_dedup_windows(spark, sf_dir):
+    """Exact-substring (hashed k-token window) duplication stats, the
+    Lee-et-al. suffix-array method's measurable core: the synthetic
+    corpus shares no 20-token spans, so the query plants a 25-token
+    paragraph (same expression in SPAN_DOCS_SQL) across doc_id % 9
+    documents and the operator must report exactly the planted
+    coverage."""
+    from ferenda_spark.operators.dedup import duplicate_window_stats
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.when(F.col("doc_id") % 9 == 0,
+                        F.lit(" " + _BOILER25)).otherwise(F.lit("")))
+        .alias("text"))
+    return duplicate_window_stats(injected, k=20)
+
+
 def _with_injected_dups(docs: DataFrame) -> DataFrame:
     dups = (docs.where(F.col("doc_id") % 7 == 0)
             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
@@ -1421,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shingle stage and LSH pair table warm for their reusers
         "dedup_exact": _q_dedup_exact,
         "dedup_lines": _q_line_dedup,
+        "dedup_windows": _q_dedup_windows,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1545,6 +1576,8 @@ def oracle_sql() -> dict[str, str]:
             _BLOCKLIST_DOMAINS, table=URL_DOCS_SQL),
         "dedup_exact": dedup.oracle_sql_exact_duplicates(dup_docs),
         "dedup_lines": dedup.oracle_sql_line_dedup(table=BOILER_DOCS_SQL),
+        "dedup_windows": dedup.oracle_sql_duplicate_windows(
+            table=SPAN_DOCS_SQL, k=20),
         "dedup_ngram_jaccard": jaccard_oracle,
         # LSH verifies candidates with exact jaccard → same ground
         # truth as brute force (recall checked by the oracle).

@@ -838,3 +838,145 @@ def oracle_sql_line_dedup(table: str = "documents",
     FROM {table} d LEFT JOIN rebuilt r USING (doc_id)
     ORDER BY doc_id
     """
+
+
+# ----------------------------------------- exact-substring (window) dedup
+
+def window_hash_table(df: DataFrame, k: int = 20,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, h) — one md5 per k-token window (the hashed-window
+    approximation of suffix-array exact-substring dedup from Lee et
+    al., "Deduplicating Training Data Makes Language Models Better").
+    Arrow-batched; tokens are :func:`~.textops.py_words` (the shared
+    explicit-ASCII class, twin of ``words_col``). Documents shorter
+    than k tokens emit no rows.
+
+    Scale notes: row count = token count (the method's cost); the md5
+    of each joined window is O(n·k) character work per document — at
+    100 TB the drop-in upgrade is a polynomial rolling hash (O(n)),
+    kept md5 here so the DuckDB twin can hash the identical strings.
+    """
+    import hashlib
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from .textops import py_words
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("pos", LongType()),
+        StructField("h", StringType()),
+    ])
+
+    def run(batches):
+        import numpy as np
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = py_words(text)
+                for pos in range(len(toks) - k + 1):
+                    ids.append(doc_id)
+                    poss.append(pos)
+                    hs.append(hashlib.md5(
+                        " ".join(toks[pos:pos + k]).encode()
+                    ).hexdigest())
+            yield pd.DataFrame({"id": np.asarray(ids, dtype="int64"),
+                                "pos": np.asarray(poss, dtype="int64"),
+                                "h": hs}, columns=schema.fieldNames())
+
+    return ensure_parallelism(df.select(id_col, text_col)) \
+        .mapInPandas(run, schema)
+
+
+def duplicate_window_stats(df: DataFrame, k: int = 20,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Per-document exact-substring duplication: → (doc_id, n_tokens,
+    n_windows, n_dup_windows, dup_tokens) where a window is duplicated
+    when its k-token md5 occurs anywhere else in the corpus (another
+    document OR another position of the same one), and ``dup_tokens``
+    is the union coverage of all duplicated windows (gaps-and-islands
+    interval merge) — the tokens the Lee-et-al. pass would remove.
+
+    Scale notes: one shuffle on the window hash (uniform by
+    construction; hyper-common boilerplate windows partial-aggregate
+    map-side and AQE skew-splits the join back), one shuffle on doc_id
+    for the coverage window — both over (id, pos, h) rows, never the
+    text. The doc-level token counts come from the native ``words_col``
+    projection, so zero-window documents survive without sentinels.
+    """
+    from .textops import words_col
+    base = df.select(
+        F.col(id_col),
+        F.size(words_col(F.col(text_col))).cast("long")
+        .alias("n_tokens"))
+    base = base.withColumn(
+        "n_windows", F.greatest(F.col("n_tokens") - (k - 1), F.lit(0))
+        .cast("long"))
+    wins = window_hash_table(df, k, text_col, id_col)
+    dup_h = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+             .where(F.col("cnt") > 1).select("h"))
+    dwin = wins.join(dup_h, "h").select("id", "pos")
+    w = (Window.partitionBy("id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev_end = F.max(F.col("pos") + k).over(w)
+    piece = F.greatest(
+        F.col("pos") + k - F.greatest(F.col("pos"),
+                                      F.coalesce(prev_end, F.col("pos"))),
+        F.lit(0))
+    perdoc = (dwin.select("id", piece.alias("piece"))
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_dup_windows"),
+                   F.sum("piece").alias("dup_tokens")))
+    return (base.join(perdoc,
+                      base[id_col] == perdoc["id"], "left")
+            .select(F.col(id_col), "n_tokens", "n_windows",
+                    F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+                    .alias("n_dup_windows"),
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                    .alias("dup_tokens"))
+            .orderBy(id_col))
+
+
+def oracle_sql_duplicate_windows(table: str = "documents",
+                                 k: int = 20) -> str:
+    """DuckDB twin of :func:`duplicate_window_stats` (zip-unnest
+    positions, identical md5-of-joined-window, identical
+    gaps-and-islands coverage)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = ''
+                  THEN []::varchar[]
+                  ELSE regexp_split_to_array(trim(coalesce(text, '')),
+                                             '{WS_SPLIT}') END AS ls
+      FROM {table}),
+    winpos AS (
+      SELECT doc_id, ls,
+             unnest(generate_series(1, len(ls) - {k} + 1)) AS pos
+      FROM toks),
+    wins AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(ls[pos:pos + {k} - 1], ' ')) AS h
+      FROM winpos),
+    dup_h AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+    dwin AS (SELECT doc_id, pos FROM wins JOIN dup_h USING (h)),
+    cov AS (
+      SELECT doc_id,
+             greatest(pos + {k} - greatest(pos,
+               coalesce(max(pos + {k}) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 pos)), 0) AS piece
+      FROM dwin),
+    perdoc AS (SELECT doc_id, count(*) AS n_dup_windows,
+                      sum(piece) AS dup_tokens
+               FROM cov GROUP BY doc_id)
+    SELECT t.doc_id, len(t.ls)::bigint AS n_tokens,
+           greatest(len(t.ls) - {k} + 1, 0)::bigint AS n_windows,
+           coalesce(p.n_dup_windows, 0)::bigint AS n_dup_windows,
+           coalesce(p.dup_tokens, 0)::bigint AS dup_tokens
+    FROM toks t LEFT JOIN perdoc p USING (doc_id)
+    ORDER BY t.doc_id
+    """

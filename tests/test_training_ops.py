@@ -702,3 +702,37 @@ def test_blocklist_filter_driver_parity(spark, duck):
     import __spark_entry__ as E
     assert_parity(E.queries()["blocklist_filter"](spark, SF_DIR),
                   duck, E.oracle_sql()["blocklist_filter"])
+
+
+def test_duplicate_window_stats_semantics(spark):
+    """Window duplication counts cross-document AND intra-document
+    repeats; dup_tokens is merged-interval coverage, not window-count
+    times k; short documents report zero windows."""
+    import pandas as pd
+    from ferenda_spark.operators.dedup import duplicate_window_stats
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                      "text": ["a b c d e",
+                               "x a b c d y",
+                               "z z z z",
+                               "too short"]}),
+        schema="doc_id long, text string")
+    out = {r.doc_id: r for r in
+           duplicate_window_stats(df, k=3).collect()}
+    # d1 windows abc bcd cde; d2 shares abc bcd → overlapping dups
+    # merge to 4 covered tokens on each side
+    assert (out[1].n_tokens, out[1].n_windows,
+            out[1].n_dup_windows, out[1].dup_tokens) == (5, 3, 2, 4)
+    assert (out[2].n_tokens, out[2].n_windows,
+            out[2].n_dup_windows, out[2].dup_tokens) == (6, 4, 2, 4)
+    # d3's two zzz windows duplicate EACH OTHER (intra-document)
+    assert (out[3].n_tokens, out[3].n_windows,
+            out[3].n_dup_windows, out[3].dup_tokens) == (4, 2, 2, 4)
+    assert (out[4].n_tokens, out[4].n_windows,
+            out[4].n_dup_windows, out[4].dup_tokens) == (2, 0, 0, 0)
+
+
+def test_duplicate_window_driver_parity(spark, duck):
+    import __spark_entry__ as E
+    assert_parity(E.queries()["dedup_windows"](spark, SF_DIR),
+                  duck, E.oracle_sql()["dedup_windows"])
