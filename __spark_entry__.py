@@ -384,6 +384,19 @@ def _q_kg_describe(spark, sf_dir):
                                 _ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI})
 
 
+# DESCRIBE ?d bound by pattern — the spec query form (desugared to
+# CONSTRUCT at parse time; round-4 surface)
+_KG_DESCRIBE_SPARQL = ("PREFIX dct: <http://purl.org/dc/terms/>\n"
+                       "DESCRIBE ?d WHERE { ?d dct:isPartOf <%s> }"
+                       % _DESCRIBE_URI)
+
+
+def _q_kg_describe_sparql(spark, sf_dir):
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_DESCRIBE_SPARQL)
+
+
 _RFC_ANNOTATIONS_RQ = """
 PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
 PREFIX dcterms: <http://purl.org/dc/terms/>
@@ -1406,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search_indexed": _q_kg_search_indexed,
         "kg_sparql": _q_kg_sparql,
         "kg_describe": _q_kg_describe,
+        "kg_describe_sparql": _q_kg_describe_sparql,
         "kg_sparql_stats": _q_kg_sparql_stats,
         "kg_sparql_bind": _q_kg_sparql_bind,
         "kg_sparql_orphans": _q_kg_sparql_orphans,
@@ -1525,6 +1539,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_describe": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),
+        "kg_describe_sparql": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_DESCRIBE_SPARQL),
         "kg_sparql_stats": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_STATS),
         "kg_sparql_bind": sparql.compile_sql(

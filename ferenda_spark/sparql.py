@@ -12,7 +12,9 @@ reference user's own SELECT queries run too.
 
 Supported subset (what ferenda's own queries use):
 
-- ``PREFIX`` declarations, ``SELECT [DISTINCT] ?v… | *``
+- ``PREFIX`` declarations, ``SELECT [DISTINCT] ?v… | *``,
+  ``DESCRIBE <iri>…`` / ``DESCRIBE ?v WHERE { … }`` (desugared to
+  CONSTRUCT; bnode-free CBD = outgoing triples)
 - basic graph patterns: ``?s <p> ?o`` triples with URI / prefixed /
   ``a`` / string-literal (with optional ``@lang``) / numeric terms
 - ``OPTIONAL { … }`` groups with their own FILTERs and BINDs,
@@ -540,7 +542,55 @@ class _Parser:
             if ku != "uri":
                 raise SparqlError("bad PREFIX uri %r" % vu)
             self.prefixes[name] = vu[1:-1]
+        k, v = self.peek()
+        if k == "kw" and v.upper() == "DESCRIBE":
+            return self._describe_body()
         return self._query_body(subquery=False)
+
+    def _describe_body(self) -> "Query":
+        """``DESCRIBE <iri>…`` / ``DESCRIBE ?v WHERE { … }`` →
+        desugared to the equivalent CONSTRUCT and re-parsed, so both
+        backends inherit it for free. The description is the concise
+        bounded description, which without blank nodes (this engine's
+        data model) is exactly the resource's outgoing triples. The
+        ``?__dp``/``?__do`` variable names are reserved."""
+        self.i += 1     # DESCRIBE
+        targets = []
+        while self.peek()[0] in ("uri", "pname", "var"):
+            targets.append(self.term())
+        if not targets:
+            raise SparqlError("DESCRIBE needs IRIs or a variable")
+        uris = [t[1] for t in targets if t[0] == "uri"]
+        tvars = [t[1] for t in targets if t[0] == "var"]
+        prefix_text = "".join("PREFIX %s: <%s>\n" % (n, u)
+                              for n, u in self.prefixes.items())
+        rest = self.toks[self.i:-1]             # drop eof
+        if tvars:
+            if uris or len(tvars) > 1:
+                raise SparqlError("DESCRIBE supports either IRIs or "
+                                  "exactly one variable")
+            if not rest or rest[0][1].upper() != "WHERE":
+                raise SparqlError("DESCRIBE ?var needs a WHERE group")
+            words = [v for _, v in rest]
+            try:
+                j = words.index("{")
+            except ValueError:
+                raise SparqlError("DESCRIBE ?var needs a WHERE group")
+            var = tvars[0]
+            words.insert(j + 1, " ?%s ?__dp ?__do . " % var)
+            text = (prefix_text
+                    + "CONSTRUCT { ?%s ?__dp ?__do } " % var
+                    + " ".join(words))
+        else:
+            if rest:
+                raise SparqlError("DESCRIBE <iri> takes no WHERE "
+                                  "group (describe a ?var instead)")
+            text = (prefix_text
+                    + "CONSTRUCT { ?__ds ?__dp ?__do } WHERE { "
+                    + "VALUES ?__ds { %s } "
+                    % " ".join("<%s>" % u for u in uris)
+                    + "?__ds ?__dp ?__do . }")
+        return _Parser(text).parse()
 
     def _query_body(self, subquery: bool) -> Query:
         """Everything after the PREFIX block. A ``subquery`` body is

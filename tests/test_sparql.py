@@ -1046,3 +1046,30 @@ def test_group_concat_all_unbound_group_is_empty_string(graph):
     by_type = out.set_index("type")["pubs"]
     assert by_type[FOAF + "Document"] == "p1,p2"
     assert by_type[FOAF + "Organization"] == ""
+
+
+def test_describe_iri_and_var(graph):
+    """DESCRIBE <iri> returns the resource's outgoing triples (the
+    bnode-free concise bounded description); DESCRIBE ?v WHERE binds
+    the described resources from the pattern; both desugar through
+    CONSTRUCT so the SQL twin inherits them."""
+    out = run_both(graph, "DESCRIBE <d1>")
+    assert set(out["subject"]) == {"d1"}
+    assert len(out) == 4
+    out = run_both(graph, "DESCRIBE <d1> <p1>")
+    assert set(out["subject"]) == {"d1", "p1"}
+    assert len(out) == 6
+    out = run_both(graph, PREFIXES + """
+        DESCRIBE ?d WHERE { ?d dct:isPartOf <d1> }
+    """)
+    assert set(out["subject"]) == {"d3"}
+    assert len(out) == 5
+
+
+def test_describe_rejects_unsupported_forms():
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse("DESCRIBE ?a ?b WHERE { ?a <p> ?b }")
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse("DESCRIBE <u> WHERE { ?a <p> ?b }")
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse("DESCRIBE ?a")
