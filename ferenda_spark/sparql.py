@@ -33,7 +33,11 @@ Supported subset (what ferenda's own queries use):
   ``SELECT *``
 - ``FILTER`` expressions: ``= != < <= > >=``, ``IN (…)``,
   ``regex(?v, "pat")``, ``bound(?v)``, ``str(?v)``, ``concat(…)``,
-  ``strstarts(e, e)``, ``strlen/ucase/lcase/contains/substr/replace``
+  ``strstarts/strends(e, e)``, ``strbefore/strafter(e, e)``,
+  ``strlen/ucase/lcase/contains/substr/replace``,
+  ``abs/ceil/floor/round`` (spec ROUND = floor(x+0.5), ties toward
+  +∞; CEIL/FLOOR unified to double across engines),
+  ``IF(c, t, e)`` and ``COALESCE(…)``
   (1:1 engine builtins, usable in FILTER and BIND),
   numeric arithmetic ``+ - * /`` with parenthesized grouping
   (operands double-coerced; non-numeric bindings and division by
@@ -428,18 +432,55 @@ class EIsType(Expr):
 class EFunc(Expr):
     """SPARQL string functions with 1:1 engine builtins: STRLEN,
     UCASE, LCASE, CONTAINS, SUBSTR(s, start, len), REPLACE(s, find,
-    repl — literal find, not regex, per SPARQL REPLACE's simple use).
+    repl — literal find, not regex, per SPARQL REPLACE's simple use),
+    STRENDS, STRBEFORE, STRAFTER, and the numeric family
+    ABS/CEIL/FLOOR/ROUND.
     SUBSTR positions are 1-based in SPARQL, Spark and DuckDB alike;
     position args are cast to int in both backends so numeric literals
-    (parsed as doubles) behave identically."""
-    name: str   # strlen|ucase|lcase|contains|substr|replace
+    (parsed as doubles) behave identically.
+    STRBEFORE/STRAFTER follow the spec's empty-result rules: no
+    occurrence → "", and an empty needle means position 1 in both
+    engines, so STRBEFORE(s,"")="" and STRAFTER(s,"")=s fall out of
+    the same formula.
+    CEIL/FLOOR results are cast to double in both backends (Spark's
+    ceil returns BIGINT, DuckDB's returns DOUBLE — the cast unifies
+    them); ROUND is implemented as floor(x+0.5) in both, the spec's
+    ties-toward-+∞ rule (the engines' own round() builtins disagree
+    with the spec — and with each other — on negative ties).
+    Numeric-family variable args are TRY_CAST to double (the SPARQL
+    type-error-is-unbound rule, same as EArith)."""
+    name: str   # strlen|ucase|…|strafter|abs|ceil|floor|round
     args: list
 
     ARITY = {"strlen": 1, "ucase": 1, "lcase": 1, "contains": 2,
-             "substr": 3, "replace": 3}
+             "substr": 3, "replace": 3, "strends": 2, "strbefore": 2,
+             "strafter": 2, "abs": 1, "ceil": 1, "floor": 1,
+             "round": 1}
+    NUMERIC = {"abs", "ceil", "floor", "round"}
+
+    def _spark_args(self, env):
+        out = []
+        for x in self.args:
+            c = x.spark(env)
+            if self.name in self.NUMERIC and isinstance(x, EVar):
+                c = c.try_cast("double")
+            out.append(c)
+        return out
+
+    def _sql_args(self, env):
+        out = []
+        for x in self.args:
+            s = x.sql(env)
+            if self.name in self.NUMERIC:
+                if isinstance(x, EVar):
+                    s = "TRY_CAST(%s AS DOUBLE)" % s
+                elif isinstance(x, EConst) and x.numeric:
+                    s = "CAST(%s AS DOUBLE)" % s
+            out.append(s)
+        return out
 
     def spark(self, env):
-        a = [x.spark(env) for x in self.args]
+        a = self._spark_args(env)
         if self.name == "strlen":
             return F.length(a[0])
         if self.name == "ucase":
@@ -450,10 +491,33 @@ class EFunc(Expr):
             return a[0].contains(a[1])
         if self.name == "substr":
             return F.substring(a[0], a[1].cast("int"), a[2].cast("int"))
+        if self.name == "strends":
+            return a[0].endswith(a[1])
+        if self.name == "strbefore":
+            pos = F.position(a[1], a[0])
+            return F.when(pos > 0,
+                          F.substring(a[0], F.lit(1), pos - 1)) \
+                    .otherwise(F.lit(""))
+        if self.name == "strafter":
+            pos = F.position(a[1], a[0])
+            return F.when(pos > 0,
+                          F.substring(a[0], pos + F.length(a[1]),
+                                      F.length(a[0]))) \
+                    .otherwise(F.lit(""))
+        if self.name == "abs":
+            return F.abs(a[0])
+        if self.name == "ceil":
+            # + 0.0 flushes IEEE negative zero (DuckDB's ceil(-0.5)
+            # is -0.0, Spark's bigint ceil is 0) — both engines get it
+            return F.ceil(a[0]).cast("double") + F.lit(0.0)
+        if self.name == "floor":
+            return F.floor(a[0]).cast("double") + F.lit(0.0)
+        if self.name == "round":
+            return F.floor(a[0] + F.lit(0.5)).cast("double") + F.lit(0.0)
         return F.replace(a[0], a[1], a[2])
 
     def sql(self, env):
-        a = [x.sql(env) for x in self.args]
+        a = self._sql_args(env)
         if self.name == "strlen":
             return "length(%s)" % a[0]
         if self.name == "ucase":
@@ -465,7 +529,67 @@ class EFunc(Expr):
         if self.name == "substr":
             return "substr(%s, CAST(%s AS INTEGER), CAST(%s AS INTEGER))" \
                 % (a[0], a[1], a[2])
+        if self.name == "strends":
+            return "ends_with(%s, %s)" % (a[0], a[1])
+        if self.name == "strbefore":
+            return ("(CASE WHEN strpos(%s, %s) > 0 THEN "
+                    "substr(%s, 1, strpos(%s, %s) - 1) ELSE '' END)"
+                    % (a[0], a[1], a[0], a[0], a[1]))
+        if self.name == "strafter":
+            return ("(CASE WHEN strpos(%s, %s) > 0 THEN "
+                    "substr(%s, strpos(%s, %s) + length(%s)) "
+                    "ELSE '' END)"
+                    % (a[0], a[1], a[0], a[0], a[1], a[1]))
+        if self.name == "abs":
+            return "abs(%s)" % a[0]
+        if self.name == "ceil":
+            return "(CAST(ceil(%s) AS DOUBLE) + 0.0)" % a[0]
+        if self.name == "floor":
+            return "(CAST(floor(%s) AS DOUBLE) + 0.0)" % a[0]
+        if self.name == "round":
+            return "(CAST(floor(%s + 0.5) AS DOUBLE) + 0.0)" % a[0]
         return "replace(%s, %s, %s)" % (a[0], a[1], a[2])
+
+
+@dataclass
+class EIf(Expr):
+    """IF(cond, then, else) — both engines route a NULL condition to
+    the else branch (CASE WHEN NULL → ELSE), which is also what the
+    SPARQL error-propagation rule degrades to under the subset's
+    type-error-is-NULL convention. Branch values are uniformly cast
+    to VARCHAR (the subset's variables are strings; DuckDB refuses
+    mixed-type CASE arms, Spark would silently pick a common type —
+    the explicit cast makes both engines identical); re-coerce
+    numerically downstream with arithmetic's TRY_CAST as usual."""
+    cond: Expr
+    then: Expr
+    other: Expr
+
+    def spark(self, env):
+        return F.when(self.cond.spark(env),
+                      self.then.spark(env).cast("string")) \
+                .otherwise(self.other.spark(env).cast("string"))
+
+    def sql(self, env):
+        return "(CASE WHEN %s THEN CAST(%s AS VARCHAR) " \
+               "ELSE CAST(%s AS VARCHAR) END)" % (
+                   self.cond.sql(env), self.then.sql(env),
+                   self.other.sql(env))
+
+
+@dataclass
+class ECoalesce(Expr):
+    """COALESCE(…) — operands uniformly cast to VARCHAR in both
+    engines (same mixed-type rule as EIf)."""
+    parts: list   # Expr
+
+    def spark(self, env):
+        return F.coalesce(*[p.spark(env).cast("string")
+                            for p in self.parts])
+
+    def sql(self, env):
+        return "COALESCE(%s)" % ", ".join(
+            "CAST(%s AS VARCHAR)" % p.sql(env) for p in self.parts)
 
 
 @dataclass
@@ -1240,6 +1364,27 @@ class _Parser:
                 parts.append(self.expr())
             self.expect_op(")")
             return EConcat(parts)
+        if k == "kw" and v.lower() == "if":
+            self.i += 1
+            self.expect_op("(")
+            cond = self.expr()
+            self.expect_op(",")
+            then = self.expr()
+            self.expect_op(",")
+            other = self.expr()
+            self.expect_op(")")
+            return EIf(cond, then, other)
+        if k == "kw" and v.lower() == "coalesce":
+            self.i += 1
+            self.expect_op("(")
+            parts = [self.expr()]
+            while self.peek()[1] == ",":
+                self.i += 1
+                parts.append(self.expr())
+            self.expect_op(")")
+            if len(parts) < 1:
+                raise SparqlError("COALESCE needs arguments")
+            return ECoalesce(parts)
         if k == "kw" and v.lower() == "str":
             # str(?v) — identity here: objects are stored as strings
             self.i += 1

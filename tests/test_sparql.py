@@ -1073,3 +1073,64 @@ def test_describe_rejects_unsupported_forms():
         sparql.parse("DESCRIBE <u> WHERE { ?a <p> ?b }")
     with pytest.raises(sparql.SparqlError):
         sparql.parse("DESCRIBE ?a")
+
+
+def test_string_function_extras(graph):
+    """STRENDS / STRBEFORE / STRAFTER, incl. the spec's empty-needle
+    rules (STRBEFORE(s,"")="" and STRAFTER(s,"")=s — position 1 in
+    both engines) and the no-occurrence → "" rule."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?uri ?before ?after ?ends ?b0 ?a0 WHERE {
+          ?uri a foaf:Document .
+          ?uri dct:title ?t .
+          BIND(strbefore(?t, " ") AS ?before)
+          BIND(strafter(?t, " ") AS ?after)
+          BIND(strends(?t, "memo") AS ?ends)
+          BIND(strbefore(?t, "") AS ?b0)
+          BIND(strafter(?t, "") AS ?a0)
+        } ORDER BY ?uri
+    """)
+    s = out.set_index("uri")
+    assert s["before"]["d1"] == "Alpha" and s["after"]["d1"] == "report"
+    # "Gamma" has no space: both halves are "" (not the whole string)
+    assert s["before"]["d3"] == "" and s["after"]["d3"] == ""
+    assert bool(s["ends"]["d2"]) and not bool(s["ends"]["d1"])
+    assert s["b0"]["d2"] == "" and s["a0"]["d2"] == "Beta memo"
+
+
+def test_numeric_functions_and_if_coalesce(graph):
+    """ABS/CEIL/FLOOR/ROUND (spec ROUND: ties toward +∞ — round(-0.5)
+    is -0.0 ≡ 0), IF and COALESCE; CEIL/FLOOR unified to double."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?uri ?half ?c ?f ?r ?sz ?n2 WHERE {
+          ?uri dct:identifier ?n .
+          BIND(?n / 2 - 4 AS ?half)
+          BIND(ceil(?half) AS ?c)
+          BIND(floor(?half) AS ?f)
+          BIND(round(?half) AS ?r)
+          BIND(IF(?n > 5, "big", "small") AS ?sz)
+          BIND(COALESCE(abs(?uri), ?n, "x") AS ?n2)
+        } ORDER BY ?uri
+    """)
+    s = out.set_index("uri")
+    # d1: n=3 → half=-2.5 → ceil -2, floor -3, round(-2.5)=-2 (+∞ tie)
+    assert s["c"]["d1"] == -2.0 and s["f"]["d1"] == -3.0
+    assert s["r"]["d1"] == -2.0
+    # d2: n=12 → half=2.0; d3: n=7 → half=-0.5 → round is -0.0
+    assert s["r"]["d2"] == 2.0 and abs(s["r"]["d3"]) == 0.0
+    assert s["sz"]["d2"] == "big" and s["sz"]["d1"] == "small"
+    # abs("d1") is NULL (non-numeric) → COALESCE falls through to ?n
+    assert s["n2"]["d1"] == "3"
+
+
+def test_abs_coerces_non_numeric_to_null(graph):
+    """abs(?title) on a non-numeric binding is NULL (type-error-is-
+    unbound), not an error — same TRY_CAST rule as arithmetic."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?uri ?a WHERE {
+          ?uri dct:title ?t .
+          BIND(abs(?t) AS ?a)
+          FILTER(?uri = "d1")
+        }
+    """)
+    assert len(out) == 1 and pd.isna(out["a"][0])

@@ -68,6 +68,14 @@ filter_st = st.one_of(
               st.sampled_from(["d", "al", "g"])),
     # arithmetic: numeric-string objects coerce, others go NULL-false
     st.tuples(st.just("arith"), var_st, st.integers(0, 20)),
+    st.tuples(st.just("strends"), var_st,
+              st.sampled_from(["a", "o", "1"])),
+    # strafter/strbefore halves around a needle; both "" when absent
+    st.tuples(st.just("strafter"), var_st, st.sampled_from(["a", "l"])),
+    # ceil/floor/round/abs composition over the double coercion
+    st.tuples(st.just("numfn"), var_st, st.integers(0, 8)),
+    # IF + COALESCE (string-typed results in both engines)
+    st.tuples(st.just("iffn"), var_st, st.integers(0, 20)),
 )
 
 
@@ -83,6 +91,17 @@ def filter_sparql(f):
         return 'FILTER(bound(?%s))' % v
     if op == "arith":
         return 'FILTER((?%s + 1) * 2 >= %d)' % (v, arg)
+    if op == "strends":
+        return 'FILTER(strends(?%s, "%s"))' % (v, arg)
+    if op == "strafter":
+        return ('FILTER(strafter(?%s, "%s") != strbefore(?%s, "%s"))'
+                % (v, arg, v, arg))
+    if op == "numfn":
+        return ('FILTER(ceil(?%s / 3) - floor(?%s / 3) '
+                '+ abs(round(?%s / 7)) >= %d)' % (v, v, v, arg))
+    if op == "iffn":
+        return ('FILTER(IF(?%s > %d, "y", COALESCE(?%s, "n")) = "y")'
+                % (v, arg, v))
     return 'FILTER(strstarts(?%s, "%s"))' % (v, arg)
 
 
