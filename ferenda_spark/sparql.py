@@ -17,10 +17,13 @@ Supported subset (what ferenda's own queries use):
   CONSTRUCT; bnode-free CBD = outgoing triples)
 - basic graph patterns: ``?s <p> ?o`` triples with URI / prefixed /
   ``a`` / string-literal (with optional ``@lang``) / numeric terms
-- ``OPTIONAL { … }`` groups with their own FILTERs and BINDs,
-  nested to any depth (``OPTIONAL { … OPTIONAL { … } }``)
-- ``MINUS { … }`` (top level; per-spec no-op when the domains are
-  disjoint — the rule that distinguishes it from NOT EXISTS)
+- ``OPTIONAL { … }`` groups with their own FILTERs, BINDs, VALUES,
+  MINUS and FILTER [NOT] EXISTS blocks, nested to any depth, and
+  usable inside UNION branches / EXISTS / MINUS bodies
+- ``MINUS { … }`` in any group (per-spec no-op when the domains are
+  disjoint — the rule that distinguishes it from NOT EXISTS); a
+  UNION inside the MINUS body splits into one anti-join per
+  alternative
 - basic graph patterns with Turtle ``;`` predicate-object and ``,``
   object lists, and inverse predicates ``^p`` (incl. ``^p+``/``^p*``)
 - property-path alternation ``(p1|p2)`` (plain → predicate IN scan;
@@ -48,9 +51,11 @@ Supported subset (what ferenda's own queries use):
 - ``BIND(expr AS ?v)`` (top-level group and UNION branches; after the
   branch BGP, before its FILTERs), ``VALUES ?v { … }`` /
   ``VALUES (?a ?b) { (…)… }`` with ``UNDEF``
-- ``FILTER [NOT] EXISTS { … }`` (top-level; compiled to a left-semi /
-  left-anti join — Spark's native form — and a correlated (NOT)
-  EXISTS subquery in the SQL twin)
+- ``FILTER [NOT] EXISTS { … }`` in any group (compiled to a
+  left-semi / left-anti join — Spark's native form — and a
+  correlated (NOT) EXISTS subquery in the SQL twin); a UNION body
+  under NOT EXISTS De-Morgans into one anti-join per alternative
+  (positive EXISTS with a UNION body stays unsupported)
 - ``GRAPH <ctx> { … }`` → context-column constraint on the scans,
   property-path triples included (the closure runs over that
   context's edges only)
@@ -59,8 +64,10 @@ Supported subset (what ferenda's own queries use):
   both choices valid per spec and identical across backends), with
   ``GROUP BY`` and ``HAVING`` (over group vars + agg aliases)
 - property paths ``p*`` / ``p+`` / bounded ``p{m,n}`` & ``p{,n}``;
-  plain nested ``{ … }`` groups inline at any depth (UNION only at
-  the top level)
+  plain nested ``{ … }`` groups inline at any depth; UNION nests to
+  any depth via parse-time DNF distribution (``T·(A∪B) = T·A ∪
+  T·B``, multiset-preserving) — everywhere except inside OPTIONAL,
+  positive EXISTS, and GRAPH bodies
 - ``ASK { … }`` → one boolean row
 - subqueries ``{ SELECT … }`` at the top level of WHERE (explicit
   projection required; the body recurses through the full compiler,
@@ -175,6 +182,28 @@ class Group:
     minus: list = field(default_factory=list)     # [Group]
     optionals: list = field(default_factory=list)  # nested OPTIONALs
     subqueries: list = field(default_factory=list)  # [Query]
+
+
+def _merge_into(dst: Group, src: Group) -> None:
+    """Inline src's every field into dst (plain nested group, or one
+    DNF distribution step). Triple objects are shared, not copied —
+    they are read-only after parsing (GRAPH stamps contexts before
+    any distribution and rejects non-trivial bodies)."""
+    dst.triples.extend(src.triples)
+    dst.filters.extend(src.filters)
+    dst.binds.extend(src.binds)
+    dst.values.extend(src.values)
+    dst.exists.extend(src.exists)
+    dst.minus.extend(src.minus)
+    dst.optionals.extend(src.optionals)
+    dst.subqueries.extend(src.subqueries)
+
+
+def _merge_groups(a: Group, b: Group) -> Group:
+    g = Group()
+    _merge_into(g, a)
+    _merge_into(g, b)
+    return g
 
 
 @dataclass
@@ -898,6 +927,12 @@ class _Parser:
         if offset and not order:
             raise SparqlError("OFFSET without ORDER BY is not "
                               "deterministic; add an ORDER BY")
+        # a plain nested group inlined at the top level may carry
+        # OPTIONALs (g.optionals); at the top level those are the
+        # query's own optionals — the inline compile path reads
+        # query.optionals, not query.where.optionals
+        optionals = where.optionals + optionals
+        where.optionals = []
         q = Query(distinct, proj, where, optionals, order, limit,
                   unions, construct, group_by, ask, offset, having)
 
@@ -936,37 +971,35 @@ class _Parser:
                     g.subqueries.append(self._query_body(subquery=True))
                     self.expect_op("}")
                     continue
-                # { alt1 } UNION { alt2 } [UNION { alt3 }…]
-                alts = [self.simple_group()]
+                # { alt1 } UNION { alt2 } [UNION { alt3 }…] — each
+                # alternative parses through group_alts(), so UNIONs
+                # nested inside an alternative flatten into this same
+                # list (disjunctive normal form)
+                alts = list(self.group_alts())
                 while self.kw("UNION"):
-                    alts.append(self.simple_group())
+                    alts.extend(self.group_alts())
                 if len(alts) == 1:
                     # a plain nested group is just inlined (any depth)
-                    g.triples.extend(alts[0].triples)
-                    g.filters.extend(alts[0].filters)
-                    g.binds.extend(alts[0].binds)
-                elif not allow_optional:
-                    raise SparqlError("nested UNION is not supported")
+                    _merge_into(g, alts[0])
                 else:
                     unions.append(alts)
                 continue
             if k == "kw" and v.upper() == "OPTIONAL":
-                # supported at the top level AND nested inside OPTIONAL
-                # groups (any depth); inside UNION/EXISTS/MINUS it stays
-                # unsupported
-                if not (allow_optional or in_optional):
-                    raise SparqlError("OPTIONAL inside UNION/EXISTS/"
-                                      "MINUS is not supported")
+                # top level → the query's optionals list; inside any
+                # sub-group (OPTIONAL / UNION branch / EXISTS / MINUS)
+                # → g.optionals, which both group compilers LEFT-JOIN
+                # recursively
                 self.i += 1
                 sub = self.optional_group()
                 (optionals if allow_optional else g.optionals).append(sub)
                 continue
             if k == "kw" and v.upper() == "MINUS":
-                if not allow_optional:
-                    raise SparqlError("MINUS inside OPTIONAL/UNION is "
-                                      "not supported")
+                # a UNION inside the MINUS body splits into multiple
+                # MINUS entries: MINUS {A UNION B} removes solutions
+                # compatible with either, exactly what two successive
+                # anti-joins compute (set semantics)
                 self.i += 1
-                g.minus.append(self.simple_group())
+                g.minus.extend(self.group_alts())
                 continue
             if k == "kw" and v.upper() == "FILTER":
                 self.i += 1
@@ -981,11 +1014,16 @@ class _Parser:
                     self.i += 1
                     if not positive and not self.kw("EXISTS"):
                         raise SparqlError("expected NOT EXISTS")
-                    if not allow_optional:
-                        raise SparqlError("FILTER EXISTS inside "
-                                          "OPTIONAL/UNION is not "
-                                          "supported")
-                    g.exists.append((positive, self.simple_group()))
+                    # NOT EXISTS {A UNION B} ≡ NOT EXISTS A AND NOT
+                    # EXISTS B (De Morgan) → one anti-join each;
+                    # positive EXISTS with a UNION body would need an
+                    # OR of semi-joins — not expressible entry-wise
+                    ealts = self.group_alts()
+                    if positive and len(ealts) > 1:
+                        raise SparqlError("UNION inside FILTER EXISTS "
+                                          "is not supported")
+                    for ea in ealts:
+                        g.exists.append((positive, ea))
                 else:
                     g.filters.append(self.expr())
                 if parens:
@@ -999,6 +1037,10 @@ class _Parser:
                 if ctx[0] != "uri":
                     raise SparqlError("GRAPH needs a URI context")
                 sub = self.simple_group()
+                if (sub.optionals or sub.minus or sub.exists
+                        or sub.values or sub.subqueries):
+                    raise SparqlError("GRAPH supports only triples/"
+                                      "FILTER/BIND in its body")
                 for t in sub.triples:
                     t.graph = ctx[1]
                 g.triples.extend(sub.triples)
@@ -1018,9 +1060,6 @@ class _Parser:
                 g.binds.append((e, vn[1:]))
                 continue
             if k == "kw" and v.upper() == "VALUES":
-                if not allow_optional:
-                    raise SparqlError("VALUES inside OPTIONAL/UNION is "
-                                      "not supported")
                 self.i += 1
                 g.values.append(self.values_block())
                 continue
@@ -1066,18 +1105,38 @@ class _Parser:
             raise SparqlError("empty VALUES block")
         return (names, rows)
 
-    def simple_group(self) -> Group:
+    def group_alts(self) -> list:
+        """Parse a braced group where UNION may appear at any depth;
+        returns the disjunctive normal form — a list of alternative
+        Groups (one when no UNION occurs). Distribution
+        ``T · (A ∪ B) = T·A ∪ T·B`` preserves multiset semantics, so
+        nested UNIONs flatten into the same union machinery both
+        backends already compile; multiple UNION blocks in one group
+        cross-multiply."""
         g, optionals, unions = self.group(allow_optional=False)
-        assert not optionals and not unions
-        return g
+        assert not optionals
+        alts = [g]
+        for block in unions:
+            alts = [_merge_groups(a, b) for a in alts for b in block]
+        return alts
+
+    def simple_group(self) -> Group:
+        alts = self.group_alts()
+        if len(alts) != 1:
+            raise SparqlError("UNION is not supported in this group "
+                              "position")
+        return alts[0]
 
     def optional_group(self) -> Group:
-        """An OPTIONAL body: triples, FILTERs, BINDs and nested
-        OPTIONALs (attached to ``g.optionals``); UNION/VALUES/EXISTS
-        inside OPTIONAL stay unsupported."""
+        """An OPTIONAL body: triples, FILTERs, BINDs, VALUES, nested
+        OPTIONALs and MINUS/EXISTS (attached to the Group, compiled
+        recursively); UNION inside OPTIONAL stays unsupported (a left
+        join against a union is not DNF-distributable)."""
         g, optionals, unions = self.group(allow_optional=False,
                                           in_optional=True)
-        assert not optionals and not unions
+        assert not optionals
+        if unions:
+            raise SparqlError("UNION inside OPTIONAL is not supported")
         return g
 
     def path_mod(self):
@@ -1753,11 +1812,36 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
 
     def compile_group(g: Group, prefix: str):
         """One sub-group (UNION branch / OPTIONAL / EXISTS / MINUS
-        body) → (DataFrame, cols): chain its BGP, project BINDs,
-        LEFT-JOIN nested OPTIONALs (recursively), then apply FILTERs —
+        body) → (DataFrame, cols): chain its BGP, join VALUES blocks,
+        project BINDs, LEFT-JOIN nested OPTIONALs (recursively),
+        semi/anti-join nested EXISTS/MINUS, then apply FILTERs —
         SPARQL group scoping (filters see the whole group incl. its
         optionals)."""
         sub, cols = chain(g.triples, prefix)
+        for names, rows in g.values:
+            vname = "%sv%d" % (prefix, counter[0])
+            counter[0] += 1
+            vcols = {v: "%s__%s" % (vname, v) for v in names}
+            data = [tuple(None if t is None else t[1] for t in row)
+                    for row in rows]
+            vdf = triples.sparkSession.createDataFrame(
+                data, schema=", ".join("%s string" % vcols[v]
+                                       for v in names))
+            if sub is None:
+                sub = vdf
+            else:
+                shared = [v for v in names if v in cols]
+                if shared:
+                    cond = None
+                    for v in shared:
+                        c = (F.col(vcols[v]).isNull() |
+                             (F.col(cols[v]) == F.col(vcols[v])))
+                        cond = c if cond is None else (cond & c)
+                    sub = sub.join(F.broadcast(vdf), cond, "inner")
+                else:
+                    sub = sub.crossJoin(F.broadcast(vdf))
+            for v, c in vcols.items():
+                cols.setdefault(v, c)
         for e, var in g.binds:
             if var in cols:
                 raise SparqlError("BIND target ?%s is already bound"
@@ -1780,6 +1864,29 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                            "left")
             for v, c in ncols.items():
                 cols.setdefault(v, c)
+        for positive, eg in g.exists:
+            if sub is None:
+                raise SparqlError("FILTER EXISTS requires a preceding "
+                                  "pattern")
+            esub, ecols = compile_group(eg, prefix)
+            shared = [v for v in ecols if v in cols]
+            cond = None
+            for v in shared:
+                c = F.col(cols[v]) == F.col(ecols[v])
+                cond = c if cond is None else (cond & c)
+            sub = sub.join(esub,
+                           cond if cond is not None else F.lit(True),
+                           "left_semi" if positive else "left_anti")
+        for mg in g.minus:
+            msub, mcols = compile_group(mg, prefix)
+            shared = [v for v in mcols if v in cols]
+            if not shared:   # disjoint domains: MINUS removes nothing
+                continue
+            cond = None
+            for v in shared:
+                c = F.col(cols[v]) == F.col(mcols[v])
+                cond = c if cond is None else (cond & c)
+            sub = sub.join(msub, cond, "left_anti")
         for f in g.filters:
             sub = sub.filter(f.spark(colenv(cols)))
         return sub, cols
@@ -1923,8 +2030,6 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         plan = plan.join(sub, cond, "left_anti")
 
     for g in query.optionals:
-        if g.values:
-            raise SparqlError("VALUES inside OPTIONAL is not supported")
         sub, sub_cols = compile_group(g, "o")
         shared = [v for v in sub_cols if v in env_cols]
         cond = None
@@ -2177,7 +2282,9 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         """One sub-group (UNION branch / OPTIONAL / EXISTS / MINUS
         body) → (cols-map, FROM/JOIN parts, WHERE conds). BINDs become
         carried expressions; nested OPTIONALs recurse into LEFT-JOINed
-        subqueries (mirror of the Spark backend's compile_group)."""
+        subqueries; nested EXISTS/MINUS become correlated (NOT) EXISTS
+        conds; VALUES joins as an inline relation (mirror of the Spark
+        backend's compile_group)."""
         g_cols: dict[str, str] = {}
         g_parts: list[str] = []
         for t in _order_patterns(g.triples):
@@ -2192,6 +2299,29 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             else:
                 g_parts.append("CROSS JOIN %s" % sub)
             for v, c in cols.items():
+                g_cols.setdefault(v, c)
+        for names, rows in g.values:
+            al = "%sv%d" % (prefix, n[0])
+            n[0] += 1
+            vcols = {v: "%s__%s" % (al, v) for v in names}
+            rows_sql = ", ".join(
+                "(%s)" % ", ".join(
+                    "NULL" if t is None else
+                    "'%s'" % t[1].replace("'", "''") for t in row)
+                for row in rows)
+            rel = "(VALUES %s) %s(%s)" % (
+                rows_sql, al, ", ".join(vcols[v] for v in names))
+            shared = [v for v in names if v in g_cols]
+            if not g_parts:
+                g_parts.append("FROM %s" % rel)
+            elif shared:
+                on = " AND ".join(
+                    "(%s IS NULL OR %s = %s)"
+                    % (vcols[v], g_cols[v], vcols[v]) for v in shared)
+                g_parts.append("JOIN %s ON %s" % (rel, on))
+            else:
+                g_parts.append("CROSS JOIN %s" % rel)
+            for v, c in vcols.items():
                 g_cols.setdefault(v, c)
         for e, var in g.binds:
             if var in g_cols:
@@ -2214,7 +2344,29 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             g_parts.append("LEFT JOIN (%s) %s ON %s" % (inner, al, on))
             for v, c in out_cols.items():
                 g_cols.setdefault(v, c)
-        fconds = [f.sql(sqlenv(g_cols)) for f in g.filters]
+        fconds = []
+        for positive, eg in g.exists:
+            if not g_parts:
+                raise SparqlError("FILTER EXISTS requires a preceding "
+                                  "pattern")
+            e_cols, e_parts, econds = group_select(eg, prefix)
+            econds = list(econds)
+            econds += ["%s = %s" % (e_cols[v], g_cols[v])
+                       for v in sorted(e_cols) if v in g_cols]
+            fconds.append("%sEXISTS (SELECT 1 %s)"
+                          % ("" if positive else "NOT ",
+                             render(e_parts, econds)))
+        for mg in g.minus:
+            m_cols, m_parts, mconds = group_select(mg, prefix)
+            shared = [v for v in sorted(m_cols) if v in g_cols]
+            if not shared:   # disjoint domains: MINUS removes nothing
+                continue
+            mconds = list(mconds)
+            mconds += ["%s = %s" % (m_cols[v], g_cols[v])
+                       for v in shared]
+            fconds.append("NOT EXISTS (SELECT 1 %s)"
+                          % render(m_parts, mconds))
+        fconds += [f.sql(sqlenv(g_cols)) for f in g.filters]
         return g_cols, g_parts, fconds
 
     for bi, alts in enumerate(query.unions):
@@ -2333,8 +2485,6 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                            % render(m_parts, conds))
 
     for g in query.optionals:
-        if g.values:
-            raise SparqlError("VALUES inside OPTIONAL is not supported")
         sub_cols, sub_parts, fconds = group_select(g, "o")
         alias = "g%d" % n[0]
         n[0] += 1

@@ -646,14 +646,18 @@ def test_filter_not_exists(graph):
         } ORDER BY ?s
     """)
     assert list(out["s"]) == ["p1", "p2"]
-    with pytest.raises(sparql.SparqlError):
-        sparql.parse(PREFIXES + """
-            SELECT ?s WHERE {
-              ?s a foaf:Document .
-              OPTIONAL { ?s dct:publisher ?p .
-                         FILTER EXISTS { ?p a foaf:Organization } }
-            }
-        """)
+    # FILTER EXISTS inside OPTIONAL (formerly a documented raise):
+    # both publishers are typed Organization, so the optional keeps
+    # its bindings for d1/d3 and stays null for d2
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?p WHERE {
+          ?s a foaf:Document .
+          OPTIONAL { ?s dct:publisher ?p .
+                     FILTER EXISTS { ?p a foaf:Organization } }
+        } ORDER BY ?s
+    """)
+    s = out.set_index("s")["p"]
+    assert s["d1"] == "p1" and s["d3"] == "p2" and pd.isna(s["d2"])
 
 
 def test_lang_filter(graph):
@@ -1134,3 +1138,117 @@ def test_abs_coerces_non_numeric_to_null(graph):
         }
     """)
     assert len(out) == 1 and pd.isna(out["a"][0])
+
+
+def test_nested_union_flattens_dnf(graph):
+    """UNION inside a UNION alternative distributes at parse time:
+    T·(A∪B) ∪ C flattens to three top-level alternatives (multiset-
+    preserving), so both backends compile the same shape."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE {
+          { ?s dct:title ?t .
+            { ?s a foaf:Document } UNION { ?s a foaf:Organization } }
+          UNION
+          { ?s dct:isPartOf ?x }
+        }
+    """)
+    assert sorted(out["s"]) == ["d1", "d2", "d3", "d3", "d4", "p1"]
+
+
+def test_optional_inside_union_branch(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?pub WHERE {
+          { ?s a foaf:Document . OPTIONAL { ?s dct:publisher ?pub } }
+          UNION
+          { ?s a foaf:Organization }
+        } ORDER BY ?s
+    """)
+    s = out.set_index("s")["pub"]
+    assert s["d1"] == "p1" and s["d3"] == "p2"
+    assert pd.isna(s["d2"]) and pd.isna(s["p1"]) and pd.isna(s["p2"])
+
+
+def test_minus_inside_optional(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?pub WHERE {
+          ?s a foaf:Document .
+          OPTIONAL { ?s dct:publisher ?pub
+                     MINUS { ?s dct:isPartOf <d1> } }
+        } ORDER BY ?s
+    """)
+    s = out.set_index("s")["pub"]
+    # d3 isPartOf d1 → its publisher binding is MINUSed away inside
+    # the OPTIONAL; the doc row itself survives with a null
+    assert s["d1"] == "p1" and pd.isna(s["d3"]) and pd.isna(s["d2"])
+
+
+def test_minus_with_union_body(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE {
+          ?s a foaf:Document .
+          MINUS { { ?s dct:publisher <p1> }
+                  UNION { ?s dct:isPartOf <d1> } }
+        }
+    """)
+    assert list(out["s"]) == ["d2"]
+
+
+def test_not_exists_with_union_body_and_exists_raise(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE {
+          ?s a foaf:Document .
+          FILTER NOT EXISTS { { ?s dct:publisher <p1> }
+                              UNION { ?s dct:isPartOf <d1> } }
+        }
+    """)
+    assert list(out["s"]) == ["d2"]
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse(PREFIXES + """
+            SELECT ?s WHERE {
+              ?s a foaf:Document .
+              FILTER EXISTS { { ?s dct:publisher <p1> }
+                              UNION { ?s dct:isPartOf <d1> } }
+            }
+        """)
+
+
+def test_values_inside_union_branch_and_optional(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?t WHERE {
+          ?s dct:title ?t .
+          { ?s a foaf:Document . VALUES ?s { <d1> <d2> } }
+          UNION
+          { ?s a foaf:Organization }
+        }
+    """)
+    assert sorted(out["s"]) == ["d1", "d2", "p1"]
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?pub WHERE {
+          ?s a foaf:Document .
+          OPTIONAL { ?s dct:publisher ?pub . VALUES ?pub { <p2> } }
+        } ORDER BY ?s
+    """)
+    s = out.set_index("s")["pub"]
+    assert pd.isna(s["d1"]) and s["d3"] == "p2"
+
+
+def test_exists_inside_optional(graph):
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?pub WHERE {
+          ?s a foaf:Document .
+          OPTIONAL { ?s dct:publisher ?pub .
+                     FILTER NOT EXISTS { ?pub dct:title ?pt } }
+        } ORDER BY ?s
+    """)
+    s = out.set_index("s")["pub"]
+    # p1 carries a title → d1's optional binding is filtered away
+    assert pd.isna(s["d1"]) and s["d3"] == "p2"
+
+
+def test_graph_rejects_nonsimple_body():
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse("""
+            SELECT ?s WHERE {
+              GRAPH <g1> { ?s <p> ?o OPTIONAL { ?s <q> ?x } }
+            }
+        """)

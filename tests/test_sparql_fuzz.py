@@ -131,6 +131,20 @@ query_st = st.fixed_dictionaries({
     # contexts by subject)
     "graph": st.one_of(st.none(), st.sampled_from(["g1", "g2"])),
     "distinct": st.booleans(),
+    # structural nesting: OPTIONAL inside the left UNION branch, a
+    # VALUES block inside the right one, a UNION inside the MINUS
+    # body (parse-time DNF → two anti-joins), and a nested UNION
+    # inside the left branch (flattens into the same union)
+    "union_optional": st.booleans(),
+    "union_values": st.one_of(
+        st.none(), st.lists(st.sampled_from(SUBJECTS),
+                            min_size=1, max_size=2, unique=True)),
+    "minus_union": st.one_of(st.none(),
+                             st.lists(pattern_st, min_size=1,
+                                      max_size=2)),
+    "union_nested": st.one_of(st.none(),
+                              st.lists(pattern_st, min_size=1,
+                                       max_size=1)),
 })
 
 
@@ -159,10 +173,28 @@ def render_query(q):
         # both branches must share the same vars with the outer BGP
         if base_vars and (pvars(l) & base_vars) != (pvars(r) & base_vars):
             return None
-        # and at least one shared var when an outer BGP exists (the
-        # subset allows the cross join, but DISTINCT-less cross joins
-        # explode row counts for no test value)
-        body += "{ %s } UNION { %s } " % (bgp_sparql(l), bgp_sparql(r))
+        lbody, rbody = bgp_sparql(l), bgp_sparql(r)
+        if q.get("union_optional") and pvars(l):
+            lbody += (" . OPTIONAL { ?%s p:r ?uo }"
+                      % sorted(pvars(l))[0])
+            all_vars.add("uo")
+        nested = q.get("union_nested")
+        if nested:
+            # a UNION inside the left branch: DNF-distributes into the
+            # same top-level union machinery; the nested alternative
+            # must share the outer-BGP vars the branch shares (same
+            # rule the compiler enforces across alternatives)
+            if (pvars(nested) & base_vars) == (pvars(l) & base_vars):
+                lbody += (" { %s } UNION { %s }"
+                          % (bgp_sparql(l), bgp_sparql(nested)))
+                all_vars |= pvars(nested)
+            else:
+                nested = None
+        if q.get("union_values") and pvars(r):
+            rv = sorted(pvars(r))[0]
+            rbody += " . VALUES ?%s { %s }" % (
+                rv, " ".join("<%s>" % s for s in q["union_values"]))
+        body += "{ %s } UNION { %s } " % (lbody, rbody)
         all_vars |= pvars(l) | pvars(r)
     for f in q["filters"]:
         if f[1] not in all_vars or (q["union"] and f[1] not in base_vars):
@@ -173,7 +205,11 @@ def render_query(q):
         body += "FILTER %sEXISTS { %s } " % (
             "" if positive else "NOT ", bgp_sparql(pats))
     if q.get("minus"):
-        body += "MINUS { %s } " % bgp_sparql(q["minus"])
+        if q.get("minus_union"):
+            body += "MINUS { { %s } UNION { %s } } " % (
+                bgp_sparql(q["minus"]), bgp_sparql(q["minus_union"]))
+        else:
+            body += "MINUS { %s } " % bgp_sparql(q["minus"])
     if q["optional"]:
         opt_vars = pvars(q["optional"])
         opt_body = bgp_sparql(q["optional"])
