@@ -601,6 +601,32 @@ def _q_kg_sparql_seqpath(spark, sf_dir):
                                 _KG_SPARQL_SEQPATH)
 
 
+_KG_SPARQL_NESTED = """
+PREFIX dct: <http://purl.org/dc/terms/>
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+SELECT DISTINCT ?s ?title ?class WHERE {
+  ?s dct:title ?title .
+  { ?s a foaf:Document . OPTIONAL { ?s dct:publisher ?pub } }
+  UNION
+  { ?s dct:references ?o .
+    { ?s dct:identifier ?id } UNION { ?o dct:identifier ?id } }
+  BIND(IF(bound(?pub), "published",
+          COALESCE(strbefore(?title, " "), "solo")) AS ?class)
+  FILTER NOT EXISTS { { ?s dct:isPartOf ?pp }
+                      UNION { ?s dct:isReferencedBy ?citer } }
+} ORDER BY ?s ?title
+"""  # round-4 structural-nesting surface in one user-shaped query:
+# OPTIONAL inside a UNION branch, a nested UNION (DNF-distributed),
+# NOT EXISTS over a UNION body (De Morgan split), and the IF/
+# COALESCE/STRBEFORE expression additions
+
+
+def _q_kg_sparql_nested(spark, sf_dir):
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_NESTED)
+
+
 def _q_kg_sparql_minus(spark, sf_dir):
     from ferenda_spark import sparql
     return sparql.compile_spark(_kg_read(spark, "triples"),
@@ -907,6 +933,25 @@ def _q_bpe_pairs(spark, sf_dir):
     crosses into Python."""
     from ferenda_spark.operators.textops import bpe_pair_counts
     return bpe_pair_counts(_read(spark, sf_dir, "documents"), k=100)
+
+
+def _q_bpe_train(spark, sf_dir):
+    """Full BPE tokenizer training (Sennrich et al.): 60 merge rules
+    learned from the corpus word census. One corpus shuffle; the
+    merge loop runs on the driver over the capped vocabulary (the
+    bounded-driver-train pattern, like IVF). Oracle: single-threaded
+    pandas rerun of the same pure kernels (annoracle scheme)."""
+    from ferenda_spark.operators.bpe import bpe_train
+    return bpe_train(_read(spark, sf_dir, "documents"))
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """Train + encode: the top-200 BPE token census over the corpus
+    (token_count = Σ word-freq × occurrences). The encode stage maps
+    over the DISTINCT word census inside Arrow — corpus text never
+    re-enters Python."""
+    from ferenda_spark.operators.bpe import bpe_token_census
+    return bpe_token_census(_read(spark, sf_dir, "documents"))
 
 
 def _q_pack_sequences(spark, sf_dir):
@@ -1427,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": _q_kg_sparql_agg,
         "kg_sparql_subquery": _q_kg_sparql_subquery,
         "kg_sparql_seqpath": _q_kg_sparql_seqpath,
+        "kg_sparql_nested": _q_kg_sparql_nested,
         "kg_describe_rfc": _q_kg_describe_rfc,
         "kg_describe_base": _q_kg_describe_base,
         "kg_versions": _q_kg_versions,
@@ -1438,6 +1484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mixture": _q_resample_mixture,
         "top_ngrams": _q_top_ngrams,
         "bpe_pairs": _q_bpe_pairs,
+        "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
         "profile_orders": _q_profile_orders,
         "top_terms": _q_top_terms,
         "corpus_curate": _q_corpus_curate,
@@ -1555,6 +1603,8 @@ def oracle_sql() -> dict[str, str]:
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_SUBQUERY),
         "kg_sparql_seqpath": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_SEQPATH),
+        "kg_sparql_nested": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_SPARQL_NESTED),
         "kg_describe_rfc": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _RFC_ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),
@@ -1605,6 +1655,8 @@ def oracle_sql() -> dict[str, str]:
         # is a hard oracle for the distributed execution
         # (ferenda_spark.annoracle docstring explains the scheme and
         # why it is bit-exact).
+        "bpe_train": annoracle.sql_bpe_train(ann),
+        "bpe_encode": annoracle.sql_bpe_census(ann),
         "dedup_simhash": annoracle.sql_simhash(ann),
         "ann_lsh_topk": annoracle.sql_ann_topk(ann, "ann_lsh_topk"),
         "ann_ivf_topk": annoracle.sql_ann_topk(ann, "ann_ivf_topk"),

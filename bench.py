@@ -156,6 +156,14 @@ def main() -> None:
         from ferenda_spark import sparql
         return sparql.compile_spark(stages["triples"], E._KG_SPARQL_QUERY)
 
+    def kg_sparql_nested(spark, _):
+        # structural nesting: OPTIONAL inside a UNION branch, a
+        # DNF-distributed nested UNION, NOT EXISTS over a UNION body
+        # (two anti-joins), IF/COALESCE/STRBEFORE expressions
+        from ferenda_spark import sparql
+        return sparql.compile_spark(stages["triples"],
+                                    E._KG_SPARQL_NESTED)
+
     def kg_describe_rfc(spark, _):
         # the reference's rfc-annotations.rq verbatim shape: 5-branch
         # UNION (one with a references+ closure), BIND, isUri pushed as
@@ -178,6 +186,7 @@ def main() -> None:
         "kg_search": kg_search,
         "kg_search_indexed": kg_search_indexed,
         "kg_sparql": kg_sparql,
+        "kg_sparql_nested": kg_sparql_nested,
         "kg_describe_rfc": kg_describe_rfc,
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],
@@ -191,6 +200,7 @@ def main() -> None:
         "token_stats": qs["token_stats"],
         "top_ngrams": qs["top_ngrams"],
         "bpe_pairs": qs["bpe_pairs"],
+        "bpe_encode": qs["bpe_encode"],
         "quality_score": qs["quality_score"],
         "language_id": qs["language_id"],
         "pii_scrub": qs["pii_scrub"],

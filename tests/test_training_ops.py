@@ -736,3 +736,55 @@ def test_duplicate_window_driver_parity(spark, duck):
     import __spark_entry__ as E
     assert_parity(E.queries()["dedup_windows"](spark, SF_DIR),
                   duck, E.oracle_sql()["dedup_windows"])
+
+
+def test_bpe_learn_merges_golden():
+    """Hand-traced Sennrich training on a toy vocabulary."""
+    from ferenda_spark.operators.bpe import END, learn_merges
+    merges = learn_merges([("abab", 2), ("ab", 3)], 10)
+    assert merges == [("a", "b"), ("ab", END), ("ab", "ab" + END)]
+    # tiebreak: equal counts pick the lexicographically smaller pair —
+    # "(a, </w>)" beats "(a, b)" because "<" sorts before "b"
+    merges = learn_merges([("ba", 2), ("ab", 2)], 1)
+    assert merges == [("a", END)]
+    # a pair must occur at least twice to merge
+    assert learn_merges([("xy", 1)], 5) == []
+
+
+def test_bpe_encode_word_golden():
+    from ferenda_spark.operators.bpe import END, encode_word
+    ranks = {("a", "b"): 0, ("ab", END): 1, ("ab", "ab" + END): 2}
+    assert encode_word("ababab", ranks) == ["ab", "abab" + END]
+    assert encode_word("ab", ranks) == ["ab" + END]
+    # untrained symbols stay as characters + end marker
+    assert encode_word("xy", ranks) == ["x", "y", END]
+
+
+def test_bpe_train_spark_equals_kernel(spark):
+    """The distributed census + cap feeding the driver loop gives the
+    same merge table as running the kernel on hand-counted words."""
+    from ferenda_spark.operators.bpe import bpe_train, learn_merges
+    rows = [("d%d" % i, "the cat sat on the mat the cat" )
+            for i in range(4)] + [("e", "wildcard words here")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = bpe_train(df, num_merges=8, min_count=1, max_vocab=100) \
+        .toPandas()
+    counts = {}
+    for _, t in rows:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    expected = learn_merges(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])), 8)
+    got = list(zip(out["lhs"], out["rhs"]))
+    assert got == expected
+    assert list(out["merge_rank"]) == list(range(len(expected)))
+
+
+def test_bpe_driver_parity(spark, duck):
+    import __spark_entry__ as E
+    from ferenda_spark import annoracle
+    ann = annoracle.ensure_ann_tables(SF_DIR)
+    assert_parity(E.queries()["bpe_train"](spark, SF_DIR), duck,
+                  annoracle.sql_bpe_train(ann))
+    assert_parity(E.queries()["bpe_encode"](spark, SF_DIR), duck,
+                  annoracle.sql_bpe_census(ann))
