@@ -1057,6 +1057,58 @@ def _q_url_stats(spark, sf_dir):
     return url_stats(_url_injected_docs(spark, sf_dir))
 
 
+def _url_variant_docs(spark, sf_dir) -> DataFrame:
+    """One messy URL per document (twin: URLDEDUP_DOCS_SQL): mixed-case
+    scheme/host, www., default ports, trailing slash, tracking params,
+    fragments — distinct strings that canonicalize into shared
+    targets (host mod 5 × page mod 10 → real duplicate clusters)."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    url = F.concat(
+        F.when(d % 8 == 0, F.lit("HTTP://")).otherwise(F.lit("HTTPS://")),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Example"), s(d % 5), F.lit(".COM"),
+        F.when(d % 8 == 0, F.lit(":80"))
+         .when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Page/"), s(d % 10),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+         .when(d % 3 == 1, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit("#sec"), s(d)))
+         .otherwise(F.lit("")))
+    return docs.select("doc_id", url.alias("url"))
+
+
+# SQL twin of _url_variant_docs — change BOTH or parity breaks
+URLDEDUP_DOCS_SQL = (
+    "(SELECT doc_id,"
+    " CASE WHEN doc_id % 8 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END"
+    " || 'Example' || (doc_id % 5)::varchar || '.COM'"
+    " || CASE WHEN doc_id % 8 = 0 THEN ':80'"
+    "         WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END"
+    " || '/Page/' || (doc_id % 10)::varchar"
+    " || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'"
+    "         WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN '#sec' || doc_id::varchar"
+    "         ELSE '' END AS url"
+    " FROM documents)")
+
+
+def _q_url_dedup(spark, sf_dir):
+    """Refetch dedup by canonical URL (RFC 3986 syntax normalization +
+    tracking-param strip): per fetched row, its canonical form, the
+    keep/drop verdict (min doc_id representative) and cluster size.
+    Map-only canonicalization + one canonical-url-keyed window."""
+    from ferenda_spark.operators.curation import url_dedup
+    return url_dedup(_url_variant_docs(spark, sf_dir))
+
+
 # the blocklisted domains for _q_blocklist_filter — one definition,
 # rendered into both the Spark broadcast side and the oracle VALUES
 _BLOCKLIST_DOMAINS = ("example0.com", "example3.com", "blog.example2.org")
@@ -1498,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "url_stats": _q_url_stats,
         "blocklist_filter": _q_blocklist_filter,
+        "url_dedup": _q_url_dedup,
         # relational / faceting analogs (DuckDB-oracled)
         "facet_pivot": _q_facet_pivot,
         "events_windowed": _q_events_windowed,
@@ -1640,6 +1693,8 @@ def oracle_sql() -> dict[str, str]:
         "url_stats": textops.oracle_sql_url_stats(table=URL_DOCS_SQL),
         "blocklist_filter": textops.oracle_sql_blocklist(
             _BLOCKLIST_DOMAINS, table=URL_DOCS_SQL),
+        "url_dedup": curation.oracle_sql_url_dedup(
+            table=URLDEDUP_DOCS_SQL + " urls"),
         "dedup_exact": dedup.oracle_sql_exact_duplicates(dup_docs),
         "dedup_lines": dedup.oracle_sql_line_dedup(table=BOILER_DOCS_SQL),
         "dedup_windows": dedup.oracle_sql_duplicate_windows(

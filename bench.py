@@ -207,6 +207,7 @@ def main() -> None:
         "normalize_text": qs["normalize_text"],
         "url_stats": qs["url_stats"],
         "blocklist_filter": qs["blocklist_filter"],
+        "url_dedup": qs["url_dedup"],
         "facet_pivot": qs["facet_pivot"],
         "events_windowed": qs["events_windowed"],
         "events_sessionize": qs["events_sessionize"],

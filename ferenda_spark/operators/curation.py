@@ -337,3 +337,126 @@ def oracle_sql_normalize(table: str = "documents",
     FROM {table}
     ORDER BY doc_id
     """
+
+
+# tracking parameters stripped by url canonicalization — the public
+# utm/click-id family every crawl pipeline drops before refetch dedup
+TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)="
+
+# the shared parse regexes (dialect intersection of Spark's Java
+# regex and DuckDB's RE2, like NORM_STEPS)
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATHQ_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
+
+
+def canonical_url_col(url) -> "F.Column":
+    """URL canonicalization as one native column expression: strip
+    fragment; lowercase scheme + host; drop default ports (:80 http,
+    :443 https); strip a leading ``www.``; strip trailing slashes on
+    the path; drop tracking query params (:data:`TRACKING_PARAM_RE`)
+    and sort the survivors. The standard refetch-normalization rules
+    (RFC 3986 §6 syntax-based normalization + the crawl-pipeline
+    extras). Non-URL input degrades deterministically (empty
+    scheme/host), never errors.
+
+    Query-param ordering note: array_sort here and list_sort in the
+    SQL twin are both code-point orderings only for ASCII; params are
+    percent-encoded ASCII in well-formed URLs, which is what keeps
+    the two engines identical.
+    """
+    u = F.coalesce(url, F.lit(""))
+    nofrag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(nofrag, _HOSTPORT_RE, 1))
+    host = (F.when(scheme == "http",
+                   F.regexp_replace(hostport, ":80$", ""))
+            .when(scheme == "https",
+                  F.regexp_replace(hostport, ":443$", ""))
+            .otherwise(hostport))
+    host = F.regexp_replace(host, r"^www\.", "")
+    pathq = F.regexp_extract(nofrag, _PATHQ_RE, 1)
+    path = F.regexp_replace(F.regexp_extract(pathq, "^([^?]*)", 1),
+                            "/+$", "")
+    query = F.regexp_extract(pathq, r"[?](.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE)))
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs == "", F.lit(""))
+         .otherwise(F.concat(F.lit("?"), qs)))
+
+
+def url_dedup(df: DataFrame, id_col: str = "doc_id",
+              url_col: str = "url") -> DataFrame:
+    """Refetch dedup by canonical URL: the Common-Crawl-shaped input
+    carries one row per (url, fetch), and mirrors/trackers/fragments
+    make textually distinct urls point at one resource.
+
+    → (doc_id, canonical_url, keep, dup_count): per fetched row, its
+    canonical form, whether it is the cluster representative
+    (min doc_id — deterministic), and the cluster size. Callers drop
+    ``keep = false``.
+
+    Scale notes: canonicalization is a map-only codegen projection;
+    the verdict is ONE hash shuffle keyed by canonical_url (a window,
+    not a self-join). Url-keyed groups are tiny (refetch multiplicity),
+    so no skew handling is needed — unlike domain-keyed aggregations
+    (cf. textops.url_stats).
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy("canonical_url")
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      canonical_url_col(F.col(url_col))
+                      .alias("canonical_url"))
+            .withColumn("keep",
+                        F.col("doc_id") == F.min("doc_id").over(w))
+            .withColumn("dup_count", F.count(F.lit(1)).over(w))
+            .orderBy("doc_id"))
+
+
+def oracle_sql_url_dedup(table: str = "documents",
+                         url_expr: str = "url") -> str:
+    """DuckDB twin of :func:`url_dedup` (same regex chain via RE2,
+    list lambdas for the param sort)."""
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, regexp_replace(coalesce({url_expr}, ''),
+                                    '#.*$', '') AS nofrag
+      FROM {table}
+    ), parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(nofrag, '{_SCHEME_RE}', 1)) AS scheme,
+        lower(regexp_extract(nofrag, '{_HOSTPORT_RE}', 1)) AS hostport,
+        regexp_extract(nofrag, '{_PATHQ_RE}', 1) AS pathq
+      FROM raw
+    ), norm AS (
+      SELECT doc_id, scheme,
+        regexp_replace(
+          CASE WHEN scheme = 'http'
+               THEN regexp_replace(hostport, ':80$', '')
+               WHEN scheme = 'https'
+               THEN regexp_replace(hostport, ':443$', '')
+               ELSE hostport END, '^www\\.', '') AS host,
+        regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                       '/+$', '') AS path,
+        coalesce(array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+          x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}')
+        )), '&'), '') AS qs
+        -- coalesce: DuckDB's array_to_string([]) is NULL where
+        -- Spark's array_join([]) is ''
+      FROM parts
+    ), canon AS (
+      SELECT doc_id,
+        scheme || '://' || host || path ||
+        CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+      FROM norm
+    )
+    SELECT doc_id, canonical_url,
+      doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS keep,
+      count(*) OVER (PARTITION BY canonical_url) AS dup_count
+    FROM canon ORDER BY doc_id
+    """

@@ -788,3 +788,45 @@ def test_bpe_driver_parity(spark, duck):
                   annoracle.sql_bpe_train(ann))
     assert_parity(E.queries()["bpe_encode"](spark, SF_DIR), duck,
                   annoracle.sql_bpe_census(ann))
+
+
+def test_canonical_url_semantics(spark):
+    from ferenda_spark.operators.curation import canonical_url_col
+    from pyspark.sql import functions as F
+    cases = [
+        # full mess: case, www, default port, trailing slash,
+        # tracking params, unsorted params, fragment
+        ("HTTPS://WWW.Example.COM:443/a/B/?utm_source=x&z=1&a=2#frag",
+         "https://example.com/a/B?a=2&z=1"),
+        ("http://Example.com:80", "http://example.com"),
+        # non-default port survives; path case survives
+        ("http://example.com:8080/X", "http://example.com:8080/X"),
+        # ftp: unknown scheme keeps its port
+        ("ftp://Host.com:80/f", "ftp://host.com:80/f"),
+        ("https://a.com/p///", "https://a.com/p"),
+        # all params tracking → no '?' at all
+        ("https://a.com/p?utm_a=1&gclid=2", "https://a.com/p"),
+        # degenerate input degrades deterministically, never errors
+        ("not a url", "://"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url_col(F.col("url")).alias("c"))
+           .collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_driver_parity(spark, duck):
+    import __spark_entry__ as E
+    assert_parity(E.queries()["url_dedup"](spark, SF_DIR), duck,
+                  E.oracle_sql()["url_dedup"])
+    # the injection actually produces duplicate clusters
+    out = E.queries()["url_dedup"](spark, SF_DIR).toPandas()
+    assert (out["dup_count"] > 1).any()
+    assert (~out["keep"]).any()
+    # exactly one representative per canonical url
+    reps = out[out["keep"]].groupby("canonical_url").size()
+    assert (reps == 1).all()
+    assert set(out[out["keep"]]
+               .groupby("canonical_url")["doc_id"].min()) == \
+        set(out[out["keep"]]["doc_id"])
