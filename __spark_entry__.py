@@ -935,6 +935,15 @@ def _q_bpe_pairs(spark, sf_dir):
     return bpe_pair_counts(_read(spark, sf_dir, "documents"), k=100)
 
 
+def _q_related_docs(spark, sf_dir):
+    """More-like-this over the corpus: per document, its 5 most
+    similar documents by shared tf·idf-selected keywords (integer
+    co-occurrence score — bit-exact across engines in any aggregation
+    order; idf lives in the keyword selection)."""
+    from ferenda_spark.operators.textops import related_docs
+    return related_docs(_read(spark, sf_dir, "documents"))
+
+
 def _q_bpe_train(spark, sf_dir):
     """Full BPE tokenizer training (Sennrich et al.): 60 merge rules
     learned from the corpus word census. One corpus shuffle; the
@@ -1538,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": _q_bpe_pairs,
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
+        "related_docs": _q_related_docs,
         "profile_orders": _q_profile_orders,
         "top_terms": _q_top_terms,
         "corpus_curate": _q_corpus_curate,
@@ -1680,6 +1690,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders": textops.oracle_sql_profile(
             "orders", _PROFILE_COLS),
         "top_terms": textops.oracle_sql_top_terms(k=5),
+        "related_docs": textops.oracle_sql_related_docs(),
         "corpus_curate": _corpus_curate_sql(),
         "quality_score": textops.oracle_sql_quality(),
         "language_id": textops.oracle_sql_language_id(),

@@ -201,6 +201,7 @@ def main() -> None:
         "top_ngrams": qs["top_ngrams"],
         "bpe_pairs": qs["bpe_pairs"],
         "bpe_encode": qs["bpe_encode"],
+        "related_docs": qs["related_docs"],
         "quality_score": qs["quality_score"],
         "language_id": qs["language_id"],
         "pii_scrub": qs["pii_scrub"],

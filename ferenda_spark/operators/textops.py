@@ -621,3 +621,71 @@ def oracle_sql_blocklist(domains, table: str = "documents",
     FROM {table} d LEFT JOIN hits h USING (doc_id)
     ORDER BY d.doc_id
     """
+
+
+def related_docs(df: DataFrame, k_terms: int = 5, k_out: int = 5,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """More-like-this: per document, the top-``k_out`` most similar
+    documents by shared keywords (the fulltext "related documents"
+    feature; candidate terms are each doc's top-``k_terms`` tf·idf
+    keywords from :func:`top_terms_per_doc`).
+
+    → (doc_id, related_id, shared_terms, sim, rank). The similarity
+    is Σ over shared keywords of tf_a·tf_b — integer on purpose:
+    float tf·idf dot products sum in engine-dependent order and can
+    flip ranks on near-ties, while int64 sums are bit-exact in any
+    order. The idf weighting lives in the keyword SELECTION (ubiquitous
+    terms don't make a doc's top-k), not the score.
+
+    Scale shape: the keyword table is k_terms rows per doc; the
+    self-join is keyed by term with posting lists bounded by each
+    term's df — already idf-pruned by selection, so the quadratic
+    blowup of a raw term join never materializes (a term every doc
+    ranks top-k would be a corpus-constant, which idf pushes out of
+    the top-k). Residual hot terms are AQE skew-join territory; one
+    term-keyed shuffle + one (a,b)-keyed aggregate + the per-doc
+    window.
+    """
+    from pyspark.sql import Window
+    tt = (top_terms_per_doc(df, k=k_terms, id_col=id_col,
+                            text_col=text_col)
+          .select(F.col(id_col).alias("a_id"), "term",
+                  F.col("tf").alias("tf_a")))
+    other = tt.select(F.col("a_id").alias("b_id"), "term",
+                      F.col("tf_a").alias("tf_b"))
+    pairs = (tt.join(other, "term")
+             .where(F.col("a_id") != F.col("b_id"))
+             .groupBy("a_id", "b_id")
+             .agg(F.count(F.lit(1)).alias("shared_terms"),
+                  F.sum(F.col("tf_a") * F.col("tf_b")).alias("sim")))
+    w = Window.partitionBy("a_id").orderBy(
+        F.desc("sim"), F.desc("shared_terms"), F.asc("b_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_out)
+            .select(F.col("a_id").alias("doc_id"),
+                    F.col("b_id").alias("related_id"),
+                    "shared_terms", "sim", "rank")
+            .orderBy("doc_id", "rank"))
+
+
+def oracle_sql_related_docs(table: str = "documents", k_terms: int = 5,
+                            k_out: int = 5) -> str:
+    return f"""
+    WITH sel AS ({oracle_sql_top_terms(table, k_terms)}),
+    tt AS (SELECT doc_id AS a_id, term, tf AS tf_a FROM sel),
+    p AS (
+      SELECT tt.a_id, o.a_id AS b_id,
+             count(*)::bigint AS shared_terms,
+             sum(tt.tf_a * o.tf_a)::bigint AS sim
+      FROM tt JOIN tt o USING (term)
+      WHERE tt.a_id <> o.a_id
+      GROUP BY tt.a_id, o.a_id),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY a_id
+        ORDER BY sim DESC, shared_terms DESC, b_id) AS rank
+      FROM p)
+    SELECT a_id AS doc_id, b_id AS related_id, shared_terms, sim, rank
+    FROM r WHERE rank <= {k_out} ORDER BY doc_id, rank
+    """

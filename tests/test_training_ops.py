@@ -830,3 +830,28 @@ def test_url_dedup_driver_parity(spark, duck):
     assert set(out[out["keep"]]
                .groupby("canonical_url")["doc_id"].min()) == \
         set(out[out["keep"]]["doc_id"])
+
+
+def test_related_docs_semantics(spark):
+    from ferenda_spark.operators.textops import related_docs
+    rows = [(1, "apple banana apple cherry"),
+            (2, "apple banana apple"),
+            (3, "cherry cherry durian"),
+            (4, "unrelated words only")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = related_docs(df, k_terms=3, k_out=5).toPandas()
+    by_doc = {d: list(g["related_id"])
+              for d, g in out.groupby("doc_id")}
+    # d1 shares apple(2·2)+banana(1·1)=5 with d2, cherry(1·2)=2 with d3
+    assert by_doc[1] == [2, 3]
+    sims = out.set_index(["doc_id", "related_id"])["sim"]
+    assert sims[(1, 2)] == 5 and sims[(1, 3)] == 2
+    assert by_doc[2] == [1] and by_doc[3] == [1]
+    # d4 shares nothing → no rows at all
+    assert 4 not in by_doc
+
+
+def test_related_docs_driver_parity(spark, duck):
+    import __spark_entry__ as E
+    assert_parity(E.queries()["related_docs"](spark, SF_DIR), duck,
+                  E.oracle_sql()["related_docs"])
