@@ -66,8 +66,11 @@ Supported subset (what ferenda's own queries use):
 - property paths ``p*`` / ``p+`` / bounded ``p{m,n}`` & ``p{,n}``;
   plain nested ``{ … }`` groups inline at any depth; UNION nests to
   any depth via parse-time DNF distribution (``T·(A∪B) = T·A ∪
-  T·B``, multiset-preserving) — everywhere except inside OPTIONAL,
-  positive EXISTS, and GRAPH bodies
+  T·B``, multiset-preserving) — everywhere except inside positive
+  EXISTS and GRAPH bodies; a UNION as an OPTIONAL body compiles to
+  ONE left join against the NULL-padded union of the alternatives
+  (left joins don't distribute over union; branches must bind the
+  same outer variables)
 - ``ASK { … }`` → one boolean row
 - subqueries ``{ SELECT … }`` at the top level of WHERE (explicit
   projection required; the body recurses through the full compiler,
@@ -182,6 +185,11 @@ class Group:
     minus: list = field(default_factory=list)     # [Group]
     optionals: list = field(default_factory=list)  # nested OPTIONALs
     subqueries: list = field(default_factory=list)  # [Query]
+    # an OPTIONAL body that is a UNION: the alternatives (already
+    # DNF-distributed); when set, every other field is empty and the
+    # compilers LEFT JOIN against the aligned union of the compiled
+    # alternatives (one left join, not one per branch)
+    union_alts: list = field(default_factory=list)
 
 
 def _merge_into(dst: Group, src: Group) -> None:
@@ -944,6 +952,8 @@ class _Parser:
                 yield from walk(mg)
             for _, eg in g.exists:
                 yield from walk(eg)
+            for ag in g.union_alts:
+                yield from walk(ag)
         for top in ([q.where] + q.optionals
                     + [a for alts in q.unions for a in alts]):
             for g in walk(top):
@@ -1130,13 +1140,21 @@ class _Parser:
     def optional_group(self) -> Group:
         """An OPTIONAL body: triples, FILTERs, BINDs, VALUES, nested
         OPTIONALs and MINUS/EXISTS (attached to the Group, compiled
-        recursively); UNION inside OPTIONAL stays unsupported (a left
-        join against a union is not DNF-distributable)."""
+        recursively). A UNION inside the body is NOT DNF-distributable
+        into multiple OPTIONALs (left joins don't distribute over
+        union), so the body becomes a ``union_alts`` group: the
+        compilers left-join ONCE against the aligned union of the
+        compiled alternatives."""
         g, optionals, unions = self.group(allow_optional=False,
                                           in_optional=True)
         assert not optionals
         if unions:
-            raise SparqlError("UNION inside OPTIONAL is not supported")
+            alts = [g]
+            for block in unions:
+                alts = [_merge_groups(a, b) for a in alts for b in block]
+            out = Group()
+            out.union_alts = alts
+            return out
         return g
 
     def path_mod(self):
@@ -1853,7 +1871,7 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
             sub = sub.withColumn(bname, e.spark(colenv(cols)))
             cols[var] = bname
         for ng in g.optionals:
-            nsub, ncols = compile_group(ng, prefix)
+            nsub, ncols = compile_optional(ng, prefix, cols)
             shared = [v for v in ncols if v in cols]
             cond = None
             for v in shared:
@@ -1890,6 +1908,36 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         for f in g.filters:
             sub = sub.filter(f.spark(colenv(cols)))
         return sub, cols
+
+    def compile_optional(ng: Group, prefix: str, outer_cols):
+        """An OPTIONAL body → (DataFrame, cols). A union-bodied
+        OPTIONAL compiles every alternative, aligns them on the union
+        of their variables (NULL-padded) and left-joins ONCE against
+        the combined relation — left joins don't distribute over
+        union, so this is the only correct shape."""
+        if not ng.union_alts:
+            return compile_group(ng, prefix)
+        compiled = [compile_group(a, prefix) for a in ng.union_alts]
+        shared_sets = [frozenset(set(cols) & set(outer_cols))
+                       for _, cols in compiled]
+        if len(set(shared_sets)) > 1:
+            raise SparqlError("OPTIONAL UNION branches must bind the "
+                              "same outer variables")
+        all_vars: list[str] = []
+        for _, cols in compiled:
+            for v in cols:
+                if v not in all_vars:
+                    all_vars.append(v)
+        canon = {v: "oa%d__%s" % (counter[0], v) for v in all_vars}
+        counter[0] += 1
+        aligned = None
+        for sub, cols in compiled:
+            sel = [(F.col(cols[v]) if v in cols
+                    else F.lit(None).cast("string")).alias(canon[v])
+                   for v in all_vars]
+            part = sub.select(*sel)
+            aligned = part if aligned is None else aligned.unionByName(part)
+        return aligned, canon
 
     plan, env_cols = chain(query.where.triples, "t")
 
@@ -2030,7 +2078,7 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         plan = plan.join(sub, cond, "left_anti")
 
     for g in query.optionals:
-        sub, sub_cols = compile_group(g, "o")
+        sub, sub_cols = compile_optional(g, "o", env_cols)
         shared = [v for v in sub_cols if v in env_cols]
         cond = None
         for v in shared:
@@ -2331,14 +2379,8 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                 raise SparqlError("BIND requires a preceding pattern")
             g_cols[var] = e.sql(sqlenv(g_cols))
         for ng in g.optionals:
-            ncols, nparts, nconds = group_select(ng, prefix)
-            al = "n%d" % n[0]
-            n[0] += 1
-            out_cols = {v: "%s__%s" % (al, v) for v in ncols}
-            inner_sel = ", ".join("%s AS %s" % (ncols[v], out_cols[v])
-                                  for v in ncols) or "1 AS %s__x" % al
-            inner = "SELECT %s %s" % (inner_sel, render(nparts, nconds))
-            shared = [v for v in ncols if v in g_cols]
+            out_cols, inner, al = optional_select(ng, prefix, g_cols)
+            shared = [v for v in out_cols if v in g_cols]
             on = " AND ".join("%s = %s" % (g_cols[v], out_cols[v])
                               for v in shared) or "TRUE"
             g_parts.append("LEFT JOIN (%s) %s ON %s" % (inner, al, on))
@@ -2368,6 +2410,42 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                           % render(m_parts, mconds))
         fconds += [f.sql(sqlenv(g_cols)) for f in g.filters]
         return g_cols, g_parts, fconds
+
+    def optional_select(ng: Group, prefix: str, outer_cols):
+        """An OPTIONAL body → (out_cols, inner-select SQL, alias);
+        union-bodied OPTIONALs become one LEFT JOIN against a
+        NULL-padded UNION ALL of the alternatives (mirror of the
+        Spark backend's compile_optional)."""
+        al = "n%d" % n[0]
+        n[0] += 1
+        if not ng.union_alts:
+            ncols, nparts, nconds = group_select(ng, prefix)
+            out_cols = {v: "%s__%s" % (al, v) for v in ncols}
+            inner_sel = ", ".join("%s AS %s" % (ncols[v], out_cols[v])
+                                  for v in ncols) or "1 AS %s__x" % al
+            return out_cols, "SELECT %s %s" % (
+                inner_sel, render(nparts, nconds)), al
+        compiled = [group_select(a, prefix) for a in ng.union_alts]
+        shared_sets = [frozenset(set(cols) & set(outer_cols))
+                       for cols, _, _ in compiled]
+        if len(set(shared_sets)) > 1:
+            raise SparqlError("OPTIONAL UNION branches must bind the "
+                              "same outer variables")
+        all_vars: list[str] = []
+        for cols, _, _ in compiled:
+            for v in cols:
+                if v not in all_vars:
+                    all_vars.append(v)
+        out_cols = {v: "%s__%s" % (al, v) for v in all_vars}
+        selects = []
+        for cols, g_parts2, fconds2 in compiled:
+            sel = ", ".join(
+                ("%s AS %s" % (cols[v], out_cols[v])) if v in cols
+                else ("CAST(NULL AS VARCHAR) AS %s" % out_cols[v])
+                for v in all_vars) or "1 AS %s__x" % al
+            selects.append("SELECT %s %s" % (sel,
+                                             render(g_parts2, fconds2)))
+        return out_cols, " UNION ALL ".join(selects), al
 
     for bi, alts in enumerate(query.unions):
         compiled = [group_select(g, "u") for g in alts]
@@ -2485,14 +2563,8 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                            % render(m_parts, conds))
 
     for g in query.optionals:
-        sub_cols, sub_parts, fconds = group_select(g, "o")
-        alias = "g%d" % n[0]
-        n[0] += 1
-        out_cols = {v: "%s__%s" % (alias, v) for v in sub_cols}
-        inner_sel = ", ".join("%s AS %s" % (sub_cols[v], out_cols[v])
-                              for v in sub_cols) or "1 AS x"
-        inner = "SELECT %s %s" % (inner_sel, render(sub_parts, fconds))
-        shared = [v for v in sub_cols if v in env_cols]
+        out_cols, inner, alias = optional_select(g, "o", env_cols)
+        shared = [v for v in out_cols if v in env_cols]
         on = " AND ".join("%s = %s" % (env_cols[v], out_cols[v])
                           for v in shared) or "TRUE"
         parts.append("LEFT JOIN (%s) %s ON %s" % (inner, alias, on))

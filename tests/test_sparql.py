@@ -1252,3 +1252,43 @@ def test_graph_rejects_nonsimple_body():
               GRAPH <g1> { ?s <p> ?o OPTIONAL { ?s <q> ?x } }
             }
         """)
+
+
+def test_union_inside_optional(graph):
+    """OPTIONAL over a UNION body: one left join against the aligned
+    union of the alternatives (NOT one OPTIONAL per branch — left
+    joins don't distribute over union)."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?label WHERE {
+          ?s a foaf:Document .
+          OPTIONAL { { ?s dct:title ?label }
+                     UNION { ?s dct:identifier ?label } }
+        } ORDER BY ?s ?label
+    """)
+    # every document has a title AND an identifier → two rows each
+    assert list(out["s"]) == ["d1", "d1", "d2", "d2", "d3", "d3"]
+    assert sorted(out[out["s"] == "d1"]["label"]) == ["3", "Alpha report"]
+    # branches binding DIFFERENT non-shared vars NULL-pad each other
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?pub ?parent WHERE {
+          ?s a foaf:Document .
+          OPTIONAL { { ?s dct:publisher ?pub }
+                     UNION { ?s dct:isPartOf ?parent } }
+        } ORDER BY ?s
+    """)
+    d3 = out[out["s"] == "d3"]
+    assert len(d3) == 2   # d3 has a publisher AND a parent
+    assert set(d3["pub"].fillna("-")) == {"p2", "-"}
+    d2 = out[out["s"] == "d2"]   # d2 has neither → one all-null row
+    assert len(d2) == 1 and pd.isna(d2["pub"]).all()
+
+
+def test_union_inside_optional_shared_var_rule():
+    with pytest.raises(sparql.SparqlError):
+        sparql.compile_sql("t", PREFIXES + """
+            SELECT ?s ?p WHERE {
+              ?s dct:title ?t .
+              OPTIONAL { { ?s dct:publisher ?p }
+                         UNION { ?x dct:publisher ?p } }
+            }
+        """)

@@ -145,6 +145,11 @@ query_st = st.fixed_dictionaries({
     "union_nested": st.one_of(st.none(),
                               st.lists(pattern_st, min_size=1,
                                        max_size=1)),
+    # a UNION as the OPTIONAL body (one left join against the aligned
+    # union of the alternatives)
+    "optional_union": st.one_of(st.none(),
+                                st.lists(pattern_st, min_size=1,
+                                         max_size=2)),
 })
 
 
@@ -210,7 +215,16 @@ def render_query(q):
                 bgp_sparql(q["minus"]), bgp_sparql(q["minus_union"]))
         else:
             body += "MINUS { %s } " % bgp_sparql(q["minus"])
-    if q["optional"]:
+    if q["optional"] and q.get("optional_union"):
+        a, b = q["optional"], q["optional_union"]
+        # both alternatives must share the same outer variables (the
+        # rule both compilers enforce for OPTIONAL UNION bodies)
+        if (pvars(a) & all_vars) != (pvars(b) & all_vars):
+            return None
+        body += "OPTIONAL { { %s } UNION { %s } } " % (
+            bgp_sparql(a), bgp_sparql(b))
+        all_vars |= pvars(a) | pvars(b)
+    elif q["optional"]:
         opt_vars = pvars(q["optional"])
         opt_body = bgp_sparql(q["optional"])
         f = q.get("optional_filter")
