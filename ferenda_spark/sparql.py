@@ -973,10 +973,6 @@ class _Parser:
                 # joined on its projected variables)
                 k2, v2 = self.toks[self.i + 1]
                 if k2 == "kw" and v2.upper() == "SELECT":
-                    if not allow_optional:
-                        raise SparqlError("subqueries inside OPTIONAL/"
-                                          "UNION/EXISTS are not "
-                                          "supported")
                     self.i += 1
                     g.subqueries.append(self._query_body(subquery=True))
                     self.expect_op("}")
@@ -1026,14 +1022,17 @@ class _Parser:
                         raise SparqlError("expected NOT EXISTS")
                     # NOT EXISTS {A UNION B} ≡ NOT EXISTS A AND NOT
                     # EXISTS B (De Morgan) → one anti-join each;
-                    # positive EXISTS with a UNION body would need an
-                    # OR of semi-joins — not expressible entry-wise
+                    # positive EXISTS {A UNION B} ≡ one semi-join
+                    # against the aligned union of the alternatives
+                    # (a union_alts wrapper, like OPTIONAL bodies)
                     ealts = self.group_alts()
                     if positive and len(ealts) > 1:
-                        raise SparqlError("UNION inside FILTER EXISTS "
-                                          "is not supported")
-                    for ea in ealts:
-                        g.exists.append((positive, ea))
+                        w = Group()
+                        w.union_alts = ealts
+                        g.exists.append((True, w))
+                    else:
+                        for ea in ealts:
+                            g.exists.append((positive, ea))
                 else:
                     g.filters.append(self.expr())
                 if parens:
@@ -1860,6 +1859,27 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                     sub = sub.crossJoin(F.broadcast(vdf))
             for v, c in vcols.items():
                 cols.setdefault(v, c)
+        for sq in g.subqueries:
+            names = [_proj_alias(p) for p in sq.proj]
+            ssub = compile_spark(triples, sq)
+            scols = {}
+            for v in names:
+                c = "%ssq%d__%s" % (prefix, counter[0], v)
+                counter[0] += 1
+                ssub = ssub.withColumnRenamed(v, c)
+                scols[v] = c
+            if sub is None:
+                sub = ssub
+            else:
+                shared = [v for v in names if v in cols]
+                cond = None
+                for v in shared:
+                    c = F.col(cols[v]) == F.col(scols[v])
+                    cond = c if cond is None else (cond & c)
+                sub = (sub.join(ssub, cond, "inner") if cond is not None
+                       else sub.crossJoin(ssub))
+            for v, c in scols.items():
+                cols.setdefault(v, c)
         for e, var in g.binds:
             if var in cols:
                 raise SparqlError("BIND target ?%s is already bound"
@@ -1886,7 +1906,9 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
             if sub is None:
                 raise SparqlError("FILTER EXISTS requires a preceding "
                                   "pattern")
-            esub, ecols = compile_group(eg, prefix)
+            esub, ecols = (compile_optional(eg, prefix, cols)
+                           if eg.union_alts
+                           else compile_group(eg, prefix))
             shared = [v for v in ecols if v in cols]
             cond = None
             for v in shared:
@@ -1921,8 +1943,9 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         shared_sets = [frozenset(set(cols) & set(outer_cols))
                        for _, cols in compiled]
         if len(set(shared_sets)) > 1:
-            raise SparqlError("OPTIONAL UNION branches must bind the "
-                              "same outer variables")
+            raise SparqlError("UNION branches in an OPTIONAL/EXISTS "
+                              "body must bind the same outer "
+                              "variables")
         all_vars: list[str] = []
         for _, cols in compiled:
             for v in cols:
@@ -2054,7 +2077,8 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
     # variables (the Spark-native form: no row multiplication, the
     # probe side streams, AQE broadcasts a small EXISTS pattern)
     for positive, g in query.where.exists:
-        sub, sub_cols = compile_group(g, "e")
+        sub, sub_cols = (compile_optional(g, "e", env_cols)
+                         if g.union_alts else compile_group(g, "e"))
         shared = [v for v in sub_cols if v in env_cols]
         cond = None
         for v in shared:
@@ -2371,6 +2395,25 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                 g_parts.append("CROSS JOIN %s" % rel)
             for v, c in vcols.items():
                 g_cols.setdefault(v, c)
+        for sq in g.subqueries:
+            names = [_proj_alias(p) for p in sq.proj]
+            al = "%ssq%d" % (prefix, n[0])
+            n[0] += 1
+            scols = {v: "%s__%s" % (al, v) for v in names}
+            inner = "SELECT %s FROM (%s) %s_raw" % (
+                ", ".join("%s AS %s" % (v, scols[v]) for v in names),
+                compile_sql(table_sql, sq), al)
+            shared = [v for v in names if v in g_cols]
+            if not g_parts:
+                g_parts.append("FROM (%s) %s" % (inner, al))
+            elif shared:
+                on = " AND ".join("%s = %s" % (g_cols[v], scols[v])
+                                  for v in shared)
+                g_parts.append("JOIN (%s) %s ON %s" % (inner, al, on))
+            else:
+                g_parts.append("CROSS JOIN (%s) %s" % (inner, al))
+            for v, c in scols.items():
+                g_cols.setdefault(v, c)
         for e, var in g.binds:
             if var in g_cols:
                 raise SparqlError("BIND target ?%s is already bound"
@@ -2391,6 +2434,16 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             if not g_parts:
                 raise SparqlError("FILTER EXISTS requires a preceding "
                                   "pattern")
+            if eg.union_alts:
+                e_out, inner, al = optional_select(eg, prefix, g_cols)
+                conds = ["%s = %s" % (e_out[v], g_cols[v])
+                         for v in sorted(e_out) if v in g_cols]
+                fconds.append(
+                    "%sEXISTS (SELECT 1 FROM (%s) %s%s)"
+                    % ("" if positive else "NOT ", inner, al,
+                       (" WHERE " + " AND ".join(conds))
+                       if conds else ""))
+                continue
             e_cols, e_parts, econds = group_select(eg, prefix)
             econds = list(econds)
             econds += ["%s = %s" % (e_cols[v], g_cols[v])
@@ -2429,8 +2482,9 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         shared_sets = [frozenset(set(cols) & set(outer_cols))
                        for cols, _, _ in compiled]
         if len(set(shared_sets)) > 1:
-            raise SparqlError("OPTIONAL UNION branches must bind the "
-                              "same outer variables")
+            raise SparqlError("UNION branches in an OPTIONAL/EXISTS "
+                              "body must bind the same outer "
+                              "variables")
         all_vars: list[str] = []
         for cols, _, _ in compiled:
             for v in cols:
@@ -2543,6 +2597,15 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
     # FILTER [NOT] EXISTS → correlated (NOT) EXISTS subquery joined to
     # the outer scan aliases on the shared variables
     for positive, g in query.where.exists:
+        if g.union_alts:
+            e_out, inner, al = optional_select(g, "e", env_cols)
+            conds = ["%s = %s" % (e_out[v], env_cols[v])
+                     for v in sorted(e_out) if v in env_cols]
+            where_conds.append(
+                "%sEXISTS (SELECT 1 FROM (%s) %s%s)"
+                % ("" if positive else "NOT ", inner, al,
+                   (" WHERE " + " AND ".join(conds)) if conds else ""))
+            continue
         e_cols, e_parts, conds = group_select(g, "e")
         conds += ["%s = %s" % (e_cols[v], env_cols[v])
                   for v in sorted(e_cols) if v in env_cols]

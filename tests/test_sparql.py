@@ -1193,7 +1193,7 @@ def test_minus_with_union_body(graph):
     assert list(out["s"]) == ["d2"]
 
 
-def test_not_exists_with_union_body_and_exists_raise(graph):
+def test_not_exists_with_union_body(graph):
     out = run_both(graph, PREFIXES + """
         SELECT ?s WHERE {
           ?s a foaf:Document .
@@ -1202,14 +1202,6 @@ def test_not_exists_with_union_body_and_exists_raise(graph):
         }
     """)
     assert list(out["s"]) == ["d2"]
-    with pytest.raises(sparql.SparqlError):
-        sparql.parse(PREFIXES + """
-            SELECT ?s WHERE {
-              ?s a foaf:Document .
-              FILTER EXISTS { { ?s dct:publisher <p1> }
-                              UNION { ?s dct:isPartOf <d1> } }
-            }
-        """)
 
 
 def test_values_inside_union_branch_and_optional(graph):
@@ -1292,3 +1284,44 @@ def test_union_inside_optional_shared_var_rule():
                          UNION { ?x dct:publisher ?p } }
             }
         """)
+
+
+def test_exists_with_union_body(graph):
+    """Positive EXISTS over a UNION body: one semi-join against the
+    aligned union (EXISTS(A∪B) = EXISTS A OR EXISTS B)."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE {
+          ?s a foaf:Document .
+          FILTER EXISTS { { ?s dct:publisher <p1> }
+                          UNION { ?s dct:isPartOf <d1> } }
+        } ORDER BY ?s
+    """)
+    # d1 via publisher, d3 via isPartOf; d2 neither
+    assert list(out["s"]) == ["d1", "d3"]
+
+
+def test_subquery_inside_optional_and_union(graph):
+    """{ SELECT … } now legal in sub-groups: an aggregate subquery
+    joined inside an OPTIONAL body and inside a UNION branch."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?n WHERE {
+          ?s a foaf:Document .
+          OPTIONAL {
+            ?s dct:publisher ?pub .
+            { SELECT ?pub (COUNT(?d) AS ?n)
+              WHERE { ?d dct:publisher ?pub } GROUP BY ?pub }
+          }
+        } ORDER BY ?s
+    """)
+    s = out.set_index("s")["n"]
+    # each publisher publishes exactly one doc in the fixture
+    assert s["d1"] == 1 and s["d3"] == 1 and pd.isna(s["d2"])
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?t WHERE {
+          ?s dct:title ?t .
+          { { SELECT ?s WHERE { ?s dct:publisher <p1> } } }
+          UNION
+          { ?s a foaf:Organization }
+        } ORDER BY ?s
+    """)
+    assert list(out["s"]) == ["d1", "p1"]
