@@ -87,6 +87,13 @@ def _kg_facet_query_sql(kg_paths: dict) -> str:
         context="kg")
 
 
+def _kg_rdfs_sql(kg_paths: dict) -> str:
+    from ferenda_spark.operators.inference import (
+        CORPUS_ONTOLOGY, sql_rdfs_entailed)
+    return sql_rdfs_entailed("read_parquet('%s')" % kg_paths["triples"],
+                             CORPUS_ONTOLOGY)
+
+
 def _kg_paths() -> dict[str, str]:
     from ferenda_spark.kgcache import ensure_kg_tables
     return ensure_kg_tables(KG_N)
@@ -263,6 +270,15 @@ def _q_kg_citation_map(spark, sf_dir):
                     F.col("subject").alias("uri"))
             .where(F.col("need") != "").distinct())
     return ranked_average_precision(ranked, gold)
+
+
+def _q_kg_rdfs_entailed(spark, sf_dir):
+    """RDFS forward-chaining materialization (the batch analog of the
+    reference triplestore's reasoner) under the corpus's published
+    DCMI/BIBO axioms: one broadcast join per rule, distinct output."""
+    from ferenda_spark.operators.inference import (
+        CORPUS_ONTOLOGY, rdfs_materialize)
+    return rdfs_materialize(_kg_read(spark, "triples"), CORPUS_ONTOLOGY)
 
 
 def _q_kg_doc_stats(spark, sf_dir):
@@ -1511,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": _q_kg_hits,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
+        "kg_rdfs_entailed": _q_kg_rdfs_entailed,
         "kg_doc_stats": _q_kg_doc_stats,
         "kg_keyword_hubs": _q_kg_keyword_hubs,
         "kg_minted_uris": _q_kg_minted_uris,
@@ -1632,6 +1649,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": kgoracle.sql_hits(kg),
         "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
         "kg_citation_map": kgoracle.sql_citation_map(kg),
+        "kg_rdfs_entailed": _kg_rdfs_sql(kg),
         "kg_doc_stats": kgoracle.sql_doc_stats(kg),
         "kg_keyword_hubs": kgoracle.sql_keyword_hubs(kg),
         "kg_minted_uris": kgoracle.sql_minted_uris(kg),

@@ -164,6 +164,13 @@ def main() -> None:
         return sparql.compile_spark(stages["triples"],
                                     E._KG_SPARQL_NESTED)
 
+    def kg_rdfs_entailed(spark, _):
+        # RDFS materialization: one broadcast join per rule over the
+        # triple scan; the only shuffle is the final (s,p,o) distinct
+        from ferenda_spark.operators.inference import (CORPUS_ONTOLOGY,
+                                                       rdfs_materialize)
+        return rdfs_materialize(stages["triples"], CORPUS_ONTOLOGY)
+
     def kg_describe_rfc(spark, _):
         # the reference's rfc-annotations.rq verbatim shape: 5-branch
         # UNION (one with a references+ closure), BIND, isUri pushed as
@@ -188,6 +195,7 @@ def main() -> None:
         "kg_sparql": kg_sparql,
         "kg_sparql_nested": kg_sparql_nested,
         "kg_describe_rfc": kg_describe_rfc,
+        "kg_rdfs_entailed": kg_rdfs_entailed,
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute

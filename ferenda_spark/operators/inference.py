@@ -1,0 +1,273 @@
+"""RDFS forward-chaining materialization over the triple table.
+
+The reference stores distilled graphs in a triplestore and leaves
+entailment to the store (ref ferenda/triplestore.py:56-104 — Fuseki /
+Sesame backends, whose RDFS reasoners materialize at query time). A
+Spark KG pipeline wants the opposite: materialize the entailed triples
+ONCE as a batch operator, so every downstream query (facets, SPARQL,
+annotations) reads plain parquet without a reasoner. This implements
+the useful RDFS rule subset:
+
+- rdfs5/rdfs11: ``subPropertyOf`` / ``subClassOf`` transitivity
+- rdfs7:  (s p o), (p ⊑q q)        → (s q o)
+- rdfs2:  (p domain C), (s p o)    → (s rdf:type C)
+- rdfs3:  (p range  C), (s p o:uri)→ (o rdf:type C)
+- rdfs9:  (s rdf:type C), (C ⊑ D)  → (s rdf:type D)
+
+Scale design: the schema (ontology) is small by nature — thousands of
+terms against billions of data triples — so the schema closures are
+computed on the driver (plain Python fixpoint over the ontology plus
+any schema triples found in the data; that collect is bounded by the
+ontology size, not the corpus) and every rule application is ONE
+broadcast join against the data scan. No data-sized shuffle exists
+except the final ``distinct`` that dedups derived against asserted
+triples — and that one is keyed by the uniform (s,p,o) hash. One pass
+is a fixpoint for this rule set given a static schema: derived triples
+are either (s q o) with q a schema superproperty (closed upfront) or
+``rdf:type`` triples, which feed only rdfs9 (applied last, over the
+closed subclass relation). The one unsupported corner — an ontology
+that declares superproperties or domain/range for ``rdf:type`` itself
+— raises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..namespaces import NS, RDF_TYPE
+
+RDFS_SUBCLASS = NS["rdfs"] + "subClassOf"
+RDFS_SUBPROP = NS["rdfs"] + "subPropertyOf"
+RDFS_DOMAIN = NS["rdfs"] + "domain"
+RDFS_RANGE = NS["rdfs"] + "range"
+SCHEMA_PREDS = (RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE)
+
+
+def _closure(pairs: set[tuple[str, str]]) -> set[tuple[str, str]]:
+    """Driver-side transitive closure (non-reflexive) of a small
+    relation — the schema twin of graph/closure.py's fixpoint."""
+    out = {(a, b) for a, b in pairs if a != b}
+    while True:
+        new = {(a, c)
+               for a, b in out for b2, c in out
+               if b == b2 and a != c} - out
+        if not new:
+            return out
+        out |= new
+
+
+def schema_closure(ontology: list[tuple[str, str, str]],
+                   data_schema: list[tuple[str, str, str]] = ()):
+    """→ (subclass_pairs, subprop_pairs, domain_pairs, range_pairs),
+    with both subsumption relations transitively closed. ``ontology``
+    is the supplied schema; ``data_schema`` any schema triples found in
+    the data (same shape)."""
+    sc, sp, dom, rng = set(), set(), set(), set()
+    for s, p, o in list(ontology) + list(data_schema):
+        if p == RDFS_SUBCLASS:
+            sc.add((s, o))
+        elif p == RDFS_SUBPROP:
+            sp.add((s, o))
+        elif p == RDFS_DOMAIN:
+            dom.add((s, o))
+        elif p == RDFS_RANGE:
+            rng.add((s, o))
+        else:
+            raise ValueError("not a schema triple predicate: %s" % p)
+    sc, sp = _closure(sc), _closure(sp)
+    if any(RDF_TYPE in pair for pair in sp) or \
+       any(p == RDF_TYPE for p, _ in dom | rng):
+        raise ValueError("schema over rdf:type itself is not supported "
+                         "(would need an iterative fixpoint)")
+    # rdfs7-then-rdfs2/3 composition: a domain/range axiom on a
+    # SUPERproperty applies to data asserted with the SUBproperty, so
+    # fold the axioms down the (closed) subproperty relation upfront —
+    # after this, one broadcast join per rule is the full fixpoint.
+    sub_of = {}
+    for a, b in sp:
+        sub_of.setdefault(b, set()).add(a)
+    for axioms in (dom, rng):
+        for p, c in list(axioms):
+            for q in sub_of.get(p, ()):
+                axioms.add((q, c))
+    return sc, sp, dom, rng
+
+
+def _pair_df(spark: SparkSession, pairs, cols) -> DataFrame | None:
+    if not pairs:
+        return None
+    return spark.createDataFrame(sorted(pairs), "%s string, %s string"
+                                 % cols)
+
+
+def rdfs_materialize(triples: DataFrame,
+                     ontology: list[tuple[str, str, str]],
+                     include_data_schema: bool = True) -> DataFrame:
+    """→ distinct entailed (subject, predicate, object, objtype): the
+    asserted data triples plus everything the RDFS rule subset derives
+    under ``ontology`` (∪ schema triples asserted in the data, unless
+    disabled). Derived object types: superproperty derivations keep the
+    source triple's objtype; rdf:type derivations are 'uri'."""
+    spark = triples.sparkSession
+    data_schema = []
+    if include_data_schema:
+        # bounded collect: schema triples are ontology-sized, never
+        # corpus-sized (same justification as broadcast-join selection)
+        data_schema = [(r.subject, r.predicate, r.object) for r in
+                       (triples.where(F.col("predicate")
+                                      .isin(*SCHEMA_PREDS))
+                        .select("subject", "predicate", "object")
+                        .distinct().collect())]
+    sc, sp, dom, rng = schema_closure(ontology, data_schema)
+
+    # No per-branch distinct: derived duplicates collapse in the ONE
+    # terminal (s,p,o) distinct, so the only data-sized shuffle in the
+    # whole plan is that final dedup. Each rule branch pre-filters with
+    # a STATIC predicate-IN list (redundant with its broadcast join) —
+    # on the (bucket, predicate)-partitioned production triple layout
+    # those reach the scan as partition-pruning filters, so a rule over
+    # 4 schema predicates reads 4 predicate partitions, not the corpus.
+    data = triples.select("subject", "predicate", "object", "objtype")
+    parts = [data]
+    type_parts = []
+
+    sp_df = _pair_df(spark, sp, ("sub_p", "super_p"))
+    if sp_df is not None:  # rdfs7
+        parts.append(
+            data.where(F.col("predicate").isin(*{a for a, _ in sp}))
+            .join(F.broadcast(sp_df),
+                  data["predicate"] == sp_df["sub_p"])
+            .select("subject", F.col("super_p").alias("predicate"),
+                    "object", "objtype"))
+    # domain/range read the asserted triples only: the axioms were
+    # folded down the subproperty relation in schema_closure, so the
+    # rdfs7-derived copies add nothing rules 2/3 would see
+    dom_df = _pair_df(spark, dom, ("on_p", "cls"))
+    if dom_df is not None:  # rdfs2
+        type_parts.append(
+            data.where(F.col("predicate").isin(*{p for p, _ in dom}))
+            .join(F.broadcast(dom_df),
+                  data["predicate"] == dom_df["on_p"])
+            .select("subject", F.col("cls").alias("object")))
+    rng_df = _pair_df(spark, rng, ("on_p", "cls"))
+    if rng_df is not None:  # rdfs3
+        type_parts.append(
+            data.where((F.col("objtype") == "uri") &
+                       F.col("predicate").isin(*{p for p, _ in rng}))
+            .join(F.broadcast(rng_df),
+                  data["predicate"] == rng_df["on_p"])
+            .select(F.col("object").alias("subject"),
+                    F.col("cls").alias("object")))
+    as_triples = [tp.select("subject",
+                            F.lit(RDF_TYPE).alias("predicate"),
+                            "object", F.lit("uri").alias("objtype"))
+                  for tp in type_parts]
+    parts.extend(as_triples)
+    sc_df = _pair_df(spark, sc, ("sub_c", "super_c"))
+    if sc_df is not None:  # rdfs9 over asserted ∪ rules-2/3-derived types
+        types = (data.where(F.col("predicate") == RDF_TYPE)
+                 .select("subject", "object"))
+        for tp in type_parts:
+            types = types.union(tp)
+        parts.append(
+            types.join(F.broadcast(sc_df),
+                       types["object"] == sc_df["sub_c"])
+            .select("subject", F.lit(RDF_TYPE).alias("predicate"),
+                    F.col("super_c").alias("object"),
+                    F.lit("uri").alias("objtype")))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.distinct()
+
+
+def sql_rdfs_entailed(table_sql: str,
+                      ontology: list[tuple[str, str, str]]) -> str:
+    """DuckDB twin of :func:`rdfs_materialize` (include_data_schema
+    semantics included): recursive CTEs close the two subsumption
+    relations over ontology VALUES ∪ data schema triples, then the
+    same four rule joins, UNION (set) dedup."""
+    def vals(triples):
+        rows = ", ".join("('%s', '%s', '%s')"
+                         % tuple(x.replace("'", "''") for x in t)
+                         for t in triples)
+        return rows or "(NULL, NULL, NULL)"
+    return f"""
+WITH RECURSIVE onto(s, p, o) AS (
+  SELECT * FROM (VALUES {vals(ontology)}) v(s, p, o) WHERE s IS NOT NULL
+  UNION
+  SELECT DISTINCT subject, predicate, object FROM {table_sql}
+  WHERE predicate IN ('{RDFS_SUBCLASS}', '{RDFS_SUBPROP}',
+                      '{RDFS_DOMAIN}', '{RDFS_RANGE}')
+),
+sc(a, b) AS (
+  SELECT s, o FROM onto WHERE p = '{RDFS_SUBCLASS}' AND s <> o
+  UNION
+  SELECT sc.a, onto.o FROM sc JOIN onto
+    ON onto.p = '{RDFS_SUBCLASS}' AND onto.s = sc.b AND sc.a <> onto.o
+),
+sp(a, b) AS (
+  SELECT s, o FROM onto WHERE p = '{RDFS_SUBPROP}' AND s <> o
+  UNION
+  SELECT sp.a, onto.o FROM sp JOIN onto
+    ON onto.p = '{RDFS_SUBPROP}' AND onto.s = sp.b AND sp.a <> onto.o
+),
+dom(p, c) AS (
+  SELECT s, o FROM onto WHERE p = '{RDFS_DOMAIN}'
+  UNION
+  SELECT sp.a, d.o FROM onto d JOIN sp ON sp.b = d.s
+  WHERE d.p = '{RDFS_DOMAIN}'
+),
+rng(p, c) AS (
+  SELECT s, o FROM onto WHERE p = '{RDFS_RANGE}'
+  UNION
+  SELECT sp.a, r.o FROM onto r JOIN sp ON sp.b = r.s
+  WHERE r.p = '{RDFS_RANGE}'
+),
+data AS (
+  SELECT DISTINCT subject, predicate, object, objtype FROM {table_sql}
+),
+typed AS (
+  SELECT subject, object FROM data
+  WHERE predicate = '{RDF_TYPE}'
+  UNION
+  SELECT subject, c FROM data JOIN dom ON data.predicate = dom.p
+  UNION
+  SELECT data.object, c FROM data JOIN rng ON data.predicate = rng.p
+  WHERE data.objtype = 'uri'
+)
+SELECT subject, predicate, object, objtype FROM data
+UNION
+SELECT subject, sp.b, object, objtype FROM data
+  JOIN sp ON data.predicate = sp.a
+UNION
+SELECT subject, '{RDF_TYPE}', c, 'uri' FROM data
+  JOIN dom ON data.predicate = dom.p
+UNION
+SELECT data.object, '{RDF_TYPE}', c, 'uri' FROM data
+  JOIN rng ON data.predicate = rng.p
+  WHERE data.objtype = 'uri'
+UNION
+SELECT typed.subject, '{RDF_TYPE}', sc.b, 'uri' FROM typed
+  JOIN sc ON typed.object = sc.a
+"""
+
+
+# The synthetic corpus's mini ontology: the published DCMI / BIBO
+# axioms that actually hold for its vocabulary (dcterms:references ⊑
+# relation, creator ⊑ contributor, agent-valued ranges; BIBO's
+# Document ⊑ foaf:Document chain) plus the corpus's own rfc:RFC class.
+CORPUS_ONTOLOGY: list[tuple[str, str, str]] = [
+    (NS["rfc"] + "RFC", RDFS_SUBCLASS, NS["bibo"] + "Standard"),
+    (NS["bibo"] + "Standard", RDFS_SUBCLASS, NS["bibo"] + "Document"),
+    (NS["bibo"] + "DocumentPart", RDFS_SUBCLASS, NS["bibo"] + "Document"),
+    (NS["bibo"] + "Document", RDFS_SUBCLASS, NS["foaf"] + "Document"),
+    (NS["dcterms"] + "references", RDFS_SUBPROP, NS["dcterms"] + "relation"),
+    (NS["dcterms"] + "isPartOf", RDFS_SUBPROP, NS["dcterms"] + "relation"),
+    (NS["dcterms"] + "creator", RDFS_SUBPROP, NS["dcterms"] + "contributor"),
+    (NS["dcterms"] + "relation", RDFS_DOMAIN, NS["foaf"] + "Document"),
+    (NS["dcterms"] + "publisher", RDFS_RANGE, NS["dcterms"] + "Agent"),
+    (NS["dcterms"] + "rightsHolder", RDFS_RANGE, NS["dcterms"] + "Agent"),
+]

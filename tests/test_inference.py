@@ -1,0 +1,107 @@
+"""RDFS materialization: hand-derived entailments, DuckDB twin parity,
+idempotence, and the rdf:type-schema guard."""
+
+import duckdb
+import pytest
+
+from ferenda_spark.namespaces import NS, RDF_TYPE
+from ferenda_spark.operators.inference import (
+    CORPUS_ONTOLOGY, RDFS_DOMAIN, RDFS_RANGE, RDFS_SUBCLASS, RDFS_SUBPROP,
+    rdfs_materialize, schema_closure, sql_rdfs_entailed)
+
+EX = "http://example.org/"
+TRIPLE_SCHEMA = ("subject string, predicate string, object string, "
+                 "objtype string")
+
+ONTO = [
+    (EX + "RFC", RDFS_SUBCLASS, EX + "Standard"),
+    (EX + "Standard", RDFS_SUBCLASS, EX + "Document"),
+    (EX + "cites", RDFS_SUBPROP, EX + "relatedTo"),
+    (EX + "relatedTo", RDFS_DOMAIN, EX + "Document"),
+    (EX + "cites", RDFS_RANGE, EX + "Citable"),
+]
+
+DATA = [
+    (EX + "a", RDF_TYPE, EX + "RFC", "uri"),
+    (EX + "a", EX + "cites", EX + "b", "uri"),
+    (EX + "a", EX + "title", "Doc A", "literal"),
+    # a schema triple asserted in the DATA (include_data_schema path)
+    (EX + "Citable", RDFS_SUBCLASS, EX + "Document", "uri"),
+]
+
+
+def _rows(df):
+    return {tuple(r) for r in
+            df.select("subject", "predicate", "object",
+                      "objtype").collect()}
+
+
+def test_hand_derived_entailments(spark):
+    out = rdfs_materialize(
+        spark.createDataFrame(DATA, TRIPLE_SCHEMA), ONTO)
+    got = _rows(out)
+    assert set(map(tuple, DATA)) <= got
+    derived = got - set(map(tuple, DATA))
+    assert derived == {
+        # rdfs9 over the closed subclass chain RFC ⊑ Standard ⊑ Document
+        (EX + "a", RDF_TYPE, EX + "Standard", "uri"),
+        (EX + "a", RDF_TYPE, EX + "Document", "uri"),
+        # rdfs7: cites ⊑ relatedTo
+        (EX + "a", EX + "relatedTo", EX + "b", "uri"),
+        # rdfs2 via the axiom folded down to the subproperty
+        # (domain(relatedTo) applies to the cites assertion) — the
+        # result (a type Document) coincides with the rdfs9 row
+        # rdfs3: range(cites)=Citable
+        (EX + "b", RDF_TYPE, EX + "Citable", "uri"),
+        # rdfs9 over the DATA-asserted Citable ⊑ Document edge
+        (EX + "b", RDF_TYPE, EX + "Document", "uri"),
+    }
+
+
+def test_duckdb_twin_parity(spark, tmp_path):
+    df = spark.createDataFrame(DATA, TRIPLE_SCHEMA)
+    p = str(tmp_path / "t.parquet")
+    df.write.mode("overwrite").parquet(p)
+    sql = sql_rdfs_entailed("read_parquet('%s/*.parquet')" % p, ONTO)
+    oracle = {tuple(r) for r in duckdb.sql(sql).fetchall()}
+    assert oracle == _rows(rdfs_materialize(df, ONTO))
+
+
+def test_idempotent_fixpoint(spark):
+    df = spark.createDataFrame(DATA, TRIPLE_SCHEMA)
+    once = rdfs_materialize(df, ONTO)
+    twice = rdfs_materialize(once, ONTO)
+    assert _rows(once) == _rows(twice)
+
+
+def test_corpus_ontology_parity(spark, tmp_path):
+    """The driver query's shape: corpus ontology over a slice of
+    realistic triples, Spark ≡ DuckDB."""
+    data = [
+        (EX + "d1", RDF_TYPE, NS["rfc"] + "RFC", "uri"),
+        (EX + "d1", NS["dcterms"] + "references", EX + "d2", "uri"),
+        (EX + "d1", NS["dcterms"] + "publisher", EX + "p1", "uri"),
+        (EX + "d1#S1", NS["dcterms"] + "isPartOf", EX + "d1", "uri"),
+        (EX + "d1", NS["dcterms"] + "creator", EX + "p2", "uri"),
+    ]
+    df = spark.createDataFrame(data, TRIPLE_SCHEMA)
+    p = str(tmp_path / "c.parquet")
+    df.write.mode("overwrite").parquet(p)
+    got = _rows(rdfs_materialize(df, CORPUS_ONTOLOGY))
+    sql = sql_rdfs_entailed("read_parquet('%s/*.parquet')" % p,
+                            CORPUS_ONTOLOGY)
+    assert got == {tuple(r) for r in duckdb.sql(sql).fetchall()}
+    # spot checks: domain(relation) folded down to references/isPartOf;
+    # range(publisher); contributor superproperty
+    assert (EX + "d1", RDF_TYPE, NS["foaf"] + "Document", "uri") in got
+    assert (EX + "d1#S1", RDF_TYPE, NS["foaf"] + "Document", "uri") in got
+    assert (EX + "p1", RDF_TYPE, NS["dcterms"] + "Agent", "uri") in got
+    assert (EX + "d1", NS["dcterms"] + "contributor", EX + "p2",
+            "uri") in got
+
+
+def test_rdf_type_schema_guard():
+    with pytest.raises(ValueError):
+        schema_closure([(EX + "p", RDFS_SUBPROP, RDF_TYPE)])
+    with pytest.raises(ValueError):
+        schema_closure([(RDF_TYPE, RDFS_DOMAIN, EX + "C")])
