@@ -1000,6 +1000,16 @@ def _q_decontaminate(spark, sf_dir):
                          n=3, threshold=0.2)
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality signal: Laplace bigram model trained on
+    the even-doc_id half of the corpus, every document scored by
+    per-bigram -log2 likelihood (pure codegen — linear zip_with bigram
+    extraction, vocabulary-sized LM join tables)."""
+    from ferenda_spark.operators.curation import ngram_lm_perplexity
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_lm_perplexity(docs, docs.where(F.col("doc_id") % 2 == 0))
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style within-document repetition signals (boilerplate /
     degenerate-text filter features)."""
@@ -1572,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_langid,
         "fingerprint": _q_fingerprint,
         "decontaminate": _q_decontaminate,
+        "lm_perplexity": _q_lm_perplexity,
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
@@ -1715,6 +1726,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": textops.oracle_sql_fingerprint(),
         "decontaminate": curation.oracle_sql_decontaminate(
             n=3, threshold=0.2),
+        "lm_perplexity": curation.oracle_sql_lm_perplexity(
+            "documents", "(SELECT * FROM documents WHERE doc_id % 2 = 0)"),
         "repetition_stats": curation.oracle_sql_repetition(n=3),
         "pii_scrub": curation.oracle_sql_pii(table=PII_DOCS_SQL),
         "normalize_text": curation.oracle_sql_normalize(

@@ -214,6 +214,7 @@ def main() -> None:
         "language_id": qs["language_id"],
         "pii_scrub": qs["pii_scrub"],
         "normalize_text": qs["normalize_text"],
+        "lm_perplexity": qs["lm_perplexity"],
         "url_stats": qs["url_stats"],
         "blocklist_filter": qs["blocklist_filter"],
         "url_dedup": qs["url_dedup"],

@@ -460,3 +460,128 @@ def oracle_sql_url_dedup(table: str = "documents",
       count(*) OVER (PARTITION BY canonical_url) AS dup_count
     FROM canon ORDER BY doc_id
     """
+
+
+def ngram_lm_perplexity(corpus: DataFrame, lm_corpus: DataFrame | None = None,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """CCNet-style LM quality signal: per-document bigram perplexity
+    under a Laplace-smoothed word-bigram model trained on
+    ``lm_corpus`` (defaults to ``corpus`` itself — self-perplexity,
+    which surfaces boilerplate at the low end and garbage at the high
+    end; CCNet trains on a clean reference corpus and keeps the low-ppl
+    band).
+
+    → (doc_id, n_words, n_oov, n_bigrams, log2_ppl): token count,
+    tokens outside the LM vocabulary, scored bigram count, and the
+    per-bigram mean of -log2 P(w2|w1) rounded to 6dp (NULL when the
+    document has < 2 words). P(w2|w1) = (B(w1,w2)+1) / (U(w1)+V+1) —
+    counts from the LM corpus, V its vocabulary size, +1 the OOV
+    pseudo-word.
+
+    Scale shape: everything is codegen — bigrams come from a LINEAR
+    zip_with over two slices of the word array (never the O(len²)
+    native-transform gram trap: bigrams are adjacent, not all pairs).
+    The LM tables are count-aggregated (vocabulary-sized, orders of
+    magnitude below the corpus); scoring is one join keyed by word
+    (Zipf-skewed on stopwords — AQE skew split) and one keyed by
+    (w1,w2) (near-uniform), then a partial-aggregated per-doc fold. V
+    enters the plan as a broadcast one-row aggregate, not a collect.
+    """
+    lm = corpus if lm_corpus is None else lm_corpus
+    lm_base = lm.select(words_col(F.col(text_col)).alias("ws"))
+    uni = (lm_base.select(F.explode("ws").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("u")))
+    vdf = uni.agg(F.count(F.lit(1)).alias("v"))
+
+    def pair_col():
+        return F.when(
+            F.size("ws") >= 2,
+            F.zip_with(F.slice("ws", 1, F.size("ws") - 1),
+                       F.slice(F.col("ws"), F.lit(2), F.size("ws") - 1),
+                       lambda a, b: F.struct(a.alias("w1"),
+                                             b.alias("w2"))))
+
+    lm_bi = (lm_base.select(F.explode(pair_col()).alias("p"))
+             .select("p.w1", "p.w2")
+             .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("b")))
+
+    base = corpus.select(id_col, words_col(F.col(text_col)).alias("ws"))
+    tok = (base.select(id_col, F.explode("ws").alias("w"))
+           .join(uni, "w", "left")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.sum(F.when(F.col("u").isNull(), 1).otherwise(0))
+                .alias("n_oov")))
+    prob = ((F.coalesce(F.col("b"), F.lit(0)) + 1).cast("double") /
+            (F.coalesce(F.col("u"), F.lit(0)) + F.col("v") + 1)
+            .cast("double"))
+    bg = (base.select(id_col, F.explode(pair_col()).alias("p"))
+          .select(id_col, "p.w1", "p.w2")
+          .join(lm_bi, ["w1", "w2"], "left")
+          .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+          .crossJoin(F.broadcast(vdf))
+          .select(id_col, (-F.log2(prob)).alias("nll"))
+          .groupBy(id_col)
+          .agg(F.count(F.lit(1)).alias("n_bigrams"),
+               F.round(F.sum("nll") / F.count(F.lit(1)), 6)
+               .alias("log2_ppl")))
+    return (base.select(id_col)
+            .join(tok, id_col, "left").join(bg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                    F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    "log2_ppl")
+            .orderBy(id_col))
+
+
+def oracle_sql_lm_perplexity(table: str = "documents",
+                             lm_table: str | None = None) -> str:
+    """DuckDB twin of :func:`ngram_lm_perplexity` — identical word
+    split, Laplace arithmetic in the same integer-then-double order,
+    round 6dp."""
+    from .textops import _sql_words
+    lm = lm_table or table
+    words = ("CASE WHEN trim(coalesce(text, ''))='' THEN []::varchar[] "
+             "ELSE %s END" % _sql_words())
+    bigrams = ("unnest([words[i] for i in range(1, len(words))]) AS w1, "
+               "unnest([words[i+1] for i in range(1, len(words))]) AS w2")
+    return f"""
+    WITH lmbase AS (SELECT {words} AS words FROM {lm}),
+    uni AS (
+      SELECT w, count(*)::BIGINT AS u
+      FROM (SELECT unnest(words) AS w FROM lmbase) GROUP BY w
+    ),
+    voc AS (SELECT count(*)::BIGINT AS v FROM uni),
+    bi AS (
+      SELECT w1, w2, count(*)::BIGINT AS b
+      FROM (SELECT {bigrams} FROM lmbase WHERE len(words) >= 2)
+      GROUP BY w1, w2
+    ),
+    base AS (SELECT doc_id, {words} AS words FROM {table}),
+    tokj AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(CASE WHEN u IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+      FROM (SELECT doc_id, unnest(words) AS w FROM base) tok
+      LEFT JOIN uni USING (w) GROUP BY doc_id
+    ),
+    bgj AS (
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             round(sum(-log2((coalesce(b, 0) + 1)::DOUBLE /
+                             (coalesce(u, 0) + v + 1)::DOUBLE))
+                   / count(*), 6) AS log2_ppl
+      FROM (SELECT doc_id, {bigrams} FROM base WHERE len(words) >= 2) bg
+      LEFT JOIN bi USING (w1, w2)
+      LEFT JOIN uni ON uni.w = bg.w1
+      CROSS JOIN voc
+      GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           coalesce(n_words, 0) AS n_words,
+           coalesce(n_oov, 0) AS n_oov,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           log2_ppl
+    FROM base LEFT JOIN tokj USING (doc_id) LEFT JOIN bgj USING (doc_id)
+    ORDER BY doc_id
+    """

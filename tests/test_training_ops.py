@@ -855,3 +855,37 @@ def test_related_docs_driver_parity(spark, duck):
     import __spark_entry__ as E
     assert_parity(E.queries()["related_docs"](spark, SF_DIR), duck,
                   E.oracle_sql()["related_docs"])
+
+
+def test_lm_perplexity_semantics(spark):
+    """Hand-computed Laplace bigram model: LM corpus 'a b a b c' gives
+    U(a)=2,U(b)=2,U(c)=1, V=3, B(a,b)=2,B(b,a)=1,B(b,c)=1."""
+    import math
+    import pandas as pd
+    from ferenda_spark.operators.curation import ngram_lm_perplexity
+    lm = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10], "text": ["a b a b c"]}),
+        schema="doc_id long, text string")
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b x", "z", ""]}),
+        schema="doc_id long, text string")
+    out = {r.doc_id: r for r in
+           ngram_lm_perplexity(corpus, lm).collect()}
+    r = out[1]
+    assert (r.n_words, r.n_oov, r.n_bigrams) == (3, 1, 2)
+    # (a,b): (2+1)/(2+3+1) = .5 → 1 bit; (b,x): (0+1)/(2+3+1) → log2 6
+    assert r.log2_ppl == round((1.0 + math.log2(6)) / 2, 6)
+    assert (out[2].n_words, out[2].n_oov, out[2].n_bigrams,
+            out[2].log2_ppl) == (1, 1, 0, None)
+    assert (out[3].n_words, out[3].n_oov, out[3].n_bigrams,
+            out[3].log2_ppl) == (0, 0, 0, None)
+
+
+def test_lm_perplexity_oracle_parity(spark, duck):
+    from ferenda_spark.operators import curation
+    from pyspark.sql import functions as F
+    d = docs(spark)
+    assert_parity(
+        curation.ngram_lm_perplexity(d, d.where(F.col("doc_id") % 2 == 0)),
+        duck, curation.oracle_sql_lm_perplexity(
+            "documents", "(SELECT * FROM documents WHERE doc_id % 2 = 0)"))
