@@ -94,6 +94,12 @@ def _kg_rdfs_sql(kg_paths: dict) -> str:
                              CORPUS_ONTOLOGY)
 
 
+def _kg_shacl_sql(kg_paths: dict) -> str:
+    from ferenda_spark.operators.validate import sql_validate_shapes
+    return sql_validate_shapes("read_parquet('%s')" % kg_paths["triples"],
+                               _kg_shapes())
+
+
 def _kg_paths() -> dict[str, str]:
     from ferenda_spark.kgcache import ensure_kg_tables
     return ensure_kg_tables(KG_N)
@@ -279,6 +285,39 @@ def _q_kg_rdfs_entailed(spark, sf_dir):
     from ferenda_spark.operators.inference import (
         CORPUS_ONTOLOGY, rdfs_materialize)
     return rdfs_materialize(_kg_read(spark, "triples"), CORPUS_ONTOLOGY)
+
+
+def _kg_shapes():
+    """SHACL-lite shapes for the corpus vocabulary: the issued-date
+    shapes FAIL on the W3C docs (xsd:date where the profile wants
+    gYearMonth) and identifier cardinality fails where aliases doubled
+    it — a realistic mixed conform/violate QA report."""
+    from ferenda_spark.namespaces import NS
+    from ferenda_spark.operators.validate import Shape
+    return [
+        Shape("StandardId", NS["bibo"] + "Standard",
+              NS["dcterms"] + "identifier", min_count=1, max_count=1,
+              node_kind="literal"),
+        Shape("StandardTitle", NS["bibo"] + "Standard",
+              NS["dcterms"] + "title", min_count=1, node_kind="literal"),
+        Shape("StandardIssued", NS["bibo"] + "Standard",
+              NS["dcterms"] + "issued", min_count=1,
+              pattern=r"^[0-9]{4}-[0-9]{2}$",
+              datatype=NS["xsd"] + "gYearMonth"),
+        Shape("StandardPublisher", NS["bibo"] + "Standard",
+              NS["dcterms"] + "publisher", node_kind="uri"),
+        Shape("RfcSubject", NS["rfc"] + "RFC",
+              NS["dcterms"] + "subject", min_count=1),
+        Shape("PartTitle", NS["bibo"] + "DocumentPart",
+              NS["dcterms"] + "title", min_count=1, max_count=1),
+    ]
+
+
+def _q_kg_shacl_report(spark, sf_dir):
+    """Batch SHACL-lite validation report over the whole KG (broadcast
+    shapes, one subject-keyed target join, map-side-combined counts)."""
+    from ferenda_spark.operators.validate import validate_shapes
+    return validate_shapes(_kg_read(spark, "triples"), _kg_shapes())
 
 
 def _q_kg_doc_stats(spark, sf_dir):
@@ -1538,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
+        "kg_shacl_report": _q_kg_shacl_report,
         "kg_doc_stats": _q_kg_doc_stats,
         "kg_keyword_hubs": _q_kg_keyword_hubs,
         "kg_minted_uris": _q_kg_minted_uris,
@@ -1661,6 +1701,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
         "kg_citation_map": kgoracle.sql_citation_map(kg),
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
+        "kg_shacl_report": _kg_shacl_sql(kg),
         "kg_doc_stats": kgoracle.sql_doc_stats(kg),
         "kg_keyword_hubs": kgoracle.sql_keyword_hubs(kg),
         "kg_minted_uris": kgoracle.sql_minted_uris(kg),

@@ -171,6 +171,12 @@ def main() -> None:
                                                        rdfs_materialize)
         return rdfs_materialize(stages["triples"], CORPUS_ONTOLOGY)
 
+    def kg_shacl_report(spark, _):
+        # batch shape validation: broadcast shapes, one subject-keyed
+        # target join, map-side-combined per-(focus,path) counts
+        from ferenda_spark.operators.validate import validate_shapes
+        return validate_shapes(stages["triples"], E._kg_shapes())
+
     def kg_describe_rfc(spark, _):
         # the reference's rfc-annotations.rq verbatim shape: 5-branch
         # UNION (one with a references+ closure), BIND, isUri pushed as
@@ -196,6 +202,7 @@ def main() -> None:
         "kg_sparql_nested": kg_sparql_nested,
         "kg_describe_rfc": kg_describe_rfc,
         "kg_rdfs_entailed": kg_rdfs_entailed,
+        "kg_shacl_report": kg_shacl_report,
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute
