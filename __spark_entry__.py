@@ -100,6 +100,12 @@ def _kg_shacl_sql(kg_paths: dict) -> str:
                                _kg_shapes())
 
 
+def _kg_update_sql(kg_paths: dict) -> str:
+    from ferenda_spark.update import update_sql
+    return update_sql("read_parquet('%s')" % kg_paths["triples"],
+                      _KG_UPDATE)
+
+
 def _kg_paths() -> dict[str, str]:
     from ferenda_spark.kgcache import ensure_kg_tables
     return ensure_kg_tables(KG_N)
@@ -285,6 +291,26 @@ def _q_kg_rdfs_entailed(spark, sf_dir):
     from ferenda_spark.operators.inference import (
         CORPUS_ONTOLOGY, rdfs_materialize)
     return rdfs_materialize(_kg_read(spark, "triples"), CORPUS_ONTOLOGY)
+
+
+_KG_UPDATE = """
+PREFIX dcterms: <http://purl.org/dc/terms/>
+PREFIX cur: <http://example.org/curation/>
+DELETE { ?s dcterms:subject ?v }
+INSERT { ?s cur:tag ?v . ?s cur:curated "true" }
+WHERE  { ?s dcterms:subject ?v } ;
+DELETE WHERE { ?s dcterms:issn ?n }
+"""
+
+
+def _q_kg_sparql_update(spark, sf_dir):
+    """TripleStore.update() analog (ref triplestore.py:164-173):
+    functional SPARQL Update over the triple table — a DELETE/INSERT
+    WHERE rewrite plus a DELETE WHERE, applied in sequence; returns the
+    updated table (anti-join + union plans, bindings via the shared
+    read compiler)."""
+    from ferenda_spark.update import apply_update
+    return apply_update(_kg_read(spark, "triples"), _KG_UPDATE)
 
 
 def _kg_shapes():
@@ -1578,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_citation_map": _q_kg_citation_map,
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
         "kg_shacl_report": _q_kg_shacl_report,
+        "kg_sparql_update": _q_kg_sparql_update,
         "kg_doc_stats": _q_kg_doc_stats,
         "kg_keyword_hubs": _q_kg_keyword_hubs,
         "kg_minted_uris": _q_kg_minted_uris,
@@ -1702,6 +1729,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_citation_map": kgoracle.sql_citation_map(kg),
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
         "kg_shacl_report": _kg_shacl_sql(kg),
+        "kg_sparql_update": _kg_update_sql(kg),
         "kg_doc_stats": kgoracle.sql_doc_stats(kg),
         "kg_keyword_hubs": kgoracle.sql_keyword_hubs(kg),
         "kg_minted_uris": kgoracle.sql_minted_uris(kg),

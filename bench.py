@@ -171,6 +171,12 @@ def main() -> None:
                                                        rdfs_materialize)
         return rdfs_materialize(stages["triples"], CORPUS_ONTOLOGY)
 
+    def kg_sparql_update(spark, _):
+        # functional SPARQL Update: DELETE/INSERT WHERE + DELETE WHERE
+        # in sequence (anti-join + union; bindings via the read compiler)
+        from ferenda_spark.update import apply_update
+        return apply_update(stages["triples"], E._KG_UPDATE)
+
     def kg_shacl_report(spark, _):
         # batch shape validation: broadcast shapes, one subject-keyed
         # target join, map-side-combined per-(focus,path) counts
@@ -203,6 +209,7 @@ def main() -> None:
         "kg_describe_rfc": kg_describe_rfc,
         "kg_rdfs_entailed": kg_rdfs_entailed,
         "kg_shacl_report": kg_shacl_report,
+        "kg_sparql_update": kg_sparql_update,
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute
