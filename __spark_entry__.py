@@ -106,6 +106,11 @@ def _kg_update_sql(kg_paths: dict) -> str:
                       _KG_UPDATE)
 
 
+def _kg_void_sql(kg_paths: dict) -> str:
+    from ferenda_spark.operators.graphops import sql_void_stats
+    return sql_void_stats("read_parquet('%s')" % kg_paths["triples"])
+
+
 def _kg_paths() -> dict[str, str]:
     from ferenda_spark.kgcache import ensure_kg_tables
     return ensure_kg_tables(KG_N)
@@ -344,6 +349,13 @@ def _q_kg_shacl_report(spark, sf_dir):
     shapes, one subject-keyed target join, map-side-combined counts)."""
     from ferenda_spark.operators.validate import validate_shapes
     return validate_shapes(_kg_read(spark, "triples"), _kg_shapes())
+
+
+def _q_kg_void_stats(spark, sf_dir):
+    """VoID dataset description numbers (dataset / property / class
+    partitions) — one rollup scan + the type join."""
+    from ferenda_spark.operators.graphops import void_stats
+    return void_stats(_kg_read(spark, "triples"))
 
 
 def _q_kg_doc_stats(spark, sf_dir):
@@ -1605,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
         "kg_shacl_report": _q_kg_shacl_report,
         "kg_sparql_update": _q_kg_sparql_update,
+        "kg_void_stats": _q_kg_void_stats,
         "kg_doc_stats": _q_kg_doc_stats,
         "kg_keyword_hubs": _q_kg_keyword_hubs,
         "kg_minted_uris": _q_kg_minted_uris,
@@ -1730,6 +1743,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
         "kg_shacl_report": _kg_shacl_sql(kg),
         "kg_sparql_update": _kg_update_sql(kg),
+        "kg_void_stats": _kg_void_sql(kg),
         "kg_doc_stats": kgoracle.sql_doc_stats(kg),
         "kg_keyword_hubs": kgoracle.sql_keyword_hubs(kg),
         "kg_minted_uris": kgoracle.sql_minted_uris(kg),

@@ -171,6 +171,11 @@ def main() -> None:
                                                        rdfs_materialize)
         return rdfs_materialize(stages["triples"], CORPUS_ONTOLOGY)
 
+    def kg_void_stats(spark, _):
+        # VoID dataset description: one rollup scan + the type join
+        from ferenda_spark.operators.graphops import void_stats
+        return void_stats(stages["triples"])
+
     def kg_sparql_update(spark, _):
         # functional SPARQL Update: DELETE/INSERT WHERE + DELETE WHERE
         # in sequence (anti-join + union; bindings via the read compiler)
@@ -210,6 +215,7 @@ def main() -> None:
         "kg_rdfs_entailed": kg_rdfs_entailed,
         "kg_shacl_report": kg_shacl_report,
         "kg_sparql_update": kg_sparql_update,
+        "kg_void_stats": kg_void_stats,
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute

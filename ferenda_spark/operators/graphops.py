@@ -309,3 +309,72 @@ def ranked_average_precision(ranked: DataFrame, gold: DataFrame,
                      F.count(F.lit(1)).cast("long").alias("n_rel")) \
         .select(F.lit("__MAP__").alias("need"), "ap", "n_rel")
     return per_need.unionByName(map_row).orderBy("need")
+
+
+def void_stats(triples: DataFrame) -> DataFrame:
+    """VoID dataset description statistics (the W3C VoID vocabulary's
+    void:triples / void:distinctSubjects / void:distinctObjects /
+    void:propertyPartition / void:classPartition numbers — the
+    dataset-metadata artifact a published KG ships; the reference
+    publishes per-repo dataset pages via its WSGI layer, ref
+    documentrepository.py dataset_uri, and this is the batch analog).
+
+    → (partition, key, n_triples, n_subjects, n_objects):
+    - ('dataset', NULL, …) — whole-graph totals
+    - ('property', <predicate>, …) — one row per predicate
+    - ('class', <class>, …) — triples whose subject is an instance
+      of the class; n_subjects = instance count
+
+    Scale shape: dataset + property rows come from ONE rollup scan
+    (map-side partial aggregation; countDistinct expands but stays one
+    exchange); class rows reuse the validation operator's subject-keyed
+    type join (type triples are a pushed-filter fraction of the scan).
+    """
+    from ..namespaces import RDF_TYPE
+    roll = (triples.rollup("predicate")
+            .agg(F.count(F.lit(1)).alias("n_triples"),
+                 F.countDistinct("subject").alias("n_subjects"),
+                 F.countDistinct("object").alias("n_objects"))
+            .select(
+                F.when(F.col("predicate").isNull(), "dataset")
+                .otherwise("property").alias("partition"),
+                F.col("predicate").alias("key"),
+                "n_triples", "n_subjects", "n_objects"))
+    types = (triples.where(F.col("predicate") == F.lit(RDF_TYPE))
+             .select(F.col("subject").alias("inst"),
+                     F.col("object").alias("cls"))
+             .distinct())
+    cls = (triples.join(types, triples["subject"] == types["inst"])
+           .groupBy("cls")
+           .agg(F.count(F.lit(1)).alias("n_triples"),
+                F.countDistinct("subject").alias("n_subjects"),
+                F.countDistinct("object").alias("n_objects"))
+           .select(F.lit("class").alias("partition"),
+                   F.col("cls").alias("key"),
+                   "n_triples", "n_subjects", "n_objects"))
+    return roll.unionByName(cls).orderBy("partition", "key")
+
+
+def sql_void_stats(table_sql: str) -> str:
+    """DuckDB twin of :func:`void_stats` (GROUP BY ROLLUP + the same
+    type join)."""
+    from ..namespaces import RDF_TYPE
+    return f"""
+    SELECT CASE WHEN predicate IS NULL THEN 'dataset'
+                ELSE 'property' END AS partition,
+           predicate AS key,
+           count(*)::BIGINT AS n_triples,
+           count(DISTINCT subject)::BIGINT AS n_subjects,
+           count(DISTINCT object)::BIGINT AS n_objects
+    FROM {table_sql} GROUP BY ROLLUP (predicate)
+    UNION ALL
+    SELECT 'class', ty.cls,
+           count(*)::BIGINT, count(DISTINCT t.subject)::BIGINT,
+           count(DISTINCT t.object)::BIGINT
+    FROM {table_sql} t
+    JOIN (SELECT DISTINCT subject AS inst, object AS cls
+          FROM {table_sql} WHERE predicate = '{RDF_TYPE}') ty
+      ON ty.inst = t.subject
+    GROUP BY ty.cls
+    ORDER BY partition, key
+    """

@@ -624,7 +624,7 @@ def oracle_sql_blocklist(domains, table: str = "documents",
 
 
 def related_docs(df: DataFrame, k_terms: int = 5, k_out: int = 5,
-                 id_col: str = "doc_id",
+                 max_postings: int | None = 100, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """More-like-this: per document, the top-``k_out`` most similar
     documents by shared keywords (the fulltext "related documents"
@@ -638,22 +638,38 @@ def related_docs(df: DataFrame, k_terms: int = 5, k_out: int = 5,
     order. The idf weighting lives in the keyword SELECTION (ubiquitous
     terms don't make a doc's top-k), not the score.
 
-    Scale shape: the keyword table is k_terms rows per doc; the
-    self-join is keyed by term with posting lists bounded by each
-    term's df — already idf-pruned by selection, so the quadratic
-    blowup of a raw term join never materializes (a term every doc
-    ranks top-k would be a corpus-constant, which idf pushes out of
-    the top-k). Residual hot terms are AQE skew-join territory; one
-    term-keyed shuffle + one (a,b)-keyed aggregate + the per-doc
-    window.
+    Scale shape: the keyword table is k_terms rows per doc and is
+    localCheckpointed ONCE (both sides of the self-join read the
+    materialized table — without it Spark recomputes the tf·idf
+    subtree twice). idf selection alone does NOT bound posting lists
+    on a domain-homogeneous corpus (measured on the sf0.1 driver
+    corpus: the keyword 'agg' makes the top-5 of 1331/5000 documents,
+    blowing the term self-join up to 22M pairs from 25k keyword rows —
+    25.3 s; a quadratic scale-killer at 100×). The CANDIDATE side of
+    the join is therefore capped to each term's top-``max_postings``
+    postings by (tf desc, doc_id) — the Elasticsearch MoreLikeThis
+    candidate-capping move: a hot term still links documents, but only
+    to the docs where it matters most. Every document remains a query
+    (the a-side is uncapped), total pair work is ≤ keyword_rows ×
+    max_postings (LINEAR in the corpus), and the documented trade is
+    that a related doc ranking below the cap on every shared term is
+    missed. One term-keyed shuffle + one (a,b)-keyed aggregate + the
+    per-doc window.
     """
     from pyspark.sql import Window
     tt = (top_terms_per_doc(df, k=k_terms, id_col=id_col,
                             text_col=text_col)
           .select(F.col(id_col).alias("a_id"), "term",
-                  F.col("tf").alias("tf_a")))
-    other = tt.select(F.col("a_id").alias("b_id"), "term",
-                      F.col("tf_a").alias("tf_b"))
+                  F.col("tf").alias("tf_a"))
+          .localCheckpoint(eager=True))
+    cand = tt
+    if max_postings is not None:
+        wp = Window.partitionBy("term").orderBy(F.desc("tf_a"),
+                                                F.asc("a_id"))
+        cand = (tt.withColumn("__pr", F.row_number().over(wp))
+                .where(F.col("__pr") <= max_postings).drop("__pr"))
+    other = cand.select(F.col("a_id").alias("b_id"), "term",
+                        F.col("tf_a").alias("tf_b"))
     pairs = (tt.join(other, "term")
              .where(F.col("a_id") != F.col("b_id"))
              .groupBy("a_id", "b_id")
@@ -670,7 +686,14 @@ def related_docs(df: DataFrame, k_terms: int = 5, k_out: int = 5,
 
 
 def oracle_sql_related_docs(table: str = "documents", k_terms: int = 5,
-                            k_out: int = 5) -> str:
+                            k_out: int = 5,
+                            max_postings: int | None = 100) -> str:
+    cand = "tt"
+    if max_postings is not None:
+        cand = ("(SELECT a_id, term, tf_a FROM ("
+                "SELECT *, row_number() OVER (PARTITION BY term "
+                "ORDER BY tf_a DESC, a_id) AS pr FROM tt) "
+                "WHERE pr <= %d)" % max_postings)
     return f"""
     WITH sel AS ({oracle_sql_top_terms(table, k_terms)}),
     tt AS (SELECT doc_id AS a_id, term, tf AS tf_a FROM sel),
@@ -678,7 +701,7 @@ def oracle_sql_related_docs(table: str = "documents", k_terms: int = 5,
       SELECT tt.a_id, o.a_id AS b_id,
              count(*)::bigint AS shared_terms,
              sum(tt.tf_a * o.tf_a)::bigint AS sim
-      FROM tt JOIN tt o USING (term)
+      FROM tt JOIN {cand} o USING (term)
       WHERE tt.a_id <> o.a_id
       GROUP BY tt.a_id, o.a_id),
     r AS (

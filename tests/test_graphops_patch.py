@@ -121,3 +121,34 @@ def test_keyword_hubs(spark):
     # sanitize drops []{}|#<>& → both docs land on 'Spark x'
     assert hubs["Spark x"]["n_docs"] == 2
     assert hubs["Graphs"]["docs"] == ["d3"]
+
+
+def test_void_stats_hand_values(spark, tmp_path):
+    """VoID partitions over a 5-triple graph with hand-counted
+    numbers + DuckDB twin parity."""
+    import duckdb
+    from ferenda_spark.namespaces import RDF_TYPE
+    from ferenda_spark.operators.graphops import void_stats, sql_void_stats
+    EX = "http://example.org/"
+    data = [
+        (EX + "a", RDF_TYPE, EX + "Doc", "uri"),
+        (EX + "b", RDF_TYPE, EX + "Doc", "uri"),
+        (EX + "a", EX + "title", "A", "literal"),
+        (EX + "a", EX + "ref", EX + "b", "uri"),
+        (EX + "x", EX + "title", "X", "literal"),  # untyped subject
+    ]
+    df = spark.createDataFrame(
+        data, "subject string, predicate string, object string, "
+              "objtype string")
+    rows = {(r.partition, r.key): (r.n_triples, r.n_subjects,
+                                   r.n_objects)
+            for r in void_stats(df).collect()}
+    assert rows[("dataset", None)] == (5, 3, 4)
+    assert rows[("property", RDF_TYPE)] == (2, 2, 1)
+    assert rows[("property", EX + "title")] == (2, 2, 2)
+    assert rows[("class", EX + "Doc")] == (4, 2, 3)  # a:3 + b:1 triples
+    p = str(tmp_path / "t.parquet")
+    df.write.mode("overwrite").parquet(p)
+    oracle = {(r[0], r[1]): tuple(r[2:]) for r in duckdb.sql(
+        sql_void_stats("read_parquet('%s/*.parquet')" % p)).fetchall()}
+    assert oracle == rows
