@@ -1087,6 +1087,18 @@ def _q_lm_perplexity(spark, sf_dir):
     return ngram_lm_perplexity(docs, docs.where(F.col("doc_id") % 2 == 0))
 
 
+def _q_quality_classifier(spark, sf_dir):
+    """Trained quality filter (GPT-3/LLaMA classifier step):
+    multinomial NB over words, trained set-at-a-time on a
+    deterministically labeled split, scored with one vocab join."""
+    from ferenda_spark.operators.curation import nb_quality_classifier
+    docs = _read(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label", F.when(F.col("doc_id") % 2 == 0, "pos")
+        .otherwise("neg"))
+    return nb_quality_classifier(docs, labeled)
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style within-document repetition signals (boilerplate /
     degenerate-text filter features)."""
@@ -1663,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "decontaminate": _q_decontaminate,
         "lm_perplexity": _q_lm_perplexity,
+        "quality_classifier": _q_quality_classifier,
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
@@ -1811,6 +1824,10 @@ def oracle_sql() -> dict[str, str]:
             n=3, threshold=0.2),
         "lm_perplexity": curation.oracle_sql_lm_perplexity(
             "documents", "(SELECT * FROM documents WHERE doc_id % 2 = 0)"),
+        "quality_classifier": curation.oracle_sql_nb_classifier(
+            "documents",
+            "(SELECT *, CASE WHEN doc_id % 2 = 0 THEN 'pos' "
+            "ELSE 'neg' END AS label FROM documents)"),
         "repetition_stats": curation.oracle_sql_repetition(n=3),
         "pii_scrub": curation.oracle_sql_pii(table=PII_DOCS_SQL),
         "normalize_text": curation.oracle_sql_normalize(

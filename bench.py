@@ -235,6 +235,7 @@ def main() -> None:
         "pii_scrub": qs["pii_scrub"],
         "normalize_text": qs["normalize_text"],
         "lm_perplexity": qs["lm_perplexity"],
+        "quality_classifier": qs["quality_classifier"],
         "url_stats": qs["url_stats"],
         "blocklist_filter": qs["blocklist_filter"],
         "url_dedup": qs["url_dedup"],

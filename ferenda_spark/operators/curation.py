@@ -585,3 +585,122 @@ def oracle_sql_lm_perplexity(table: str = "documents",
     FROM base LEFT JOIN tokj USING (doc_id) LEFT JOIN bgj USING (doc_id)
     ORDER BY doc_id
     """
+
+
+def nb_quality_classifier(corpus: DataFrame, labeled: DataFrame,
+                          positive_label: str = "pos",
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          label_col: str = "label") -> DataFrame:
+    """Trained quality filter (the GPT-3/LLaMA-style classifier step:
+    positive = a curated reference corpus, negative = raw web text;
+    documents are kept by classifier score): multinomial Naive Bayes
+    over words with Laplace smoothing, trained and applied entirely
+    set-at-a-time.
+
+    → (doc_id, n_words, logit, pred): logit = log P(pos|doc) −
+    log P(neg|doc) (prior + Σ per-token log-likelihood ratios, rounded
+    6dp; 0.0 for empty docs), pred = logit > 0.
+
+    Training is two aggregations (per-(label, word) token counts →
+    pivoted to one vocabulary-sized table of per-word log-likelihood
+    ratios; class totals enter as a broadcast one-row aggregate).
+    Scoring is ONE word-keyed join of the corpus tokens against the
+    vocabulary table (Zipf skew → AQE) + a per-doc partial-aggregated
+    fold; OOV tokens contribute the constant unseen-word ratio. No
+    Python runs anywhere.
+    """
+    is_pos = F.col(label_col) == positive_label
+    toks = labeled.select(is_pos.alias("pos"),
+                          F.explode(words_col(F.col(text_col)))
+                          .alias("w"))
+    wc = (toks.groupBy("w")
+          .agg(F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("cp"),
+               F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("cn")))
+    tot = wc.agg(F.sum("cp").alias("tp"), F.sum("cn").alias("tn"),
+                 F.count(F.lit(1)).alias("v"))
+    prior = (labeled.agg(
+        F.log(F.sum(is_pos.cast("long")).cast("double") /
+              F.sum((~is_pos).cast("long")).cast("double"))
+        .alias("prior")))
+    # per-word log-likelihood ratio; the totals cross-join is a
+    # broadcast one-row table, so this stays one narrow projection
+    llr = (wc.crossJoin(F.broadcast(tot))
+           .select("w",
+                   (F.log((F.col("cp") + 1).cast("double") /
+                          (F.col("tp") + F.col("v") + 1).cast("double"))
+                    - F.log((F.col("cn") + 1).cast("double") /
+                            (F.col("tn") + F.col("v") + 1)
+                            .cast("double"))).alias("llr")))
+    oov = (tot.select(
+        (F.log(F.lit(1.0) / (F.col("tp") + F.col("v") + 1)
+               .cast("double"))
+         - F.log(F.lit(1.0) / (F.col("tn") + F.col("v") + 1)
+                 .cast("double"))).alias("oov")))
+    scores = (corpus
+              .select(id_col, F.explode(words_col(F.col(text_col)))
+                      .alias("w"))
+              .join(llr, "w", "left")
+              .crossJoin(F.broadcast(oov))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_words"),
+                   F.sum(F.coalesce("llr", "oov")).alias("s")))
+    return (corpus.select(id_col)
+            .join(scores, id_col, "left")
+            .crossJoin(F.broadcast(prior))
+            .select(id_col,
+                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                    F.round(F.coalesce(F.col("s") + F.col("prior"),
+                                       F.lit(0.0)), 6).alias("logit"))
+            .withColumn("pred", F.col("logit") > 0)
+            .orderBy(id_col))
+
+
+def oracle_sql_nb_classifier(table: str = "documents",
+                             labeled: str | None = None,
+                             positive: str = "pos") -> str:
+    """DuckDB twin of :func:`nb_quality_classifier`. ``labeled`` is a
+    relation with (doc_id, text, label)."""
+    from .textops import _sql_words
+    words = ("CASE WHEN trim(coalesce(text, ''))='' THEN []::varchar[] "
+             "ELSE %s END" % _sql_words())
+    return f"""
+    WITH lab AS (SELECT label = '{positive}' AS pos, {words} AS words
+                 FROM {labeled}),
+    wc AS (
+      SELECT w, sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cp,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS cn
+      FROM (SELECT pos, unnest(words) AS w FROM lab) GROUP BY w
+    ),
+    tot AS (SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn,
+                   count(*)::BIGINT AS v FROM wc),
+    prior AS (
+      SELECT ln(sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE /
+                sum(CASE WHEN pos THEN 0 ELSE 1 END)::DOUBLE) AS prior
+      FROM lab
+    ),
+    llr AS (
+      SELECT w, ln((cp + 1)::DOUBLE / (tp + v + 1)::DOUBLE)
+              - ln((cn + 1)::DOUBLE / (tn + v + 1)::DOUBLE) AS llr
+      FROM wc CROSS JOIN tot
+    ),
+    oov AS (
+      SELECT ln(1.0 / (tp + v + 1)::DOUBLE)
+           - ln(1.0 / (tn + v + 1)::DOUBLE) AS oov
+      FROM tot
+    ),
+    base AS (SELECT doc_id, {words} AS words FROM {table}),
+    scores AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(coalesce(llr.llr, oov.oov)) AS s
+      FROM (SELECT doc_id, unnest(words) AS w FROM base) t
+      LEFT JOIN llr USING (w) CROSS JOIN oov
+      GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           coalesce(n_words, 0) AS n_words,
+           round(coalesce(s + prior.prior, 0.0), 6) AS logit,
+           round(coalesce(s + prior.prior, 0.0), 6) > 0 AS pred
+    FROM base LEFT JOIN scores USING (doc_id) CROSS JOIN prior
+    ORDER BY base.doc_id
+    """

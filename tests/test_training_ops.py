@@ -889,3 +889,46 @@ def test_lm_perplexity_oracle_parity(spark, duck):
         curation.ngram_lm_perplexity(d, d.where(F.col("doc_id") % 2 == 0)),
         duck, curation.oracle_sql_lm_perplexity(
             "documents", "(SELECT * FROM documents WHERE doc_id % 2 = 0)"))
+
+
+def test_nb_classifier_hand_values(spark):
+    """Laplace NB on a 2-doc training set, hand-computed llr/oov."""
+    import math
+    import pandas as pd
+    from ferenda_spark.operators.curation import nb_quality_classifier
+    labeled = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2],
+                      "text": ["good fine", "bad awful bad"],
+                      "label": ["pos", "neg"]}),
+        schema="doc_id long, text string, label string")
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11, 12],
+                      "text": ["good new", "bad bad", ""]}),
+        schema="doc_id long, text string")
+    out = {r.doc_id: r for r in
+           nb_quality_classifier(corpus, labeled).collect()}
+    # tp=2 tn=3 v=4; prior=ln(1/1)=0
+    llr_good = math.log(2 / 7) - math.log(1 / 8)
+    llr_bad = math.log(1 / 7) - math.log(3 / 8)
+    oov = math.log(1 / 7) - math.log(1 / 8)
+    assert out[10].logit == round(llr_good + oov, 6)
+    assert out[10].pred  # good-ish
+    assert out[11].logit == round(2 * llr_bad, 6)
+    assert not out[11].pred
+    assert (out[12].n_words, out[12].logit, out[12].pred) == (0, 0.0,
+                                                              False)
+
+
+def test_nb_classifier_oracle_parity(spark, duck):
+    from ferenda_spark.operators import curation
+    from pyspark.sql import functions as F
+    d = docs(spark)
+    labeled = d.withColumn(
+        "label", F.when(F.col("doc_id") % 2 == 0, "pos")
+        .otherwise("neg"))
+    assert_parity(
+        curation.nb_quality_classifier(d, labeled),
+        duck, curation.oracle_sql_nb_classifier(
+            "documents",
+            "(SELECT *, CASE WHEN doc_id % 2 = 0 THEN 'pos' "
+            "ELSE 'neg' END AS label FROM documents)"))
