@@ -97,7 +97,54 @@ def run():
     return minhash_lsh_pairs(spark.read.parquet(DEDUP_PATH)).count()
 '''
 
-WORKLOADS = {"extract": WORKLOAD_EXTRACT, "dedup": WORKLOAD_DEDUP}
+WORKLOAD_RDFS = r'''
+# graph-artifact counterpart: RDFS materialization over a synthetic
+# triple table — per-rule broadcast joins feeding ONE terminal (s,p,o)
+# distinct, i.e. the union+wide-dedup shuffle shape that neither the
+# Arrow-heavy extract leg nor the banded-self-join dedup leg covers.
+# Input: n_docs documents × 4 deterministic triples (type / title /
+# references / publisher), classes and predicates from the corpus
+# ontology so every rule fires; generated natively (seeded by id) so
+# both levels scan identical input.
+from pyspark.sql import functions as F
+from ferenda_spark.namespaces import NS, RDF_TYPE
+from ferenda_spark.operators.inference import (CORPUS_ONTOLOGY,
+                                               rdfs_materialize)
+
+RDFS_PATH = "/tmp/scaling_rdfs_triples_%d" % n_docs
+if not __import__("os").path.exists(RDFS_PATH + "/_SUCCESS"):
+    base = spark.range(n_docs).repartition(64)
+    doc = F.concat(F.lit("http://example.org/res/doc/"),
+                   F.col("id").cast("string"))
+    cls = F.when(F.col("id") % 2 == 0, NS["rfc"] + "RFC") \
+           .otherwise(NS["bibo"] + "DocumentPart")
+    ref = F.concat(F.lit("http://example.org/res/doc/"),
+                   ((F.col("id") * 7 + 3) % n_docs).cast("string"))
+    pub = F.concat(F.lit("http://example.org/org/"),
+                   (F.col("id") % 1000).cast("string"))
+    rows = None
+    for pred, obj, ot in (
+            (RDF_TYPE, cls, "uri"),
+            (NS["dcterms"] + "title",
+             F.concat(F.lit("Title "), F.col("id").cast("string")),
+             "literal"),
+            (NS["dcterms"] + "references", ref, "uri"),
+            (NS["dcterms"] + "publisher", pub, "uri")):
+        part = base.select(doc.alias("subject"),
+                           F.lit(pred).alias("predicate"),
+                           obj.alias("object"),
+                           F.lit(ot).alias("objtype"))
+        rows = part if rows is None else rows.unionByName(part)
+    rows.write.mode("overwrite").parquet(RDFS_PATH)
+
+def run():
+    t = spark.read.parquet(RDFS_PATH)
+    return rdfs_materialize(t, CORPUS_ONTOLOGY,
+                            include_data_schema=False).count()
+'''
+
+WORKLOADS = {"extract": WORKLOAD_EXTRACT, "dedup": WORKLOAD_DEDUP,
+             "rdfs": WORKLOAD_RDFS}
 
 WORKER = r'''
 import json, sys, time
