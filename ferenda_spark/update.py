@@ -194,8 +194,50 @@ class _UpdateParser(_Parser):
         return q
 
 
+def _where_vars(q: Query) -> set[str]:
+    """Variables a SELECT-* over the parsed WHERE can bind (triples,
+    BIND targets, VALUES, subquery projections, recursively through
+    OPTIONAL/UNION; MINUS/EXISTS bodies bind nothing outward)."""
+    out: set[str] = set()
+
+    def grp(g: Group):
+        for t in g.triples:
+            for term in (t.s, t.p, t.o):
+                if term[0] == "var":
+                    out.add(term[1])
+        for _, var in g.binds:
+            out.add(var)
+        for names, _ in g.values:
+            out.update(names)
+        for sq in g.subqueries:
+            out.update(v for v in sq.proj if isinstance(v, str))
+            out.update(p[4] for p in sq.proj
+                       if not isinstance(p, str) and p[0] == "agg")
+        for ng in g.optionals:
+            grp(ng)
+        for ag in g.union_alts:
+            grp(ag)
+    for top in ([q.where] + q.optionals
+                + [a for alts in q.unions for a in alts]):
+        grp(top)
+    return out
+
+
 def parse_update(text: str) -> list[UpdateOp]:
-    return _UpdateParser(text).parse_update()
+    ops = _UpdateParser(text).parse_update()
+    # parse-time guard shared by BOTH backends: a template variable the
+    # WHERE group cannot bind would otherwise only fail Spark-side
+    # (the SQL twin would emit a dangling column reference instead)
+    for op in ops:
+        if op.kind != "modify":
+            continue
+        bound = _where_vars(op.where)
+        loose = set(_tmpl_vars(op.delete + op.insert)) - bound
+        if loose:
+            raise SparqlError("template variables not bound by WHERE: "
+                              + ", ".join("?" + v for v in
+                                          sorted(loose)))
+    return ops
 
 
 # ------------------------------------------------------------ Spark side

@@ -135,3 +135,17 @@ def test_unsupported_forms_raise():
     ]:
         with pytest.raises(SparqlError):
             parse_update(bad)
+
+
+def test_unbound_template_var_raises_at_parse_time():
+    """Symmetric guard: an unbound template variable fails at parse
+    time in BOTH backends (not just Spark compile)."""
+    with pytest.raises(SparqlError, match="nope"):
+        parse_update(
+            "PREFIX ex: <http://e.org/>\n"
+            "INSERT { ?s ex:q ?nope } WHERE { ?s ex:p ?o }")
+    # bound through OPTIONAL / VALUES / subquery is legal
+    parse_update(
+        "PREFIX ex: <http://e.org/>\n"
+        "DELETE { ?s ex:p ?v } WHERE { ?s ex:p ?o "
+        "OPTIONAL { ?s ex:r ?v } }")
