@@ -759,6 +759,7 @@ class _Parser:
         the outer query) and stops before the closing brace instead of
         requiring eof."""
         construct = None
+        construct_where = False
         ask = False
         if not subquery and self.kw("ASK"):
             ask, distinct, proj = True, False, []
@@ -767,12 +768,21 @@ class _Parser:
                 raise SparqlError("subqueries must be SELECT queries")
             distinct, proj = True, []
             construct = []
-            self.expect_op("{")
-            while self.peek()[1] != "}":
-                construct.extend(self.triples_same_subject())
-            self.i += 1
-            if not construct:
-                raise SparqlError("empty CONSTRUCT template")
+            k2, v2 = self.peek()
+            if k2 == "kw" and v2.upper() == "WHERE":
+                # CONSTRUCT WHERE { BGP } shorthand (SPARQL 1.1
+                # §10.2.2): the pattern IS the template; the spec
+                # restricts the body to a basic graph pattern, enforced
+                # after the group parses below
+                construct_where, construct = True, []
+            else:
+                construct = []
+                self.expect_op("{")
+                while self.peek()[1] != "}":
+                    construct.extend(self.triples_same_subject())
+                self.i += 1
+                if not construct:
+                    raise SparqlError("empty CONSTRUCT template")
         elif self.kw("SELECT"):
             distinct = self.kw("DISTINCT")
             proj = []
@@ -848,6 +858,19 @@ class _Parser:
         if not self.kw("WHERE") and not ask:    # ASK may omit WHERE
             raise SparqlError("missing WHERE")
         where, optionals, unions = self.group(allow_optional=True)
+        if construct_where:
+            if (unions or optionals or where.filters or where.binds
+                    or where.values or where.exists or where.minus
+                    or where.optionals or where.subqueries):
+                raise SparqlError("CONSTRUCT WHERE allows only a basic "
+                                  "graph pattern")
+            if any(t.p[0] != "uri" and t.p[0] != "var"
+                   for t in where.triples):
+                raise SparqlError("CONSTRUCT WHERE patterns cannot "
+                                  "contain property paths")
+            if not where.triples:
+                raise SparqlError("empty CONSTRUCT template")
+            construct = list(where.triples)
         group_by: list = []
         if self.kw("GROUP"):
             if not self.kw("BY"):
@@ -920,6 +943,12 @@ class _Parser:
                 offset = int(v)
                 continue
             break
+        if not subquery and self.kw("VALUES"):
+            # postfix VALUES clause (SPARQL 1.1 grammar: ValuesClause
+            # closes every query form): sugar for the same block inside
+            # the group pattern — joined before projection/aggregation
+            # exactly like the inline form
+            where.values.append(self.values_block())
         if subquery:
             if proj == ["*"]:
                 raise SparqlError(

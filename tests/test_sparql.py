@@ -1325,3 +1325,40 @@ def test_subquery_inside_optional_and_union(graph):
         } ORDER BY ?s
     """)
     assert list(out["s"]) == ["d1", "p1"]
+
+
+def test_construct_where_shorthand(graph):
+    """CONSTRUCT WHERE { BGP }: pattern doubles as template; equals the
+    explicit CONSTRUCT in both backends."""
+    short = run_both(graph, PREFIXES + """
+        CONSTRUCT WHERE { ?s a foaf:Document . ?s dct:title ?t }
+    """)
+    full = run_both(graph, PREFIXES + """
+        CONSTRUCT { ?s a foaf:Document . ?s dct:title ?t }
+        WHERE     { ?s a foaf:Document . ?s dct:title ?t }
+    """)
+    key = lambda d: sorted(map(tuple, d.values))
+    assert key(short) == key(full)
+    # type triples + title triples for d1/d2/d3
+    assert len(short) == 6
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse(PREFIXES +
+                     "CONSTRUCT WHERE { ?s dct:isPartOf+ ?o }")
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse(PREFIXES + """CONSTRUCT WHERE {
+            ?s dct:title ?t OPTIONAL { ?s dct:publisher ?p } }""")
+
+
+def test_postfix_values_clause(graph):
+    """Trailing VALUES (SPARQL 1.1 ValuesClause) ≡ the inline form,
+    applied before projection/aggregation, after LIMIT parses."""
+    post = run_both(graph, PREFIXES + """
+        SELECT ?s ?t WHERE { ?s dct:title ?t }
+        ORDER BY ?s VALUES ?s { <d1> <d3> }
+    """)
+    assert list(post["s"]) == ["d1", "d3"]
+    agg = run_both(graph, PREFIXES + """
+        SELECT ?s (COUNT(?p) AS ?n) WHERE { ?s ?p ?o }
+        GROUP BY ?s VALUES ?s { <d1> }
+    """)
+    assert list(agg["s"]) == ["d1"] and list(agg["n"]) == [4]
