@@ -121,15 +121,29 @@ def rdfs_materialize(triples: DataFrame,
                         .distinct().collect())]
     sc, sp, dom, rng = schema_closure(ontology, data_schema)
 
-    # No per-branch distinct: derived duplicates collapse in the ONE
-    # terminal (s,p,o) distinct, so the only data-sized shuffle in the
-    # whole plan is that final dedup. Each rule branch pre-filters with
-    # a STATIC predicate-IN list (redundant with its broadcast join) —
-    # on the (bucket, predicate)-partitioned production triple layout
-    # those reach the scan as partition-pruning filters, so a rule over
-    # 4 schema predicates reads 4 predicate partitions, not the corpus.
+    # No per-branch distinct: derived duplicates collapse in TWO
+    # disjoint terminal dedups (see the split below), so the only
+    # data-sized shuffles in the whole plan are those. Each rule branch
+    # pre-filters with a STATIC predicate-IN list (redundant with its
+    # broadcast join) — on the (bucket, predicate)-partitioned
+    # production triple layout those reach the scan as
+    # partition-pruning filters, so a rule over 4 schema predicates
+    # reads 4 predicate partitions, not the corpus.
     data = triples.select("subject", "predicate", "object", "objtype")
-    parts = [data]
+    # Disjoint-family split: rdfs7 can never emit rdf:type (a schema
+    # over rdf:type raises above), so the output partitions exactly
+    # into the rdf:type family and the rest. Deduping them separately
+    # keeps correctness identical to one global distinct while (a) the
+    # type family sheds its constant predicate column from the shuffle
+    # (URI-width strings — the widest column for the narrowest rows)
+    # and (b) the two dedups run as independent stages instead of one
+    # monolithic wide-row hash aggregate.
+    parts = [data.where(F.col("predicate") != RDF_TYPE)]
+    # asserted rdf:type rows keep their original objtype (degenerate
+    # literal-typed assertions survive as distinct rows, exactly as
+    # under the old single global distinct and in the SQL twin)
+    type_rows = [data.where(F.col("predicate") == RDF_TYPE)
+                 .select("subject", "object", "objtype")]
     type_parts = []
 
     sp_df = _pair_df(spark, sp, ("sub_p", "super_p"))
@@ -159,28 +173,31 @@ def rdfs_materialize(triples: DataFrame,
                   data["predicate"] == rng_df["on_p"])
             .select(F.col("object").alias("subject"),
                     F.col("cls").alias("object")))
-    as_triples = [tp.select("subject",
-                            F.lit(RDF_TYPE).alias("predicate"),
-                            "object", F.lit("uri").alias("objtype"))
-                  for tp in type_parts]
-    parts.extend(as_triples)
+    type_rows.extend(tp.select("subject", "object",
+                               F.lit("uri").alias("objtype"))
+                     for tp in type_parts)
     sc_df = _pair_df(spark, sc, ("sub_c", "super_c"))
     if sc_df is not None:  # rdfs9 over asserted ∪ rules-2/3-derived types
         types = (data.where(F.col("predicate") == RDF_TYPE)
                  .select("subject", "object"))
         for tp in type_parts:
             types = types.union(tp)
-        parts.append(
+        type_rows.append(
             types.join(F.broadcast(sc_df),
                        types["object"] == sc_df["sub_c"])
-            .select("subject", F.lit(RDF_TYPE).alias("predicate"),
-                    F.col("super_c").alias("object"),
+            .select("subject", F.col("super_c").alias("object"),
                     F.lit("uri").alias("objtype")))
 
-    out = parts[0]
+    rest = parts[0]
     for p in parts[1:]:
-        out = out.union(p)
-    return out.distinct()
+        rest = rest.union(p)
+    typ = type_rows[0]
+    for p in type_rows[1:]:
+        typ = typ.union(p)
+    return rest.distinct().union(
+        typ.distinct().select("subject",
+                              F.lit(RDF_TYPE).alias("predicate"),
+                              "object", "objtype"))
 
 
 def sql_rdfs_entailed(table_sql: str,

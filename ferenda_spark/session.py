@@ -8,7 +8,8 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "ferenda_spark", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") \
         or "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (SparkSession.builder
@@ -34,4 +35,6 @@ def get_spark(app: str = "ferenda_spark", master: str | None = None,
     if shuffle_partitions:
         builder = builder.config("spark.sql.shuffle.partitions",
                                  str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,10 +1,21 @@
-"""Two-parallelism-level scaling evidence for the north rule.
+"""Two-cluster-size scaling evidence for the north rule.
 
-Runs the full KG pipeline (pages table → extract → triples →
-canonicalize, count) on IDENTICAL input at local[N] and local[4N] in
-separate JVMs (fresh process per level so executor threads, codegen
-caches, and shuffle pools don't leak between runs), reports docs/sec at
-both plus efficiency = tput(4N) / (4 · tput(N)).
+Runs the same job on IDENTICAL input on a LOCAL STANDALONE CLUSTER at
+two sizes — K executors vs 4K executors, each executor its own JVM
+with fixed cores (4) and fixed heap (8g) — and reports docs/sec at
+both plus efficiency = tput(4K) / (4 · tput(K)). This is the north
+rule's "N and 4N executors" scenario proxied as faithfully as one box
+allows: per-executor resources are constant across the two sizes (as
+on a real cluster), the shuffle crosses executor-JVM boundaries over
+netty, and each executor GCs its own heap.
+
+Why not local[N] threads: thread-mode shares ONE heap/GC across all
+"executors", which anti-scales string-heavy hash aggregates (the RDFS
+leg measured 0.46 efficiency at local[4]→local[16] while four
+CONCURRENT 4-thread JVMs ran the identical job with no slowdown at
+all — aggregate 4.06× throughput — proving the box scales and the
+shared JVM was the artifact). Executor-per-JVM is both the realistic
+model and the one the criterion is defined over.
 
 The input is a MATERIALIZED parquet pages table (written once, shared
 by both levels) — the input_hint contract is an Iceberg table of
@@ -13,26 +24,29 @@ would on a cluster; the synthetic generator only provisions the table.
 
 Level choice: this sandbox is a 32-vCPU VM whose host caps aggregate
 CPU at ~24 effective cores (pure-python multiprocessing probe: 8 procs
-→ 7.9× single-proc, 32 procs → 23.5×), so 8→32 threads has a hardware
-ceiling of 23.5/7.9/4 ≈ 0.74 regardless of software. N=4 → 4N=16 stays
-inside the linear region (16 procs → 14.2×, ceiling ≈ 0.89) and is the
+→ 7.9× single-proc, 32 procs → 23.5×), so 8→32 cores has a hardware
+ceiling of ≈ 0.74 regardless of software. K=1 → 4K=4 executors of 4
+cores (4 → 16 busy cores) stays inside the linear region and is the
 honest two-cluster-size proxy.
 
-Run with the DEFAULT driver heap (8g): over-sizing it (40g) was
-measured to cost 3-5× wall on the same job (GC geometry), and the
-inter-stage hand-off is parquet, so the heap never needs to hold the
-triple set.
-
-Usage: python scripts/bench_scaling.py [n_docs] [N_cores]
-Writes BENCH_SCALING.json and prints the summary.
+Usage: python scripts/bench_scaling.py [n_docs] [K_executors] [workload]
+Writes BENCH_SCALING{_WORKLOAD}.json and prints the summary.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import socket
 import subprocess
 import sys
+import time
+
+import pyspark
+
+PYSPARK_HOME = os.path.dirname(os.path.abspath(pyspark.__file__))
+EXEC_CORES = 4
+EXEC_MEM = "8g"
 
 GEN = r'''
 import sys, time
@@ -149,12 +163,28 @@ WORKLOADS = {"extract": WORKLOAD_EXTRACT, "dedup": WORKLOAD_DEDUP,
 WORKER = r'''
 import json, sys, time
 sys.path.insert(0, %(repo)r)
-cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); reps = int(sys.argv[3])
-path = sys.argv[4]
+master_url = sys.argv[1]
+cores = int(sys.argv[2]); n_docs = int(sys.argv[3]); reps = int(sys.argv[4])
+path = sys.argv[5]
 from ferenda_spark.session import get_spark
 import ferenda_spark.pages as P
-spark = get_spark("scaling", master="local[%%d]" %% cores,
-                  shuffle_partitions=cores * 2)
+spark = get_spark("scaling", master=master_url,
+                  shuffle_partitions=cores * 2,
+                  extra_conf={
+                      "spark.executor.cores": "%(exec_cores)d",
+                      "spark.executor.memory": "%(exec_mem)s",
+                      "spark.cores.max": str(cores),
+                      # don't start until every executor of the
+                      # declared cluster size has registered — a
+                      # partially-sized cluster would corrupt the
+                      # comparison silently
+                      "spark.scheduler.minRegisteredResourcesRatio": "1.0",
+                      "spark.scheduler.maxRegisteredResourcesWaitingTime": "60s",
+                      "spark.executorEnv.PYTHONPATH": %(repo)r,
+                      # Arrow-UDF stages fork python workers on the
+                      # executors — pin them to this interpreter
+                      "spark.pyspark.python": sys.executable,
+                  })
 spark.sparkContext.setLogLevel("ERROR")
 %(workload)s
 
@@ -195,20 +225,80 @@ print(json.dumps({"cores": cores, "n_docs": n_docs, "sec": best,
 '''
 
 
-def run_level(repo: str, cores: int, n_docs: int, reps: int,
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+class Cluster:
+    """A throwaway local standalone cluster: one master + n_workers
+    worker daemons, each worker offering EXEC_CORES cores / EXEC_MEM —
+    i.e. one executor JVM per simulated cluster node. Fresh per level
+    so no JVM state (codegen caches, shuffle dirs, heap shape) leaks
+    between the two cluster sizes."""
+
+    def __init__(self, n_workers: int, tag: str):
+        port = _free_port()
+        self.url = "spark://127.0.0.1:%d" % port
+        env = dict(os.environ,
+                   SPARK_HOME=PYSPARK_HOME,
+                   SPARK_SCALA_VERSION="2.13",
+                   SPARK_LOCAL_IP="127.0.0.1")
+        jars = os.path.join(PYSPARK_HOME, "jars", "*")
+        self.procs = [subprocess.Popen(
+            ["java", "-Xmx1g", "-cp", jars,
+             "org.apache.spark.deploy.master.Master",
+             "--host", "127.0.0.1", "--port", str(port),
+             "--webui-port", "0"],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)]
+        time.sleep(4)
+        for i in range(n_workers):
+            self.procs.append(subprocess.Popen(
+                ["java", "-Xmx1g", "-cp", jars,
+                 "org.apache.spark.deploy.worker.Worker", self.url,
+                 "--cores", str(EXEC_CORES), "--memory", "10g",
+                 "--webui-port", "0",
+                 "--work-dir", "/tmp/scaling_worker_%s_%d" % (tag, i)],
+                env=env, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL))
+        time.sleep(4)  # registration; the app additionally blocks on
+        # minRegisteredResourcesRatio=1.0 until all cores are present
+
+    def stop(self) -> None:
+        for p in reversed(self.procs):
+            p.terminate()
+        for p in self.procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
+def run_level(repo: str, n_workers: int, n_docs: int, reps: int,
               path: str, workload: str = "extract") -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c",
-         WORKER % {"repo": repo, "workload": WORKLOADS[workload]},
-         str(cores), str(n_docs), str(reps), path],
-        capture_output=True, text=True, check=True)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    cluster = Cluster(n_workers, "%s%d" % (workload, n_workers))
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             WORKER % {"repo": repo, "workload": WORKLOADS[workload],
+                       "exec_cores": EXEC_CORES, "exec_mem": EXEC_MEM},
+             cluster.url, str(n_workers * EXEC_CORES), str(n_docs),
+             str(reps), path],
+            capture_output=True, text=True, check=True)
+    finally:
+        cluster.stop()
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    rec["executors"] = n_workers
+    rec["executor_cores"] = EXEC_CORES
+    rec["executor_memory"] = EXEC_MEM
+    return rec
 
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    k_execs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     workload = sys.argv[3] if len(sys.argv) > 3 else "extract"
     reps = int(os.environ.get("SCALING_REPS", "2"))
     rounds = int(os.environ.get("SCALING_ROUNDS", "1"))
@@ -226,8 +316,8 @@ def main() -> None:
     # sample the same noise distribution.
     lo = hi = None
     for _ in range(rounds):
-        lo_r = run_level(repo, n_cores, n_docs, reps, path, workload)
-        hi_r = run_level(repo, n_cores * 4, n_docs, reps, path, workload)
+        lo_r = run_level(repo, k_execs, n_docs, reps, path, workload)
+        hi_r = run_level(repo, k_execs * 4, n_docs, reps, path, workload)
         if lo is None or lo_r["sec"] < lo["sec"]:
             lo = lo_r
         if hi is None or hi_r["sec"] < hi["sec"]:
@@ -237,6 +327,10 @@ def main() -> None:
         "workload": workload,
         "n_docs": n_docs,
         "input": "materialized parquet pages table (%s)" % path,
+        "cluster_model": "local standalone cluster, one executor JVM "
+                         "per node (%d cores / %s each); levels = "
+                         "%d vs %d executors"
+                         % (EXEC_CORES, EXEC_MEM, k_execs, k_execs * 4),
         "low": lo, "high": hi,
         "scaling_efficiency": round(eff, 3),
         "criterion": "tput(4N) / (4 * tput(N)) >= 0.8",
