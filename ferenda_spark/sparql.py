@@ -42,6 +42,10 @@ Supported subset (what ferenda's own queries use):
   +∞; CEIL/FLOOR unified to double across engines),
   ``IF(c, t, e)`` and ``COALESCE(…)``
   (1:1 engine builtins, usable in FILTER and BIND),
+  ``MD5``/``SHA256`` (lowercase hex over the UTF-8 lexical form),
+  ``isNumeric(e)`` (TRY_CAST-to-double survives — exactly "the value
+  works in numeric contexts"), ``sameTerm(a, b)`` (lexical identity,
+  no numeric coercion), ``e [NOT] IN (…)`` lists,
   numeric arithmetic ``+ - * /`` with parenthesized grouping
   (operands double-coerced; non-numeric bindings and division by
   zero → NULL in both backends),
@@ -54,8 +58,9 @@ Supported subset (what ferenda's own queries use):
 - ``FILTER [NOT] EXISTS { … }`` in any group (compiled to a
   left-semi / left-anti join — Spark's native form — and a
   correlated (NOT) EXISTS subquery in the SQL twin); a UNION body
-  under NOT EXISTS De-Morgans into one anti-join per alternative
-  (positive EXISTS with a UNION body stays unsupported)
+  under NOT EXISTS De-Morgans into one anti-join per alternative,
+  and under positive EXISTS compiles to one semi-join against the
+  aligned union (EXISTS(A∪B) = EXISTS A OR EXISTS B)
 - ``GRAPH <ctx> { … }`` → context-column constraint on the scans,
   property-path triples included (the closure runs over that
   context's edges only)
@@ -387,6 +392,38 @@ class EIn(Expr):
 
 
 @dataclass
+class EIsNumeric(Expr):
+    """isNumeric(?v) — in this subset every binding is a string, so
+    the test is "does the lexical form coerce to a number": TRY_CAST
+    to double IS NOT NULL, identical in both engines (and identical
+    to the coercion ECmp/EArith apply, so isNumeric(?v) is exactly
+    "?v survives numeric contexts")."""
+    arg: Expr
+
+    def spark(self, env):
+        return self.arg.spark(env).try_cast("double").isNotNull()
+
+    def sql(self, env):
+        return "(TRY_CAST(%s AS DOUBLE) IS NOT NULL)" % self.arg.sql(env)
+
+
+@dataclass
+class ESameTerm(Expr):
+    """sameTerm(a, b) — lexical-identity equality with NO numeric
+    coercion ("01" = 1 under ECmp's coercion but NOT the same term),
+    the spec's RDF-term identity restricted to the subset's
+    string-valued bindings."""
+    left: Expr
+    right: Expr
+
+    def spark(self, env):
+        return self.left.spark(env) == self.right.spark(env)
+
+    def sql(self, env):
+        return "(%s = %s)" % (self.left.sql(env), self.right.sql(env))
+
+
+@dataclass
 class ERegex(Expr):
     var: EVar
     pattern: str
@@ -492,7 +529,7 @@ class EFunc(Expr):
     ARITY = {"strlen": 1, "ucase": 1, "lcase": 1, "contains": 2,
              "substr": 3, "replace": 3, "strends": 2, "strbefore": 2,
              "strafter": 2, "abs": 1, "ceil": 1, "floor": 1,
-             "round": 1}
+             "round": 1, "md5": 1, "sha256": 1}
     NUMERIC = {"abs", "ceil", "floor", "round"}
 
     def _spark_args(self, env):
@@ -551,6 +588,11 @@ class EFunc(Expr):
             return F.floor(a[0]).cast("double") + F.lit(0.0)
         if self.name == "round":
             return F.floor(a[0] + F.lit(0.5)).cast("double") + F.lit(0.0)
+        if self.name == "md5":
+            # both engines hash the UTF-8 bytes and print lowercase hex
+            return F.md5(a[0].cast("string"))
+        if self.name == "sha256":
+            return F.sha2(a[0].cast("string"), 256)
         return F.replace(a[0], a[1], a[2])
 
     def sql(self, env):
@@ -585,6 +627,10 @@ class EFunc(Expr):
             return "(CAST(floor(%s) AS DOUBLE) + 0.0)" % a[0]
         if self.name == "round":
             return "(CAST(floor(%s + 0.5) AS DOUBLE) + 0.0)" % a[0]
+        if self.name == "md5":
+            return "md5(CAST(%s AS VARCHAR))" % a[0]
+        if self.name == "sha256":
+            return "sha256(CAST(%s AS VARCHAR))" % a[0]
         return "replace(%s, %s, %s)" % (a[0], a[1], a[2])
 
 
@@ -673,8 +719,9 @@ class _Parser:
         self._seq_n += 1
         return "__seq%d" % self._seq_n
 
-    def peek(self):
-        return self.toks[self.i]
+    def peek(self, ahead: int = 0):
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else self.toks[-1]
 
     def next(self):
         t = self.toks[self.i]
@@ -1364,6 +1411,22 @@ class _Parser:
     def expr_rel(self) -> Expr:
         left = self.expr_add()
         k, v = self.peek()
+        if k == "kw" and v.upper() == "NOT" \
+                and self.peek(1)[1].upper() == "IN":
+            # ?x NOT IN (…) — spec-equivalent to !(?x IN (…)) under
+            # the subset's NULL rules: an unbound/uncoercible left
+            # side yields NULL, NOT(NULL) stays NULL, and the FILTER
+            # drops it in both engines (the error-is-unbound rule)
+            self.i += 2
+            self.expect_op("(")
+            items = [EConst(self.term())]
+            while self.peek()[1] == ",":
+                self.i += 1
+                items.append(EConst(self.term()))
+            self.expect_op(")")
+            if not isinstance(left, EVar):
+                raise SparqlError("NOT IN needs a variable on the left")
+            return ENot(EIn(left, items))
         if k == "kw" and v.upper() == "IN":
             if not isinstance(left, EVar):
                 raise SparqlError("IN needs a variable on the left")
@@ -1447,6 +1510,20 @@ class _Parser:
                 raise SparqlError("%s needs a variable" % v)
             self.expect_op(")")
             return EIsType(EVar(vv[1:]), kind)
+        if k == "kw" and v.lower() == "isnumeric":
+            self.i += 1
+            self.expect_op("(")
+            arg = self.expr()
+            self.expect_op(")")
+            return EIsNumeric(arg)
+        if k == "kw" and v.lower() == "sameterm":
+            self.i += 1
+            self.expect_op("(")
+            left = self.expr()
+            self.expect_op(",")
+            right = self.expr()
+            self.expect_op(")")
+            return ESameTerm(left, right)
         if k == "kw" and v.lower() in EFunc.ARITY:
             name = v.lower()
             self.i += 1

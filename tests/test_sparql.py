@@ -1362,3 +1362,61 @@ def test_postfix_values_clause(graph):
         GROUP BY ?s VALUES ?s { <d1> }
     """)
     assert list(agg["s"]) == ["d1"] and list(agg["n"]) == [4]
+
+
+def test_not_in_filter(graph):
+    """?x NOT IN (…) ≡ !(?x IN (…)) under the subset's NULL rules:
+    matches drop, non-matches survive, and a mixed numeric/string
+    list applies the same TRY_CAST coercion as IN."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?n WHERE {
+          ?s a foaf:Document .
+          ?s dct:identifier ?n .
+          FILTER(?n NOT IN (7, "12"))
+        } ORDER BY ?s
+    """)
+    # d3 has identifier 7 (numeric match), d2 has "12" (string match)
+    assert list(out["s"]) == ["d1"] and list(out["n"]) == ["3"]
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse(PREFIXES + """
+            SELECT ?s WHERE { ?s dct:identifier ?n .
+                              FILTER((?n + 1) NOT IN (7)) }""")
+
+
+def test_is_numeric_and_same_term(graph):
+    """isNumeric = survives-TRY_CAST in both engines; sameTerm is
+    lexical identity with NO numeric coercion (where = would coerce
+    "07"=7 true numerically, sameTerm("07","7") stays false)."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?numt ?numid ?samet ?eqn WHERE {
+          ?s a foaf:Document .
+          ?s dct:title ?t .
+          ?s dct:identifier ?n .
+          BIND(isNumeric(?t) AS ?numt)
+          BIND(isNumeric(?n) AS ?numid)
+          BIND(sameTerm(?n, "7") AS ?samet)
+          BIND(?n = 7 AS ?eqn)
+        } ORDER BY ?s
+    """)
+    s = out.set_index("s")
+    assert not any(out["numt"].astype(bool))          # titles: not numeric
+    assert all(out["numid"].astype(bool))             # identifiers: numeric
+    assert bool(s["samet"]["d3"]) and not bool(s["samet"]["d2"])
+    assert bool(s["eqn"]["d3"]) and not bool(s["eqn"]["d1"])
+
+
+def test_hash_functions(graph):
+    """MD5/SHA256 print lowercase hex over the UTF-8 lexical form —
+    pinned to the RFC 1321 / FIPS 180-4 test-vector values for "Gamma"
+    so both engines (and the spec) are anchored to the same bytes."""
+    import hashlib
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s ?m ?h WHERE {
+          ?s dct:title ?t .
+          BIND(md5(?t) AS ?m)
+          BIND(sha256(?t) AS ?h)
+          FILTER(?s = "d3")
+        }
+    """)
+    assert out["m"][0] == hashlib.md5(b"Gamma").hexdigest()
+    assert out["h"][0] == hashlib.sha256(b"Gamma").hexdigest()

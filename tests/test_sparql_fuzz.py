@@ -76,6 +76,11 @@ filter_st = st.one_of(
     st.tuples(st.just("numfn"), var_st, st.integers(0, 8)),
     # IF + COALESCE (string-typed results in both engines)
     st.tuples(st.just("iffn"), var_st, st.integers(0, 20)),
+    # NOT IN over a mixed numeric/string list (same coercion as IN)
+    st.tuples(st.just("notin"), var_st, st.integers(0, 20)),
+    # isNumeric / sameTerm / md5-prefix composition
+    st.tuples(st.just("termfn"), var_st,
+              st.sampled_from(["0", "1", "a", "f"])),
 )
 
 
@@ -102,6 +107,11 @@ def filter_sparql(f):
     if op == "iffn":
         return ('FILTER(IF(?%s > %d, "y", COALESCE(?%s, "n")) = "y")'
                 % (v, arg, v))
+    if op == "notin":
+        return 'FILTER(?%s NOT IN (%d, "m%d", "beta"))' % (v, arg, arg)
+    if op == "termfn":
+        return ('FILTER(isNumeric(?%s) || sameTerm(?%s, "%s") || '
+                'strstarts(md5(?%s), "%s"))' % (v, v, arg, v, arg))
     return 'FILTER(strstarts(?%s, "%s"))' % (v, arg)
 
 
