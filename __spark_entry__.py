@@ -645,6 +645,22 @@ SELECT ?s ?title ?pub WHERE {
 # (never-cited docs), inverse path ^dct:references, nested OPTIONAL
 
 
+_KG_SPARQL_LANGDT = """
+PREFIX dct: <http://purl.org/dc/terms/>
+SELECT ?s ?title ?d ?id WHERE {
+  ?s dct:title ?title .
+  FILTER(langMatches(lang(?title), "EN"))
+  OPTIONAL { ?s dct:issued ?d .
+             FILTER(datatype(?d) =
+                    <http://www.w3.org/2001/XMLSchema#date>) }
+  OPTIONAL { ?s dct:identifier ?id . FILTER(lang(?id) = "") }
+} ORDER BY ?s ?title
+"""  # the label-query idioms every SPARQL user writes: RFC 4647
+# langMatches (case-insensitive, en matches en-GB), a datatype()
+# constraint inside OPTIONAL, and the untagged-literal lang()="" test
+# — all three push into the scans in both backends
+
+
 _KG_SPARQL_AGG = """
 PREFIX dct: <http://purl.org/dc/terms/>
 SELECT ?type (COUNT(?s) AS ?n) (SAMPLE(?id) AS ?first_id)
@@ -730,6 +746,12 @@ def _q_kg_sparql_agg(spark, sf_dir):
     from ferenda_spark import sparql
     return sparql.compile_spark(_kg_read(spark, "triples"),
                                 _KG_SPARQL_AGG)
+
+
+def _q_kg_sparql_langdt(spark, sf_dir):
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_LANGDT)
 
 
 def _q_kg_sparql(spark, sf_dir):
@@ -1648,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_stats": _q_kg_sparql_stats,
         "kg_sparql_bind": _q_kg_sparql_bind,
         "kg_sparql_orphans": _q_kg_sparql_orphans,
+        "kg_sparql_langdt": _q_kg_sparql_langdt,
         "kg_sparql_minus": _q_kg_sparql_minus,
         "kg_sparql_agg": _q_kg_sparql_agg,
         "kg_sparql_subquery": _q_kg_sparql_subquery,
@@ -1785,6 +1808,8 @@ def oracle_sql() -> dict[str, str]:
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_ORPHANS),
         "kg_sparql_minus": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_MINUS),
+        "kg_sparql_langdt": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_SPARQL_LANGDT),
         "kg_sparql_agg": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_AGG),
         "kg_sparql_subquery": sparql.compile_sql(

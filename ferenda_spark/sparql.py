@@ -49,9 +49,14 @@ Supported subset (what ferenda's own queries use):
   numeric arithmetic ``+ - * /`` with parenthesized grouping
   (operands double-coerced; non-numeric bindings and division by
   zero → NULL in both backends),
-  ``isUri/isIRI/isLiteral(?v)`` and
-  ``lang(?v) = "tag"`` (top-level conjuncts — compiled to objtype /
-  lang scan constraints), ``! && ||``
+  ``isUri/isIRI/isLiteral(?v)``,
+  ``lang(?v) = "tag"`` (``""`` = untagged literals per spec),
+  ``langMatches(lang(?v), "range")`` (RFC 4647 basic filtering:
+  ``"*"`` = any non-empty tag, ``"en"`` matches ``en`` and ``en-US``
+  case-insensitively) and ``datatype(?v) = <uri>`` (simple literal →
+  ``xsd:string``, tagged → ``rdf:langString`` per spec) — all four as
+  top-level conjuncts compiled to objtype / lang / datatype scan
+  constraints, ``! && ||``
 - ``BIND(expr AS ?v)`` (top-level group and UNION branches; after the
   branch BGP, before its FILTERs), ``VALUES ?v { … }`` /
   ``VALUES (?a ?b) { (…)… }`` with ``UNDEF``
@@ -120,6 +125,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 # constant-endpoint property paths switch from the shared all-pairs
 # closure to a seeded frontier BFS above this edge count (the same
@@ -177,6 +184,12 @@ class Triple:
     # pushed into the scan; graph: GRAPH <uri> context
     o_objtype: str | None = None
     o_lang: str | None = None
+    # o_langrange: langMatches(lang(?v), "range") → RFC 4647 basic
+    # filtering on the lang column; o_datatype: datatype(?v) = <uri>
+    # → datatype-column constraint (spec simple→xsd:string /
+    # tagged→rdf:langString mapped onto the table's NULL encodings)
+    o_langrange: str | None = None
+    o_datatype: str | None = None
     graph: str | None = None
 
 
@@ -480,7 +493,42 @@ class ELang(Expr):
 
     def spark(self, env):
         raise SparqlError('lang() is only supported as a top-level '
-                          'FILTER conjunct lang(?v) = "tag"')
+                          'FILTER conjunct lang(?v) = "tag" or inside '
+                          'langMatches(lang(?v), "range")')
+
+    sql = spark
+
+
+@dataclass
+class ELangMatches(Expr):
+    """langMatches(lang(?v), "range") — RFC 4647 basic filtering as a
+    top-level FILTER conjunct: "*" matches any non-empty tag, otherwise
+    the range matches a tag case-insensitively when equal or when the
+    tag extends it with a "-" subtag ("en" matches "en" and "en-US").
+    The rewriter pushes it into the scan binding ?v at object position;
+    reaching spark()/sql() means it survived somewhere else."""
+    var: EVar
+    range: str
+
+    def spark(self, env):
+        raise SparqlError("langMatches is only supported as a "
+                          "top-level FILTER conjunct")
+
+    sql = spark
+
+
+@dataclass
+class EDatatype(Expr):
+    """datatype(?v) — only valid as ``datatype(?v) = <uri>`` in a
+    top-level FILTER conjunct, where the rewriter pushes a
+    datatype-column constraint into the scan (with the spec's
+    simple-literal → xsd:string and lang-tagged → rdf:langString
+    mappings handled against the table's NULL encodings)."""
+    var: EVar
+
+    def spark(self, env):
+        raise SparqlError("datatype() is only supported as a top-level "
+                          "FILTER conjunct datatype(?v) = <uri>")
 
     sql = spark
 
@@ -1501,6 +1549,34 @@ class _Parser:
                 raise SparqlError("lang needs a variable")
             self.expect_op(")")
             return ELang(EVar(vv[1:]))
+        if k == "kw" and v.lower() == "langmatches":
+            # langMatches(lang(?v), "range") — the only accepted shape
+            # (the subset's lang() is itself scan-pushed, so a general
+            # first argument has nothing to bind to)
+            self.i += 1
+            self.expect_op("(")
+            inner = self.expr()
+            if not isinstance(inner, ELang):
+                raise SparqlError(
+                    "langMatches needs lang(?v) as its first argument")
+            self.expect_op(",")
+            kr, vr = self.next()
+            if kr != "str":
+                raise SparqlError(
+                    "langMatches needs a string language range")
+            rng = vr[1:-1]
+            if rng != "*" and not re.fullmatch(r"[A-Za-z0-9-]+", rng):
+                raise SparqlError("bad language range %r" % rng)
+            self.expect_op(")")
+            return ELangMatches(inner.var, rng)
+        if k == "kw" and v.lower() == "datatype":
+            self.i += 1
+            self.expect_op("(")
+            kv, vv = self.next()
+            if kv != "var":
+                raise SparqlError("datatype needs a variable")
+            self.expect_op(")")
+            return EDatatype(EVar(vv[1:]))
         if k == "kw" and v.lower() in ("isuri", "isiri", "isliteral"):
             kind = "literal" if v.lower() == "isliteral" else "uri"
             self.i += 1
@@ -1629,20 +1705,29 @@ def _rewrite_istype(g: Group) -> None:
                 m = (c.inner.var.name,
                      "literal" if c.inner.kind == "uri" else "uri")
             lm = None   # lang(?v) = "tag" conjunct → (var, tag)
+            dt = None   # datatype(?v) = <uri> conjunct → (var, uri)
             if (m is None and isinstance(c, ECmp) and c.op == "="):
                 for a, b in ((c.left, c.right), (c.right, c.left)):
                     if isinstance(a, ELang) and isinstance(b, EConst) \
                             and not b.numeric:
                         lm = (a.var.name, b.term[1])
-            if m is None and lm is None:
+                    elif isinstance(a, EDatatype) \
+                            and isinstance(b, EConst) \
+                            and b.term[0] == "uri":
+                        dt = (a.var.name, b.term[1])
+            lr = None   # langMatches conjunct → (var, range)
+            if isinstance(c, ELangMatches):
+                lr = (c.var.name, c.range)
+            if m is None and lm is None and lr is None and dt is None:
                 kept.append(c)
                 continue
-            var = (m or lm)[0]
+            var = (m or lm or lr or dt)[0]
             hits = [t for t in g.triples
                     if t.o == ("var", var) and t.p[0] != "path"]
             if not hits:
                 raise SparqlError(
-                    "isUri/isLiteral/lang needs ?%s bound at an object "
+                    "isUri/isLiteral/lang/langMatches/datatype needs "
+                    "?%s bound at an object "
                     "position in the same group" % var)
             for t in hits:
                 if m is not None:
@@ -1651,11 +1736,21 @@ def _rewrite_istype(g: Group) -> None:
                         raise SparqlError(
                             "contradictory isUri/isLiteral on ?%s" % var)
                     t.o_objtype = kind
-                else:
+                elif lm is not None:
                     if t.o_lang and t.o_lang != lm[1]:
                         raise SparqlError(
                             "contradictory lang() on ?%s" % var)
                     t.o_lang = lm[1]
+                elif lr is not None:
+                    if t.o_langrange and t.o_langrange != lr[1]:
+                        raise SparqlError(
+                            "contradictory langMatches() on ?%s" % var)
+                    t.o_langrange = lr[1]
+                else:
+                    if t.o_datatype and t.o_datatype != dt[1]:
+                        raise SparqlError(
+                            "contradictory datatype() on ?%s" % var)
+                    t.o_datatype = dt[1]
     g.filters = kept
 
 
@@ -1713,8 +1808,13 @@ def _scan_spec(t: Triple, alias: str):
     """→ (constant filters [(col, value)], var projection {var: col},
     intra-pattern equalities [(col, col)],
     set filters [(col, values, positive)] — predicate alternation /
-    negated property sets)."""
-    consts, varcols, intra, sets = [], {}, [], []
+    negated property sets,
+    extras [(kind, value)] — non-equality scan constraints the two
+    backends compile from one shared spec: ``("langmatch", range)``
+    RFC 4647 basic filtering, ``("nolang", None)`` untagged-literal
+    (lang(?v) = ""), ``("dtype", uri)`` datatype constraint with the
+    spec's xsd:string / rdf:langString mappings)."""
+    consts, varcols, intra, sets, extras = [], {}, [], [], []
     for (short, col), term in zip(_POS, (t.s, t.p, t.o)):
         if term[0] == "var":
             if term[1] in varcols:
@@ -1738,11 +1838,64 @@ def _scan_spec(t: Triple, alias: str):
             consts.append((col, term[1]))
     if t.o_objtype and t.o[0] == "var":
         consts.append(("objtype", t.o_objtype))
-    if t.o_lang and t.o[0] == "var":
-        consts.append(("lang", t.o_lang))
+    if t.o_lang is not None and t.o[0] == "var":
+        if t.o_lang == "":
+            # lang(?v) = "" — the spec's untagged-literal test; the
+            # table stores absent tags as NULL
+            extras.append(("nolang", None))
+        else:
+            consts.append(("lang", t.o_lang))
+    if t.o_langrange and t.o[0] == "var":
+        extras.append(("langmatch", t.o_langrange))
+    if t.o_datatype and t.o[0] == "var":
+        # datatype() is only defined on literals (an error — hence an
+        # unbound row — on URIs, so the constraint drops them)
+        if ("objtype", "literal") not in consts:
+            consts.append(("objtype", "literal"))
+        extras.append(("dtype", t.o_datatype))
     if t.graph:
         consts.append(("context", t.graph))
-    return consts, varcols, intra, sets
+    return consts, varcols, intra, sets, extras
+
+
+def _extra_spark(kind: str, val):
+    """One _scan_spec extra → a Spark Column condition (the SQL twin
+    below mirrors every branch; keep them in lockstep)."""
+    if kind == "nolang":
+        return F.col("lang").isNull() | (F.col("lang") == "")
+    if kind == "langmatch":
+        if val == "*":
+            return F.col("lang").isNotNull() & (F.col("lang") != "")
+        low = val.lower()
+        return (F.lower(F.col("lang")) == low) \
+            | F.lower(F.col("lang")).startswith(low + "-")
+    # dtype — spec mappings onto the table's NULL encodings: a simple
+    # literal (no tag, no datatype) IS xsd:string; a tagged literal IS
+    # rdf:langString; anything else matches its stored datatype URI
+    if val == XSD_STRING:
+        return ((F.col("datatype").isNull() | (F.col("datatype") == ""))
+                & (F.col("lang").isNull() | (F.col("lang") == "")))
+    if val == RDF_LANGSTRING:
+        return F.col("lang").isNotNull() & (F.col("lang") != "")
+    return F.col("datatype") == val
+
+
+def _extra_sql(kind: str, val) -> str:
+    """The ANSI-SQL twin of :func:`_extra_spark` — branch for branch."""
+    if kind == "nolang":
+        return "(lang IS NULL OR lang = '')"
+    if kind == "langmatch":
+        if val == "*":
+            return "(lang IS NOT NULL AND lang <> '')"
+        low = val.lower()   # ranges are [A-Za-z0-9-]+, LIKE-safe
+        return ("(lower(lang) = '%s' OR lower(lang) LIKE '%s-%%')"
+                % (low, low))
+    if val == XSD_STRING:
+        return ("((datatype IS NULL OR datatype = '') "
+                "AND (lang IS NULL OR lang = ''))")
+    if val == RDF_LANGSTRING:
+        return "(lang IS NOT NULL AND lang <> '')"
+    return "datatype = '%s'" % val.replace("'", "''")
 
 
 # --------------------------------------------------------- spark backend
@@ -1895,13 +2048,15 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                    for var, col in varcols.items()]
             return df.select(*sel), {var: "%s__%s" % (alias, var)
                                      for var in varcols}
-        consts, varcols, intra, sets = _scan_spec(t, alias)
+        consts, varcols, intra, sets, extras = _scan_spec(t, alias)
         df = triples
         for col, val in consts:
             df = df.filter(F.col(col) == val)
         for col, vals, positive in sets:
             cond = F.col(col).isin(list(vals))
             df = df.filter(cond if positive else ~cond)
+        for kind, val in extras:
+            df = df.filter(_extra_spark(kind, val))
         for c1, c2 in intra:
             df = df.filter(F.col(c1) == F.col(c2))
         sel = [F.col(col).alias("%s__%s" % (alias, var))
@@ -2415,7 +2570,7 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             where = (" WHERE " + " AND ".join(conds)) if conds else ""
             sub = "(SELECT %s FROM %s%s) %s" % (cols, rel, where, alias)
             return sub, {var: "%s__%s" % (alias, var) for var in varcols}
-        consts, varcols, intra, sets = _scan_spec(t, alias)
+        consts, varcols, intra, sets, extras = _scan_spec(t, alias)
         conds = ["%s = '%s'" % (col, val.replace("'", "''"))
                  for col, val in consts]
         conds += ["%s %sIN (%s)"
@@ -2423,6 +2578,7 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                      ", ".join("'%s'" % v.replace("'", "''")
                                for v in vals))
                   for col, vals, positive in sets]
+        conds += [_extra_sql(kind, val) for kind, val in extras]
         conds += ["%s = %s" % (c1, c2) for c1, c2 in intra]
         cols = ", ".join("%s AS %s__%s" % (col, alias, var)
                          for var, col in varcols.items()) \

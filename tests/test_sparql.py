@@ -1420,3 +1420,93 @@ def test_hash_functions(graph):
     """)
     assert out["m"][0] == hashlib.md5(b"Gamma").hexdigest()
     assert out["h"][0] == hashlib.sha256(b"Gamma").hexdigest()
+
+
+@pytest.fixture(scope="module")
+def typed_graph(spark, tmp_path_factory):
+    """Graph with datatyped literals, an en-US subtag and an untagged
+    plain literal — the corners langMatches/datatype() distinguish."""
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        ("x1", DCT + "date", "2020-01-01", "literal", "", XSD + "date"),
+        ("x1", DCT + "title", "Hello", "literal", "en-US", ""),
+        ("x1", DCT + "note", "plain", "literal", "", ""),
+        ("x1", DCT + "publisher", "p1", "uri", "", ""),
+        ("x2", DCT + "date", "5", "literal", "", XSD + "integer"),
+        ("x2", DCT + "title", "Hej", "literal", "sv", ""),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "subject", "predicate", "object", "objtype", "lang", "datatype"])
+    path = str(tmp_path_factory.mktemp("sparqlt") / "triples.parquet")
+    pdf.to_parquet(path)
+    return spark.createDataFrame(pdf), path
+
+
+def test_langmatches(graph, typed_graph):
+    """RFC 4647 basic filtering: "*" = any non-empty tag; a range
+    matches case-insensitively when equal or extended by a - subtag
+    ("en" matches both en and en-US, never sv); pushed into the scan
+    in both backends."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE { ?s dct:title ?t .
+                          FILTER(langMatches(lang(?t), "*")) }
+        ORDER BY ?s
+    """)
+    assert list(out["s"]) == ["d1", "d2", "d3", "d9", "p1"]
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE { ?s dct:title ?t .
+                          FILTER(langMatches(lang(?t), "EN")) }
+        ORDER BY ?s
+    """)
+    assert list(out["s"]) == ["d1", "d2", "d9", "p1"]   # d3 is @sv
+    out = run_both(typed_graph, PREFIXES + """
+        SELECT ?s WHERE { ?s dct:title ?t .
+                          FILTER(langMatches(lang(?t), "en")) }
+    """)
+    assert list(out["s"]) == ["x1"]                     # en-US extends en
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse(PREFIXES + """
+            SELECT ?s WHERE { ?s dct:title ?t .
+                              FILTER(langMatches(?t, "en")) }""")
+
+
+def test_lang_empty_tag(graph):
+    """lang(?v) = "" selects untagged literals per spec (the table
+    stores absent tags as NULL or '')."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE { ?s dct:identifier ?n . FILTER(lang(?n) = "") }
+        ORDER BY ?s
+    """)
+    assert list(out["s"]) == ["d1", "d2", "d3"]
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE { ?s dct:title ?t . FILTER(lang(?t) = "") }
+    """)
+    assert len(out) == 0                  # every title carries a tag
+
+
+def test_datatype_filter(typed_graph):
+    """datatype(?v) = <uri>: stored datatype URIs match directly;
+    simple literals are xsd:string, tagged ones rdf:langString (spec
+    mappings onto the table's NULL/'' encodings); a URI object never
+    matches (datatype() is an error there → row dropped)."""
+    q = PREFIXES + """
+        SELECT ?s WHERE { ?s dct:date ?d .
+          FILTER(datatype(?d) = <http://www.w3.org/2001/XMLSchema#date>)
+        }"""
+    assert list(run_both(typed_graph, q)["s"]) == ["x1"]
+    q = PREFIXES + """
+        SELECT ?s WHERE { ?s dct:note ?n .
+          FILTER(datatype(?n) = <http://www.w3.org/2001/XMLSchema#string>)
+        }"""
+    assert list(run_both(typed_graph, q)["s"]) == ["x1"]
+    q = PREFIXES + """
+        SELECT ?s WHERE { ?s dct:title ?t .
+          FILTER(datatype(?t) =
+                 <http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>)
+        } ORDER BY ?s"""
+    assert list(run_both(typed_graph, q)["s"]) == ["x1", "x2"]
+    q = PREFIXES + """
+        SELECT ?s WHERE { ?s dct:publisher ?p .
+          FILTER(datatype(?p) = <http://www.w3.org/2001/XMLSchema#string>)
+        }"""
+    assert len(run_both(typed_graph, q)) == 0

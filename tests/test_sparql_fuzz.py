@@ -22,6 +22,10 @@ from ferenda_spark import sparql
 SUBJECTS = ["d1", "d2", "d3", "d4"]
 PREDS = {"t": "http://p/t", "r": "http://p/r", "k": "http://p/k"}
 LITS = ["alpha", "beta", "gamma", "", "3", "12"]
+# deterministic language tags per literal (uris and the rest stay
+# untagged) — gives the langMatches/datatype productions real corners:
+# exact tag, -subtag extension, case, and untagged
+LANGS = {"alpha": "en", "beta": "en-US", "gamma": "sv"}
 PREFIX = "PREFIX p: <http://p/>\n"
 
 # graph = set of (s, pred-key, object, objtype) choices
@@ -81,6 +85,13 @@ filter_st = st.one_of(
     # isNumeric / sameTerm / md5-prefix composition
     st.tuples(st.just("termfn"), var_st,
               st.sampled_from(["0", "1", "a", "f"])),
+    # langMatches over the deterministic tag assignment ("*", exact,
+    # case-folded, -subtag prefix, absent range) and lang(?v) = ""
+    st.tuples(st.just("langm"), var_st,
+              st.sampled_from(["*", "en", "EN", "en-us", "sv", "de",
+                               ""])),
+    # datatype(): untagged literals are xsd:string, tagged langString
+    st.tuples(st.just("dtype"), var_st, st.booleans()),
 )
 
 
@@ -112,6 +123,14 @@ def filter_sparql(f):
     if op == "termfn":
         return ('FILTER(isNumeric(?%s) || sameTerm(?%s, "%s") || '
                 'strstarts(md5(?%s), "%s"))' % (v, v, arg, v, arg))
+    if op == "langm":
+        if arg == "":
+            return 'FILTER(lang(?%s) = "")' % v
+        return 'FILTER(langMatches(lang(?%s), "%s"))' % (v, arg)
+    if op == "dtype":
+        uri = ("http://www.w3.org/2001/XMLSchema#string" if arg else
+               "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")
+        return "FILTER(datatype(?%s) = <%s>)" % (v, uri)
     return 'FILTER(strstarts(?%s, "%s"))' % (v, arg)
 
 
@@ -389,7 +408,8 @@ def test_fuzz_paths(spark, duck_dir, graph, q, monkeypatch):
 
 
 def _run_fuzz(spark, duck_dir, graph, text):
-    rows = [(s, PREDS[p], o, "uri" if o in SUBJECTS else "literal", "")
+    rows = [(s, PREDS[p], o, "uri" if o in SUBJECTS else "literal",
+             LANGS.get(o, ""))
             for s, p, o in graph]
     pdf = pd.DataFrame(rows, columns=[
         "subject", "predicate", "object", "objtype", "lang"])
