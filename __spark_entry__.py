@@ -94,6 +94,50 @@ def _kg_rdfs_sql(kg_paths: dict) -> str:
                              CORPUS_ONTOLOGY)
 
 
+# incremental-entailment delta batch: two new docs (type chain +
+# subproperty/domain/range fire) and one NEW schema axiom (every
+# foaf:Document — asserted or derived — becomes ex:Archivable, the
+# schema-delta-over-corpus path); deterministic by construction
+KG_RDFS_DELTA = [
+    ("http://example.org/new/9001",
+     "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+     "http://example.org/ontology/rfc/RFC", "uri"),
+    ("http://example.org/new/9001", "http://purl.org/dc/terms/references",
+     "http://example.org/res/doc/1", "uri"),
+    ("http://example.org/new/9002", "http://purl.org/dc/terms/publisher",
+     "http://example.org/org/ietf", "uri"),
+    ("http://xmlns.com/foaf/0.1/Document",
+     "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+     "http://example.org/class/Archivable", "uri"),
+]
+
+
+def _q_kg_rdfs_delta(spark, sf_dir):
+    """Incremental RDFS maintenance: entail(T ∪ Δ) − entail(T) via the
+    Δ-sized semi-naive plan (rules over Δ with the new schema closure,
+    rules over the entailed table with the schema DELTA only, one
+    terminal anti-join) — checked against the by-definition DuckDB
+    oracle entail(T∪Δ) EXCEPT entail(T)."""
+    from ferenda_spark.operators.inference import (
+        CORPUS_ONTOLOGY, rdfs_materialize, rdfs_materialize_delta)
+    triples = _kg_read(spark, "triples")
+    entailed = rdfs_materialize(triples, CORPUS_ONTOLOGY)
+    delta = spark.createDataFrame(
+        KG_RDFS_DELTA,
+        "subject string, predicate string, object string, objtype string")
+    return rdfs_materialize_delta(entailed, delta, CORPUS_ONTOLOGY)
+
+
+def _kg_rdfs_delta_sql(kg_paths: dict) -> str:
+    from ferenda_spark.operators.inference import (CORPUS_ONTOLOGY,
+                                                   sql_rdfs_delta)
+    dvals = ", ".join("('%s', '%s', '%s', '%s')" % t for t in KG_RDFS_DELTA)
+    dsql = ("(SELECT * FROM (VALUES %s) "
+            "v(subject, predicate, object, objtype))" % dvals)
+    return sql_rdfs_delta("read_parquet('%s')" % kg_paths["triples"],
+                          dsql, CORPUS_ONTOLOGY)
+
+
 def _kg_shacl_sql(kg_paths: dict) -> str:
     from ferenda_spark.operators.validate import sql_validate_shapes
     return sql_validate_shapes("read_parquet('%s')" % kg_paths["triples"],
@@ -1649,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
+        "kg_rdfs_delta": _q_kg_rdfs_delta,
         "kg_shacl_report": _q_kg_shacl_report,
         "kg_sparql_update": _q_kg_sparql_update,
         "kg_void_stats": _q_kg_void_stats,
@@ -1777,6 +1822,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
         "kg_citation_map": kgoracle.sql_citation_map(kg),
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
+        "kg_rdfs_delta": _kg_rdfs_delta_sql(kg),
         "kg_shacl_report": _kg_shacl_sql(kg),
         "kg_sparql_update": _kg_update_sql(kg),
         "kg_void_stats": _kg_void_sql(kg),

@@ -288,3 +288,151 @@ CORPUS_ONTOLOGY: list[tuple[str, str, str]] = [
     (NS["dcterms"] + "publisher", RDFS_RANGE, NS["dcterms"] + "Agent"),
     (NS["dcterms"] + "rightsHolder", RDFS_RANGE, NS["dcterms"] + "Agent"),
 ]
+
+
+def rdfs_materialize_delta(entailed: DataFrame, delta: DataFrame,
+                           ontology: list[tuple[str, str, str]],
+                           include_data_schema: bool = True) -> DataFrame:
+    """Incremental maintenance of :func:`rdfs_materialize`: given
+    ``entailed`` = entail(T) and a batch Δ of newly asserted triples,
+    → the NEW rows entail(T ∪ Δ) adds (append them to the entailed
+    table; ``entail(T ∪ Δ) = entailed ∪ result`` exactly, set
+    semantics — tests/test_inference.py asserts the identity against a
+    full recompute).
+
+    Why Δ-sized work is possible: every rule in the subset joins ONE
+    data triple against the (small, driver-closed) schema — there are
+    no data×data rules — and entail(entail(T)) = entail(T), so rules
+    may soundly run over the entailed table in place of the asserted
+    one. Hence::
+
+      new = rules(S_new, Δ)            -- Δ-sized: the common case
+          ∪ rules(S_new − S_old, E)    -- only when Δ carries NEW
+                                       -- schema triples; predicate-IN
+                                       -- pushdown restricts the E scan
+                                       -- to the affected predicates
+      (rdfs9 last: sc_new over every type triple derived above,
+       Δsc over E's existing type rows)
+
+    followed by one (s,p,o,objtype) anti-join against E — Δ-vs-corpus,
+    shuffle-free on the E side when the table is bucketed by subject
+    (operators/lineage.write_triples layout).
+
+    100-TB shape: when Δ carries no schema change (the steady state),
+    E is touched only by the terminal anti-join; every rule join is a
+    broadcast of ontology-sized pairs against the Δ scan.
+    """
+    spark = entailed.sparkSession
+
+    def schema_rows(df):
+        # bounded collect: schema triples are ontology-sized
+        return [(r.subject, r.predicate, r.object) for r in
+                (df.where(F.col("predicate").isin(*SCHEMA_PREDS))
+                 .select("subject", "predicate", "object")
+                 .distinct().collect())]
+
+    old_schema = schema_rows(entailed) if include_data_schema else []
+    new_schema = schema_rows(delta) if include_data_schema else []
+    sc0, sp0, dom0, rng0 = schema_closure(ontology, old_schema)
+    sc1, sp1, dom1, rng1 = schema_closure(ontology,
+                                          old_schema + new_schema)
+    d_sc, d_sp = sc1 - sc0, sp1 - sp0
+    d_dom, d_rng = dom1 - dom0, rng1 - rng0
+
+    cols = ("subject", "predicate", "object", "objtype")
+    ddata = delta.select(*cols)
+    edata = entailed.select(*cols)
+
+    def rule_joins(data, sp, dom, rng):
+        """→ (rest parts, derived (subject, object) type-pair parts) —
+        the same three single-premise joins as rdfs_materialize."""
+        rest, tparts = [], []
+        sp_df = _pair_df(spark, sp, ("sub_p", "super_p"))
+        if sp_df is not None:  # rdfs7
+            rest.append(
+                data.where(F.col("predicate").isin(*{a for a, _ in sp}))
+                .join(F.broadcast(sp_df),
+                      data["predicate"] == sp_df["sub_p"])
+                .select("subject", F.col("super_p").alias("predicate"),
+                        "object", "objtype"))
+        dom_df = _pair_df(spark, dom, ("on_p", "cls"))
+        if dom_df is not None:  # rdfs2
+            tparts.append(
+                data.where(F.col("predicate").isin(*{p for p, _ in dom}))
+                .join(F.broadcast(dom_df),
+                      data["predicate"] == dom_df["on_p"])
+                .select("subject", F.col("cls").alias("object")))
+        rng_df = _pair_df(spark, rng, ("on_p", "cls"))
+        if rng_df is not None:  # rdfs3
+            tparts.append(
+                data.where((F.col("objtype") == "uri") &
+                           F.col("predicate").isin(*{p for p, _ in rng}))
+                .join(F.broadcast(rng_df),
+                      data["predicate"] == rng_df["on_p"])
+                .select(F.col("object").alias("subject"),
+                        F.col("cls").alias("object")))
+        return rest, tparts
+
+    # Δ × full new schema (Δ-sized), E × schema delta (empty in the
+    # steady state; folded-axiom deltas included since schema_closure
+    # returns folded dom/rng)
+    rest_parts, type_parts = rule_joins(ddata, sp1, dom1, rng1)
+    e_rest, e_types = rule_joins(edata, d_sp, d_dom, d_rng)
+    rest_parts += e_rest
+    type_parts += e_types
+    # Δ's own asserted rows are candidates too (they may duplicate E)
+    rest_parts.append(ddata.where(F.col("predicate") != RDF_TYPE))
+    type_rows = [ddata.where(F.col("predicate") == RDF_TYPE)
+                 .select("subject", "object", "objtype")]
+    type_rows.extend(tp.select("subject", "object",
+                               F.lit("uri").alias("objtype"))
+                     for tp in type_parts)
+
+    sc_df = _pair_df(spark, sc1, ("sub_c", "super_c"))
+    if sc_df is not None:  # rdfs9 over every type pair new this batch
+        new_types = (ddata.where(F.col("predicate") == RDF_TYPE)
+                     .select("subject", "object"))
+        for tp in type_parts:
+            new_types = new_types.union(tp)
+        type_rows.append(
+            new_types.join(F.broadcast(sc_df),
+                           new_types["object"] == sc_df["sub_c"])
+            .select("subject", F.col("super_c").alias("object"),
+                    F.lit("uri").alias("objtype")))
+    dsc_df = _pair_df(spark, d_sc, ("sub_c", "super_c"))
+    if dsc_df is not None:  # rdfs9: schema delta over E's type rows
+        etypes = (edata.where(F.col("predicate") == RDF_TYPE)
+                  .select("subject", "object"))
+        type_rows.append(
+            etypes.join(F.broadcast(dsc_df),
+                        etypes["object"] == dsc_df["sub_c"])
+            .select("subject", F.col("super_c").alias("object"),
+                    F.lit("uri").alias("objtype")))
+
+    cand = rest_parts[0]
+    for p in rest_parts[1:]:
+        cand = cand.union(p)
+    typ = type_rows[0]
+    for p in type_rows[1:]:
+        typ = typ.union(p)
+    cand = cand.union(typ.select("subject",
+                                 F.lit(RDF_TYPE).alias("predicate"),
+                                 "object", "objtype"))
+    return cand.distinct().join(edata, list(cols), "left_anti")
+
+
+def sql_rdfs_delta(table_sql: str, delta_values_sql: str,
+                   ontology: list[tuple[str, str, str]]) -> str:
+    """DuckDB twin of :func:`rdfs_materialize_delta` BY DEFINITION
+    rather than by construction: new rows = entail(T ∪ Δ) EXCEPT
+    entail(T), each side the full sql_rdfs_entailed recursive-CTE twin
+    — so the Spark delta plan is checked against the semantic spec,
+    not against a mirrored incremental algorithm that could share a
+    bug. ``delta_values_sql`` is a table expression with columns
+    (subject, predicate, object, objtype)."""
+    union = ("(SELECT subject, predicate, object, objtype FROM %s "
+             "UNION ALL SELECT subject, predicate, object, objtype "
+             "FROM %s)" % (table_sql, delta_values_sql))
+    return ("SELECT * FROM (%s) EXCEPT SELECT * FROM (%s)"
+            % (sql_rdfs_entailed(union, ontology),
+               sql_rdfs_entailed(table_sql, ontology)))

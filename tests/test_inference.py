@@ -105,3 +105,93 @@ def test_rdf_type_schema_guard():
         schema_closure([(EX + "p", RDFS_SUBPROP, RDF_TYPE)])
     with pytest.raises(ValueError):
         schema_closure([(RDF_TYPE, RDFS_DOMAIN, EX + "C")])
+
+
+# -------------------------------------------------- incremental delta
+
+DELTA_PLAIN = [
+    # a new doc with a type (rdfs9 chain) and a cites (rdfs7 + folded
+    # rdfs2 + rdfs3) — no schema change: the Δ-sized steady-state path
+    (EX + "c", RDF_TYPE, EX + "RFC", "uri"),
+    (EX + "c", EX + "cites", EX + "a", "uri"),
+    # a duplicate of an already-asserted row (must NOT reappear)
+    (EX + "a", EX + "title", "Doc A", "literal"),
+]
+
+DELTA_SCHEMA = [
+    # a NEW schema edge: everything typed Document (incl. derived)
+    # becomes Archivable — exercises the ΔS × E path and Δsc-over-E
+    (EX + "Document", RDFS_SUBCLASS, EX + "Archivable", "uri"),
+    # and a new subproperty whose superproperty carries a domain axiom
+    (EX + "title", RDFS_SUBPROP, EX + "label", "uri"),
+]
+
+
+def _delta_vs_recompute(spark, base_rows, delta_rows):
+    """The semantic identity: entailed ∪ delta-result must equal a
+    full recompute over base ∪ delta, and the delta result must be
+    disjoint from the entailed table."""
+    from ferenda_spark.operators.inference import rdfs_materialize_delta
+    base = spark.createDataFrame(base_rows, TRIPLE_SCHEMA)
+    delta = spark.createDataFrame(delta_rows, TRIPLE_SCHEMA)
+    entailed = rdfs_materialize(base, ONTO)
+    new = rdfs_materialize_delta(entailed, delta, ONTO)
+    full = rdfs_materialize(base.union(delta), ONTO)
+    got_new, got_e = _rows(new), _rows(entailed)
+    assert got_new & got_e == set()
+    assert got_new | got_e == _rows(full)
+    return got_new
+
+
+def test_delta_plain_rows(spark):
+    new = _delta_vs_recompute(spark, DATA, DELTA_PLAIN)
+    # hand-checked: the chain fires for c, the duplicate is absent
+    assert (EX + "c", RDF_TYPE, EX + "Document", "uri") in new
+    assert (EX + "c", EX + "relatedTo", EX + "a", "uri") in new
+    assert (EX + "a", RDF_TYPE, EX + "Citable", "uri") in new  # rdfs3
+    assert (EX + "a", EX + "title", "Doc A", "literal") not in new
+
+
+def test_delta_schema_rows(spark):
+    new = _delta_vs_recompute(spark, DATA, DELTA_SCHEMA)
+    # Δsc over E's existing (derived!) type rows
+    assert (EX + "a", RDF_TYPE, EX + "Archivable", "uri") in new
+    assert (EX + "b", RDF_TYPE, EX + "Archivable", "uri") in new
+    # Δsp over E's data rows
+    assert (EX + "a", EX + "label", "Doc A", "literal") in new
+    # the schema triples themselves are new asserted rows
+    assert (EX + "Document", RDFS_SUBCLASS, EX + "Archivable",
+            "uri") in new
+
+
+def test_delta_mixed_and_empty(spark):
+    _delta_vs_recompute(spark, DATA, DELTA_PLAIN + DELTA_SCHEMA)
+    from ferenda_spark.operators.inference import rdfs_materialize_delta
+    base = spark.createDataFrame(DATA, TRIPLE_SCHEMA)
+    entailed = rdfs_materialize(base, ONTO)
+    empty = spark.createDataFrame([], TRIPLE_SCHEMA)
+    assert _rows(rdfs_materialize_delta(entailed, empty, ONTO)) == set()
+    # second application of the same delta returns nothing new
+    delta = spark.createDataFrame(DELTA_PLAIN, TRIPLE_SCHEMA)
+    once = rdfs_materialize_delta(entailed, delta, ONTO)
+    grown = entailed.union(once)
+    assert _rows(rdfs_materialize_delta(grown, delta, ONTO)) == set()
+
+
+def test_delta_sql_twin(spark, tmp_path):
+    """The by-definition oracle: entail(T∪Δ) EXCEPT entail(T) in
+    DuckDB equals the Spark incremental plan's output."""
+    from ferenda_spark.operators.inference import (rdfs_materialize_delta,
+                                                   sql_rdfs_delta)
+    base = spark.createDataFrame(DATA, TRIPLE_SCHEMA)
+    p = str(tmp_path / "base.parquet")
+    base.write.mode("overwrite").parquet(p)
+    delta_rows = DELTA_PLAIN + DELTA_SCHEMA
+    dvals = ", ".join("('%s', '%s', '%s', '%s')" % t for t in delta_rows)
+    dsql = ("(SELECT * FROM (VALUES %s) "
+            "v(subject, predicate, object, objtype))" % dvals)
+    sql = sql_rdfs_delta("read_parquet('%s/*.parquet')" % p, dsql, ONTO)
+    oracle = {tuple(r) for r in duckdb.sql(sql).fetchall()}
+    entailed = rdfs_materialize(base, ONTO)
+    delta = spark.createDataFrame(delta_rows, TRIPLE_SCHEMA)
+    assert oracle == _rows(rdfs_materialize_delta(entailed, delta, ONTO))
