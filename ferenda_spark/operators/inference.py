@@ -43,6 +43,13 @@ RDFS_DOMAIN = NS["rdfs"] + "domain"
 RDFS_RANGE = NS["rdfs"] + "range"
 SCHEMA_PREDS = (RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE)
 
+# rdfs_materialize_delta: Δ batches under this row count dedup against
+# the entailed table via a broadcast semi scan (E never shuffles);
+# at/above it — or on any schema-change batch — the shuffle anti-join
+# branch runs instead (the broadcast-join-selection cutoff pattern,
+# cf. sparql.PATH_DRIVER_THRESHOLD)
+DELTA_BROADCAST_THRESHOLD = 2_000_000
+
 
 def _closure(pairs: set[tuple[str, str]]) -> set[tuple[str, str]]:
     """Driver-side transitive closure (non-reflexive) of a small
@@ -417,8 +424,31 @@ def rdfs_materialize_delta(entailed: DataFrame, delta: DataFrame,
         typ = typ.union(p)
     cand = cand.union(typ.select("subject",
                                  F.lit(RDF_TYPE).alias("predicate"),
-                                 "object", "objtype"))
-    return cand.distinct().join(edata, list(cols), "left_anti")
+                                 "object", "objtype")).distinct()
+
+    # Terminal dedup-against-E. Steady state (no schema change, small
+    # Δ): cand is Δ-sized, so NEVER shuffle E for it — broadcast cand
+    # into one semi scan of E (the already-present candidates), then
+    # anti-join the two SMALL sides. The semi scan carries a static
+    # predicate-IN (cand's predicates are driver-known: Δ's predicates
+    # closed over sp1, plus rdf:type and Δ's own), which partition-
+    # prunes the (bucket, predicate) production triple layout down to
+    # the affected predicates. Schema-change batches (ΔS non-empty)
+    # can make cand corpus-sized — there the plain shuffle anti-join
+    # is the right plan; both branches are result-identical
+    # (tests/test_inference.py runs the suite under a forced branch).
+    schema_changed = bool(d_sc or d_sp or d_dom or d_rng)
+    if not schema_changed and \
+            ddata.limit(DELTA_BROADCAST_THRESHOLD).count() \
+            < DELTA_BROADCAST_THRESHOLD:
+        dpreds = {r[0] for r in
+                  ddata.select("predicate").distinct().collect()}
+        cpreds = (dpreds | {RDF_TYPE}
+                  | {b for a, b in sp1 if a in dpreds})
+        matched = (edata.where(F.col("predicate").isin(*cpreds))
+                   .join(F.broadcast(cand), list(cols), "left_semi"))
+        return cand.join(matched, list(cols), "left_anti")
+    return cand.join(edata, list(cols), "left_anti")
 
 
 def sql_rdfs_delta(table_sql: str, delta_values_sql: str,

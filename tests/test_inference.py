@@ -195,3 +195,41 @@ def test_delta_sql_twin(spark, tmp_path):
     entailed = rdfs_materialize(base, ONTO)
     delta = spark.createDataFrame(delta_rows, TRIPLE_SCHEMA)
     assert oracle == _rows(rdfs_materialize_delta(entailed, delta, ONTO))
+
+
+def test_delta_branches_identical(spark, monkeypatch):
+    """The broadcast-semi and shuffle-anti-join terminal dedups must be
+    result-identical: force the shuffle branch on a steady-state batch
+    (threshold 0) and compare against the broadcast branch."""
+    import ferenda_spark.operators.inference as inf
+    base = spark.createDataFrame(DATA, TRIPLE_SCHEMA)
+    entailed = rdfs_materialize(base, ONTO)
+    delta = spark.createDataFrame(DELTA_PLAIN, TRIPLE_SCHEMA)
+    broad = _rows(inf.rdfs_materialize_delta(entailed, delta, ONTO))
+    monkeypatch.setattr(inf, "DELTA_BROADCAST_THRESHOLD", 0)
+    shuf = _rows(inf.rdfs_materialize_delta(entailed, delta, ONTO))
+    assert broad == shuf and broad
+
+
+def test_stream_entailment(spark, tmp_path):
+    """Continuous maintenance: two micro-batches through the streaming
+    sink must leave exactly the full recompute over their union, and a
+    whole-stream REPLAY (fresh checkpoint, same input) must append
+    nothing — the at-least-once idempotence the sink's docstring
+    claims."""
+    from ferenda_spark.streaming.entailment import stream_entailment
+    tdir, edir = str(tmp_path / "t"), str(tmp_path / "e")
+    b1 = spark.createDataFrame(DATA, TRIPLE_SCHEMA)
+    b2 = spark.createDataFrame(DELTA_PLAIN + DELTA_SCHEMA, TRIPLE_SCHEMA)
+    b1.coalesce(1).write.mode("append").parquet(tdir)
+    b2.coalesce(1).write.mode("append").parquet(tdir)
+    stream_entailment(spark, tdir, edir, str(tmp_path / "cp1"), ONTO,
+                      max_files_per_trigger=1)
+    got = _rows(spark.read.parquet(edir))
+    full = _rows(rdfs_materialize(b1.union(b2), ONTO))
+    assert got == full
+    # replay everything with a fresh checkpoint: no new rows, table
+    # unchanged (duplicates are impossible by construction)
+    stream_entailment(spark, tdir, edir, str(tmp_path / "cp2"), ONTO,
+                      max_files_per_trigger=1)
+    assert _rows(spark.read.parquet(edir)) == full
