@@ -1056,6 +1056,16 @@ def _q_resample_mixture(spark, sf_dir):
                             _MIXTURE_WEIGHTS, _MIXTURE_TOTAL)
 
 
+def _q_dsir_resample(spark, sf_dir):
+    """DSIR importance resampling: select 60 documents distributed
+    like the German-language slice via hashed-ngram importance weights
+    + deterministic Gumbel top-k."""
+    from ferenda_spark.operators.sampling import dsir_resample
+    d = _read(spark, sf_dir, "documents")
+    return dsir_resample(d, d.where("lang = 'de'"), k=60,
+                         n_buckets=2048, seed=7)
+
+
 def _q_top_ngrams(spark, sf_dir):
     """Corpus bigram census: top-50 word bigrams with occurrence and
     document counts (map-side partial agg + TakeOrdered top-k)."""
@@ -1730,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
         "resample_mixture": _q_resample_mixture,
+        "dsir_resample": _q_dsir_resample,
         "top_ngrams": _q_top_ngrams,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_train": _q_bpe_train,
@@ -1881,6 +1892,10 @@ def oracle_sql() -> dict[str, str]:
         "resample_mixture": sampling.oracle_sql_mixture(
             "documents", "lang", _MIXTURE_WEIGHTS, _MIXTURE_TOTAL,
             ["doc_id", "text", "lang", "source", "n_chars"]),
+        "dsir_resample": sampling.oracle_sql_dsir(
+            "documents",
+            "(SELECT * FROM documents WHERE lang = 'de')",
+            60, 2048, seed=7),
         "top_ngrams": textops.oracle_sql_top_ngrams(n=2, k=50),
         "bpe_pairs": textops.oracle_sql_bpe_pairs(k=100),
         "profile_orders": textops.oracle_sql_profile(

@@ -239,6 +239,7 @@ def main() -> None:
         "url_stats": qs["url_stats"],
         "blocklist_filter": qs["blocklist_filter"],
         "url_dedup": qs["url_dedup"],
+        "dsir_resample": qs["dsir_resample"],
         "facet_pivot": qs["facet_pivot"],
         "events_windowed": qs["events_windowed"],
         "events_sessionize": qs["events_sessionize"],

@@ -334,6 +334,95 @@ def test_stratified_sample_deterministic_and_quota(spark):
     assert len(c) == len(a)                     # but not the quota
 
 
+def test_dsir_parity(spark, duck):
+    """dsir_resample vs its DuckDB twin on the driver corpus: same k
+    rows, same n_feats/log_w/skey/rank bit-for-bit (6-dp keys)."""
+    from ferenda_spark.operators.sampling import (dsir_resample,
+                                                  oracle_sql_dsir)
+    d = docs(spark)
+    duck.sql("create or replace view dsir_tgt as "
+             "select * from documents where lang = 'de'")
+    assert_parity(
+        dsir_resample(d, d.where("lang = 'de'"), k=40, n_buckets=512,
+                      seed=3),
+        duck, oracle_sql_dsir("documents", "dsir_tgt", 40, 512, seed=3))
+
+
+def test_dsir_python_twin_and_semantics(spark):
+    """log_w and the Gumbel key match an independent pure-Python fold
+    (hashlib md5 + math.log) on a hand-sized corpus; the selection is
+    partitioning-invariant; docs resembling the target outscore docs
+    that don't."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    from ferenda_spark.operators.sampling import dsir_resample
+
+    corpus = [(0, "the cat sat"), (1, "the cat sat"), (2, "dogs bark"),
+              (3, "cats purr loudly"), (4, "stock market crash"),
+              (5, "")]
+    target = ["the cat sat on the mat", "cats purr"]
+    nb = 64
+
+    def grams(text):
+        ws = text.split() if text.strip(" ") else []
+        return ws + [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % nb
+
+    tcnt, rcnt = {}, {}
+    for t in target:
+        for g in grams(t):
+            tcnt[bucket(g)] = tcnt.get(bucket(g), 0) + 1
+    for _, t in corpus:
+        for g in grams(t):
+            rcnt[bucket(g)] = rcnt.get(bucket(g), 0) + 1
+    tt, rt = sum(tcnt.values()), sum(rcnt.values())
+
+    def log_w(text):
+        s = 0.0
+        cnt = {}
+        for g in grams(text):
+            cnt[bucket(g)] = cnt.get(bucket(g), 0) + 1
+        for b, c in cnt.items():
+            s += c * (math.log((tcnt.get(b, 0) + 1) / (tt + nb))
+                      - math.log((rcnt.get(b, 0) + 1) / (rt + nb)))
+        return round(s, 6)
+
+    def skey(doc_id, text, seed=0):
+        h = hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:13]
+        u = (int(h, 16) + 0.5) / 2 ** 52
+        return round(log_w(text) - math.log(-math.log(u)), 6)
+
+    cdf = spark.createDataFrame(
+        pd.DataFrame(corpus, columns=["doc_id", "text"]),
+        schema="doc_id long, text string")
+    tdf = spark.createDataFrame(
+        pd.DataFrame([(i, t) for i, t in enumerate(target)],
+                     columns=["doc_id", "text"]),
+        schema="doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dsir_resample(cdf, tdf, k=6, n_buckets=nb).collect()}
+    assert len(out) == 6
+    for doc_id, text in corpus:
+        assert out[doc_id].log_w == log_w(text), doc_id
+        assert out[doc_id].skey == skey(doc_id, text), doc_id
+    # the empty doc has no features: weight 1 (log_w = 0)
+    assert out[5].log_w == 0.0 and out[5].n_feats == 0
+    # cat-like docs carry more target mass than the stock-market doc
+    assert out[0].log_w > out[4].log_w
+    assert out[3].log_w > out[4].log_w
+    # partitioning-invariant selection at k < n
+    a = sorted(r.doc_id for r in
+               dsir_resample(cdf, tdf, k=3, n_buckets=nb).collect())
+    b = sorted(r.doc_id for r in
+               dsir_resample(cdf.repartition(7), tdf, k=3,
+                             n_buckets=nb).collect())
+    assert a == b
+
+
 def test_decontaminate_semantics(spark):
     """A doc copied verbatim from the benchmark is 100% contaminated;
     a doc sharing no 3-grams scores 0 and is unflagged; partial overlap
