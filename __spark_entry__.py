@@ -333,6 +333,25 @@ def _q_kg_citation_map(spark, sf_dir):
     return ranked_average_precision(ranked, gold)
 
 
+def _q_kg_triangles(spark, sf_dir):
+    """Per-node triangle counts over the undirected citation graph —
+    degree-ordered orientation so the wedge join never explodes on
+    hubs (graphops.triangle_counts)."""
+    from ferenda_spark.operators.graphops import (
+        citation_edges, triangle_counts)
+    return triangle_counts(citation_edges(_kg_read(spark, "triples")))
+
+
+def _q_kg_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (4 fixed rounds,
+    most-frequent neighbor label, smallest-label tie-break) — the
+    community assignment over the citation graph
+    (graphops.label_propagation)."""
+    from ferenda_spark.operators.graphops import (
+        citation_edges, label_propagation)
+    return label_propagation(citation_edges(_kg_read(spark, "triples")))
+
+
 def _q_kg_rdfs_entailed(spark, sf_dir):
     """RDFS forward-chaining materialization (the batch analog of the
     reference triplestore's reasoner) under the corpus's published
@@ -1702,6 +1721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": _q_kg_hits,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
+        "kg_triangles": _q_kg_triangles,
+        "kg_communities": _q_kg_communities,
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
         "kg_rdfs_delta": _q_kg_rdfs_delta,
         "kg_shacl_report": _q_kg_shacl_report,
@@ -1832,6 +1853,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": kgoracle.sql_hits(kg),
         "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
         "kg_citation_map": kgoracle.sql_citation_map(kg),
+        "kg_triangles": kgoracle.sql_triangles(kg),
+        "kg_communities": kgoracle.sql_communities(kg),
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
         "kg_rdfs_delta": _kg_rdfs_delta_sql(kg),
         "kg_shacl_report": _kg_shacl_sql(kg),

@@ -176,6 +176,20 @@ def main() -> None:
         from ferenda_spark.operators.graphops import void_stats
         return void_stats(stages["triples"])
 
+    def kg_triangles(spark, _):
+        # degree-ordered orientation: wedge self-join bounded by O(√m)
+        # oriented out-degree, one closing hash join
+        from ferenda_spark.operators.graphops import (citation_edges,
+                                                      triangle_counts)
+        return triangle_counts(citation_edges(stages["triples"]))
+
+    def kg_communities(spark, _):
+        # 4 synchronous LPA rounds: per-round one node-keyed label join
+        # + one map-side-combined (node,label) vote count
+        from ferenda_spark.operators.graphops import (citation_edges,
+                                                      label_propagation)
+        return label_propagation(citation_edges(stages["triples"]))
+
     def kg_sparql_update(spark, _):
         # functional SPARQL Update: DELETE/INSERT WHERE + DELETE WHERE
         # in sequence (anti-join + union; bindings via the read compiler)
@@ -216,6 +230,8 @@ def main() -> None:
         "kg_shacl_report": kg_shacl_report,
         "kg_sparql_update": kg_sparql_update,
         "kg_void_stats": kg_void_stats,
+        "kg_triangles": kg_triangles,
+        "kg_communities": kg_communities,
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute

@@ -770,3 +770,77 @@ def sql_citation_map(paths, damping: float = 0.85, iters: int = 15,
     SELECT '__MAP__', round(avg(ap0), 6), count(*)::BIGINT FROM ap
     ORDER BY need
     """
+
+
+def _undirected_ctes(paths) -> str:
+    """e (directed citation edges) → und (a<b distinct pairs) + deg."""
+    return f"""{_edges_cte(paths)},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e WHERE src <> dst),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+      GROUP BY n)"""
+
+
+def sql_triangles(paths) -> str:
+    """Twin of operators.graphops.triangle_counts: the same
+    (degree, id)-ordered orientation, wedge enumeration and closing
+    join, per-node participation counts zero-filled over all nodes."""
+    return f"""
+    WITH {_undirected_ctes(paths)},
+    o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS dst,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                  THEN db.d ELSE da.d END AS dst_deg
+      FROM und u
+      JOIN deg da ON da.n = u.a
+      JOIN deg db ON db.n = u.b),
+    tri AS (
+      SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      FROM o e1
+      JOIN o e2 ON e1.src = e2.src
+        AND (e1.dst_deg < e2.dst_deg OR
+             (e1.dst_deg = e2.dst_deg AND e1.dst < e2.dst))
+      JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    per_node AS (
+      SELECT n, count(*) AS t FROM (
+        SELECT x AS n FROM tri UNION ALL
+        SELECT y FROM tri UNION ALL
+        SELECT z FROM tri)
+      GROUP BY n)
+    SELECT deg.n AS node, coalesce(per_node.t, 0)::BIGINT AS triangles
+    FROM deg LEFT JOIN per_node ON per_node.n = deg.n
+    ORDER BY node
+    """
+
+
+def sql_communities(paths, rounds: int = 4) -> str:
+    """Twin of operators.graphops.label_propagation: ``rounds``
+    unrolled synchronous most-frequent-neighbor-label updates with the
+    smallest-label tie-break."""
+    ctes = [f"""{_undirected_ctes(paths)},
+    adj AS (
+      SELECT a AS node, b AS nbr FROM und
+      UNION ALL
+      SELECT b AS node, a AS nbr FROM und),
+    lab0 AS (SELECT DISTINCT node, node AS label FROM adj)"""]
+    for i in range(rounds):
+        ctes.append(f"""
+    v{i + 1} AS (
+      SELECT adj.node, l.label, count(*) AS c
+      FROM adj JOIN lab{i} l ON l.node = adj.nbr
+      GROUP BY adj.node, l.label),
+    lab{i + 1} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM v{i + 1}) q
+      WHERE rn = 1)""")
+    return ("WITH " + ",".join(ctes) +
+            f"\n    SELECT node, label FROM lab{rounds} ORDER BY node")

@@ -378,3 +378,113 @@ def sql_void_stats(table_sql: str) -> str:
     GROUP BY ty.cls
     ORDER BY partition, key
     """
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Directed (src,dst) → distinct undirected pairs (a,b), a < b."""
+    return (edges
+            .select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over the undirected
+    citation graph → (node, triangles), zero-filled for every node
+    that carries an edge.
+
+    The reference computes clustering-style statistics on the driver
+    with networkx (ref ferenda/sources/general/graphanalyze.py:31-62);
+    the distributed form is the classic degree-ordered orientation
+    (Cohen 2009 / Suri & Vassilvitskii 2011 "Counting triangles and
+    the curse of the last reducer"): orient every undirected edge from
+    its lower-(degree, id) endpoint to the higher one, enumerate
+    wedges out of each node's oriented neighbor list, and close them
+    with one hash join against the oriented edge set.
+
+    Scale notes: orientation bounds every node's oriented out-degree
+    by O(√m) regardless of hub skew — the wedge self-join fan-out is
+    Σ C(outdeg(v), 2) = O(m^{3/2}) worst-case instead of the
+    unbounded Σ C(deg(v), 2) a hub gives the naive join; both joins
+    key on uniform node/edge hashes, nothing is collected to the
+    driver, and the closing probe is a plain equi-join AQE can
+    re-plan. The tie-break (degree, then node id) is total, so the
+    oriented edge set — and therefore the count — is deterministic
+    and matches the DuckDB twin bit-for-bit.
+    """
+    und = _undirected(edges)
+    deg = (und.select(F.col("a").alias("n"))
+           .unionAll(und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    ranked = (und
+              .join(deg.select(F.col("n").alias("a"),
+                               F.col("d").alias("da")), "a")
+              .join(deg.select(F.col("n").alias("b"),
+                               F.col("d").alias("db")), "b"))
+    a_low = (F.col("da") < F.col("db")) | \
+            ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = ranked.select(
+        F.when(a_low, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_low, F.col("db")).otherwise(F.col("da")).alias("dst_deg"))
+    e1 = o.select(F.col("src"), F.col("dst").alias("v"),
+                  F.col("dst_deg").alias("dv"))
+    e2 = o.select(F.col("src"), F.col("dst").alias("w"),
+                  F.col("dst_deg").alias("dw"))
+    wedges = e1.join(e2, "src").where(
+        (F.col("dv") < F.col("dw")) |
+        ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))))
+    tri = wedges.join(
+        o.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"])
+    per_node = (tri.select(F.explode(F.array("src", "v", "w"))
+                           .alias("node"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("t")))
+    nodes = deg.select(F.col("n").alias("node"))
+    return (nodes.join(per_node, "node", "left")
+            .select("node", F.coalesce(F.col("t"), F.lit(0))
+                    .alias("triangles"))
+            .orderBy("node"))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label propagation over the undirected citation
+    graph, ``rounds`` fixed iterations → (node, label).
+
+    Deterministic variant: every node starts with its own id; each
+    round it adopts the most frequent label among its neighbors, ties
+    broken toward the smallest label (Raghavan et al. 2007, with the
+    random tie-break replaced by a total order so the result is
+    reproducible and oracle-checkable). A FIXED round count on both
+    sides — synchronous LPA need not converge, so the round count is
+    part of the operator's contract, mirrored exactly by the unrolled
+    DuckDB twin (:func:`ferenda_spark.kgoracle.sql_communities`).
+
+    Scale notes: each round is one (node-keyed) join to look up
+    neighbor labels plus one (node,label) count aggregation with
+    map-side partial agg and one per-node arg-min — all uniform hash
+    keys; hub neighborhoods skew only the vote count's combine input,
+    which the partial aggregation absorbs. Lineage is reset every
+    third round (iter_checkpoint) so per-round cost stays flat for
+    arbitrarily many rounds.
+    """
+    from .util import iter_checkpoint
+    und = _undirected(edges)
+    adj = (und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+           .unionAll(und.select(F.col("b").alias("node"),
+                                F.col("a").alias("nbr")))
+           .localCheckpoint(eager=True))
+    labels = (adj.select("node").distinct()
+              .withColumn("label", F.col("node")))
+    for i in range(rounds):
+        votes = (adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+                 .groupBy("node", "label")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        labels = iter_checkpoint(
+            votes.groupBy("node")
+                 .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                     F.col("label").alias("label")))
+                      .alias("best"))
+                 .select("node", F.col("best.label").alias("label")), i)
+    return labels.orderBy("node")

@@ -152,3 +152,108 @@ def test_void_stats_hand_values(spark, tmp_path):
     oracle = {(r[0], r[1]): tuple(r[2:]) for r in duckdb.sql(
         sql_void_stats("read_parquet('%s/*.parquet')" % p)).fetchall()}
     assert oracle == rows
+
+
+# --- triangle counting + label propagation -------------------------------
+
+_TRI_EDGES = [("A", "B"), ("B", "C"), ("C", "A"),   # triangle ABC
+              ("B", "D"), ("D", "C"),               # triangle BCD
+              ("E", "F")]                           # no triangle
+
+
+def _tri_triples_df(spark):
+    rows = [(s, "http://purl.org/dc/terms/references", o, "uri")
+            for s, o in _TRI_EDGES]
+    return spark.createDataFrame(
+        rows, "subject string, predicate string, object string, "
+              "objtype string")
+
+
+def _py_triangles(edges):
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    nodes = {x for p in und for x in p}
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b); adj[b].add(a)
+    count = {n: 0 for n in nodes}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            count[c] += 1
+    return {n: c // 1 for n, c in count.items()}
+
+
+def _py_lpa(edges, rounds=4):
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            votes = {}
+            for m in nbrs:
+                votes[labels[m]] = votes.get(labels[m], 0) + 1
+            nxt[n] = min(votes, key=lambda l: (-votes[l], l))
+        labels = nxt
+    return labels
+
+
+def test_triangle_counts_golden(spark):
+    from ferenda_spark.operators.graphops import (citation_edges,
+                                                  triangle_counts)
+    got = {r["node"]: r["triangles"] for r in
+           triangle_counts(citation_edges(_tri_triples_df(spark)))
+           .collect()}
+    # each undirected wedge-closing counts the triangle once per member
+    assert got == {"A": 1, "B": 2, "C": 2, "D": 1, "E": 0, "F": 0}
+    assert got == _py_triangles(_TRI_EDGES)
+
+
+def test_label_propagation_golden(spark):
+    from ferenda_spark.operators.graphops import (citation_edges,
+                                                  label_propagation)
+    got = {r["node"]: r["label"] for r in
+           label_propagation(citation_edges(_tri_triples_df(spark)))
+           .collect()}
+    assert got == _py_lpa(_TRI_EDGES)
+    # E-F is a 2-cycle: synchronous updates oscillate, and the fixed
+    # 4-round contract lands on the identity labeling
+    assert got["E"] == "E" and got["F"] == "F"
+
+
+def _random_citation_triples(n_nodes=40, n_edges=160, seed=7):
+    import random
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(n_edges):
+        s, o = rng.sample(range(n_nodes), 2)
+        rows.append((f"n{s:02d}", "http://purl.org/dc/terms/references",
+                     f"n{o:02d}", "uri"))
+    return rows
+
+
+def test_triangles_and_lpa_oracle_parity(spark, tmp_path):
+    """The Spark operators must match kgoracle's DuckDB twins
+    bit-for-bit on a random graph (same tie-breaks, same rounds)."""
+    import duckdb
+    from ferenda_spark import kgoracle
+    from ferenda_spark.operators.graphops import (
+        citation_edges, label_propagation, triangle_counts)
+    rows = _random_citation_triples()
+    df = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, "
+              "objtype string")
+    pq = str(tmp_path / "triples.parquet")
+    df.toPandas().to_parquet(pq)
+    paths = {"triples": pq}
+    con = duckdb.connect()
+    tri_oracle = con.execute(kgoracle.sql_triangles(paths)).fetchall()
+    tri_spark = [(r["node"], r["triangles"]) for r in
+                 triangle_counts(citation_edges(df)).collect()]
+    assert tri_spark == tri_oracle
+    lpa_oracle = con.execute(kgoracle.sql_communities(paths)).fetchall()
+    lpa_spark = [(r["node"], r["label"]) for r in
+                 label_propagation(citation_edges(df)).collect()]
+    assert lpa_spark == lpa_oracle
