@@ -817,6 +817,26 @@ def _q_kg_sparql_langdt(spark, sf_dir):
                                 _KG_SPARQL_LANGDT)
 
 
+_KG_SPARQL_GRAPHVAR = """
+PREFIX dct: <http://purl.org/dc/terms/>
+SELECT ?g ?c (COUNT(?s) AS ?n_titled) WHERE {
+  GRAPH ?g { ?s a ?c . ?s dct:title ?t }
+} GROUP BY ?g ?c ORDER BY ?g ?c
+"""
+
+
+def _q_kg_sparql_graphvar(spark, sf_dir):
+    """GRAPH ?var over per-document named graphs (the reference's
+    quad-store model: one graph per document, context = the doc URL).
+    ?g binds the context column; the two patterns under one GRAPH ?g
+    must co-locate in the SAME graph; typed+titled subjects are
+    counted per (graph, class)."""
+    from ferenda_spark import sparql
+    quads = _kg_read(spark, "triples").withColumn(
+        "context", F.col("source_url"))
+    return sparql.compile_spark(quads, _KG_SPARQL_GRAPHVAR)
+
+
 def _q_kg_sparql(spark, sf_dir):
     """Ad-hoc SPARQL surface (triplestore.select analog): the generic
     BGP/OPTIONAL/FILTER compiler over the triples table. The oracle is
@@ -1741,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search": _q_kg_search,
         "kg_search_indexed": _q_kg_search_indexed,
         "kg_sparql": _q_kg_sparql,
+        "kg_sparql_graphvar": _q_kg_sparql_graphvar,
         "kg_describe": _q_kg_describe,
         "kg_describe_sparql": _q_kg_describe_sparql,
         "kg_sparql_stats": _q_kg_sparql_stats,
@@ -1875,6 +1896,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_search_indexed": _kg_search_sql(kg),
         "kg_sparql": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_QUERY),
+        "kg_sparql_graphvar": sparql.compile_sql(
+            "(SELECT subject, predicate, object, objtype, lang, "
+            "datatype, source_url, source_url AS context "
+            "FROM read_parquet('%s'))" % kg["triples"],
+            _KG_SPARQL_GRAPHVAR),
         "kg_describe": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),

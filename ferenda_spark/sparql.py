@@ -191,6 +191,9 @@ class Triple:
     o_langrange: str | None = None
     o_datatype: str | None = None
     graph: str | None = None
+    # GRAPH ?var context: the variable binds to the scan's context
+    # column (named graphs only, per spec — NULL/'' contexts excluded)
+    graph_var: str | None = None
 
 
 @dataclass
@@ -1167,15 +1170,25 @@ class _Parser:
                 # of the inner (simple) group, then inline it
                 self.i += 1
                 ctx = self.term()
-                if ctx[0] != "uri":
-                    raise SparqlError("GRAPH needs a URI context")
+                if ctx[0] not in ("uri", "var"):
+                    raise SparqlError("GRAPH needs a URI or variable "
+                                      "context")
                 sub = self.simple_group()
                 if (sub.optionals or sub.minus or sub.exists
                         or sub.values or sub.subqueries):
                     raise SparqlError("GRAPH supports only triples/"
                                       "FILTER/BIND in its body")
                 for t in sub.triples:
-                    t.graph = ctx[1]
+                    if ctx[0] == "uri":
+                        t.graph = ctx[1]
+                    else:
+                        if t.p[0] == "path":
+                            # a per-graph closure would need one
+                            # fixpoint per named graph; not offered
+                            raise SparqlError(
+                                "property paths under GRAPH ?var are "
+                                "not supported")
+                        t.graph_var = ctx[1]
                 g.triples.extend(sub.triples)
                 g.filters.extend(sub.filters)
                 g.binds.extend(sub.binds)
@@ -1772,7 +1785,10 @@ _POS = ("s", "subject"), ("p", "predicate"), ("o", "object")
 
 
 def _pattern_vars(t: Triple) -> set:
-    return {term[1] for term in (t.s, t.p, t.o) if term[0] == "var"}
+    vs = {term[1] for term in (t.s, t.p, t.o) if term[0] == "var"}
+    if t.graph_var:
+        vs.add(t.graph_var)
+    return vs
 
 
 def _order_patterns(triples: list) -> list:
@@ -1855,6 +1871,16 @@ def _scan_spec(t: Triple, alias: str):
         extras.append(("dtype", t.o_datatype))
     if t.graph:
         consts.append(("context", t.graph))
+    elif t.graph_var:
+        # GRAPH ?g: the spec quantifies over NAMED graphs, so rows
+        # with no context (the default graph's NULL/'' encoding) are
+        # excluded, and ?g binds to the context column — joins across
+        # patterns sharing ?g then enforce same-graph co-location
+        extras.append(("named", None))
+        if t.graph_var in varcols:
+            intra.append((varcols[t.graph_var], "context"))
+        else:
+            varcols[t.graph_var] = "context"
     return consts, varcols, intra, sets, extras
 
 
@@ -1863,6 +1889,8 @@ def _extra_spark(kind: str, val):
     below mirrors every branch; keep them in lockstep)."""
     if kind == "nolang":
         return F.col("lang").isNull() | (F.col("lang") == "")
+    if kind == "named":     # GRAPH ?var — named graphs only
+        return F.col("context").isNotNull() & (F.col("context") != "")
     if kind == "langmatch":
         if val == "*":
             return F.col("lang").isNotNull() & (F.col("lang") != "")
@@ -1884,6 +1912,8 @@ def _extra_sql(kind: str, val) -> str:
     """The ANSI-SQL twin of :func:`_extra_spark` — branch for branch."""
     if kind == "nolang":
         return "(lang IS NULL OR lang = '')"
+    if kind == "named":     # GRAPH ?var — named graphs only
+        return "(context IS NOT NULL AND context <> '')"
     if kind == "langmatch":
         if val == "*":
             return "(lang IS NOT NULL AND lang <> '')"

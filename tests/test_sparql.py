@@ -1510,3 +1510,77 @@ def test_datatype_filter(typed_graph):
           FILTER(datatype(?p) = <http://www.w3.org/2001/XMLSchema#string>)
         }"""
     assert len(run_both(typed_graph, q)) == 0
+
+
+# --- GRAPH ?var ------------------------------------------------------
+
+
+def test_graph_variable_binds_context(rfc_graph):
+    """GRAPH ?g binds the context column; titles live in both named
+    graphs of the rfc corpus (orgs: p1; docs: d1/d2/d3/d9/d10)."""
+    out = run_both(rfc_graph, PREFIXES + """
+        SELECT ?g ?s WHERE { GRAPH ?g { ?s dct:title ?t } }
+    """)
+    got = set(map(tuple, out.values))
+    assert ("orgs", "p1") in got
+    assert ("docs", "d1") in got and ("docs", "d10") in got
+    assert not any(g == "orgs" and s.startswith("d") for g, s in got)
+
+
+def test_graph_variable_same_graph_join(rfc_graph):
+    """Two patterns under one GRAPH ?g must co-locate in the SAME
+    graph: publisher p2 and its type live in different contexts, so
+    the join yields only pairs whose both triples share a context."""
+    out = run_both(rfc_graph, PREFIXES + """
+        SELECT ?g ?s ?o WHERE {
+          GRAPH ?g { ?s dct:publisher ?o . ?o a foaf:Organization }
+        }
+    """)
+    # publisher triples are in 'docs' (subject d1/d3), Organization
+    # types in 'orgs' — no shared context, so the result is empty
+    assert len(out) == 0
+    out2 = run_both(rfc_graph, PREFIXES + """
+        SELECT ?g ?s ?t WHERE {
+          GRAPH ?g { ?s dct:title ?t . ?s dct:identifier ?i }
+        }
+    """)
+    got = {(r[0], r[1]) for r in out2.values}
+    assert ("docs", "d1") in got and ("docs", "d3") in got
+
+
+def test_graph_variable_excludes_default_graph(spark, tmp_path):
+    """The spec quantifies GRAPH ?g over NAMED graphs only — rows with
+    a NULL/'' context (the default graph) must not bind ?g."""
+    pdf = pd.DataFrame(
+        [("a", DCT + "title", "In named", "literal", "", "", "g1"),
+         ("b", DCT + "title", "In default", "literal", "", "", ""),
+         ("c", DCT + "title", "No ctx", "literal", "", "", None)],
+        columns=["subject", "predicate", "object", "objtype", "lang",
+                 "datatype", "context"])
+    path = str(tmp_path / "t.parquet")
+    pdf.to_parquet(path)
+    out = run_both((spark.createDataFrame(pdf), path), PREFIXES + """
+        SELECT ?g ?s WHERE { GRAPH ?g { ?s dct:title ?t } }
+    """)
+    assert set(map(tuple, out.values)) == {("g1", "a")}
+    # ...while the default (un-scoped) pattern still sees everything
+    out_all = run_both((spark.createDataFrame(pdf), path), PREFIXES + """
+        SELECT ?s WHERE { ?s dct:title ?t }
+    """)
+    assert len(out_all) == 3
+
+
+def test_graph_variable_rejects_paths_and_mixed_constant(rfc_graph):
+    """Property paths under GRAPH ?var raise (a per-graph closure is
+    not offered); GRAPH ?g and GRAPH <uri> compose in one query."""
+    with pytest.raises(sparql.SparqlError):
+        sparql.parse(PREFIXES + """
+            SELECT ?g ?a WHERE { GRAPH ?g { ?a dct:isPartOf+ ?b } }
+        """)
+    out = run_both(rfc_graph, PREFIXES + """
+        SELECT ?g ?s WHERE {
+          GRAPH ?g { ?s dct:identifier ?i }
+          GRAPH <orgs> { ?p dct:title ?pt }
+        }
+    """)
+    assert all(r[0] == "docs" for r in out.values) and len(out) > 0

@@ -157,8 +157,8 @@ query_st = st.fixed_dictionaries({
                                           max_size=1)),
     "optional_bind": st.booleans(),
     # wrap the base BGP in GRAPH <g1|g2> (fixture rows alternate
-    # contexts by subject)
-    "graph": st.one_of(st.none(), st.sampled_from(["g1", "g2"])),
+    # contexts by subject) — or GRAPH ?gv, binding the context column
+    "graph": st.one_of(st.none(), st.sampled_from(["g1", "g2", "?gv"])),
     "distinct": st.booleans(),
     # structural nesting: OPTIONAL inside the left UNION branch, a
     # VALUES block inside the right one, a UNION inside the MINUS
@@ -197,7 +197,10 @@ def render_query(q):
 
     base_vars = pvars(q["patterns"])
     all_vars = set(base_vars)
-    if q.get("graph"):
+    if q.get("graph") == "?gv":
+        body = "GRAPH ?gv { %s } " % bgp_sparql(q["patterns"])
+        all_vars.add("gv")
+    elif q.get("graph"):
         body = "GRAPH <%s> { %s } " % (q["graph"],
                                        bgp_sparql(q["patterns"]))
     else:
