@@ -1005,6 +1005,32 @@ def _q_kg_versions(spark, sf_dir):
     return version_history(new_current, archived)
 
 
+def _q_kg_crawl_delta(spark, sf_dir):
+    """Snapshot-to-snapshot triple delta (versioning.triple_diff):
+    crawl B drops every …1.html doc, revises every …0.html title and
+    adds one new doc; the diff is the added/removed (source_url, s, p,
+    o) set — the exact input an incremental maintainer consumes."""
+    from ferenda_spark.operators.versioning import triple_diff
+    DCT_TITLE = "http://purl.org/dc/terms/title"
+    a = _kg_read(spark, "triples").select(
+        "source_url", "subject", "predicate", "object")
+    b = (a.where(~F.col("source_url").like("%1.html"))
+         .withColumn("object",
+                     F.when((F.col("predicate") == DCT_TITLE) &
+                            F.col("source_url").like("%0.html"),
+                            F.concat(F.col("object"), F.lit(" (rev 2)")))
+                      .otherwise(F.col("object")))
+         .unionByName(spark.createDataFrame(
+             [(KG_NEW_URL, "http://example.org/res/doc/new",
+               DCT_TITLE, "New doc"),
+              (KG_NEW_URL, "http://example.org/res/doc/new",
+               "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+               "http://xmlns.com/foaf/0.1/Document")],
+             "source_url string, subject string, predicate string, "
+             "object string")))
+    return triple_diff(a, b)
+
+
 def _q_kg_stage_counters(spark, sf_dir):
     from ferenda_spark.operators.lineage import (entries_from_extracted,
                                                  stage_counters)
@@ -1287,6 +1313,61 @@ def _url_injected_docs(spark, sf_dir) -> DataFrame:
                  F.when(d % 4 == 0, u2).otherwise(F.lit("")),
                  F.when(d % 6 == 0, u3).otherwise(F.lit("")))
         .alias("text"))
+
+
+def _anchor_injected_docs(spark, sf_dir) -> DataFrame:
+    """documents with deterministic <a href>anchors</a> planted (twin:
+    ANCHOR_DOCS_SQL): shared targets across moduli exercise the
+    per-target aggregation, mixed-case/whitespace anchors the
+    normalization, an empty anchor the drop rule."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    a1 = F.concat(F.lit(' <a href="https://example'), s(d % 5),
+                  F.lit('.com/page/'), s(d % 10),
+                  F.lit('" class="x">Topic  '), s(d % 7),
+                  F.lit("</a>"))
+    a2 = F.concat(F.lit(' <a href="https://hub.example.com/">'),
+                  F.when(d % 2 == 0, F.lit("THE Hub"))
+                   .otherwise(F.lit("the hub")), F.lit("</a>"))
+    a3 = F.lit(' <a href="https://img.example.com/i.png"></a>')
+    return docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.when(d % 3 == 0, a1).otherwise(F.lit("")),
+                 F.when(d % 4 == 0, a2).otherwise(F.lit("")),
+                 F.when(d % 6 == 0, a3).otherwise(F.lit("")))
+        .alias("text"))
+
+
+# SQL twin of _anchor_injected_docs — change BOTH or parity breaks
+ANCHOR_DOCS_SQL = (
+    "(SELECT doc_id, coalesce(text, '')"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    "      ' <a href=\"https://example' || (doc_id % 5)::varchar"
+    "      || '.com/page/' || (doc_id % 10)::varchar"
+    "      || '\" class=\"x\">Topic  ' || (doc_id % 7)::varchar"
+    "      || '</a>'"
+    "    ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN"
+    "      ' <a href=\"https://hub.example.com/\">'"
+    "      || CASE WHEN doc_id % 2 = 0 THEN 'THE Hub'"
+    "              ELSE 'the hub' END || '</a>'"
+    "    ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN"
+    "      ' <a href=\"https://img.example.com/i.png\"></a>'"
+    "    ELSE '' END AS text"
+    " FROM documents)")
+
+
+def _q_anchor_stats(spark, sf_dir):
+    """Anchor-text aggregation: per link target, anchor census + most
+    common anchor text (textops.anchor_text_stats)."""
+    from ferenda_spark.operators.textops import anchor_text_stats
+    return anchor_text_stats(_anchor_injected_docs(spark, sf_dir))
 
 
 def _q_url_stats(spark, sf_dir):
@@ -1762,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search_indexed": _q_kg_search_indexed,
         "kg_sparql": _q_kg_sparql,
         "kg_sparql_graphvar": _q_kg_sparql_graphvar,
+        "kg_crawl_delta": _q_kg_crawl_delta,
         "kg_describe": _q_kg_describe,
         "kg_describe_sparql": _q_kg_describe_sparql,
         "kg_sparql_stats": _q_kg_sparql_stats,
@@ -1801,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "normalize_text": _q_normalize_text,
         "url_stats": _q_url_stats,
+        "anchor_stats": _q_anchor_stats,
         "blocklist_filter": _q_blocklist_filter,
         "url_dedup": _q_url_dedup,
         # relational / faceting analogs (DuckDB-oracled)
@@ -1931,6 +2014,7 @@ def oracle_sql() -> dict[str, str]:
             "read_parquet('%s')" % kg["triples"],
             _DESCRIBE_BASE_RQ % {"uri": _DESCRIBE_URI}),
         "kg_versions": kgoracle.sql_versions(kg, KG_NEW_URL),
+        "kg_crawl_delta": kgoracle.sql_crawl_delta(kg, KG_NEW_URL),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),
@@ -1968,6 +2052,8 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": curation.oracle_sql_normalize(
             table=MESS_DOCS_SQL),
         "url_stats": textops.oracle_sql_url_stats(table=URL_DOCS_SQL),
+        "anchor_stats": textops.oracle_sql_anchor_stats(
+            table=ANCHOR_DOCS_SQL),
         "blocklist_filter": textops.oracle_sql_blocklist(
             _BLOCKLIST_DOMAINS, table=URL_DOCS_SQL),
         "url_dedup": curation.oracle_sql_url_dedup(

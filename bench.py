@@ -176,6 +176,22 @@ def main() -> None:
         from ferenda_spark.operators.graphops import void_stats
         return void_stats(stages["triples"])
 
+    def kg_crawl_delta(spark, _):
+        # snapshot diff: two anti-joins on the composite triple key
+        # (co-located in the bucketed layout); delta-sized output
+        from ferenda_spark.operators.versioning import triple_diff
+        from pyspark.sql import functions as F
+        a = stages["triples"].select("source_url", "subject",
+                                     "predicate", "object")
+        b = a.where(~F.col("source_url").like("%1.html")).withColumn(
+            "object",
+            F.when((F.col("predicate") ==
+                    "http://purl.org/dc/terms/title") &
+                   F.col("source_url").like("%0.html"),
+                   F.concat(F.col("object"), F.lit(" (rev 2)")))
+             .otherwise(F.col("object")))
+        return triple_diff(a, b)
+
     def kg_triangles(spark, _):
         # degree-ordered orientation: wedge self-join bounded by O(√m)
         # oriented out-degree, one closing hash join
@@ -230,6 +246,7 @@ def main() -> None:
         "kg_shacl_report": kg_shacl_report,
         "kg_sparql_update": kg_sparql_update,
         "kg_void_stats": kg_void_stats,
+        "kg_crawl_delta": kg_crawl_delta,
         "kg_triangles": kg_triangles,
         "kg_communities": kg_communities,
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
@@ -253,6 +270,7 @@ def main() -> None:
         "lm_perplexity": qs["lm_perplexity"],
         "quality_classifier": qs["quality_classifier"],
         "url_stats": qs["url_stats"],
+        "anchor_stats": qs["anchor_stats"],
         "blocklist_filter": qs["blocklist_filter"],
         "url_dedup": qs["url_dedup"],
         "dsir_resample": qs["dsir_resample"],

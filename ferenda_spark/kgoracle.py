@@ -844,3 +844,43 @@ def sql_communities(paths, rounds: int = 4) -> str:
       WHERE rn = 1)""")
     return ("WITH " + ",".join(ctes) +
             f"\n    SELECT node, label FROM lab{rounds} ORDER BY node")
+
+
+def sql_crawl_delta(paths, new_url: str) -> str:
+    """Twin of the kg_crawl_delta driver query: snapshot B derives
+    from snapshot A's triples with the same deterministic mutation the
+    Spark side applies (…1.html docs dropped from the crawl, …0.html
+    titles revised, one new doc), then added/removed = the two
+    set-anti-joins of operators.versioning.triple_diff."""
+    t = _t(paths, "triples")
+    new_subj = "http://example.org/res/doc/new"
+    return f"""
+    WITH a AS (
+      SELECT DISTINCT source_url, subject, predicate, object FROM {t}),
+    b AS (
+      SELECT DISTINCT source_url, subject, predicate,
+             CASE WHEN predicate = '{DCT}title'
+                       AND source_url LIKE '%0.html'
+                  THEN object || ' (rev 2)' ELSE object END AS object
+      FROM a WHERE source_url NOT LIKE '%1.html'
+      UNION
+      SELECT * FROM (VALUES
+        ('{new_url}', '{new_subj}', '{DCT}title', 'New doc'),
+        ('{new_url}', '{new_subj}', '{RDF_TYPE}',
+         'http://xmlns.com/foaf/0.1/Document'))
+        v(source_url, subject, predicate, object)),
+    added AS (
+      SELECT 'added' AS change, source_url, subject, predicate, object
+      FROM b WHERE NOT EXISTS (
+        SELECT 1 FROM a WHERE a.source_url = b.source_url
+          AND a.subject = b.subject AND a.predicate = b.predicate
+          AND a.object = b.object)),
+    removed AS (
+      SELECT 'removed' AS change, source_url, subject, predicate, object
+      FROM a WHERE NOT EXISTS (
+        SELECT 1 FROM b WHERE b.source_url = a.source_url
+          AND b.subject = a.subject AND b.predicate = a.predicate
+          AND b.object = a.object))
+    SELECT * FROM added UNION ALL SELECT * FROM removed
+    ORDER BY change, source_url, subject, predicate, object
+    """

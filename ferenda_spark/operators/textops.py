@@ -712,3 +712,94 @@ def oracle_sql_related_docs(table: str = "documents", k_terms: int = 5,
     SELECT a_id AS doc_id, b_id AS related_id, shared_terms, sim, rank
     FROM r WHERE rank <= {k_out} ORDER BY doc_id, rank
     """
+
+
+# <a href="…">text</a> — capture group 1 = target, group 2 = anchor
+# text; no backrefs, so the same pattern runs in Java regex (Spark)
+# and RE2 (DuckDB)
+ANCHOR_RE = '<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+
+
+def anchor_text_stats(df: DataFrame, html_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Anchor-text aggregation — the classic web-graph ranking signal
+    (how the web describes a page): for every link target across the
+    corpus, the anchor frequency census and the most common anchor
+    text. → (target, n_anchors, n_docs, top_anchor), ordered by
+    (n_anchors DESC, target).
+
+    Anchor texts are whitespace-collapsed, trimmed, lower-cased;
+    empty anchors (image links etc.) are dropped. The reference mines
+    intra-corpus citation URIs (operators/citations.py) — this is the
+    inbound-description analog over raw page HTML.
+
+    Scale notes: tag extraction + explode are narrow codegen; the
+    (target, anchor) count is a two-level hash agg with map-side
+    combine — hub targets (the whole point of the signal) reduce
+    map-side before the one shuffle on target-keyed hashes; the
+    per-target arg-max is a second, already-small agg, and
+    countDistinct(doc) expands to the standard two-round expand agg.
+    No UDFs, nothing on the driver.
+    """
+    tags = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.regexp_extract_all(
+            F.coalesce(F.col(html_col), F.lit("")),
+            F.lit(ANCHOR_RE), 0)).alias("tag"))
+    anchor = F.lower(F.trim(F.regexp_replace(
+        F.regexp_extract(F.col("tag"), ANCHOR_RE, 2), r"\s+", " ")))
+    pairs = (tags.select(
+        F.regexp_extract(F.col("tag"), ANCHOR_RE, 1).alias("target"),
+        anchor.alias("anchor"), "doc")
+        .where(F.col("anchor") != ""))
+    per_pair = (pairs.groupBy("target", "anchor")
+                .agg(F.count(F.lit(1)).alias("c")))
+    top = (per_pair.groupBy("target")
+           .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                               F.col("anchor").alias("anchor")))
+                .alias("best"))
+           .select("target", F.col("best.anchor").alias("top_anchor")))
+    totals = (pairs.groupBy("target")
+              .agg(F.count(F.lit(1)).alias("n_anchors"),
+                   F.countDistinct("doc").alias("n_docs")))
+    return (totals.join(top, "target")
+            .select("target", "n_anchors", "n_docs", "top_anchor")
+            .orderBy(F.desc("n_anchors"), "target"))
+
+
+def oracle_sql_anchor_stats(table: str = "documents",
+                            html_expr: str = "coalesce(text, '')") -> str:
+    """DuckDB twin of :func:`anchor_text_stats` (same single pattern
+    through RE2, same tie-break)."""
+    return f"""
+    WITH tags AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_extract_all({html_expr}, '{ANCHOR_RE}'))
+               AS tag
+      FROM {table}),
+    pairs AS (
+      SELECT regexp_extract(tag, '{ANCHOR_RE}', 1) AS target,
+             lower(trim(regexp_replace(
+               regexp_extract(tag, '{ANCHOR_RE}', 2), '\\s+', ' ', 'g')))
+               AS anchor,
+             doc
+      FROM tags),
+    nonempty AS (SELECT * FROM pairs WHERE anchor <> ''),
+    per_pair AS (
+      SELECT target, anchor, count(*) AS c
+      FROM nonempty GROUP BY target, anchor),
+    top AS (
+      SELECT target, anchor AS top_anchor FROM (
+        SELECT target, anchor,
+               row_number() OVER (PARTITION BY target
+                                  ORDER BY c DESC, anchor ASC) AS rn
+        FROM per_pair) q
+      WHERE rn = 1),
+    totals AS (
+      SELECT target, count(*)::bigint AS n_anchors,
+             count(DISTINCT doc)::bigint AS n_docs
+      FROM nonempty GROUP BY target)
+    SELECT t.target, t.n_anchors, t.n_docs, top.top_anchor
+    FROM totals t JOIN top USING (target)
+    ORDER BY n_anchors DESC, target
+    """

@@ -66,3 +66,33 @@ def version_history(current: DataFrame, archive: DataFrame,
     arch = archive.select(key, "version", "content_hash",
                           F.lit(False).alias("is_current"))
     return cur.unionByName(arch).orderBy(key, "version")
+
+
+def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot-to-snapshot KG delta: which (source_url, subject,
+    predicate, object) rows a new crawl added and which it removed —
+    the triple-level analog of the reference's archive diff (the
+    reference re-parses a changed download and replaces the doc's
+    whole graph; the lake form surfaces the per-triple change set, the
+    exact input a downstream incremental maintainer — e.g.
+    rdfs_materialize_delta, relate_dependencies' stale set — needs).
+
+    → (change 'added'|'removed', source_url, subject, predicate,
+    object), set semantics (duplicates within a snapshot collapse).
+
+    Scale notes: two anti-joins on the SAME composite key — when both
+    snapshots live in the (bucket, predicate)-partitioned triple
+    layout, the exchange is co-located on bucket and each predicate
+    partition prunes; the delta is crawl-batch-sized, never
+    corpus-sized, and AQE skew-split covers pathological urls. Nothing
+    collects to the driver.
+    """
+    cols = ["source_url", "subject", "predicate", "object"]
+    a = old.select(*cols).distinct()
+    b = new.select(*cols).distinct()
+    added = b.join(a, cols, "left_anti") \
+             .select(F.lit("added").alias("change"), *cols)
+    removed = a.join(b, cols, "left_anti") \
+               .select(F.lit("removed").alias("change"), *cols)
+    return added.unionByName(removed) \
+                .orderBy("change", *cols)

@@ -1021,3 +1021,35 @@ def test_nb_classifier_oracle_parity(spark, duck):
             "documents",
             "(SELECT *, CASE WHEN doc_id % 2 = 0 THEN 'pos' "
             "ELSE 'neg' END AS label FROM documents)"))
+
+
+def test_anchor_text_stats_semantics(spark):
+    from ferenda_spark.operators.textops import anchor_text_stats
+    docs = spark.createDataFrame(
+        [(1, 'x <a href="https://t.com/a" rel="nofollow">Click  HERE</a>'
+             ' y <a href="https://t.com/a">other</a>'),
+         (2, '<a href="https://t.com/a">click here</a>'
+             ' <a href="https://t.com/b"></a>'),     # empty → dropped
+         (3, 'no links here'),
+         (4, None)],
+        "doc_id int, text string")
+    out = {r["target"]: r for r in anchor_text_stats(docs).collect()}
+    # https://t.com/b only carries an empty anchor → absent entirely
+    assert set(out) == {"https://t.com/a"}
+    r = out["https://t.com/a"]
+    # "Click  HERE" normalizes (collapse + trim + lower) to the same
+    # anchor as doc 2's — 2 votes beat "other"'s 1
+    assert r["top_anchor"] == "click here"
+    assert r["n_anchors"] == 3 and r["n_docs"] == 2
+
+
+def test_anchor_stats_driver_parity(spark, duck):
+    import __spark_entry__ as E
+    assert_parity(E.queries()["anchor_stats"](spark, SF_DIR), duck,
+                  E.oracle_sql()["anchor_stats"])
+    out = E.queries()["anchor_stats"](spark, SF_DIR).toPandas()
+    # the hub target aggregates the case-variant anchors into one
+    hub = out[out["target"] == "https://hub.example.com/"]
+    assert len(hub) == 1 and hub.iloc[0]["top_anchor"] == "the hub"
+    # the empty-anchor image link never appears
+    assert not (out["target"] == "https://img.example.com/i.png").any()

@@ -97,3 +97,21 @@ def test_atom_feeds_render(spark):
     tf = feeds["type/standard"]
     assert tf["n_entries"] == 2
     assert "bibo:Standard" in tf["title"]
+
+
+def test_triple_diff_golden(spark):
+    from ferenda_spark.operators.versioning import triple_diff
+    schema = ("source_url string, subject string, predicate string, "
+              "object string")
+    old = spark.createDataFrame(
+        [("u1", "s1", "p", "kept"),
+         ("u1", "s1", "p", "gone"),
+         ("u2", "s2", "p", "dup"), ("u2", "s2", "p", "dup")], schema)
+    new = spark.createDataFrame(
+        [("u1", "s1", "p", "kept"),
+         ("u1", "s1", "p", "fresh"),
+         ("u2", "s2", "p", "dup")], schema)
+    got = [(r["change"], r["source_url"], r["object"])
+           for r in triple_diff(old, new).collect()]
+    # set semantics: the duplicate (u2…dup) rows collapse, no diff row
+    assert got == [("added", "u1", "fresh"), ("removed", "u1", "gone")]
