@@ -1315,6 +1315,53 @@ def _url_injected_docs(spark, sf_dir) -> DataFrame:
         .alias("text"))
 
 
+def _justext_injected_docs(spark, sf_dir) -> DataFrame:
+    """documents with three planted paragraph kinds (twin:
+    JUSTEXT_DOCS_SQL): a link-farm nav row (link-density reject), a
+    short fragment (min-words reject), and a prose paragraph that
+    passes all three rules."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    nav = F.lit('\n\nHome | <a href="/a">About us</a> '
+                '<a href="/b">Contact</a> <a href="/c">Login</a>')
+    short = F.lit("\n\nRead more")
+    prose = F.concat(
+        F.lit("\n\nThe committee met at the old mill by the river "
+              "and agreed on the plan for section "),
+        (d % 7).cast("string"), F.lit(" of the report."))
+    return docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.when(d % 2 == 0, nav).otherwise(F.lit("")),
+                 F.when(d % 3 == 0, short).otherwise(F.lit("")),
+                 prose).alias("text"))
+
+
+# SQL twin of _justext_injected_docs — change BOTH or parity breaks
+JUSTEXT_DOCS_SQL = (
+    "(SELECT doc_id, coalesce(text, '')"
+    " || CASE WHEN doc_id % 2 = 0 THEN"
+    "      chr(10) || chr(10) || 'Home | <a href=\"/a\">About us</a>"
+    " <a href=\"/b\">Contact</a> <a href=\"/c\">Login</a>'"
+    "    ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    "      chr(10) || chr(10) || 'Read more' ELSE '' END"
+    " || chr(10) || chr(10)"
+    " || 'The committee met at the old mill by the river and agreed"
+    " on the plan for section ' || (doc_id % 7)::varchar"
+    " || ' of the report.' AS text"
+    " FROM documents)")
+
+
+def _q_boilerplate(spark, sf_dir):
+    """jusText-style main-content extraction: paragraph classification
+    (min-words / stopword-fraction / link-density) + in-order
+    reassembly, one shuffle-free codegen projection
+    (curation.boilerplate_filter)."""
+    from ferenda_spark.operators.curation import boilerplate_filter
+    return boilerplate_filter(_justext_injected_docs(spark, sf_dir))
+
+
 def _anchor_injected_docs(spark, sf_dir) -> DataFrame:
     """documents with deterministic <a href>anchors</a> planted (twin:
     ANCHOR_DOCS_SQL): shared targets across moduli exercise the
@@ -1884,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "url_stats": _q_url_stats,
         "anchor_stats": _q_anchor_stats,
+        "boilerplate_filter": _q_boilerplate,
         "blocklist_filter": _q_blocklist_filter,
         "url_dedup": _q_url_dedup,
         # relational / faceting analogs (DuckDB-oracled)
@@ -2054,6 +2102,8 @@ def oracle_sql() -> dict[str, str]:
         "url_stats": textops.oracle_sql_url_stats(table=URL_DOCS_SQL),
         "anchor_stats": textops.oracle_sql_anchor_stats(
             table=ANCHOR_DOCS_SQL),
+        "boilerplate_filter": curation.oracle_sql_boilerplate(
+            table=JUSTEXT_DOCS_SQL),
         "blocklist_filter": textops.oracle_sql_blocklist(
             _BLOCKLIST_DOMAINS, table=URL_DOCS_SQL),
         "url_dedup": curation.oracle_sql_url_dedup(

@@ -271,6 +271,7 @@ def main() -> None:
         "quality_classifier": qs["quality_classifier"],
         "url_stats": qs["url_stats"],
         "anchor_stats": qs["anchor_stats"],
+        "boilerplate_filter": qs["boilerplate_filter"],
         "blocklist_filter": qs["blocklist_filter"],
         "url_dedup": qs["url_dedup"],
         "dsir_resample": qs["dsir_resample"],

@@ -704,3 +704,122 @@ def oracle_sql_nb_classifier(table: str = "documents",
     FROM base LEFT JOIN scores USING (doc_id) CROSS JOIN prior
     ORDER BY base.doc_id
     """
+
+
+# jusText-style paragraph classification (Pomikálek 2011, simplified
+# to a deterministic context-free rule set): a paragraph is content
+# when it is long enough, reads like prose (enough function words)
+# and is not link-dominated. The stopword list is the classifier's
+# broadcastable model — rendered as a literal into BOTH engines.
+BOILERPLATE_STOPWORDS = (
+    "the", "of", "and", "a", "to", "in", "is", "was", "it", "for",
+    "on", "with", "as", "by", "that", "this", "are", "be", "at",
+    "from", "or", "an", "but", "not", "we", "his", "her", "they",
+    "which", "you", "had", "has", "were", "their", "its", "have")
+
+# anchor body for link-density: same no-lazy pattern family as
+# textops.ANCHOR_RE, Java-regex/RE2 shared
+_A_BODY_RE = "<a [^>]*>([^<]*)</a>"
+_PARA_SPLIT_RE = "\\n{2,}"
+_TAG_RE = "<[^>]*>"
+
+
+def boilerplate_filter(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", min_words: int = 10,
+                       max_link_density: float = 0.35,
+                       min_stopword_frac: float = 0.25) -> DataFrame:
+    """Boilerplate removal / main-content extraction over raw page
+    text — the jusText/trafilatura step every web-corpus pipeline runs
+    before quality filtering. Paragraphs (blank-line separated) are
+    classified content vs boilerplate by three context-free rules
+    (≥ ``min_words`` tag-stripped words, stopword fraction ≥
+    ``min_stopword_frac``, anchor-text share of characters ≤
+    ``max_link_density``); the content paragraphs are reassembled in
+    order.
+
+    → (doc_id, n_paras, n_kept, para_keep_ratio, main_text).
+
+    Scale notes: the whole operator is ONE narrow codegen projection —
+    nested higher-order array functions (split → filter → transform →
+    array_join), no explode, no shuffle, no UDF, nothing on the
+    driver; the stopword list is a literal array both engines inline.
+    At 100 TB this runs at scan speed and composes with the quality /
+    dedup passes downstream.
+    """
+    stop_arr = F.array(*[F.lit(w) for w in BOILERPLATE_STOPWORDS])
+
+    def plain(p):
+        return F.trim(F.regexp_replace(p, _TAG_RE, " "))
+
+    def words(p):
+        return F.filter(F.split(plain(p), WS_SPLIT),
+                        lambda w: w != "")
+
+    def keep(p):
+        ws = words(p)
+        nw = F.size(ws)
+        stop_cnt = F.size(F.filter(
+            ws, lambda w: F.array_contains(stop_arr, F.lower(w))))
+        link_chars = F.length(F.array_join(
+            F.regexp_extract_all(p, F.lit(_A_BODY_RE), 1), ""))
+        plain_chars = F.greatest(F.length(plain(p)), F.lit(1))
+        return ((nw >= min_words) &
+                (stop_cnt / nw.cast("double") >= min_stopword_frac) &
+                (link_chars / plain_chars.cast("double")
+                 <= max_link_density))
+
+    paras = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")),
+                _PARA_SPLIT_RE),
+        lambda p: F.trim(p) != "")
+    kept = F.filter(paras, keep)
+    n_paras = F.size(paras)
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col),
+        n_paras.cast("long").alias("n_paras"),
+        n_kept.cast("long").alias("n_kept"),
+        F.round(n_kept /
+                F.greatest(n_paras, F.lit(1)).cast("double"), 6)
+         .alias("para_keep_ratio"),
+        F.array_join(F.transform(kept, plain), "\n\n")
+         .alias("main_text")).orderBy(id_col)
+
+
+def oracle_sql_boilerplate(table: str = "documents",
+                           text_expr: str = "coalesce(text, '')",
+                           min_words: int = 10,
+                           max_link_density: float = 0.35,
+                           min_stopword_frac: float = 0.25) -> str:
+    """DuckDB twin of :func:`boilerplate_filter` — the same nested
+    list lambdas, patterns and double arithmetic."""
+    stop = "[%s]" % ", ".join("'%s'" % w for w in BOILERPLATE_STOPWORDS)
+    plain = "trim(regexp_replace(p, '{0}', ' ', 'g'))".format(_TAG_RE)
+    wrds = ("list_filter(regexp_split_to_array(%s, '%s'), "
+            "w -> w <> '')" % (plain, WS_SPLIT))
+    keep = f"""(
+      len({wrds}) >= {min_words}
+      AND len(list_filter({wrds}, w -> list_contains({stop}, lower(w))))
+          / len({wrds})::DOUBLE >= {min_stopword_frac}
+      AND length(coalesce(array_to_string(
+            regexp_extract_all(p, '{_A_BODY_RE}', 1), ''), ''))
+          / greatest(length({plain}), 1)::DOUBLE <= {max_link_density})"""
+    return f"""
+    WITH paras AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array({text_expr},
+                                               '{_PARA_SPLIT_RE}'),
+                         p -> trim(p) <> '') AS ps
+      FROM {table}),
+    marked AS (
+      SELECT doc_id, ps, list_filter(ps, p -> {keep}) AS kept
+      FROM paras)
+    SELECT doc_id,
+           len(ps)::BIGINT AS n_paras,
+           len(kept)::BIGINT AS n_kept,
+           round(len(kept) / greatest(len(ps), 1)::DOUBLE, 6)
+             AS para_keep_ratio,
+           array_to_string(list_transform(kept,
+             p -> {plain}), chr(10) || chr(10)) AS main_text
+    FROM marked ORDER BY doc_id
+    """

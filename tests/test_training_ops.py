@@ -1053,3 +1053,34 @@ def test_anchor_stats_driver_parity(spark, duck):
     assert len(hub) == 1 and hub.iloc[0]["top_anchor"] == "the hub"
     # the empty-anchor image link never appears
     assert not (out["target"] == "https://img.example.com/i.png").any()
+
+
+def test_boilerplate_filter_semantics(spark):
+    from ferenda_spark.operators.curation import boilerplate_filter
+    prose = ("The committee met at the old mill by the river and "
+             "agreed on the plan for the report.")
+    nav = ('Home | <a href="/a">About us page</a> '
+           '<a href="/b">Contact form</a> <a href="/c">Login now</a>')
+    docs = spark.createDataFrame(
+        [(1, prose + "\n\n" + nav + "\n\nShort one\n\n" + prose),
+         (2, nav), (3, ""), (4, None)],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in boilerplate_filter(docs).collect()}
+    r1 = out[1]
+    # link-farm nav (link density) and the short fragment both drop
+    assert r1["n_paras"] == 4 and r1["n_kept"] == 2
+    assert r1["main_text"] == prose + "\n\n" + prose
+    assert out[2]["n_kept"] == 0 and out[2]["main_text"] == ""
+    assert out[3]["n_paras"] == 0 and out[4]["n_paras"] == 0
+
+
+def test_boilerplate_driver_parity(spark, duck):
+    import __spark_entry__ as E
+    assert_parity(E.queries()["boilerplate_filter"](spark, SF_DIR), duck,
+                  E.oracle_sql()["boilerplate_filter"])
+    out = E.queries()["boilerplate_filter"](spark, SF_DIR).toPandas()
+    # every doc keeps the planted prose paragraph; nav/short drop
+    assert (out["n_kept"] >= 1).all()
+    assert (out["n_paras"] > out["n_kept"]).any()
+    assert out["main_text"].str.contains("committee met at the old "
+                                         "mill").all()
