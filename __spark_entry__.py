@@ -1315,6 +1315,67 @@ def _url_injected_docs(spark, sf_dir) -> DataFrame:
         .alias("text"))
 
 
+def _head_injected_docs(spark, sf_dir) -> DataFrame:
+    """documents with a deterministic HTML head planted (twin:
+    HEAD_DOCS_SQL): title always, canonical on d%2, description on
+    d%3, og:title with REVERSED attribute order on d%5 (proves the
+    tag-then-attribute two-step), og:image never (always-NULL
+    column)."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    head = F.concat(
+        F.lit("<head><title> Page  "), s(d % 9), F.lit(" </title>"),
+        F.when(d % 2 == 0,
+               F.concat(F.lit('<link href="https://example'), s(d % 5),
+                        F.lit('.com/page/'), s(d % 10),
+                        F.lit('" rel="canonical">')))
+         .otherwise(F.lit("")),
+        F.when(d % 3 == 0,
+               F.concat(F.lit('<meta name="description" content="About '),
+                        s(d % 7), F.lit('">')))
+         .otherwise(F.lit("")),
+        F.when(d % 5 == 0,
+               F.concat(F.lit('<meta content="OG '), s(d % 4),
+                        F.lit('" property="og:title">')))
+         .otherwise(F.lit("")),
+        F.lit('<meta charset="utf-8"></head>'))
+    return docs.select(
+        "doc_id",
+        F.concat(head, F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"))
+
+
+# SQL twin of _head_injected_docs — change BOTH or parity breaks
+HEAD_DOCS_SQL = (
+    "(SELECT doc_id,"
+    " '<head><title> Page  ' || (doc_id % 9)::varchar || ' </title>'"
+    " || CASE WHEN doc_id % 2 = 0 THEN"
+    "      '<link href=\"https://example' || (doc_id % 5)::varchar"
+    "      || '.com/page/' || (doc_id % 10)::varchar"
+    "      || '\" rel=\"canonical\">' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    "      '<meta name=\"description\" content=\"About '"
+    "      || (doc_id % 7)::varchar || '\">' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN"
+    "      '<meta content=\"OG ' || (doc_id % 4)::varchar"
+    "      || '\" property=\"og:title\">' ELSE '' END"
+    " || '<meta charset=\"utf-8\"></head>'"
+    " || coalesce(text, '') AS text"
+    " FROM documents)")
+
+
+def _q_page_metadata(spark, sf_dir):
+    """Head-metadata extraction (title / rel=canonical / description /
+    og:*) — pure codegen, attribute-order free
+    (textops.page_metadata)."""
+    from ferenda_spark.operators.textops import page_metadata
+    return page_metadata(_head_injected_docs(spark, sf_dir))
+
+
 def _justext_injected_docs(spark, sf_dir) -> DataFrame:
     """documents with three planted paragraph kinds (twin:
     JUSTEXT_DOCS_SQL): a link-farm nav row (link-density reject), a
@@ -1932,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": _q_url_stats,
         "anchor_stats": _q_anchor_stats,
         "boilerplate_filter": _q_boilerplate,
+        "page_metadata": _q_page_metadata,
         "blocklist_filter": _q_blocklist_filter,
         "url_dedup": _q_url_dedup,
         # relational / faceting analogs (DuckDB-oracled)
@@ -2104,6 +2166,8 @@ def oracle_sql() -> dict[str, str]:
             table=ANCHOR_DOCS_SQL),
         "boilerplate_filter": curation.oracle_sql_boilerplate(
             table=JUSTEXT_DOCS_SQL),
+        "page_metadata": textops.oracle_sql_page_metadata(
+            table=HEAD_DOCS_SQL),
         "blocklist_filter": textops.oracle_sql_blocklist(
             _BLOCKLIST_DOMAINS, table=URL_DOCS_SQL),
         "url_dedup": curation.oracle_sql_url_dedup(

@@ -272,6 +272,7 @@ def main() -> None:
         "url_stats": qs["url_stats"],
         "anchor_stats": qs["anchor_stats"],
         "boilerplate_filter": qs["boilerplate_filter"],
+        "page_metadata": qs["page_metadata"],
         "blocklist_filter": qs["blocklist_filter"],
         "url_dedup": qs["url_dedup"],
         "dsir_resample": qs["dsir_resample"],

@@ -803,3 +803,90 @@ def oracle_sql_anchor_stats(table: str = "documents",
     FROM totals t JOIN top USING (target)
     ORDER BY n_anchors DESC, target
     """
+
+
+_META_TAG_RE = "<meta [^>]*>"
+_LINK_TAG_RE = "<link [^>]*>"
+_TITLE_RE = "<title[^>]*>([^<]*)</title>"
+_CONTENT_RE = 'content="([^"]*)"'
+_HREF_RE = 'href="([^"]*)"'
+
+
+def page_metadata(df: DataFrame, html_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Head-metadata extraction over raw page HTML — the fields a
+    Common-Crawl-style KG/curation pipeline reads before (or instead
+    of) a full parse: <title>, rel=canonical (the dedup key
+    url_dedup consumes), meta description, og:title / og:image, and
+    the meta-tag census. Attribute ORDER inside a tag is free: tags
+    are captured whole, the attribute of interest is then extracted
+    from the tag — so <meta content=… property=…> matches too.
+
+    → (doc_id, title, canonical, description, og_title, og_image,
+    n_meta); absent fields are NULL, extracted values trimmed with
+    whitespace collapsed.
+
+    Scale notes: pure codegen (regexp_extract_all + array lambdas +
+    F.get — NULL, not an ANSI error, on no-match), no explode, no
+    shuffle, no UDF; runs at scan speed and projects before any
+    downstream exchange.
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+
+    def norm(c):
+        return F.nullif(F.trim(F.regexp_replace(c, r"\s+", " ")),
+                        F.lit(""))
+
+    def from_tags(tags, marker_re, value_re):
+        tag = F.get(F.filter(tags, lambda t: t.rlike(marker_re)), 0)
+        return norm(F.regexp_extract(tag, value_re, 1))
+
+    metas = F.regexp_extract_all(html, F.lit(_META_TAG_RE), 0)
+    links = F.regexp_extract_all(html, F.lit(_LINK_TAG_RE), 0)
+    return df.select(
+        F.col(id_col),
+        norm(F.get(F.regexp_extract_all(html, F.lit(_TITLE_RE), 1), 0))
+        .alias("title"),
+        from_tags(links, 'rel="canonical"', _HREF_RE).alias("canonical"),
+        from_tags(metas, 'name="description"', _CONTENT_RE)
+        .alias("description"),
+        from_tags(metas, 'property="og:title"', _CONTENT_RE)
+        .alias("og_title"),
+        from_tags(metas, 'property="og:image"', _CONTENT_RE)
+        .alias("og_image"),
+        F.size(metas).cast("long").alias("n_meta")).orderBy(id_col)
+
+
+def oracle_sql_page_metadata(table: str = "documents",
+                             html_expr: str = "coalesce(text, '')"
+                             ) -> str:
+    """DuckDB twin of :func:`page_metadata` — same tag-then-attribute
+    two-step, same normalization ('' → NULL)."""
+    def norm(c):
+        return ("nullif(trim(regexp_replace(%s, '\\s+', ' ', 'g')), '')"
+                % c)
+
+    def from_tags(tags, marker_re, value_re):
+        tag = ("list_filter(%s, t -> regexp_matches(t, '%s'))[1]"
+               % (tags, marker_re))
+        return norm("regexp_extract(%s, '%s', 1)" % (tag, value_re))
+
+    metas = "regexp_extract_all({0}, '{1}')".format(html_expr,
+                                                    _META_TAG_RE)
+    links = "regexp_extract_all({0}, '{1}')".format(html_expr,
+                                                    _LINK_TAG_RE)
+    title = norm("regexp_extract_all({0}, '{1}', 1)[1]".format(
+        html_expr, _TITLE_RE))
+    return f"""
+    SELECT doc_id,
+           {title} AS title,
+           {from_tags(links, 'rel="canonical"', _HREF_RE)} AS canonical,
+           {from_tags(metas, 'name="description"', _CONTENT_RE)}
+             AS description,
+           {from_tags(metas, 'property="og:title"', _CONTENT_RE)}
+             AS og_title,
+           {from_tags(metas, 'property="og:image"', _CONTENT_RE)}
+             AS og_image,
+           len({metas})::BIGINT AS n_meta
+    FROM {table} ORDER BY doc_id
+    """

@@ -1084,3 +1084,35 @@ def test_boilerplate_driver_parity(spark, duck):
     assert (out["n_paras"] > out["n_kept"]).any()
     assert out["main_text"].str.contains("committee met at the old "
                                          "mill").all()
+
+
+def test_page_metadata_semantics(spark):
+    from ferenda_spark.operators.textops import page_metadata
+    docs = spark.createDataFrame(
+        [(1, '<head><title> A  B </title>'
+             '<link href="https://c.com/x" rel="canonical">'
+             '<meta content="Og T" property="og:title">'
+             '<meta name="description" content="">'
+             '<meta charset="utf-8"></head>body'),
+         (2, "no head at all"),
+         (3, None)],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in page_metadata(docs).collect()}
+    r = out[1]
+    assert r["title"] == "A B"                 # collapse + trim
+    assert r["canonical"] == "https://c.com/x"  # href BEFORE rel
+    assert r["og_title"] == "Og T"              # content BEFORE property
+    assert r["description"] is None             # empty content → NULL
+    assert r["n_meta"] == 3
+    assert out[2]["title"] is None and out[2]["n_meta"] == 0
+    assert out[3]["n_meta"] == 0
+
+
+def test_page_metadata_driver_parity(spark, duck):
+    import __spark_entry__ as E
+    assert_parity(E.queries()["page_metadata"](spark, SF_DIR), duck,
+                  E.oracle_sql()["page_metadata"])
+    out = E.queries()["page_metadata"](spark, SF_DIR).toPandas()
+    assert out["title"].notna().all()
+    assert out["og_image"].isna().all()         # never injected
+    assert out["canonical"].notna().sum() == (out["doc_id"] % 2 == 0).sum()
