@@ -1315,6 +1315,50 @@ def _url_injected_docs(spark, sf_dir) -> DataFrame:
         .alias("text"))
 
 
+def _delta_batch(spark, sf_dir) -> DataFrame:
+    """Incoming crawl batch for dedup_delta (twin: DELTA_BATCH_SQL):
+    every doc_id%7==0 corpus doc re-crawled with a few appended words
+    (a near-dup the verdict must catch) and one novel doc per
+    doc_id%7==3 (must pass). Batch ids never collide with corpus
+    ids."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    redup = (docs.where(d % 7 == 0)
+             .select((d + 1000000).alias("doc_id"),
+                     F.concat(F.coalesce(F.col("text"), F.lit("")),
+                              F.lit(" near duplicate copy"))
+                     .alias("text")))
+    novel = (docs.where(d % 7 == 3)
+             .select((d + 2000000).alias("doc_id"),
+                     F.concat(F.lit("novel entry number "),
+                              d.cast("string"),
+                              F.lit(" stands alone with nothing "
+                                    "shared here")).alias("text")))
+    return redup.unionByName(novel)
+
+
+# SQL twin of _delta_batch — change BOTH or parity breaks
+DELTA_BATCH_SQL = (
+    "(SELECT doc_id + 1000000 AS doc_id,"
+    " coalesce(text, '') || ' near duplicate copy' AS text"
+    " FROM documents WHERE doc_id % 7 = 0"
+    " UNION ALL"
+    " SELECT doc_id + 2000000,"
+    " 'novel entry number ' || doc_id::varchar"
+    " || ' stands alone with nothing shared here'"
+    " FROM documents WHERE doc_id % 7 = 3)")
+
+
+def _q_dedup_delta(spark, sf_dir):
+    """Incremental crawl-batch near-dup dedup: verdict the batch
+    against the corpus + earlier batch docs via the banded MinHash
+    candidate join — the corpus is scanned, never re-hashed
+    (dedup.minhash_dedup_delta; oracle = by-definition all-pairs)."""
+    from ferenda_spark.operators.dedup import minhash_dedup_delta
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_dedup_delta(docs, _delta_batch(spark, sf_dir))
+
+
 def _head_injected_docs(spark, sf_dir) -> DataFrame:
     """documents with a deterministic HTML head planted (twin:
     HEAD_DOCS_SQL): title always, canonical on d%2, description on
@@ -1994,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": _q_anchor_stats,
         "boilerplate_filter": _q_boilerplate,
         "page_metadata": _q_page_metadata,
+        "dedup_delta": _q_dedup_delta,
         "blocklist_filter": _q_blocklist_filter,
         "url_dedup": _q_url_dedup,
         # relational / faceting analogs (DuckDB-oracled)
@@ -2168,6 +2213,8 @@ def oracle_sql() -> dict[str, str]:
             table=JUSTEXT_DOCS_SQL),
         "page_metadata": textops.oracle_sql_page_metadata(
             table=HEAD_DOCS_SQL),
+        "dedup_delta": dedup.oracle_sql_dedup_delta(
+            "(SELECT doc_id, text FROM documents)", DELTA_BATCH_SQL),
         "blocklist_filter": textops.oracle_sql_blocklist(
             _BLOCKLIST_DOMAINS, table=URL_DOCS_SQL),
         "url_dedup": curation.oracle_sql_url_dedup(

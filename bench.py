@@ -255,6 +255,7 @@ def main() -> None:
         # twin in the headline; the twin remains the sf0.01 oracle
         "dedup_embedding": qs["dedup_embedding_blocked"],
         "dedup_lines": qs["dedup_lines"],
+        "dedup_delta": qs["dedup_delta"],
         "dedup_windows": qs["dedup_windows"],
         "ann_topk": qs["ann_topk"],
         "pack_sequences": qs["pack_sequences"],

@@ -980,3 +980,124 @@ def oracle_sql_duplicate_windows(table: str = "documents",
     FROM toks t LEFT JOIN perdoc p USING (doc_id)
     ORDER BY t.doc_id
     """
+
+
+def minhash_dedup_delta(corpus: DataFrame, batch: DataFrame,
+                        threshold: float = 0.5, n: int = 3,
+                        num_hashes: int = 128, bands: int = 64,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        corpus_bands: DataFrame | None = None,
+                        corpus_shingles: DataFrame | None = None
+                        ) -> DataFrame:
+    """Steady-state crawl-batch near-dup dedup: verdict every BATCH
+    document against the already-ingested corpus AND against earlier
+    batch documents, without re-hashing the corpus.
+
+    Contract: batch doc b is a duplicate iff some corpus doc c has
+    exact n-gram Jaccard(b, c) ≥ ``threshold``, or some batch doc
+    b' with b' < b does (keep-first-by-id inside the batch; a match
+    may itself be a dropped doc — the standard greedy rule).
+    ``dup_of`` is the best match (max similarity, ties to the smaller
+    partner id). → (doc_id, is_dup, dup_of, jaccard_sim), one row per
+    batch doc.
+
+    Scale notes: this is the incremental shape a 10^12-doc lake needs —
+    the corpus band/shingle tables are computed ONCE at ingest
+    (pass them via ``corpus_bands`` / ``corpus_shingles``; stored
+    partitioned by band, the candidate join prunes to the batch's band
+    buckets) and only the batch (crawl-sized, not corpus-sized) runs
+    the Arrow signature stage. Candidate generation is the same
+    banded equality join as :func:`minhash_lsh_pairs` (r=2/b=64 —
+    threshold pairs missed w.p. ~1e-8, so equality with the
+    all-pairs oracle is robust); verification touches candidate
+    shingles only. No all-pairs term anywhere; the corpus is scanned,
+    never shuffled.
+    """
+    b_bands = minhash_band_table(batch, n, num_hashes, bands,
+                                 text_col, id_col)
+    c_bands = (minhash_band_table(corpus, n, num_hashes, bands,
+                                  text_col, id_col)
+               if corpus_bands is None else corpus_bands)
+    bb, cb = b_bands.alias("b"), c_bands.alias("c")
+    cand_bc = (bb.join(cb, ["band", "band_hash"])
+               .select(F.col("b.id").alias("id"),
+                       F.col("c.id").alias("partner")))
+    b2 = b_bands.alias("b2")
+    cand_bb = (bb.join(b2, ["band", "band_hash"])
+               .where(F.col("b2.id") < F.col("b.id"))
+               .select(F.col("b.id").alias("id"),
+                       F.col("b2.id").alias("partner")))
+    cand = cand_bc.unionByName(cand_bb).distinct()
+    b_sh = shingle_table(batch, n, text_col, id_col)
+    c_sh = (shingle_table(corpus, n, text_col, id_col)
+            if corpus_shingles is None else corpus_shingles)
+    p_sh = c_sh.unionByName(b_sh)
+    verified = (cand
+                .join(b_sh.withColumnRenamed("id", "_bid")
+                          .withColumnRenamed("sh", "b_sh"),
+                      F.col("id") == F.col("_bid"))
+                .join(p_sh.withColumnRenamed("id", "_pid")
+                          .withColumnRenamed("sh", "p_sh"),
+                      F.col("partner") == F.col("_pid"))
+                .select("id", "partner",
+                        F.round(jaccard(F.col("b_sh"), F.col("p_sh")), 6)
+                        .alias("sim"))
+                .where(F.col("sim") >= threshold))
+    best = (verified.groupBy("id")
+            .agg(F.min(F.struct((-F.col("sim")).alias("ns"),
+                                F.col("partner").alias("partner")))
+                 .alias("m"))
+            .select("id", F.col("m.partner").alias("dup_of"),
+                    (-F.col("m.ns")).alias("jaccard_sim")))
+    return (batch.select(F.col(id_col))
+            .join(best.withColumnRenamed("id", id_col), id_col, "left")
+            .select(id_col,
+                    F.col("dup_of").isNotNull().alias("is_dup"),
+                    "dup_of", "jaccard_sim")
+            .orderBy(id_col))
+
+
+def oracle_sql_dedup_delta(corpus_sql: str, batch_sql: str,
+                           threshold: float = 0.5, n: int = 3) -> str:
+    """DuckDB twin of :func:`minhash_dedup_delta`: the BY-DEFINITION
+    all-pairs form (every batch×corpus and ordered batch×batch pair,
+    exact n-gram Jaccard) — checks the incremental banded algorithm
+    against the semantic spec, not a mirrored implementation."""
+    def sh_cte(name, src):
+        return f"""
+    {name} AS (
+      SELECT doc_id, {_sql_shingles(n)} AS sh
+      FROM (SELECT doc_id,
+                   CASE WHEN trim(text)='' THEN []::varchar[]
+                        ELSE regexp_split_to_array(trim(text),
+                                                   '{WS_SPLIT}')
+                   END AS words
+            FROM {src}))"""
+    jac = ("CASE WHEN len(list_distinct(list_concat(b.sh, p.sh))) > 0 "
+           "THEN len(list_intersect(b.sh, p.sh))::double "
+           "/ len(list_distinct(list_concat(b.sh, p.sh))) "
+           "ELSE 0.0 END")
+    return f"""
+    WITH {sh_cte('csh', corpus_sql)}, {sh_cte('bsh', batch_sql)},
+    pairs AS (
+      SELECT b.doc_id AS id, p.doc_id AS partner,
+             round({jac}, 6) AS sim
+      FROM bsh b JOIN csh p ON true
+      UNION ALL
+      SELECT b.doc_id, p.doc_id, round({jac}, 6)
+      FROM bsh b JOIN bsh p ON p.doc_id < b.doc_id),
+    hits AS (SELECT * FROM pairs WHERE sim >= {threshold}),
+    best AS (
+      SELECT id, partner AS dup_of, sim AS jaccard_sim FROM (
+        SELECT id, partner, sim,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY sim DESC, partner ASC) AS rn
+        FROM hits) q
+      WHERE rn = 1)
+    SELECT b.doc_id,
+           best.dup_of IS NOT NULL AS is_dup,
+           best.dup_of, best.jaccard_sim
+    FROM (SELECT doc_id FROM {batch_sql}) b
+    LEFT JOIN best ON best.id = b.doc_id
+    ORDER BY b.doc_id
+    """

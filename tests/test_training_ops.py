@@ -1116,3 +1116,42 @@ def test_page_metadata_driver_parity(spark, duck):
     assert out["title"].notna().all()
     assert out["og_image"].isna().all()         # never injected
     assert out["canonical"].notna().sum() == (out["doc_id"] % 2 == 0).sum()
+
+
+def test_minhash_dedup_delta_semantics(spark):
+    from ferenda_spark.operators.dedup import minhash_dedup_delta
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different words live here entirely "
+                        "apart from anything else in this corpus")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(101, base + " tail"),          # near-dup of corpus doc 1
+         (102, base + " tail"),          # exact dup of batch doc 101
+         (103, "unique fresh content nothing matches this one at all "
+               "anywhere in corpus or batch today")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           minhash_dedup_delta(corpus, batch).collect()}
+    assert out[101]["is_dup"] and out[101]["dup_of"] == 1
+    # 102 matches corpus doc 1 (high J) AND batch doc 101 (J=1.0):
+    # best = max sim → the earlier batch doc
+    assert out[102]["is_dup"] and out[102]["dup_of"] == 101
+    assert out[102]["jaccard_sim"] == 1.0
+    assert not out[103]["is_dup"] and out[103]["dup_of"] is None
+
+
+def test_dedup_delta_driver_parity(spark, duck):
+    import __spark_entry__ as E
+    assert_parity(E.queries()["dedup_delta"](spark, SF_DIR), duck,
+                  E.oracle_sql()["dedup_delta"])
+    out = E.queries()["dedup_delta"](spark, SF_DIR).toPandas()
+    recrawled = out[out["doc_id"] < 2000000]
+    novel = out[out["doc_id"] >= 2000000]
+    # every re-crawled doc is caught against its corpus original
+    assert recrawled["is_dup"].all()
+    assert (recrawled["dup_of"] == recrawled["doc_id"] - 1000000).all()
+    # novel docs match nothing in the corpus; template self-overlap
+    # within the batch stays under the 0.5 threshold
+    assert (~novel["is_dup"]).all()
