@@ -352,6 +352,93 @@ def _q_kg_communities(spark, sf_dir):
     return label_propagation(citation_edges(_kg_read(spark, "triples")))
 
 
+def _webgraph_injected_edges(spark, sf_dir) -> DataFrame:
+    """Deterministic page-level link edges (src URL, dst URL) derived
+    from documents (twin: WEBGRAPH_EDGES_SQL): mixed-case hosts +
+    ``www.`` exercise normalization, the (doc_id*3+1)%7 target makes
+    1/7 of the base edges intra-host (dropped by the rollup), every
+    4th doc links the hub host, every 9th emits a schemeless mailto
+    (dropped — no http(s) host)."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    src = F.concat(F.lit("https://WWW.Site"), s(d % 7),
+                   F.lit(".example/p/"), s(d))
+    a = docs.select(
+        src.alias("src"),
+        F.concat(F.lit("https://site"), s((d * 3 + 1) % 7),
+                 F.lit(".example/q/"), s(d % 10)).alias("dst"))
+    b = docs.where(d % 4 == 0).select(
+        src.alias("src"), F.lit("https://HUB.Example/").alias("dst"))
+    c = docs.where(d % 9 == 0).select(
+        src.alias("src"), F.lit("mailto:spam@example").alias("dst"))
+    return a.unionAll(b).unionAll(c)
+
+
+# SQL twin of _webgraph_injected_edges — change BOTH or parity breaks
+WEBGRAPH_EDGES_SQL = (
+    "(SELECT 'https://WWW.Site' || (doc_id % 7)::varchar"
+    "        || '.example/p/' || doc_id::varchar AS src,"
+    "        'https://site' || ((doc_id * 3 + 1) % 7)::varchar"
+    "        || '.example/q/' || (doc_id % 10)::varchar AS dst"
+    " FROM documents"
+    " UNION ALL"
+    " SELECT 'https://WWW.Site' || (doc_id % 7)::varchar"
+    "        || '.example/p/' || doc_id::varchar,"
+    "        'https://HUB.Example/'"
+    " FROM documents WHERE doc_id % 4 = 0"
+    " UNION ALL"
+    " SELECT 'https://WWW.Site' || (doc_id % 7)::varchar"
+    "        || '.example/p/' || doc_id::varchar,"
+    "        'mailto:spam@example'"
+    " FROM documents WHERE doc_id % 9 = 0)")
+
+# normalized-host expression shared by both host-graph oracle queries
+# (RE2 twin of graphops.host_col)
+_HOST_SQL = ("regexp_replace(lower(regexp_extract(%s,"
+             " 'https?://([A-Za-z0-9.-]+)', 1)), '^www\\.', '')")
+
+HOST_GRAPH_SQL = f"""
+    WITH h AS (
+      SELECT {_HOST_SQL % 'src'} AS src_host,
+             {_HOST_SQL % 'dst'} AS dst_host
+      FROM {WEBGRAPH_EDGES_SQL} e0)
+    SELECT src_host, dst_host, count(*) AS weight
+    FROM h
+    WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+    GROUP BY src_host, dst_host
+    ORDER BY weight DESC, src_host, dst_host"""
+
+# edges CTE handed to kgoracle.sql_pagerank for kg_domain_pagerank
+HOST_EDGES_CTE = f"""e AS (
+      SELECT DISTINCT src_host AS src, dst_host AS dst FROM (
+        SELECT {_HOST_SQL % 'src'} AS src_host,
+               {_HOST_SQL % 'dst'} AS dst_host
+        FROM {WEBGRAPH_EDGES_SQL} e0) h
+      WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host)"""
+
+
+def _q_kg_host_graph(spark, sf_dir):
+    """Host-level web-graph rollup: page link edges → (src_host,
+    dst_host, weight), the Common-Crawl domain-graph aggregation —
+    one map-side-combined hash agg (graphops.host_graph)."""
+    from ferenda_spark.operators.graphops import host_graph
+    return host_graph(_webgraph_injected_edges(spark, sf_dir))
+
+
+def _q_kg_domain_pagerank(spark, sf_dir):
+    """PageRank over the host-level graph (domain ranking, the
+    CC-webgraph use of the rollup) — same hybrid power iteration as
+    kg_pagerank, fed by host_graph (graphops.pagerank)."""
+    from ferenda_spark.operators.graphops import host_graph, pagerank
+    hg = host_graph(_webgraph_injected_edges(spark, sf_dir))
+    return pagerank(hg.select(F.col("src_host").alias("src"),
+                              F.col("dst_host").alias("dst")))
+
+
 def _q_kg_rdfs_entailed(spark, sf_dir):
     """RDFS forward-chaining materialization (the batch analog of the
     reference triplestore's reasoner) under the corpus's published
@@ -1976,6 +2063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_citation_map": _q_kg_citation_map,
         "kg_triangles": _q_kg_triangles,
         "kg_communities": _q_kg_communities,
+        "kg_host_graph": _q_kg_host_graph,
+        "kg_domain_pagerank": _q_kg_domain_pagerank,
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
         "kg_rdfs_delta": _q_kg_rdfs_delta,
         "kg_shacl_report": _q_kg_shacl_report,
@@ -2114,6 +2203,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_citation_map": kgoracle.sql_citation_map(kg),
         "kg_triangles": kgoracle.sql_triangles(kg),
         "kg_communities": kgoracle.sql_communities(kg),
+        "kg_host_graph": HOST_GRAPH_SQL,
+        "kg_domain_pagerank": kgoracle.sql_pagerank(
+            kg, edges_cte=HOST_EDGES_CTE),
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
         "kg_rdfs_delta": _kg_rdfs_delta_sql(kg),
         "kg_shacl_report": _kg_shacl_sql(kg),

@@ -437,16 +437,22 @@ def sql_citation_degrees(paths) -> str:
 
 
 def sql_pagerank(paths, damping: float = 0.85, iters: int = 15,
-                 round_to: int = 6) -> str:
+                 round_to: int = 6, edges_cte: str | None = None) -> str:
     """Power iteration unrolled into ``iters`` chained CTEs — identical
     update rule to operators/graphops.pagerank: contrib from previous
     ranks, dangling mass (nodes without out-edges) redistributed
-    uniformly, PR = (1-d) + d·(contrib + dangling/n)."""
+    uniformly, PR = (1-d) + d·(contrib + dangling/n).
+
+    ``edges_cte`` overrides the citation edge set: any ``e AS
+    (SELECT DISTINCT … AS src, … AS dst …)`` CTE body (the DISTINCT is
+    the caller's duty — the Spark operator distincts its input), e.g.
+    the host-level web graph in kg_domain_pagerank."""
     # every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
     # reference, and r{k-1} appears 3× per step — unmaterialized, the
     # expansion is 3^iters scans of the parquet
+    base = edges_cte if edges_cte is not None else _edges_cte(paths)
     head = f"""
-    WITH {_edges_cte(paths).replace(' AS (', ' AS MATERIALIZED (', 1)},
+    WITH {base.replace(' AS (', ' AS MATERIALIZED (', 1)},
     nodes AS MATERIALIZED (
       SELECT src AS node FROM e UNION SELECT dst FROM e),
     outd AS MATERIALIZED (

@@ -488,3 +488,46 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
                       .alias("best"))
                  .select("node", F.col("best.label").alias("label")), i)
     return labels.orderBy("node")
+
+
+# host extraction shared with the DuckDB twins (same regex through
+# RE2): scheme-full URLs only, authority chars [A-Za-z0-9.-] — the
+# class excludes ':' so ports never enter the host — lower-cased,
+# leading "www." stripped. Mirrors textops.url_stats' domain rule so
+# the census and the graph agree on what a "host" is.
+HOST_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def host_col(url) -> F.Column:
+    """URL column → normalized host ('' when the value has no
+    http(s) scheme — callers drop those rows)."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(url, HOST_RE, 1)), r"^www\.", "")
+
+
+def host_graph(edges: DataFrame, src_col: str = "src",
+               dst_col: str = "dst") -> DataFrame:
+    """Page-level link edges (src URL, dst URL) → the host-level web
+    graph (src_host, dst_host, weight): the Common-Crawl-style domain
+    graph rollup (the hyperlink graph WDC/CC publish at host
+    granularity). Intra-host links and schemeless values are dropped;
+    weight counts the page-level edges that collapsed into the pair.
+
+    Reference analog: ferenda aggregates citations per document
+    (graphanalyze.py's networkx graph); this is the same rollup one
+    level up — per host — which is where web-scale ranking (domain
+    pagerank, spam mass) actually runs.
+
+    Scale notes: host extraction is a narrow codegen projection; the
+    rollup is ONE hash aggregation on (src_host, dst_host) with
+    map-side partial combine, so hot host pairs (the entire point of
+    the rollup — 100 TB of pages collapse into ~100M host pairs)
+    reduce before the shuffle. No joins, no driver state.
+    """
+    h = (edges.select(host_col(F.col(src_col)).alias("src_host"),
+                      host_col(F.col(dst_col)).alias("dst_host"))
+         .where((F.col("src_host") != "") & (F.col("dst_host") != "") &
+                (F.col("src_host") != F.col("dst_host"))))
+    return (h.groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).alias("weight"))
+            .orderBy(F.desc("weight"), "src_host", "dst_host"))

@@ -257,3 +257,23 @@ def test_triangles_and_lpa_oracle_parity(spark, tmp_path):
     lpa_spark = [(r["node"], r["label"]) for r in
                  label_propagation(citation_edges(df)).collect()]
     assert lpa_spark == lpa_oracle
+
+
+def test_host_graph_rollup_rules(spark):
+    """Host normalization (case, www., port-free by charclass),
+    schemeless drop, intra-host drop, and page-edge weighting."""
+    from ferenda_spark.operators.graphops import host_graph
+    edges = spark.createDataFrame([
+        ("https://WWW.A.example/p/1", "https://b.example/x"),
+        ("https://a.example:8080/p/2", "https://B.EXAMPLE/y"),  # port
+        ("https://a.example/p/3", "https://www.a.example/q"),   # intra
+        ("mailto:x@a.example", "https://b.example/z"),          # no src
+        ("https://c.example/", "ftp://b.example/f"),            # no dst
+        ("https://c.example/1", "https://b.example/w"),
+    ], "src string, dst string")
+    got = [(r["src_host"], r["dst_host"], r["weight"])
+           for r in host_graph(edges).collect()]
+    # note the :8080 row: '[A-Za-z0-9.-]+' stops at ':', so the host
+    # is 'a.example' — ports never split a host into a new node
+    assert got == [("a.example", "b.example", 2),
+                   ("c.example", "b.example", 1)]
