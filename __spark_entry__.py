@@ -439,6 +439,102 @@ def _q_kg_domain_pagerank(spark, sf_dir):
                               F.col("dst_host").alias("dst")))
 
 
+def _structdata_injected_pages(spark, sf_dir) -> DataFrame:
+    """Pages with embedded structured data, generated by formula from
+    doc_id (twin: STRUCTDATA_SQL states the EXPECTED triples by the
+    same formula — a generative oracle that never runs a parser): one
+    JSON-LD Article (context normalization, @id, numbers, arrays, a
+    nested bnode Person), a malformed JSON-LD block on every 11th doc
+    (must be skipped), and one microdata Product (itemid, text / href
+    / meta-content values, relative-URL resolution)."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    url = F.concat(F.lit("https://site"), s(d % 7),
+                   F.lit(".example/p/"), s(d))
+    j = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@context":"https://schema.org","@id":"'), url,
+        F.lit('","@type":"Article","headline":"Doc '), s(d),
+        F.lit('","wordCount":'), s(d % 100),
+        F.lit(',"keywords":["k'), s(d % 2), F.lit('","k'), s(d % 3),
+        F.lit('"],"author":{"@type":"Person","name":"Author '),
+        s(d % 5), F.lit('"}}</script>'))
+    bad = F.when(d % 11 == 0,
+                 F.lit('<script type="application/ld+json">'
+                       "{oops</script>")).otherwise(F.lit(""))
+    m = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Product"'
+              ' itemid="https://site'), s(d % 7),
+        F.lit(".example/prod/"), s(d % 13),
+        F.lit('"><span itemprop="name">Product '), s(d % 13),
+        F.lit('</span><a itemprop="url" href="/buy/'), s(d % 13),
+        F.lit('">buy</a><meta itemprop="sku" content="SKU-'),
+        s(d % 13), F.lit('"></div>'))
+    html = F.concat(F.lit("<html><head>"), j, bad,
+                    F.lit("</head><body>"), m,
+                    F.lit("</body></html>"))
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+_RDF_TYPE_URI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# generative twin of structured_triples over _structdata_injected_pages
+# — states the expected triples directly from the doc_id formulas
+# (change the corpus and this list together or parity breaks)
+STRUCTDATA_SQL = f"""
+    WITH d AS (
+      SELECT doc_id,
+        'https://site' || (doc_id % 7)::varchar || '.example/p/'
+          || doc_id::varchar AS url,
+        'https://site' || (doc_id % 7)::varchar || '.example/prod/'
+          || (doc_id % 13)::varchar AS prod,
+        'https://site' || (doc_id % 7)::varchar || '.example/buy/'
+          || (doc_id % 13)::varchar AS buy
+      FROM documents)
+    SELECT url AS source_url, 'jsonld' AS syntax, url AS subject,
+           '{_RDF_TYPE_URI}' AS predicate,
+           'http://schema.org/Article' AS object, 'uri' AS objtype
+    FROM d
+    UNION ALL SELECT url, 'jsonld', url, 'http://schema.org/headline',
+           'Doc ' || doc_id::varchar, 'literal' FROM d
+    UNION ALL SELECT url, 'jsonld', url, 'http://schema.org/wordCount',
+           (doc_id % 100)::varchar, 'literal' FROM d
+    UNION ALL SELECT url, 'jsonld', url, 'http://schema.org/keywords',
+           'k' || (doc_id % 2)::varchar, 'literal' FROM d
+    UNION ALL SELECT url, 'jsonld', url, 'http://schema.org/keywords',
+           'k' || (doc_id % 3)::varchar, 'literal' FROM d
+    UNION ALL SELECT url, 'jsonld', url, 'http://schema.org/author',
+           '_:b0', 'bnode' FROM d
+    UNION ALL SELECT url, 'jsonld', '_:b0', '{_RDF_TYPE_URI}',
+           'http://schema.org/Person', 'uri' FROM d
+    UNION ALL SELECT url, 'jsonld', '_:b0', 'http://schema.org/name',
+           'Author ' || (doc_id % 5)::varchar, 'literal' FROM d
+    UNION ALL SELECT url, 'microdata', prod, '{_RDF_TYPE_URI}',
+           'https://schema.org/Product', 'uri' FROM d
+    UNION ALL SELECT url, 'microdata', prod,
+           'https://schema.org/name',
+           'Product ' || (doc_id % 13)::varchar, 'literal' FROM d
+    UNION ALL SELECT url, 'microdata', prod,
+           'https://schema.org/url', buy, 'uri' FROM d
+    UNION ALL SELECT url, 'microdata', prod,
+           'https://schema.org/sku',
+           'SKU-' || (doc_id % 13)::varchar, 'literal' FROM d"""
+
+
+def _q_kg_structured_data(spark, sf_dir):
+    """Embedded structured-data extraction (the Web Data Commons pass):
+    JSON-LD script blocks + itemscope/itemprop microdata → triples in
+    one shuffle-free Arrow stage (operators/structdata.py; kernels
+    ferenda_spark/structdata.py). The oracle is generative — it states
+    the expected triples from the corpus formulas without parsing."""
+    from ferenda_spark.operators.structdata import structured_triples
+    return structured_triples(_structdata_injected_pages(spark, sf_dir))
+
+
 def _q_kg_rdfs_entailed(spark, sf_dir):
     """RDFS forward-chaining materialization (the batch analog of the
     reference triplestore's reasoner) under the corpus's published
@@ -2065,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "kg_host_graph": _q_kg_host_graph,
         "kg_domain_pagerank": _q_kg_domain_pagerank,
+        "kg_structured_data": _q_kg_structured_data,
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
         "kg_rdfs_delta": _q_kg_rdfs_delta,
         "kg_shacl_report": _q_kg_shacl_report,
@@ -2206,6 +2303,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_host_graph": HOST_GRAPH_SQL,
         "kg_domain_pagerank": kgoracle.sql_pagerank(
             kg, edges_cte=HOST_EDGES_CTE),
+        "kg_structured_data": STRUCTDATA_SQL,
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
         "kg_rdfs_delta": _kg_rdfs_delta_sql(kg),
         "kg_shacl_report": _kg_shacl_sql(kg),
