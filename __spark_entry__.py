@@ -525,6 +525,83 @@ STRUCTDATA_SQL = f"""
            'SKU-' || (doc_id % 13)::varchar, 'literal' FROM d"""
 
 
+def _warc_injected_blobs(spark, sf_dir) -> DataFrame:
+    """Synthetic WARC segment blobs, 8 docs per blob, built with the
+    REAL writer kernel (warcrec.build_response/build_record) so the
+    parser is exercised against genuine container bytes: one HTTP
+    response record per doc (404 on every 17th), plus a non-HTTP
+    metadata record on every 13th. The twin (WARC_SQL) states the
+    expected records by formula — it never parses."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def build(pdf):
+        import pandas as pd
+
+        from ferenda_spark.warcrec import build_record, build_response
+        pdf = pdf.sort_values("doc_id")
+        parts = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            url = "https://site%d.example/p/%d" % (d % 7, d)
+            date = ("2026-02-%02dT%02d:%02d:%02dZ"
+                    % (1 + d % 28, d % 24, d % 60, (3 * d) % 60))
+            body = ("<html><body><p>Doc %d</p></body></html>"
+                    % d).encode()
+            parts.append(build_response(
+                url, date, body, status=404 if d % 17 == 0 else 200))
+            if d % 13 == 0:
+                parts.append(build_record(
+                    "metadata", url, date, b"via: crawler\r\n",
+                    "application/warc-fields"))
+        return pd.DataFrame({"blob_id": [int(pdf["blob_id"].iloc[0])],
+                             "warc": [b"".join(parts)]})
+
+    return (docs.withColumn("blob_id",
+                            F.floor(F.col("doc_id") / 8).cast("long"))
+            .groupBy("blob_id")
+            .applyInPandas(build, "blob_id long, warc binary"))
+
+
+# generative twin of warc_records over _warc_injected_blobs — states
+# the expected record rows from the doc_id formulas (change BOTH or
+# parity breaks)
+WARC_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+        'https://site' || (doc_id % 7)::varchar || '.example/p/'
+          || doc_id::varchar AS url,
+        '2026-02-' || lpad((1 + doc_id % 28)::varchar, 2, '0')
+          || 'T' || lpad((doc_id % 24)::varchar, 2, '0')
+          || ':' || lpad((doc_id % 60)::varchar, 2, '0')
+          || ':' || lpad(((3 * doc_id) % 60)::varchar, 2, '0')
+          || 'Z' AS dt
+      FROM documents)
+    SELECT url, 'response' AS rec_type, dt AS warc_date,
+           CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END
+             AS http_status,
+           'text/html' AS mime,
+           '<html><body><p>Doc ' || doc_id::varchar
+             || '</p></body></html>' AS text
+    FROM d
+    UNION ALL
+    SELECT url, 'metadata', dt, NULL, NULL,
+           'via: crawler' || chr(13) || chr(10)
+    FROM d WHERE doc_id % 13 = 0"""
+
+
+def _q_warc_ingest(spark, sf_dir):
+    """WARC segment ingestion (the Common-Crawl input format): blob →
+    typed record rows in one shuffle-free Arrow stage, HTTP responses
+    unwrapped (operators/warc.py; kernels ferenda_spark/warcrec.py).
+    The corpus is written by the real writer kernel; the oracle is
+    generative."""
+    from ferenda_spark.operators.warc import warc_records
+    recs = warc_records(_warc_injected_blobs(spark, sf_dir))
+    return recs.select(
+        "url", "rec_type", "warc_date", "http_status", "mime",
+        F.decode(F.col("payload"), "UTF-8").alias("text"))
+
+
 def _q_kg_structured_data(spark, sf_dir):
     """Embedded structured-data extraction (the Web Data Commons pass):
     JSON-LD script blocks + itemscope/itemprop microdata → triples in
@@ -2162,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_host_graph": _q_kg_host_graph,
         "kg_domain_pagerank": _q_kg_domain_pagerank,
         "kg_structured_data": _q_kg_structured_data,
+        "warc_ingest": _q_warc_ingest,
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
         "kg_rdfs_delta": _q_kg_rdfs_delta,
         "kg_shacl_report": _q_kg_shacl_report,
@@ -2304,6 +2382,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_domain_pagerank": kgoracle.sql_pagerank(
             kg, edges_cte=HOST_EDGES_CTE),
         "kg_structured_data": STRUCTDATA_SQL,
+        "warc_ingest": WARC_SQL,
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
         "kg_rdfs_delta": _kg_rdfs_delta_sql(kg),
         "kg_shacl_report": _kg_shacl_sql(kg),

@@ -1,0 +1,55 @@
+"""Distributed WARC ingestion: raw crawl-segment blobs → records.
+
+The step upstream of the pages table (BASELINE input_hint: ``(url,
+warc_ts, html, …)``): Common Crawl's unit of storage is the WARC
+segment, so a 100 TB ingest is a table of segment blobs that must
+become typed page rows. Kernels in :mod:`ferenda_spark.warcrec`.
+
+Scale notes: ONE Arrow-batched ``mapInPandas`` stage — per-blob work,
+no shuffle; the fan-out (one blob row → many record rows) happens
+inside the Arrow batch, so Spark sees a narrow streaming stage it can
+pipeline into the downstream extraction. Blob sizing is the input
+table's concern (CC segments are ~1 GB; ``maxPartitionBytes`` splits
+the *file* scan, and one blob column value is one record group —
+at real scale the blobs are chunked per record-batch by the lake
+writer, which is exactly the shape this operator consumes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .util import ensure_parallelism
+
+_SCHEMA = ("blob_id long, offset long, rec_type string, url string, "
+           "warc_date string, warc_content_type string, "
+           "http_status int, mime string, payload binary")
+
+
+def warc_records(blobs: DataFrame, blob_col: str = "warc",
+                 id_col: str = "blob_id") -> DataFrame:
+    """(blob_id, warc bytes) → one row per WARC record: (blob_id,
+    offset, rec_type, url, warc_date, warc_content_type, http_status,
+    mime, payload). ``(blob_id, offset)`` is the record's stable
+    address — the CDX-index coordinate for resumable re-reads.
+    Malformed records are skipped (kernel resyncs at the next magic).
+    """
+    from ..warcrec import parse_warc
+
+    def run(batches):
+        import pandas as pd
+        cols = ("blob_id", "offset", "rec_type", "url", "warc_date",
+                "warc_content_type", "http_status", "mime", "payload")
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                for rec in parse_warc(bytes(blob)):
+                    rows["blob_id"].append(bid)
+                    for k, v in rec.items():
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return (ensure_parallelism(blobs.select(id_col, blob_col))
+            .mapInPandas(run, _SCHEMA))

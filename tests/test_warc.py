@@ -1,0 +1,79 @@
+"""WARC kernel round-trips and tolerant-reader cases
+(ferenda_spark/warcrec.py) + operator plumbing."""
+
+from ferenda_spark.warcrec import (build_record, build_response,
+                                   parse_warc)
+
+
+def test_response_roundtrip_and_http_unwrap():
+    blob = build_response("https://a.example/x", "2026-01-02T03:04:05Z",
+                          b"<html>hi</html>")
+    recs = parse_warc(blob)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["offset"] == 0
+    assert r["rec_type"] == "response"
+    assert r["url"] == "https://a.example/x"
+    assert r["warc_date"] == "2026-01-02T03:04:05Z"
+    assert r["warc_content_type"] == "application/http; msgtype=response"
+    assert r["http_status"] == 200
+    assert r["mime"] == "text/html"
+    assert r["payload"] == b"<html>hi</html>"
+
+
+def test_non_http_block_passes_through_verbatim():
+    blob = build_record("metadata", "https://a.example/x",
+                        "2026-01-02T03:04:05Z", b"via: crawler\r\n",
+                        "application/warc-fields")
+    [r] = parse_warc(blob)
+    assert r["http_status"] is None and r["mime"] is None
+    assert r["payload"] == b"via: crawler\r\n"
+    assert r["warc_content_type"] == "application/warc-fields"
+
+
+def test_concatenation_offsets_and_payload_magic_immunity():
+    # the first payload CONTAINS the record magic — Content-Length
+    # slicing must carry the scan past it untricked
+    a = build_response("https://a.example/1", "2026-01-01T00:00:00Z",
+                       b"see WARC/1.0 spec for details")
+    b = build_response("https://a.example/2", "2026-01-01T00:00:01Z",
+                       b"x", status=404)
+    recs = parse_warc(a + b)
+    assert [r["url"] for r in recs] == ["https://a.example/1",
+                                       "https://a.example/2"]
+    assert recs[1]["offset"] == len(a)
+    assert recs[1]["http_status"] == 404
+
+
+def test_malformed_record_skipped_with_resync():
+    good = build_response("https://a.example/ok", "2026-01-01T00:00:00Z",
+                          b"fine")
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\nno-length-here\r\n\r\n"
+    recs = parse_warc(bad + good)
+    assert [r["url"] for r in recs] == ["https://a.example/ok"]
+
+
+def test_header_names_case_insensitive():
+    blob = (b"WARC/1.0\r\nwarc-type: response\r\n"
+            b"WARC-TARGET-URI: https://a.example/c\r\n"
+            b"warc-date: 2026-01-01T00:00:00Z\r\n"
+            b"content-length: 2\r\n\r\nok\r\n\r\n")
+    [r] = parse_warc(blob)
+    assert (r["rec_type"], r["url"], r["payload"]) == \
+        ("response", "https://a.example/c", b"ok")
+
+
+def test_operator_fans_blobs_into_record_rows(spark):
+    from ferenda_spark.operators.warc import warc_records
+    blob = (build_response("https://a.example/1",
+                           "2026-01-01T00:00:00Z", b"one") +
+            build_record("metadata", None, "2026-01-01T00:00:00Z",
+                         b"m", "application/warc-fields"))
+    df = spark.createDataFrame([(7, bytearray(blob))],
+                               "blob_id long, warc binary")
+    rows = sorted((r["blob_id"], r["offset"], r["rec_type"], r["url"],
+                   bytes(r["payload"]))
+                  for r in warc_records(df).collect())
+    assert rows[0] == (7, 0, "response", "https://a.example/1", b"one")
+    assert rows[1][2:] == ("metadata", None, b"m")
+    assert rows[1][1] > 0
