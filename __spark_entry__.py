@@ -602,6 +602,80 @@ def _q_warc_ingest(spark, sf_dir):
         F.decode(F.col("payload"), "UTF-8").alias("text"))
 
 
+_ROBOTS_TXT = """# crawl policy
+User-agent: foo
+Disallow: /
+
+User-agent: bar
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Disallow: /*?utm_
+Disallow: /tmp$
+Allow: /t1/
+Disallow: /t1/
+"""
+
+
+def _robots_injected(spark, sf_dir):
+    """(urls, robots) for the robots_filter driver query. Path case
+    c = doc_id%7 exercises: 0 no-rule allow, 1 prefix deny, 2
+    longer-Allow override, 3 wildcard deny, 4 $-anchor deny, 5
+    $-anchor miss, 6 length-tie Allow-wins; host h = doc_id%5 with
+    robots.txt present only for hosts 0-3 (h=4 → allow-all). The twin
+    (ROBOTS_SQL) states the verdicts by this formula."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    path = (F.when(d % 7 == 0, F.concat(F.lit("/public/"), s(d)))
+            .when(d % 7 == 1, F.concat(F.lit("/private/"), s(d)))
+            .when(d % 7 == 2, F.concat(F.lit("/private/ok/"), s(d)))
+            .when(d % 7 == 3,
+                  F.concat(F.lit("/page/"), s(d),
+                           F.lit("?utm_source=x")))
+            .when(d % 7 == 4, F.lit("/tmp"))
+            .when(d % 7 == 5, F.concat(F.lit("/tmp/"), s(d)))
+            .otherwise(F.concat(F.lit("/t1/"), s(d))))
+    urls = docs.select(
+        F.concat(F.lit("https://site"), s(d % 5), F.lit(".example"),
+                 path).alias("url"))
+    robots = spark.createDataFrame(
+        [("site%d.example" % h, _ROBOTS_TXT) for h in range(4)],
+        "host string, robots_txt string")
+    return urls, robots
+
+
+# generative twin of robots_filter over _robots_injected — the RFC
+# 9309 verdicts stated by formula (change BOTH or parity breaks)
+ROBOTS_SQL = """
+    SELECT 'https://site' || (doc_id % 5)::varchar || '.example'
+           || CASE (doc_id % 7)
+              WHEN 0 THEN '/public/' || doc_id::varchar
+              WHEN 1 THEN '/private/' || doc_id::varchar
+              WHEN 2 THEN '/private/ok/' || doc_id::varchar
+              WHEN 3 THEN '/page/' || doc_id::varchar || '?utm_source=x'
+              WHEN 4 THEN '/tmp'
+              WHEN 5 THEN '/tmp/' || doc_id::varchar
+              ELSE '/t1/' || doc_id::varchar END AS url,
+           'site' || (doc_id % 5)::varchar || '.example' AS host,
+           (doc_id % 5 = 4 OR (doc_id % 7) IN (0, 2, 5, 6)) AS allowed
+    FROM documents
+    ORDER BY url"""
+
+
+def _q_robots_filter(spark, sf_dir):
+    """RFC 9309 crawl admission: per-URL allow/deny verdicts against
+    per-host robots.txt — zero corpus shuffles (broadcast rule arrays
+    + one map-side higher-order fold; operators/crawl.robots_filter,
+    kernels ferenda_spark/robots.py). Generative oracle."""
+    from ferenda_spark.operators.crawl import robots_filter
+    urls, robots = _robots_injected(spark, sf_dir)
+    return robots_filter(urls, robots)
+
+
 def _q_kg_structured_data(spark, sf_dir):
     """Embedded structured-data extraction (the Web Data Commons pass):
     JSON-LD script blocks + itemscope/itemprop microdata → triples in
@@ -2240,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_domain_pagerank": _q_kg_domain_pagerank,
         "kg_structured_data": _q_kg_structured_data,
         "warc_ingest": _q_warc_ingest,
+        "robots_filter": _q_robots_filter,
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
         "kg_rdfs_delta": _q_kg_rdfs_delta,
         "kg_shacl_report": _q_kg_shacl_report,
@@ -2383,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
             kg, edges_cte=HOST_EDGES_CTE),
         "kg_structured_data": STRUCTDATA_SQL,
         "warc_ingest": WARC_SQL,
+        "robots_filter": ROBOTS_SQL,
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
         "kg_rdfs_delta": _kg_rdfs_delta_sql(kg),
         "kg_shacl_report": _kg_shacl_sql(kg),

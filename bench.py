@@ -252,6 +252,7 @@ def main() -> None:
         "kg_domain_pagerank": qs["kg_domain_pagerank"],
         "structured_data": qs["kg_structured_data"],
         "warc_ingest": qs["warc_ingest"],
+        "robots_filter": qs["robots_filter"],
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute

@@ -1,0 +1,71 @@
+"""RFC 9309 kernel goldens (ferenda_spark/robots.py) and the zero-
+shuffle verdict operator (operators/crawl.py)."""
+
+from ferenda_spark.robots import parse_robots, rule_pattern
+
+
+def test_rule_pattern_translation():
+    assert rule_pattern("/private/") == "^/private/"
+    assert rule_pattern("/*?utm_") == "^/.*\\?utm_"
+    assert rule_pattern("/tmp$") == "^/tmp$"
+    assert rule_pattern("/a.b+c$x") == "^/a\\.b\\+c\\$x"  # inner $ literal
+
+
+def test_group_selection_and_merging():
+    txt = ("User-agent: foo\nDisallow: /f\n\n"
+           "User-agent: bar\nUser-agent: *\nDisallow: /a\n\n"
+           "User-agent: *\nAllow: /b\n")
+    # '*' crawler: both star groups combine, foo's group ignored
+    got = parse_robots(txt, "*")
+    assert [(a, r) for a, r, _, _ in got] == [(False, "/a"), (True, "/b")]
+    # exact token beats star groups entirely
+    got = parse_robots(txt, "FOO")
+    assert [(a, r) for a, r, _, _ in got] == [(False, "/f")]
+    # 'bar' matches via its exact listing in the multi-UA group
+    got = parse_robots(txt, "bar")
+    assert [(a, r) for a, r, _, _ in got] == [(False, "/a")]
+
+
+def test_comments_blanks_unknown_directives_empty_rules():
+    txt = ("# top comment\n"
+           "User-agent: *  # trailing\n"
+           "Crawl-delay: 10\n"
+           "Disallow:\n"          # empty = no-op
+           "Disallow: /x # why\n"
+           "Sitemap: https://a/s.xml\n")
+    got = parse_robots(txt)
+    assert [(a, r) for a, r, _, _ in got] == [(False, "/x")]
+
+
+def test_priority_is_pattern_length():
+    got = parse_robots("User-agent: *\nAllow: /private/ok\n"
+                       "Disallow: /private/\n")
+    assert [(r, p) for _, r, _, p in got] == [("/private/ok", 11),
+                                              ("/private/", 9)]
+
+
+def test_operator_verdicts(spark):
+    from ferenda_spark.operators.crawl import robots_filter
+    robots = spark.createDataFrame(
+        [("a.example",
+          "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+          "Disallow: /*?utm_\nDisallow: /tmp$\n"
+          "Allow: /t1/\nDisallow: /t1/\n")],
+        "host string, robots_txt string")
+    cases = [
+        ("https://a.example/public/1", True),      # no rule
+        ("https://a.example/private/2", False),    # prefix
+        ("https://a.example/private/ok/3", True),  # longer Allow
+        ("https://a.example/p?utm_x=1", False),    # wildcard
+        ("https://a.example/tmp", False),          # $ anchor
+        ("https://a.example/tmp/5", True),         # $ miss
+        ("https://a.example/t1/6", True),          # tie → Allow
+        ("https://a.example", True),               # bare → path '/'
+        ("https://other.example/private/7", True),  # no robots
+        ("https://www.A.example/private/8", False),  # host normalize
+    ]
+    urls = spark.createDataFrame([(u,) for u, _ in cases],
+                                 "url string")
+    got = {r["url"]: r["allowed"]
+           for r in robots_filter(urls, robots).collect()}
+    assert got == dict(cases)
