@@ -589,6 +589,39 @@ WARC_SQL = """
     FROM d WHERE doc_id % 13 = 0"""
 
 
+_STRUCTDATA_SPARQL = """
+PREFIX s: <http://schema.org/>
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+SELECT ?name (COUNT(?a) AS ?n_articles) WHERE {
+  GRAPH ?g {
+    ?a rdf:type s:Article .
+    ?a s:author ?b .
+    ?b s:name ?name .
+  }
+}
+GROUP BY ?name
+ORDER BY ?name
+"""
+
+
+def _q_kg_sparql_structdata(spark, sf_dir):
+    """SPARQL over freshly-extracted structured-data triples — the
+    integration seam: JSON-LD bnode labels are page-scoped, so the
+    author traversal (?a s:author ?b . ?b s:name ?name) is only sound
+    under GRAPH ?g per-page co-location (context = page URL), exactly
+    the quad-store model kg_sparql_graphvar established. Oracle: the
+    compiler's own SQL emission over the GENERATIVE triple formula —
+    neither side parses HTML on the oracle path."""
+    from ferenda_spark import sparql
+    from ferenda_spark.operators.structdata import structured_triples
+    quads = (structured_triples(_structdata_injected_pages(spark,
+                                                           sf_dir))
+             .withColumn("context", F.col("source_url"))
+             .withColumn("lang", F.lit(None).cast("string"))
+             .withColumn("datatype", F.lit(None).cast("string")))
+    return sparql.compile_spark(quads, _STRUCTDATA_SPARQL)
+
+
 def _q_warc_ingest(spark, sf_dir):
     """WARC segment ingestion (the Common-Crawl input format): blob →
     typed record rows in one shuffle-free Arrow stage, HTTP responses
@@ -674,6 +707,126 @@ def _q_robots_filter(spark, sf_dir):
     from ferenda_spark.operators.crawl import robots_filter
     urls, robots = _robots_injected(spark, sf_dir)
     return robots_filter(urls, robots)
+
+
+# generative twin of cdx_index over the WARC corpus: the SURT key is
+# itself a formula of doc_id (host labels reversed), so no expression
+# twin is needed — offset is excluded (byte-position, not
+# formula-known; it's covered by test_warc's offset assertions)
+CDX_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+        'example,site' || (doc_id % 7)::varchar || ')/p/'
+          || doc_id::varchar AS surt,
+        'https://site' || (doc_id % 7)::varchar || '.example/p/'
+          || doc_id::varchar AS url,
+        '2026-02-' || lpad((1 + doc_id % 28)::varchar, 2, '0')
+          || 'T' || lpad((doc_id % 24)::varchar, 2, '0')
+          || ':' || lpad((doc_id % 60)::varchar, 2, '0')
+          || ':' || lpad(((3 * doc_id) % 60)::varchar, 2, '0')
+          || 'Z' AS dt,
+        doc_id // 8 AS blob_id
+      FROM documents)
+    SELECT surt, dt AS warc_date, url, 'text/html' AS mime,
+           CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END
+             AS http_status,
+           blob_id
+    FROM d
+    UNION ALL
+    SELECT surt, dt, url, NULL, NULL, blob_id
+    FROM d WHERE doc_id % 13 = 0"""
+
+
+def _q_cdx_index(spark, sf_dir):
+    """CDX lookup-index build over ingested WARC records: SURT keys +
+    one global range sort — the artifact that makes a WARC lake
+    random-accessible (operators/warc.cdx_index). Generative oracle
+    (the SURT of a formula URL is itself a formula)."""
+    from ferenda_spark.operators.warc import cdx_index, warc_records
+    recs = warc_records(_warc_injected_blobs(spark, sf_dir))
+    return cdx_index(recs).drop("offset")
+
+
+def _sitemap_injected(spark, sf_dir) -> DataFrame:
+    """Sitemap XML corpus by formula: every 4th doc a sitemapindex
+    (two child sitemaps, one without lastmod), the rest urlsets with
+    two entries — entry 1 carries an &amp; entity, lastmod, a
+    changefreq on even docs and priority 0.(d%10); entry 2 has
+    whitespace-padded loc and junk priority ('high' → NULL) on every
+    3rd doc. Twin: SITEMAP_SQL states the rows by the same formula."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    host = F.concat(F.lit("https://site"), s(d % 5), F.lit(".example"))
+    urlset = F.concat(
+        F.lit("<?xml version=\"1.0\"?><urlset><url><loc> "), host,
+        F.lit("/p/"), s(d), F.lit("?a=1&amp;b=2 </loc>"
+                                  "<lastmod>2026-01-15</lastmod>"),
+        F.when(d % 2 == 0,
+               F.lit("<changefreq>daily</changefreq>"))
+         .otherwise(F.lit("")),
+        F.lit("<priority>0."), s(d % 10), F.lit("</priority></url>"
+                                                "<url><loc>\n  "),
+        host, F.lit("/q/"), s(d), F.lit("\n</loc><priority>"),
+        F.when(d % 3 == 0, F.lit("high")).otherwise(F.lit("1.0")),
+        F.lit("</priority></url></urlset>"))
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>"), host,
+        F.lit("/sm-a-"), s(d), F.lit(".xml</loc>"
+                                     "<lastmod>2026-03-01</lastmod>"
+                                     "</sitemap><sitemap><loc>"),
+        host, F.lit("/sm-b-"), s(d), F.lit(".xml</loc></sitemap>"
+                                           "</sitemapindex>"))
+    return docs.select(
+        F.concat(host, F.lit("/sitemap-"), s(d), F.lit(".xml"))
+        .alias("sitemap_url"),
+        F.when(d % 4 == 0, index).otherwise(urlset).alias("xml"))
+
+
+# generative twin of sitemap_entries over _sitemap_injected (change
+# BOTH or parity breaks)
+SITEMAP_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+        'https://site' || (doc_id % 5)::varchar || '.example' AS host
+      FROM documents),
+    u AS (SELECT * FROM d WHERE doc_id % 4 <> 0),
+    i AS (SELECT * FROM d WHERE doc_id % 4 = 0)
+    SELECT host || '/sitemap-' || doc_id::varchar || '.xml'
+             AS sitemap_url,
+           'url' AS kind,
+           host || '/p/' || doc_id::varchar || '?a=1&b=2' AS loc,
+           '2026-01-15' AS lastmod,
+           CASE WHEN doc_id % 2 = 0 THEN 'daily' END AS changefreq,
+           (doc_id % 10) / 10.0 AS priority
+    FROM u
+    UNION ALL
+    SELECT host || '/sitemap-' || doc_id::varchar || '.xml', 'url',
+           host || '/q/' || doc_id::varchar, NULL, NULL,
+           CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 1.0 END
+    FROM u
+    UNION ALL
+    SELECT host || '/sitemap-' || doc_id::varchar || '.xml',
+           'sitemap', host || '/sm-a-' || doc_id::varchar || '.xml',
+           '2026-03-01', NULL, NULL
+    FROM i
+    UNION ALL
+    SELECT host || '/sitemap-' || doc_id::varchar || '.xml',
+           'sitemap', host || '/sm-b-' || doc_id::varchar || '.xml',
+           NULL, NULL, NULL
+    FROM i"""
+
+
+def _q_sitemap_entries(spark, sf_dir):
+    """Sitemap protocol parsing (urlset + sitemapindex → frontier
+    seed rows): pure codegen, two regexp_extract_all/explode passes,
+    entity decode + lenient priority (operators/crawl.sitemap_entries).
+    Generative oracle."""
+    from ferenda_spark.operators.crawl import sitemap_entries
+    return sitemap_entries(_sitemap_injected(spark, sf_dir))
 
 
 def _q_kg_structured_data(spark, sf_dir):
@@ -2315,6 +2468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_structured_data": _q_kg_structured_data,
         "warc_ingest": _q_warc_ingest,
         "robots_filter": _q_robots_filter,
+        "kg_sparql_structdata": _q_kg_sparql_structdata,
+        "cdx_index": _q_cdx_index,
+        "sitemap_entries": _q_sitemap_entries,
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
         "kg_rdfs_delta": _q_kg_rdfs_delta,
         "kg_shacl_report": _q_kg_shacl_report,
@@ -2459,6 +2615,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_structured_data": STRUCTDATA_SQL,
         "warc_ingest": WARC_SQL,
         "robots_filter": ROBOTS_SQL,
+        "kg_sparql_structdata": sparql.compile_sql(
+            "(SELECT subject, predicate, object, objtype, "
+            "NULL::VARCHAR AS lang, NULL::VARCHAR AS datatype, "
+            "source_url, source_url AS context FROM (%s) sd)"
+            % STRUCTDATA_SQL, _STRUCTDATA_SPARQL),
+        "cdx_index": CDX_SQL,
+        "sitemap_entries": SITEMAP_SQL,
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
         "kg_rdfs_delta": _kg_rdfs_delta_sql(kg),
         "kg_shacl_report": _kg_shacl_sql(kg),

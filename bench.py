@@ -253,6 +253,9 @@ def main() -> None:
         "structured_data": qs["kg_structured_data"],
         "warc_ingest": qs["warc_ingest"],
         "robots_filter": qs["robots_filter"],
+        "kg_sparql_structdata": qs["kg_sparql_structdata"],
+        "cdx_index": qs["cdx_index"],
+        "sitemap_entries": qs["sitemap_entries"],
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute

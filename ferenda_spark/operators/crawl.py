@@ -98,3 +98,62 @@ def robots_filter(urls: DataFrame, robots: DataFrame,
     return (u.join(F.broadcast(per_host), "host", "left")
             .select("url", "host", best["allow"].alias("allowed"))
             .orderBy("url"))
+
+
+# one lazy block pattern + one per-field pattern, valid in both Java
+# regex and RE2; [^<]* keeps fields from crossing element boundaries
+_URL_BLOCK = r"<url>[\s\S]*?</url>"
+_MAP_BLOCK = r"<sitemap>[\s\S]*?</sitemap>"
+
+
+def _field(block, name: str) -> F.Column:
+    got = F.regexp_extract(block, r"<%s>\s*([^<]*?)\s*</%s>"
+                           % (name, name), 1)
+    return F.nullif(got, F.lit(""))
+
+
+def _unescape(col) -> F.Column:
+    """The five XML predefined entities (the sitemap spec REQUIRES
+    ampersand escaping in <loc>); &amp; decodes LAST so '&amp;lt;'
+    cannot double-decode."""
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def sitemap_entries(sitemaps: DataFrame, xml_col: str = "xml",
+                    url_col: str = "sitemap_url") -> DataFrame:
+    """Sitemap XML (sitemaps.org protocol) → one row per entry:
+    (sitemap_url, kind, loc, lastmod, changefreq, priority) — kind is
+    'url' for urlset entries and 'sitemap' for sitemapindex children
+    (the crawl-frontier seed feed). Entries without a <loc> are
+    dropped; <priority> parses leniently (junk → NULL); <loc> text is
+    whitespace-trimmed and XML-entity-decoded.
+
+    Scale notes: pure codegen — two regexp_extract_all + explode
+    passes (narrow, no shuffle, no UDF); the union is a plan-level
+    concatenation. Sitemap files cap at 50k entries by spec, so the
+    per-row explode fan-out is bounded.
+    """
+    xml = F.coalesce(F.col(xml_col), F.lit(""))
+    b = F.col("block")
+
+    def entries(pattern, kind, with_url_fields):
+        rows = (sitemaps.select(
+            F.col(url_col).alias("sitemap_url"),
+            F.explode(F.regexp_extract_all(xml, F.lit(pattern), 0))
+            .alias("block")))
+        loc = _unescape(_field(b, "loc"))
+        out = rows.select(
+            "sitemap_url", F.lit(kind).alias("kind"),
+            loc.alias("loc"), _field(b, "lastmod").alias("lastmod"),
+            (_field(b, "changefreq") if with_url_fields
+             else F.lit(None).cast("string")).alias("changefreq"),
+            (_field(b, "priority").try_cast("double")
+             if with_url_fields
+             else F.lit(None).cast("double")).alias("priority"))
+        return out.where(F.col("loc").isNotNull())
+
+    return (entries(_URL_BLOCK, "url", True)
+            .unionAll(entries(_MAP_BLOCK, "sitemap", False)))

@@ -69,3 +69,37 @@ def test_operator_verdicts(spark):
     got = {r["url"]: r["allowed"]
            for r in robots_filter(urls, robots).collect()}
     assert got == dict(cases)
+
+
+def test_sitemap_entries_rules(spark):
+    from ferenda_spark.operators.crawl import sitemap_entries
+    xml1 = ('<?xml version="1.0"?><urlset>'
+            '<url><loc> https://a.example/p?a=1&amp;b=2 </loc>'
+            '<lastmod>2026-01-15</lastmod>'
+            '<changefreq>daily</changefreq>'
+            '<priority>0.3</priority></url>'
+            '<url><loc>\nhttps://a.example/q\n</loc>'
+            '<priority>high</priority></url>'
+            '<url><lastmod>2026-01-01</lastmod></url>'  # no loc: drop
+            '</urlset>')
+    xml2 = ('<sitemapindex><sitemap>'
+            '<loc>https://a.example/sm-1.xml</loc>'
+            '<lastmod>2026-03-01</lastmod></sitemap>'
+            '<sitemap><loc>https://a.example/sm-2.xml</loc>'
+            '</sitemap></sitemapindex>')
+    df = spark.createDataFrame(
+        [("https://a.example/s1.xml", xml1),
+         ("https://a.example/si.xml", xml2),
+         ("https://a.example/null.xml", None)],
+        "sitemap_url string, xml string")
+    got = sorted(tuple(r) for r in sitemap_entries(df).collect())
+    assert got == sorted([
+        ("https://a.example/s1.xml", "url",
+         "https://a.example/p?a=1&b=2", "2026-01-15", "daily", 0.3),
+        ("https://a.example/s1.xml", "url", "https://a.example/q",
+         None, None, None),                  # junk priority → NULL
+        ("https://a.example/si.xml", "sitemap",
+         "https://a.example/sm-1.xml", "2026-03-01", None, None),
+        ("https://a.example/si.xml", "sitemap",
+         "https://a.example/sm-2.xml", None, None, None),
+    ])

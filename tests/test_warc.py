@@ -1,6 +1,8 @@
 """WARC kernel round-trips and tolerant-reader cases
 (ferenda_spark/warcrec.py) + operator plumbing."""
 
+from pyspark.sql import functions as F
+
 from ferenda_spark.warcrec import (build_record, build_response,
                                    parse_warc)
 
@@ -77,3 +79,31 @@ def test_operator_fans_blobs_into_record_rows(spark):
     assert rows[0] == (7, 0, "response", "https://a.example/1", b"one")
     assert rows[1][2:] == ("metadata", None, b"m")
     assert rows[1][1] > 0
+
+
+def test_surt_key_and_cdx_order(spark):
+    from ferenda_spark.operators.warc import cdx_index, surt_col
+    df = spark.createDataFrame(
+        [("https://WWW.Site.Example/A?b=1",),
+         ("https://example.org",),
+         ("https://a.b.c.example.org:80/x",)], "url string")
+    got = [r[0] for r in df.select(surt_col(F.col("url"))).collect()]
+    assert got == ["example,site)/a?b=1",
+                   "org,example)/",
+                   "org,example,c,b,a)/x"]
+    recs = spark.createDataFrame(
+        [(1, 0, "2026-01-02T00:00:00Z", "https://b.example/x",
+          "text/html", 200),
+         (1, 9, "2026-01-01T00:00:00Z", "https://b.example/x",
+          "text/html", 200),
+         (2, 0, "2026-01-01T00:00:00Z", "https://a.example/y",
+          None, None),
+         (2, 5, None, None, None, None)],   # url-less row dropped
+        "blob_id long, offset long, warc_date string, url string, "
+        "mime string, http_status int")
+    rows = [(r["surt"], r["warc_date"])
+            for r in cdx_index(recs).collect()]
+    # global (surt, warc_date) order; two captures of one URL adjacent
+    assert rows == [("example,a)/y", "2026-01-01T00:00:00Z"),
+                    ("example,b)/x", "2026-01-01T00:00:00Z"),
+                    ("example,b)/x", "2026-01-02T00:00:00Z")]
