@@ -545,8 +545,10 @@ def _warc_injected_blobs(spark, sf_dir) -> DataFrame:
             url = "https://site%d.example/p/%d" % (d % 7, d)
             date = ("2026-02-%02dT%02d:%02d:%02dZ"
                     % (1 + d % 28, d % 24, d % 60, (3 * d) % 60))
-            body = ("<html><body><p>Doc %d</p></body></html>"
-                    % d).encode()
+            suffix = (" is the page and it is here"
+                      if d % 2 == 0 else "")
+            body = ("<html><body><p>Doc %d%s</p></body></html>"
+                    % (d, suffix)).encode()
             parts.append(build_response(
                 url, date, body, status=404 if d % 17 == 0 else 200))
             if d % 13 == 0:
@@ -574,13 +576,15 @@ WARC_SQL = """
           || 'T' || lpad((doc_id % 24)::varchar, 2, '0')
           || ':' || lpad((doc_id % 60)::varchar, 2, '0')
           || ':' || lpad(((3 * doc_id) % 60)::varchar, 2, '0')
-          || 'Z' AS dt
+          || 'Z' AS dt,
+        CASE WHEN doc_id % 2 = 0 THEN ' is the page and it is here'
+             ELSE '' END AS suffix
       FROM documents)
     SELECT url, 'response' AS rec_type, dt AS warc_date,
            CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END
              AS http_status,
            'text/html' AS mime,
-           '<html><body><p>Doc ' || doc_id::varchar
+           '<html><body><p>Doc ' || doc_id::varchar || suffix
              || '</p></body></html>' AS text
     FROM d
     UNION ALL
@@ -707,6 +711,63 @@ def _q_robots_filter(spark, sf_dir):
     from ferenda_spark.operators.crawl import robots_filter
     urls, robots = _robots_injected(spark, sf_dir)
     return robots_filter(urls, robots)
+
+
+# generative twin of warc_to_pages: the north-rule input shape (url,
+# warc_ts, html, text, lang) stated by formula — 200 text/html
+# responses only, tags stripped, lang from the even-doc English suffix
+WARC_PAGES_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+        'https://site' || (doc_id % 7)::varchar || '.example/p/'
+          || doc_id::varchar AS url,
+        '2026-02-' || lpad((1 + doc_id % 28)::varchar, 2, '0')
+          || 'T' || lpad((doc_id % 24)::varchar, 2, '0')
+          || ':' || lpad((doc_id % 60)::varchar, 2, '0')
+          || ':' || lpad(((3 * doc_id) % 60)::varchar, 2, '0')
+          || 'Z' AS dt,
+        CASE WHEN doc_id % 2 = 0 THEN ' is the page and it is here'
+             ELSE '' END AS suffix
+      FROM documents WHERE doc_id % 17 <> 0)
+    SELECT url,
+           strftime(strptime(dt, '%Y-%m-%dT%H:%M:%SZ'),
+                    '%Y-%m-%d %H:%M:%S') AS warc_ts,
+           '<html><body><p>Doc ' || doc_id::varchar || suffix
+             || '</p></body></html>' AS html,
+           'Doc ' || doc_id::varchar || suffix AS text,
+           CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'und' END AS lang
+    FROM d"""
+
+
+def _q_warc_to_pages(spark, sf_dir):
+    """WARC lake → the engine's canonical pages-table shape (url,
+    warc_ts, html, text, lang) — the BASELINE input_hint contract,
+    composed from already-oracled operators: warc_records ingestion,
+    200/text-html admission, timestamp parse, tag-strip text, and
+    language_id (joined back on url; in a production pipeline the lang
+    score is a column expression — the join here keeps the oracled
+    operator itself in the path). Generative oracle."""
+    from ferenda_spark.operators.textops import language_id
+    from ferenda_spark.operators.warc import warc_records
+    recs = warc_records(_warc_injected_blobs(spark, sf_dir))
+    pages = (recs.where((F.col("rec_type") == "response") &
+                        (F.col("http_status") == 200) &
+                        (F.col("mime") == "text/html"))
+             .select("url",
+                     # timestamp parse stays in the plan; the string
+                     # render is the driver-compare convention
+                     # (timestamps cross as strings, cf. events twins)
+                     F.date_format(
+                         F.to_timestamp("warc_date",
+                                        "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+                         "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+                     F.decode(F.col("payload"), "UTF-8").alias("html")))
+    pages = pages.withColumn(
+        "text", F.regexp_replace(F.col("html"), "<[^>]+>", ""))
+    lang = (language_id(pages, text_col="text", id_col="url")
+            .select("url", F.col("lang_guess").alias("lang")))
+    return pages.join(lang, "url").select(
+        "url", "warc_ts", "html", "text", "lang")
 
 
 # generative twin of cdx_index over the WARC corpus: the SURT key is
@@ -2471,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_structdata": _q_kg_sparql_structdata,
         "cdx_index": _q_cdx_index,
         "sitemap_entries": _q_sitemap_entries,
+        "warc_to_pages": _q_warc_to_pages,
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
         "kg_rdfs_delta": _q_kg_rdfs_delta,
         "kg_shacl_report": _q_kg_shacl_report,
@@ -2622,6 +2684,7 @@ def oracle_sql() -> dict[str, str]:
             % STRUCTDATA_SQL, _STRUCTDATA_SPARQL),
         "cdx_index": CDX_SQL,
         "sitemap_entries": SITEMAP_SQL,
+        "warc_to_pages": WARC_PAGES_SQL,
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
         "kg_rdfs_delta": _kg_rdfs_delta_sql(kg),
         "kg_shacl_report": _kg_shacl_sql(kg),

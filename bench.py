@@ -256,6 +256,7 @@ def main() -> None:
         "kg_sparql_structdata": qs["kg_sparql_structdata"],
         "cdx_index": qs["cdx_index"],
         "sitemap_entries": qs["sitemap_entries"],
+        "warc_to_pages": qs["warc_to_pages"],
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute
