@@ -713,6 +713,120 @@ def _q_robots_filter(spark, sf_dir):
     return robots_filter(urls, robots)
 
 
+def _warc_recrawl_blobs(spark, sf_dir) -> DataFrame:
+    """Second-crawl blobs for every 3rd doc: same URL, later
+    WARC-Date (2026-05-01), 'v2' body — the newer capture
+    latest_captures must pick. blob_id offset by 10000 so the two
+    crawls' record addresses never collide."""
+    docs = (_read(spark, sf_dir, "documents").select("doc_id")
+            .where(F.col("doc_id") % 3 == 0))
+
+    def build(pdf):
+        import pandas as pd
+
+        from ferenda_spark.warcrec import build_response
+        pdf = pdf.sort_values("doc_id")
+        parts = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            url = "https://site%d.example/p/%d" % (d % 7, d)
+            body = ("<html><body><p>Doc %d v2</p></body></html>"
+                    % d).encode()
+            parts.append(build_response(
+                url, "2026-05-01T00:00:00Z", body))
+        return pd.DataFrame(
+            {"blob_id": [10000 + int(pdf["blob_id"].iloc[0])],
+             "warc": [b"".join(parts)]})
+
+    return (docs.withColumn("blob_id",
+                            F.floor(F.col("doc_id") / 8).cast("long"))
+            .groupBy("blob_id")
+            .applyInPandas(build, "blob_id long, warc binary"))
+
+
+# generative twin of latest_captures over crawl-1 ∪ crawl-2 response
+# records: every 3rd doc's newest capture is the re-crawl, the rest
+# keep their crawl-1 row (change the builders and this together)
+LATEST_CAPTURES_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+        'example,site' || (doc_id % 7)::varchar || ')/p/'
+          || doc_id::varchar AS surt,
+        'https://site' || (doc_id % 7)::varchar || '.example/p/'
+          || doc_id::varchar AS url,
+        '2026-02-' || lpad((1 + doc_id % 28)::varchar, 2, '0')
+          || 'T' || lpad((doc_id % 24)::varchar, 2, '0')
+          || ':' || lpad((doc_id % 60)::varchar, 2, '0')
+          || ':' || lpad(((3 * doc_id) % 60)::varchar, 2, '0')
+          || 'Z' AS dt
+      FROM documents)
+    SELECT surt,
+           CASE WHEN doc_id % 3 = 0 THEN '2026-05-01T00:00:00Z'
+                ELSE dt END AS warc_date,
+           url, 'text/html' AS mime,
+           CASE WHEN doc_id % 3 = 0 THEN 200
+                WHEN doc_id % 17 = 0 THEN 404
+                ELSE 200 END AS http_status,
+           CASE WHEN doc_id % 3 = 0 THEN 10000 + doc_id // 8
+                ELSE doc_id // 8 END AS blob_id
+    FROM d"""
+
+
+def _q_latest_captures(spark, sf_dir):
+    """Latest-capture selection over a two-crawl CDX (the CC-index
+    'newest capture' view / WARC-lake retention pass): one per-surt
+    WindowGroupLimit, newest WARC-Date wins
+    (operators/warc.latest_captures). Generative oracle."""
+    from ferenda_spark.operators.warc import (cdx_index,
+                                              latest_captures,
+                                              warc_records)
+    recs = (warc_records(_warc_injected_blobs(spark, sf_dir))
+            .unionAll(warc_records(_warc_recrawl_blobs(spark,
+                                                       sf_dir)))
+            .where(F.col("rec_type") == "response"))
+    return (latest_captures(cdx_index(recs), k=1)
+            .select("surt", "warc_date", "url", "mime",
+                    "http_status", "blob_id"))
+
+
+# exact expression twin of politeness_schedule over the robots URL
+# corpus: same md5 rank device, same host rule, same floor division
+POLITENESS_SQL = """
+    WITH u AS (
+      SELECT 'https://site' || (doc_id % 5)::varchar || '.example'
+             || CASE (doc_id % 7)
+                WHEN 0 THEN '/public/' || doc_id::varchar
+                WHEN 1 THEN '/private/' || doc_id::varchar
+                WHEN 2 THEN '/private/ok/' || doc_id::varchar
+                WHEN 3 THEN '/page/' || doc_id::varchar
+                            || '?utm_source=x'
+                WHEN 4 THEN '/tmp'
+                WHEN 5 THEN '/tmp/' || doc_id::varchar
+                ELSE '/t1/' || doc_id::varchar END AS url
+      FROM documents),
+    h AS (
+      SELECT url,
+             regexp_replace(lower(regexp_extract(url,
+               'https?://([A-Za-z0-9.-]+)', 1)), '^www\\.', '')
+               AS host
+      FROM u)
+    SELECT url, host,
+           (row_number() OVER (PARTITION BY host
+                               ORDER BY md5(url), url) - 1) // 10
+             AS slot
+    FROM h"""
+
+
+def _q_politeness_schedule(spark, sf_dir):
+    """Crawl-frontier politeness sharding: per-host fetch slots of 10
+    URLs (one host-keyed window; skewed hosts get more waves, never a
+    hotter partition — operators/crawl.politeness_schedule). Oracle:
+    the exact same md5-rank window in DuckDB."""
+    from ferenda_spark.operators.crawl import politeness_schedule
+    urls, _ = _robots_injected(spark, sf_dir)
+    return politeness_schedule(urls, per_host_rate=10)
+
+
 # generative twin of warc_to_pages: the north-rule input shape (url,
 # warc_ts, html, text, lang) stated by formula — 200 text/html
 # responses only, tags stripped, lang from the even-doc English suffix
@@ -2533,6 +2647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": _q_cdx_index,
         "sitemap_entries": _q_sitemap_entries,
         "warc_to_pages": _q_warc_to_pages,
+        "latest_captures": _q_latest_captures,
+        "politeness_schedule": _q_politeness_schedule,
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
         "kg_rdfs_delta": _q_kg_rdfs_delta,
         "kg_shacl_report": _q_kg_shacl_report,
@@ -2685,6 +2801,8 @@ def oracle_sql() -> dict[str, str]:
         "cdx_index": CDX_SQL,
         "sitemap_entries": SITEMAP_SQL,
         "warc_to_pages": WARC_PAGES_SQL,
+        "latest_captures": LATEST_CAPTURES_SQL,
+        "politeness_schedule": POLITENESS_SQL,
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
         "kg_rdfs_delta": _kg_rdfs_delta_sql(kg),
         "kg_shacl_report": _kg_shacl_sql(kg),

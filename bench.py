@@ -257,6 +257,8 @@ def main() -> None:
         "cdx_index": qs["cdx_index"],
         "sitemap_entries": qs["sitemap_entries"],
         "warc_to_pages": qs["warc_to_pages"],
+        "latest_captures": qs["latest_captures"],
+        "politeness_schedule": qs["politeness_schedule"],
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute

@@ -95,9 +95,10 @@ def robots_filter(urls: DataFrame, robots: DataFrame,
                                       "array<struct<priority:int,"
                                       "allow:boolean,pattern:string>>")),
                        init, fold)
+    # no orderBy: the verdict is row-aligned with the input — an
+    # output sort would be the plan's ONLY corpus-sized exchange
     return (u.join(F.broadcast(per_host), "host", "left")
-            .select("url", "host", best["allow"].alias("allowed"))
-            .orderBy("url"))
+            .select("url", "host", best["allow"].alias("allowed")))
 
 
 # one lazy block pattern + one per-field pattern, valid in both Java
@@ -157,3 +158,30 @@ def sitemap_entries(sitemaps: DataFrame, xml_col: str = "xml",
 
     return (entries(_URL_BLOCK, "url", True)
             .unionAll(entries(_MAP_BLOCK, "sitemap", False)))
+
+
+def politeness_schedule(urls: DataFrame, per_host_rate: int = 10,
+                        url_col: str = "url") -> DataFrame:
+    """Crawl-frontier scheduling → (url, host, slot): URLs are
+    round-robined into fetch slots of at most ``per_host_rate`` URLs
+    per host per slot — the per-host politeness budget that turns a
+    skewed frontier (one giant host) into bounded waves instead of one
+    hot fetch partition. Deterministic: within a host, URLs order by
+    their md5 (seedable rank, same device as the sampling operators).
+
+    Scale notes: one hash exchange on host + a running row_number —
+    the canonical window; hosts are the natural politeness key so the
+    skew IS the workload (a 10M-page host legitimately needs 1M
+    slots); downstream fetchers partition by (slot) to get
+    rate-uniform waves.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy("host").orderBy(F.md5(F.col(url_col)),
+                                           F.col(url_col))
+    from .graphops import host_col as host_of
+    return (urls.select(F.col(url_col).alias("url"),
+                        host_of(F.col(url_col)).alias("host"))
+            .withColumn(
+                "slot",
+                ((F.row_number().over(w) - F.lit(1)) /
+                 F.lit(per_host_rate)).cast("long")))

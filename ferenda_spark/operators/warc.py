@@ -98,3 +98,22 @@ def cdx_index(records: DataFrame) -> DataFrame:
                     "warc_date", "url", "mime", "http_status",
                     "blob_id", "offset")
             .orderBy("surt", "warc_date"))
+
+
+def latest_captures(index: DataFrame, k: int = 1) -> DataFrame:
+    """CDX rows → the newest ``k`` captures per SURT key (the
+     'latest capture' view CC-index serves; also the retention policy
+    a compaction pass applies to a growing WARC lake): one window
+    rank per surt, newest warc_date first, ties broken by (blob_id,
+    offset) so re-runs pick the same rows.
+
+    Scale notes: one hash exchange on surt + WindowGroupLimit — Spark
+    pushes the rank filter into the window operator, so only k rows
+    per key survive the sort buffer; no global sort, no driver state.
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy("surt")
+         .orderBy(F.desc("warc_date"), F.desc("blob_id"),
+                  F.desc("offset")))
+    return (index.withColumn("capture_rank", F.row_number().over(w))
+            .where(F.col("capture_rank") <= k))

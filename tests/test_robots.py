@@ -103,3 +103,20 @@ def test_sitemap_entries_rules(spark):
         ("https://a.example/si.xml", "sitemap",
          "https://a.example/sm-2.xml", None, None, None),
     ])
+
+
+def test_politeness_schedule_slots(spark):
+    from ferenda_spark.operators.crawl import politeness_schedule
+    urls = spark.createDataFrame(
+        [("https://a.example/p/%d" % i,) for i in range(25)] +
+        [("https://b.example/q",)], "url string")
+    got = politeness_schedule(urls, per_host_rate=10).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r["slot"])
+    # 25 URLs at rate 10 → slots 10+10+5; the small host stays slot 0
+    assert sorted(by_host["a.example"]) == [0] * 10 + [1] * 10 + [2] * 5
+    assert by_host["b.example"] == [0]
+    # deterministic across runs (md5 rank, not partition order)
+    again = politeness_schedule(urls, per_host_rate=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

@@ -107,3 +107,21 @@ def test_surt_key_and_cdx_order(spark):
     assert rows == [("example,a)/y", "2026-01-01T00:00:00Z"),
                     ("example,b)/x", "2026-01-01T00:00:00Z"),
                     ("example,b)/x", "2026-01-02T00:00:00Z")]
+
+
+def test_latest_captures_picks_newest_with_stable_ties(spark):
+    from ferenda_spark.operators.warc import latest_captures
+    idx = spark.createDataFrame(
+        [("example,a)/x", "2026-01-01T00:00:00Z", "u", None, None, 1, 0),
+         ("example,a)/x", "2026-02-01T00:00:00Z", "u", None, None, 1, 9),
+         ("example,a)/x", "2026-02-01T00:00:00Z", "u", None, None, 2, 3),
+         ("example,b)/y", "2026-01-01T00:00:00Z", "v", None, None, 1, 5)],
+        "surt string, warc_date string, url string, mime string, "
+        "http_status int, blob_id long, offset long")
+    got = {(r["surt"]): (r["warc_date"], r["blob_id"], r["offset"])
+           for r in latest_captures(idx, k=1).collect()}
+    # newest date wins; date tie → highest (blob_id, offset)
+    assert got == {"example,a)/x": ("2026-02-01T00:00:00Z", 2, 3),
+                   "example,b)/y": ("2026-01-01T00:00:00Z", 1, 5)}
+    two = latest_captures(idx, k=2)
+    assert two.where(two["surt"] == "example,a)/x").count() == 2
