@@ -74,3 +74,36 @@ def incremental_extract(spark: SparkSession, pages: DataFrame,
     wm = read_watermark(spark, wm_path)
     fresh = pages if wm is None else pages.where(F.col("warc_ts") > wm)
     return extract_stage(fresh, cfg, commondata)
+
+
+WARC_BLOB_SCHEMA = "blob_id long, warc binary"
+
+
+def stream_warc_ingest(spark: SparkSession, blobs_dir: str,
+                       out_dir: str, checkpoint_dir: str):
+    """Continuously-landing WARC segments → the records table: an
+    AvailableNow stream over a parquet blob directory, each micro-batch
+    running the SAME warc_records operator as the batch path (one
+    shared implementation, the stream_extract pattern). Restart-safe:
+    the checkpoint records consumed files, so a killed ingest resumes
+    without reparsing — and because (blob_id, offset) is a stable
+    record address, replays of an uncommitted batch overwrite
+    byte-identical rows rather than drifting.
+
+    This is the crawl-lake front door at 100 TB: segments land in
+    object storage, the stream turns each into record rows with
+    per-file (≙ per-partition) checkpoint lineage, downstream
+    extraction/dedup read the records table incrementally.
+    """
+    from ..operators.warc import warc_records
+    blobs = (spark.readStream.schema(WARC_BLOB_SCHEMA)
+             .option("maxFilesPerTrigger", 8)
+             .parquet(blobs_dir))
+    q = (warc_records(blobs).writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
