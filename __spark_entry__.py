@@ -626,6 +626,42 @@ def _q_kg_sparql_structdata(spark, sf_dir):
     return sparql.compile_spark(quads, _STRUCTDATA_SPARQL)
 
 
+# generative twin of the same-SKU consolidation: product itemids
+# repeat per (host=d%7, prod=d%13) pair, so each distinct sku's page
+# census and canonical (min) URI are closed-form over d mod 91
+STRUCT_ENTITIES_SQL = """
+    WITH sd AS (
+      SELECT 'SKU-' || (doc_id % 13)::varchar AS sku,
+             'https://site' || (doc_id % 7)::varchar
+               || '.example/prod/' || (doc_id % 13)::varchar AS uri
+      FROM documents)
+    SELECT sku,
+           min(uri) AS canonical_uri,
+           count(*)::BIGINT AS n_pages,
+           count(DISTINCT uri)::BIGINT AS n_aliases
+    FROM sd GROUP BY sku"""
+
+
+def _q_structdata_entities(spark, sf_dir):
+    """Entity consolidation over extracted structured data (the Web
+    Data Commons product-merge step): products sharing a literal sku
+    collapse to one canonical URI (min) with page + alias censuses —
+    one map-side-combined hash agg over the (sku, subject) pairs the
+    extraction emits; the heavy lifting (parsing) is the upstream
+    oracled operator. Generative oracle."""
+    from ferenda_spark.operators.structdata import structured_triples
+    t = structured_triples(
+        _structdata_injected_pages(spark, sf_dir),
+        syntaxes=("microdata",))
+    skus = (t.where(F.col("predicate") == "https://schema.org/sku")
+            .select(F.col("object").alias("sku"),
+                    F.col("subject").alias("uri")))
+    return (skus.groupBy("sku")
+            .agg(F.min("uri").alias("canonical_uri"),
+                 F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("uri").alias("n_aliases")))
+
+
 def _q_warc_ingest(spark, sf_dir):
     """WARC segment ingestion (the Common-Crawl input format): blob →
     typed record rows in one shuffle-free Arrow stage, HTTP responses
@@ -730,8 +766,15 @@ def _warc_recrawl_blobs(spark, sf_dir) -> DataFrame:
         for d in pdf["doc_id"]:
             d = int(d)
             url = "https://site%d.example/p/%d" % (d % 7, d)
-            body = ("<html><body><p>Doc %d v2</p></body></html>"
-                    % d).encode()
+            if d % 6 == 0:
+                # unchanged re-crawl: byte-identical to the crawl-1
+                # body (d is even → the English suffix is present) —
+                # the revisit_stats 'content did not change' case
+                body = ("<html><body><p>Doc %d is the page and it is"
+                        " here</p></body></html>" % d).encode()
+            else:
+                body = ("<html><body><p>Doc %d v2</p></body></html>"
+                        % d).encode()
             parts.append(build_response(
                 url, "2026-05-01T00:00:00Z", body))
         return pd.DataFrame(
@@ -787,6 +830,33 @@ def _q_latest_captures(spark, sf_dir):
     return (latest_captures(cdx_index(recs), k=1)
             .select("surt", "warc_date", "url", "mime",
                     "http_status", "blob_id"))
+
+
+# generative twin of revisit_stats over the two-crawl response set:
+# every 3rd doc has two captures; every 6th doc's re-crawl body is
+# byte-identical to crawl 1 (→ one revisit, one version)
+REVISIT_SQL = """
+    SELECT 'https://site' || (doc_id % 7)::varchar || '.example/p/'
+             || doc_id::varchar AS url,
+           (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)::BIGINT
+             AS n_captures,
+           (CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_revisits,
+           (CASE WHEN doc_id % 3 = 0 AND doc_id % 6 <> 0 THEN 2
+                 ELSE 1 END)::BIGINT AS n_versions
+    FROM documents"""
+
+
+def _q_revisit_stats(spark, sf_dir):
+    """Per-URL capture-history stats over the two-crawl lake: revisit
+    detection (digest unchanged vs previous capture — the WARC
+    'revisit' record rationale) + version count; the change-rate
+    signal a crawl scheduler feeds back (operators/warc.revisit_stats).
+    Generative oracle."""
+    from ferenda_spark.operators.warc import revisit_stats, warc_records
+    recs = (warc_records(_warc_injected_blobs(spark, sf_dir))
+            .unionAll(warc_records(_warc_recrawl_blobs(spark, sf_dir))))
+    return revisit_stats(recs)
 
 
 # exact expression twin of politeness_schedule over the robots URL
@@ -2649,6 +2719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_to_pages": _q_warc_to_pages,
         "latest_captures": _q_latest_captures,
         "politeness_schedule": _q_politeness_schedule,
+        "revisit_stats": _q_revisit_stats,
+        "structdata_entities": _q_structdata_entities,
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
         "kg_rdfs_delta": _q_kg_rdfs_delta,
         "kg_shacl_report": _q_kg_shacl_report,
@@ -2803,6 +2875,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_to_pages": WARC_PAGES_SQL,
         "latest_captures": LATEST_CAPTURES_SQL,
         "politeness_schedule": POLITENESS_SQL,
+        "revisit_stats": REVISIT_SQL,
+        "structdata_entities": STRUCT_ENTITIES_SQL,
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
         "kg_rdfs_delta": _kg_rdfs_delta_sql(kg),
         "kg_shacl_report": _kg_shacl_sql(kg),

@@ -259,6 +259,8 @@ def main() -> None:
         "warc_to_pages": qs["warc_to_pages"],
         "latest_captures": qs["latest_captures"],
         "politeness_schedule": qs["politeness_schedule"],
+        "revisit_stats": qs["revisit_stats"],
+        "structdata_entities": qs["structdata_entities"],
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute

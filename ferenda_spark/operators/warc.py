@@ -117,3 +117,34 @@ def latest_captures(index: DataFrame, k: int = 1) -> DataFrame:
                   F.desc("offset")))
     return (index.withColumn("capture_rank", F.row_number().over(w))
             .where(F.col("capture_rank") <= k))
+
+
+def revisit_stats(records: DataFrame) -> DataFrame:
+    """Response records → per-URL capture history stats: (url,
+    n_captures, n_revisits, n_versions) where a *revisit* is a capture
+    whose payload digest equals the previous capture's (the WARC
+    'revisit' record a deduplicating crawler writes instead of storing
+    the body again — ISO 28500 §6.7.2 motivation) and n_versions
+    counts distinct digests. The change-rate signal crawl schedulers
+    feed back into refresh frequency.
+
+    Scale notes: digest = md5(payload) computed in the scan projection
+    (codegen, the text never shuffles — only the 32-hex digest does);
+    ONE hash exchange on url for the lag window, then the rollup
+    reuses the same partitioning (no second exchange).
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy("url")
+         .orderBy("warc_date", "blob_id", "offset"))
+    d = (records
+         .where(F.col("rec_type") == "response")
+         .select("url", "warc_date", "blob_id", "offset",
+                 F.md5(F.col("payload")).alias("digest")))
+    flagged = d.withColumn(
+        "is_revisit",
+        F.col("digest") == F.lag("digest").over(w))
+    return (flagged.groupBy("url")
+            .agg(F.count(F.lit(1)).alias("n_captures"),
+                 F.sum(F.when(F.col("is_revisit"), 1).otherwise(0))
+                 .alias("n_revisits"),
+                 F.countDistinct("digest").alias("n_versions")))

@@ -159,3 +159,56 @@ def test_stream_warc_ingest_matches_batch_and_resumes(spark, tmp_path):
     # re-run against the same checkpoint: nothing reprocessed
     stream_warc_ingest(spark, blobs_dir, out, ckpt)
     assert spark.read.parquet(out).count() == got.count()
+
+
+def test_revisit_stats_digest_semantics(spark):
+    from ferenda_spark.operators.warc import revisit_stats
+    rows = [
+        ("u", "2026-01-01T00:00:00Z", "response", 1, 0, bytearray(b"A")),
+        ("u", "2026-02-01T00:00:00Z", "response", 2, 0, bytearray(b"A")),  # revisit
+        ("u", "2026-03-01T00:00:00Z", "response", 3, 0, bytearray(b"B")),  # changed
+        ("u", "2026-04-01T00:00:00Z", "response", 4, 0, bytearray(b"A")),  # changed BACK (not a revisit: lag is B)
+        ("v", "2026-01-01T00:00:00Z", "metadata", 5, 0, bytearray(b"x")),  # non-response dropped
+        ("v", "2026-01-02T00:00:00Z", "response", 6, 0, bytearray(b"C")),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_date string, rec_type string, "
+              "blob_id long, offset long, payload binary")
+    got = {r["url"]: (r["n_captures"], r["n_revisits"], r["n_versions"])
+           for r in revisit_stats(df).collect()}
+    assert got == {"u": (4, 1, 2), "v": (1, 0, 1)}
+
+
+def test_warc_roundtrip_fuzz():
+    """Property: build → parse is the identity for any record list —
+    arbitrary payload bytes (incl. CRLFs, WARC magic, HTTP-looking
+    prefixes inside non-HTTP blocks), urls, dates and types."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    rec = st.tuples(
+        st.sampled_from(["response", "metadata", "request",
+                         "warcinfo"]),
+        st.one_of(st.none(),
+                  st.text(alphabet=st.characters(
+                      min_codepoint=33, max_codepoint=126),
+                      min_size=1, max_size=40).map(
+                      lambda s: "https://e.x/" + s)),
+        st.binary(max_size=200),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(rec, min_size=1, max_size=6))
+    def run(recs):
+        blob = b"".join(
+            build_record(t, u, "2026-01-01T00:00:00Z", body,
+                         "application/octet-stream")
+            for t, u, body in recs)
+        got = parse_warc(blob)
+        assert [(r["rec_type"], r["url"]) for r in got] == \
+            [(t, u) for t, u, _ in recs]
+        for r, (_, _, body) in zip(got, recs):
+            # non-HTTP blocks pass through verbatim; blocks that
+            # HAPPEN to start with b'HTTP/' unwrap per the contract
+            if not body.startswith(b"HTTP/"):
+                assert r["payload"] == body
+    run()
