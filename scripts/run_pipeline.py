@@ -30,12 +30,19 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True, help="pages parquet dir")
+    ap.add_argument("--pages", default=None, help="pages parquet dir")
+    ap.add_argument("--warc", default=None,
+                    help="WARC blob parquet dir (blob_id, warc binary)"
+                         " — the Common-Crawl front door; records are"
+                         " ingested and 200/HTTP responses become the"
+                         " pages table (alternative to --pages)")
     ap.add_argument("--out", required=True, help="output root dir")
     ap.add_argument("--n-docs", type=int, default=0,
                     help="if >0, (re)generate the pages table first")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
+    if bool(args.pages) == bool(args.warc):
+        ap.error("exactly one of --pages / --warc is required")
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import SparkSession
@@ -57,11 +64,25 @@ def main() -> None:
     cfg = RepoConfig(alias="doc", url="http://example.org/")
     run_id = args.run_id or time.strftime("r%Y%m%d%H%M%S")
 
-    if args.n_docs:
+    if args.n_docs and args.pages:
         P.build_pages(spark, args.n_docs, 64) \
             .write.mode("overwrite").parquet(args.pages)
 
-    pages = spark.read.parquet(args.pages)
+    if args.warc:
+        from pyspark.sql import functions as F
+
+        from ferenda_spark.operators.warc import warc_records
+        recs = warc_records(spark.read.parquet(args.warc))
+        pages = (recs
+                 .where((F.col("rec_type") == "response") &
+                        (F.col("http_status") == 200))
+                 .select("url",
+                         F.to_timestamp(
+                             "warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                         .alias("warc_ts"),
+                         F.col("payload").alias("html")))
+    else:
+        pages = spark.read.parquet(args.pages)
     entries_path = os.path.join(args.out, "entries")
     prev_entries = (spark.read.parquet(entries_path)
                     if os.path.exists(entries_path) else None)

@@ -212,3 +212,41 @@ def test_warc_roundtrip_fuzz():
             if not body.startswith(b"HTTP/"):
                 assert r["payload"] == body
     run()
+
+
+def test_run_pipeline_warc_mode(spark, tmp_path, monkeypatch, capsys):
+    """The spark-submit entrypoint accepts a WARC blob lake as its
+    input (--warc): records ingest, 200/HTTP responses become the
+    pages table, and the full extract→relate→write pipeline runs."""
+    import json as _json
+    import sys as _sys
+
+    import pandas as pd
+    _sys.path.insert(0, "/root/repo/scripts")
+    import run_pipeline
+    blob = b"".join(
+        build_response(
+            "https://example.org/doc/%d" % i, "2026-01-01T00:00:00Z",
+            ("<html><head><title>Doc %d</title></head>"
+             "<body><h1>Doc %d</h1><p>Body text %d.</p></body></html>"
+             % (i, i, i)).encode())
+        for i in range(6)) + build_response(
+            "https://example.org/gone", "2026-01-01T00:00:00Z",
+            b"nope", status=404)
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    pd.DataFrame([(0, blob)], columns=["blob_id", "warc"]).to_parquet(
+        str(warc_dir / "b.parquet"))
+    out = str(tmp_path / "kg")
+    monkeypatch.setattr(_sys, "argv", [
+        "run_pipeline.py", "--warc", str(warc_dir), "--out", out])
+    run_pipeline.main()
+    got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["processed"] == 6          # the 404 never enters
+    assert got["triples"] > 0
+    # resume: second run skips everything (content-hash anti-join)
+    monkeypatch.setattr(_sys, "argv", [
+        "run_pipeline.py", "--warc", str(warc_dir), "--out", out])
+    run_pipeline.main()
+    got2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got2["processed"] == 0 and got2["skipped_fresh"] == 6
