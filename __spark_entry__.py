@@ -1763,6 +1763,51 @@ def _q_kg_crawl_delta(spark, sf_dir):
     return triple_diff(a, b)
 
 
+DCT_TITLE_URI = "http://purl.org/dc/terms/title"
+
+
+def _kg_fusion_corpus(spark) -> DataFrame:
+    """Three assertion sources over the canonical KG (twin:
+    kgoracle._fusion_union states the same corpus by formula): crawl A
+    (the corpus triples), crawl B (…1.html docs not re-crawled, every
+    …0.html title revised — the kg_crawl_delta mutation), and a mirror
+    aggregator re-asserting every title under source_url + '?mirror'
+    with the ORIGINAL value — so revised titles lose the source vote
+    2-1 and fusion must restore the original."""
+    from ferenda_spark.operators.relate import canonicalize_triples
+    t = _kg_read(spark, "triples").select(
+        "source_url", "subject", "predicate", "object", "objtype")
+    b = (t.where(~F.col("source_url").like("%1.html"))
+         .withColumn("object",
+                     F.when((F.col("predicate") == DCT_TITLE_URI) &
+                            F.col("source_url").like("%0.html"),
+                            F.concat(F.col("object"), F.lit(" (rev 2)")))
+                      .otherwise(F.col("object"))))
+    mirror = (t.where(F.col("predicate") == DCT_TITLE_URI)
+              .select(F.concat(F.col("source_url"), F.lit("?mirror"))
+                       .alias("source_url"),
+                      "subject", "predicate", "object", "objtype"))
+    return canonicalize_triples(
+        t.unionByName(b).unionByName(mirror))
+
+
+def _q_kg_conflicts(spark, sf_dir):
+    """Functional-property conflict report over the canonicalized
+    three-source union: every …0.html doc title carries two values
+    asserted by three sources (operators/fusion.functional_conflicts)."""
+    from ferenda_spark.operators.fusion import functional_conflicts
+    return functional_conflicts(_kg_fusion_corpus(spark),
+                                [DCT_TITLE_URI])
+
+
+def _q_kg_fused(spark, sf_dir):
+    """Source-voting value resolution (operators/fusion.fuse_triples):
+    the original title wins 2-1 over the crawl-B revision because the
+    mirror re-asserts it — majority fusion, min-value tie-break."""
+    from ferenda_spark.operators.fusion import fuse_triples
+    return fuse_triples(_kg_fusion_corpus(spark), [DCT_TITLE_URI])
+
+
 def _q_kg_stage_counters(spark, sf_dir):
     from ferenda_spark.operators.lineage import (entries_from_extracted,
                                                  stage_counters)
@@ -2741,6 +2786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql": _q_kg_sparql,
         "kg_sparql_graphvar": _q_kg_sparql_graphvar,
         "kg_crawl_delta": _q_kg_crawl_delta,
+        "kg_conflicts": _q_kg_conflicts,
+        "kg_fused": _q_kg_fused,
         "kg_describe": _q_kg_describe,
         "kg_describe_sparql": _q_kg_describe_sparql,
         "kg_sparql_stats": _q_kg_sparql_stats,
@@ -2933,6 +2980,8 @@ def oracle_sql() -> dict[str, str]:
             _DESCRIBE_BASE_RQ % {"uri": _DESCRIBE_URI}),
         "kg_versions": kgoracle.sql_versions(kg, KG_NEW_URL),
         "kg_crawl_delta": kgoracle.sql_crawl_delta(kg, KG_NEW_URL),
+        "kg_conflicts": kgoracle.sql_conflicts(kg),
+        "kg_fused": kgoracle.sql_fused(kg),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),

@@ -206,6 +206,30 @@ def main() -> None:
                                                       label_propagation)
         return label_propagation(citation_edges(stages["triples"]))
 
+    def kg_fused(spark, _):
+        # majority-vote conflict resolution over a three-source
+        # assertion union (crawl A + revised re-crawl + mirror): one
+        # map-side-combined (s,p,o) support agg + one window over the
+        # already value-distinct support table
+        from ferenda_spark.operators.fusion import fuse_triples
+        from pyspark.sql import functions as F
+        DCT_TITLE = "http://purl.org/dc/terms/title"
+        t = stages["triples"].select("source_url", "subject",
+                                     "predicate", "object", "objtype")
+        b = (t.where(~F.col("source_url").like("%1.html"))
+             .withColumn("object",
+                         F.when((F.col("predicate") == DCT_TITLE) &
+                                F.col("source_url").like("%0.html"),
+                                F.concat(F.col("object"),
+                                         F.lit(" (rev 2)")))
+                          .otherwise(F.col("object"))))
+        mirror = (t.where(F.col("predicate") == DCT_TITLE)
+                  .select(F.concat("source_url", F.lit("?mirror"))
+                           .alias("source_url"), "subject",
+                          "predicate", "object", "objtype"))
+        return fuse_triples(t.unionByName(b).unionByName(mirror),
+                            [DCT_TITLE])
+
     def kg_sparql_update(spark, _):
         # functional SPARQL Update: DELETE/INSERT WHERE + DELETE WHERE
         # in sequence (anti-join + union; bindings via the read compiler)
@@ -247,6 +271,7 @@ def main() -> None:
         "kg_sparql_update": kg_sparql_update,
         "kg_void_stats": kg_void_stats,
         "kg_crawl_delta": kg_crawl_delta,
+        "kg_fused": kg_fused,
         "kg_triangles": kg_triangles,
         "kg_communities": kg_communities,
         "kg_domain_pagerank": qs["kg_domain_pagerank"],

@@ -890,3 +890,71 @@ def sql_crawl_delta(paths, new_url: str) -> str:
     SELECT * FROM added UNION ALL SELECT * FROM removed
     ORDER BY change, source_url, subject, predicate, object
     """
+
+
+def _fusion_union(paths) -> str:
+    """Shared three-source assertion union for the fusion queries —
+    states the kg_conflicts/kg_fused driver corpus by formula: crawl A
+    (the corpus triples), crawl B (…1.html docs not re-crawled, every
+    …0.html title revised), and a mirror aggregator re-asserting every
+    title under source_url + '?mirror' with the ORIGINAL value."""
+    return f"""
+    t0 AS (
+      SELECT source_url, subject, predicate, object, objtype
+      FROM {_t(paths, 'triples')}),
+    b AS (
+      SELECT source_url, subject, predicate,
+             CASE WHEN predicate = '{DCT}title'
+                       AND source_url LIKE '%0.html'
+                  THEN object || ' (rev 2)' ELSE object END AS object,
+             objtype
+      FROM t0 WHERE source_url NOT LIKE '%1.html'),
+    mirror AS (
+      SELECT source_url || '?mirror' AS source_url, subject, predicate,
+             object, objtype
+      FROM t0 WHERE predicate = '{DCT}title'),
+    u AS (
+      SELECT * FROM t0 UNION ALL SELECT * FROM b
+      UNION ALL SELECT * FROM mirror),
+    canon AS (
+      SELECT coalesce(cs.canonical_id, u.subject) AS subject,
+             u.predicate,
+             CASE WHEN u.objtype = 'uri'
+                  THEN coalesce(co.canonical_id, u.object)
+                  ELSE u.object END AS object,
+             u.objtype, u.source_url
+      FROM u LEFT JOIN comp cs ON cs.node = u.subject
+             LEFT JOIN comp co ON co.node = u.object),
+    f AS (SELECT * FROM canon WHERE predicate = '{DCT}title')"""
+
+
+def sql_conflicts(paths) -> str:
+    return f"""
+    WITH RECURSIVE {_cc_ctes(paths)}, {_fusion_union(paths)}
+    SELECT subject, predicate,
+           count(DISTINCT object) AS n_values,
+           count(DISTINCT source_url) AS n_sources,
+           min(object) AS min_object, max(object) AS max_object
+    FROM f GROUP BY subject, predicate
+    HAVING count(DISTINCT object) > 1
+    ORDER BY subject, predicate
+    """
+
+
+def sql_fused(paths) -> str:
+    return f"""
+    WITH RECURSIVE {_cc_ctes(paths)}, {_fusion_union(paths)},
+    per_val AS (
+      SELECT subject, predicate, object, objtype,
+             count(DISTINCT source_url) AS support
+      FROM f GROUP BY subject, predicate, object, objtype),
+    ranked AS (
+      SELECT *, count(*) OVER (PARTITION BY subject, predicate)
+                  AS n_values,
+             row_number() OVER (PARTITION BY subject, predicate
+                                ORDER BY support DESC, object ASC,
+                                         objtype ASC) AS rn
+      FROM per_val)
+    SELECT subject, predicate, object, objtype, support, n_values
+    FROM ranked WHERE rn = 1 ORDER BY subject, predicate
+    """
