@@ -223,6 +223,33 @@ def _q_kg_entities(spark, sf_dir):
     return entities_table(_kg_read(spark, "triples"))
 
 
+def _q_kg_entities_delta(spark, sf_dir):
+    """Incremental entity resolution: bootstrap CC over the sameAs
+    edges of every crawl doc EXCEPT the …2.html batch, then fold the
+    batch in with graph.components.incremental_components (contracted
+    batch-graph CC; the assignments table never shuffles). The …2.html
+    docs' alias chains bridge existing components (…res/doc/2→1→0 and
+    the doc/0 hub), so the update exercises the merge + relabel +
+    new-node paths; the oracle is the FULL recompute (sql_entities) —
+    incremental ≡ from-scratch by definition."""
+    from ferenda_spark.graph.components import (canonical_mapping,
+                                                incremental_components)
+    from ferenda_spark.operators.relate import OWL_SAMEAS
+    sa = (_kg_read(spark, "triples")
+          .where(F.col("predicate") == OWL_SAMEAS)
+          .select("source_url", "subject", "object"))
+    base = (canonical_mapping(sa.where(~F.col("source_url")
+                                        .like("%2.html")))
+            .select(F.col("uri").alias("node"),
+                    F.col("canonical_id").alias("component")))
+    out = incremental_components(
+        base, sa.where(F.col("source_url").like("%2.html"))
+                .select(F.col("subject").alias("src"),
+                        F.col("object").alias("dst")))
+    return out.select(F.col("component").alias("canonical_id"),
+                      F.col("node").alias("uri"))
+
+
 def _q_kg_canonical_triples(spark, sf_dir):
     from ferenda_spark.operators.relate import canonicalize_triples
     return canonicalize_triples(_kg_read(spark, "triples"))
@@ -2299,6 +2326,64 @@ def _q_anchor_stats(spark, sf_dir):
     return anchor_text_stats(_anchor_injected_docs(spark, sf_dir))
 
 
+def _q_frontier_expand(spark, sf_dir):
+    """Crawl-frontier expansion (operators/crawl.frontier_expand):
+    distinct absolute outlink targets of the anchor-injected corpus
+    plus a deep-host link family (5 distinct after fragment strip, one
+    relative link that must be dropped), minus the even /page/ URLs as
+    the already-fetched set — per-host cap of 3 bites only on the deep
+    host. Twin: FRONTIER_SQL states corpus, seen set and window by the
+    same formulas."""
+    from ferenda_spark.operators.crawl import frontier_expand
+    r = F.col("id")
+
+    def s(c):
+        return c.cast("string")
+
+    deep = spark.range(6).select(
+        F.concat(
+            F.when(r == 0, F.lit('<a href="/local/page">l</a>'))
+             .otherwise(F.lit("")),
+            F.lit('<a href="https://deep.example.com/x'), s(r % 5),
+            F.when(r == 5, F.lit("#sec")).otherwise(F.lit("")),
+            F.lit('">d</a>')).alias("text"))
+    corpus = (_anchor_injected_docs(spark, sf_dir).select("text")
+              .unionByName(deep))
+    seen = spark.range(5).select(
+        F.concat(F.lit("https://example"), s((r * 2) % 5),
+                 F.lit(".com/page/"), s((r * 2) % 10)).alias("url"))
+    return frontier_expand(corpus, seen, per_host_cap=3)
+
+
+# SQL twin of _q_frontier_expand — change BOTH or parity breaks
+FRONTIER_SQL = (
+    "WITH corpus AS ("
+    "  SELECT text FROM " + "%(anchor_docs)s" + " d"
+    "  UNION ALL"
+    "  SELECT CASE WHEN r = 0 THEN '<a href=\"/local/page\">l</a>'"
+    "              ELSE '' END"
+    "     || '<a href=\"https://deep.example.com/x' || (r %% 5)::varchar"
+    "     || CASE WHEN r = 5 THEN '#sec' ELSE '' END || '\">d</a>'"
+    "  FROM range(6) t(r)),"
+    " links AS ("
+    "  SELECT DISTINCT regexp_replace(u, '#.*$', '') AS url"
+    "  FROM corpus, unnest(regexp_extract_all(coalesce(text, ''),"
+    "       '<a [^>]*href=\"([^\"]+)\"[^>]*>([^<]*)</a>', 1)) AS l(u)"
+    "  WHERE regexp_matches(u, '^https?://')),"
+    " seen AS ("
+    "  SELECT 'https://example' || ((2 * r) %% 5)::varchar"
+    "      || '.com/page/' || ((2 * r) %% 10)::varchar AS url"
+    "  FROM range(5) t(r)),"
+    " hosted AS ("
+    "  SELECT url, regexp_replace(lower(regexp_extract(url,"
+    "           'https?://([A-Za-z0-9.-]+)', 1)), '^www\\.', '') AS host"
+    "  FROM links WHERE url NOT IN (SELECT url FROM seen)),"
+    " ranked AS ("
+    "  SELECT url, host, row_number() OVER (PARTITION BY host"
+    "           ORDER BY md5(url), url) AS rank FROM hosted)"
+    " SELECT url, host, rank FROM ranked WHERE rank <= 3")
+
+
 def _q_url_stats(spark, sf_dir):
     """Outbound-link census over web text (deterministic URL
     injection, same expression in URL_DOCS_SQL)."""
@@ -2738,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_xhtml_roundtrip": _q_kg_xhtml_roundtrip,
         "kg_deps": _q_kg_deps,
         "kg_entities": _q_kg_entities,
+        "kg_entities_delta": _q_kg_entities_delta,
         "kg_canonical_triples": _q_kg_canonical_triples,
         "kg_linked_publishers": _q_kg_linked_publishers,
         "kg_faceted": _q_kg_faceted,
@@ -2828,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "url_stats": _q_url_stats,
         "anchor_stats": _q_anchor_stats,
+        "frontier_expand": _q_frontier_expand,
         "boilerplate_filter": _q_boilerplate,
         "page_metadata": _q_page_metadata,
         "dedup_delta": _q_dedup_delta,
@@ -2890,6 +2977,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_xhtml_roundtrip": kgoracle.sql_triples(kg),
         "kg_deps": kgoracle.sql_deps(kg),
         "kg_entities": kgoracle.sql_entities(kg),
+        # the incremental query's oracle IS the full recompute:
+        # incremental ≡ from-scratch is the semantic spec
+        "kg_entities_delta": kgoracle.sql_entities(kg),
         "kg_canonical_triples": kgoracle.sql_canonical_triples(kg),
         "kg_linked_publishers": kgoracle.sql_linked_publishers(
             kg, _kg_dictionary()),
@@ -3021,6 +3111,8 @@ def oracle_sql() -> dict[str, str]:
         "url_stats": textops.oracle_sql_url_stats(table=URL_DOCS_SQL),
         "anchor_stats": textops.oracle_sql_anchor_stats(
             table=ANCHOR_DOCS_SQL),
+        "frontier_expand": FRONTIER_SQL % {"anchor_docs":
+                                           ANCHOR_DOCS_SQL},
         "boilerplate_filter": curation.oracle_sql_boilerplate(
             table=JUSTEXT_DOCS_SQL),
         "page_metadata": textops.oracle_sql_page_metadata(

@@ -206,6 +206,26 @@ def main() -> None:
                                                       label_propagation)
         return label_propagation(citation_edges(stages["triples"]))
 
+    def kg_entities_delta(spark, _):
+        # incremental entity resolution: bootstrap CC minus the
+        # %2.html batch, then the contracted-graph update — the
+        # corpus-sized assignments table never shuffles
+        from ferenda_spark.graph.components import (
+            canonical_mapping, incremental_components)
+        from ferenda_spark.operators.relate import OWL_SAMEAS
+        from pyspark.sql import functions as F
+        sa = (stages["triples"]
+              .where(F.col("predicate") == OWL_SAMEAS)
+              .select("source_url", "subject", "object"))
+        base = (canonical_mapping(sa.where(~F.col("source_url")
+                                            .like("%2.html")))
+                .select(F.col("uri").alias("node"),
+                        F.col("canonical_id").alias("component")))
+        return incremental_components(
+            base, sa.where(F.col("source_url").like("%2.html"))
+                    .select(F.col("subject").alias("src"),
+                            F.col("object").alias("dst")))
+
     def kg_fused(spark, _):
         # majority-vote conflict resolution over a three-source
         # assertion union (crawl A + revised re-crawl + mirror): one
@@ -272,6 +292,8 @@ def main() -> None:
         "kg_void_stats": kg_void_stats,
         "kg_crawl_delta": kg_crawl_delta,
         "kg_fused": kg_fused,
+        "kg_entities_delta": kg_entities_delta,
+        "frontier_expand": qs["frontier_expand"],
         "kg_triangles": kg_triangles,
         "kg_communities": kg_communities,
         "kg_domain_pagerank": qs["kg_domain_pagerank"],

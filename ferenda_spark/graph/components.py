@@ -157,3 +157,66 @@ def canonical_mapping(sameas_triples: DataFrame) -> DataFrame:
     cc = connected_components(edges)
     return cc.select(F.col("node").alias("uri"),
                      F.col("component").alias("canonical_id"))
+
+
+def incremental_components(assignments: DataFrame, new_edges: DataFrame,
+                           src: str = "src", dst: str = "dst"
+                           ) -> DataFrame:
+    """Incremental connected components: fold a crawl batch's new
+    owl:sameAs edges into an existing (node, component) assignment
+    table without recomputing CC over the corpus.
+
+    ``assignments`` must be a closed component mapping (every member
+    listed, component = min member — exactly what
+    :func:`connected_components` emits). Returns the updated
+    (node, component) table, identical to recomputing CC over the old
+    components' implied edges ∪ ``new_edges`` (asserted by the
+    kg_entities_delta oracle, which IS the full recompute).
+
+    Algorithm (the standard contracted-graph update): project each new
+    edge endpoint to its current component id; run CC over that
+    *contracted* edge list (batch-sized — old components shrink to
+    single nodes); the result is simultaneously the relabel map for
+    touched components and the assignment for never-seen nodes. The
+    new representative is still the global min member, because each
+    old label already was its component's min.
+
+    Scale notes (10^12 docs): the corpus-sized ``assignments`` table is
+    only ever the *probe* side of two broadcast hash joins (batch
+    endpoints in, relabel map back out) — it never shuffles, and the CC
+    itself runs on the contracted batch graph, so steady-state cost is
+    O(batch), not O(corpus). This is the update path a continuously
+    ingesting KG needs: full alternating-star CC once at bootstrap,
+    contracted updates per crawl batch thereafter.
+    """
+    E = (new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    nodes = (E.select(F.col("u").alias("node"))
+             .union(E.select(F.col("v").alias("node"))).distinct())
+    # current labels for batch endpoints: batch-sized result, the big
+    # assignments scan streams past the broadcast endpoint set
+    labels = (assignments.join(F.broadcast(nodes), "node")
+              .select("node", "component").localCheckpoint(eager=True))
+    lu = labels.select(F.col("node").alias("u"),
+                       F.col("component").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"),
+                       F.col("component").alias("cv"))
+    contracted = (E.join(F.broadcast(lu), "u", "left")
+                  .join(F.broadcast(lv), "v", "left")
+                  .select(F.coalesce("cu", "u").alias("src"),
+                          F.coalesce("cv", "v").alias("dst"))
+                  .where(F.col("src") != F.col("dst")))
+    delta = connected_components(contracted).localCheckpoint(eager=True)
+    # relabel touched components (delta.node is an old component id or
+    # a brand-new node; join on component touches only merged rows)
+    relabel = delta.select(F.col("node").alias("component"),
+                           F.col("component").alias("_nc"))
+    updated = (assignments.join(F.broadcast(relabel), "component", "left")
+               .select("node",
+                       F.coalesce("_nc", "component").alias("component")))
+    # never-seen nodes: batch endpoints with no current label
+    new_nodes = nodes.join(F.broadcast(labels.select("node")),
+                           "node", "left_anti")
+    new_rows = (delta.join(F.broadcast(new_nodes), "node")
+                .select("node", "component"))
+    return updated.unionByName(new_rows)

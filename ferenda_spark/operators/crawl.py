@@ -185,3 +185,44 @@ def politeness_schedule(urls: DataFrame, per_host_rate: int = 10,
                 "slot",
                 ((F.row_number().over(w) - F.lit(1)) /
                  F.lit(per_host_rate)).cast("long")))
+
+
+def frontier_expand(pages: DataFrame, seen: DataFrame,
+                    per_host_cap: int = 100, html_col: str = "text",
+                    url_col: str = "url") -> DataFrame:
+    """Crawl-frontier expansion → (url, host, rank): the distinct
+    absolute http(s) outlink targets across a crawl batch, minus the
+    already-fetched URL set, capped at ``per_host_cap`` candidates per
+    host — the discovery step between link extraction
+    (textops.anchor_text_stats) and fetch scheduling
+    (:func:`politeness_schedule`). Fragments are stripped (they never
+    change the fetched resource); rank is the deterministic md5 order
+    within a host, so re-running the expansion over the same batch
+    yields the same frontier.
+
+    Scale notes: tag extraction + explode are narrow codegen; distinct
+    is one uniform url-keyed exchange; the seen-set anti-join reuses
+    that url clustering; the per-host cap is one host-keyed window
+    whose WindowGroupLimit pushes the cap below the sort — a 10M-link
+    host contributes per_host_cap rows, not 10M, to anything
+    downstream. No UDFs, nothing on the driver.
+    """
+    from pyspark.sql import Window
+
+    from .graphops import host_col as host_of
+    from .textops import ANCHOR_RE
+    links = pages.select(
+        F.explode(F.regexp_extract_all(
+            F.coalesce(F.col(html_col), F.lit("")),
+            F.lit(ANCHOR_RE), 1)).alias("url"))
+    cand = (links
+            .where(F.col("url").rlike("^https?://"))
+            .select(F.regexp_replace("url", "#.*$", "").alias("url"))
+            .distinct()
+            .join(seen.select(F.col(url_col).alias("url")),
+                  "url", "left_anti"))
+    w = Window.partitionBy("host").orderBy(F.md5(F.col("url")),
+                                           F.col("url"))
+    return (cand.select("url", host_of(F.col("url")).alias("host"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= per_host_cap))

@@ -108,3 +108,54 @@ def test_incremental_needed_and_counters(spark, corpus):
     counters = {(r["stage"], r["status"]): r["n_urls"]
                 for r in stage_counters(entries).collect()}
     assert counters[("parse", "ok")] == 80
+
+
+def _cc_dict(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_incremental_components_equals_full(spark):
+    """Random split: folding a batch into bootstrap assignments must
+    equal from-scratch CC over all edges — merge, relabel and
+    new-node paths all hit."""
+    import random
+
+    from ferenda_spark.graph.components import incremental_components
+    rng = random.Random(42)
+    edges = [("n%02d" % rng.randrange(40), "n%02d" % rng.randrange(40))
+             for _ in range(60)]
+    edges = [e for e in edges if e[0] != e[1]]
+    cut = len(edges) * 2 // 3
+    as_df = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "src string, dst string")
+    base = (connected_components(as_df(edges[:cut]))
+            .select("node", "component"))
+    got = incremental_components(base, as_df(edges[cut:]))
+    want = connected_components(as_df(edges))
+    assert _cc_dict(got) == _cc_dict(want)
+
+
+def test_incremental_components_empty_batch(spark):
+    from ferenda_spark.graph.components import incremental_components
+    e = spark.createDataFrame([("a", "b"), ("b", "c")],
+                              "src string, dst string")
+    base = connected_components(e).select("node", "component")
+    got = incremental_components(base, e.limit(0))
+    assert _cc_dict(got) == _cc_dict(base)
+
+
+def test_incremental_components_all_new_and_bridge(spark):
+    """A batch that creates a brand-new component AND bridges two
+    existing ones; representatives stay the global min member."""
+    from ferenda_spark.graph.components import incremental_components
+    base_edges = spark.createDataFrame(
+        [("a", "b"), ("x", "y")], "src string, dst string")
+    base = connected_components(base_edges).select("node", "component")
+    batch = spark.createDataFrame(
+        [("p", "q"),            # all-new component
+         ("b", "y"),            # bridges {a,b} and {x,y} → min 'a'
+         ("y", "z")],           # new node joins the merged component
+        "src string, dst string")
+    got = _cc_dict(incremental_components(base, batch))
+    assert got == {"a": "a", "b": "a", "x": "a", "y": "a", "z": "a",
+                   "p": "p", "q": "p"}

@@ -120,3 +120,28 @@ def test_politeness_schedule_slots(spark):
     # deterministic across runs (md5 rank, not partition order)
     again = politeness_schedule(urls, per_host_rate=10).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_frontier_expand_semantics(spark):
+    """Relative links dropped, fragments stripped (and deduped with
+    the bare URL), seen URLs anti-joined, empty-anchor links kept,
+    per-host cap enforced."""
+    from ferenda_spark.operators.crawl import frontier_expand
+    pages = spark.createDataFrame([
+        ('<a href="https://a.com/1">x</a> <a href="/rel">r</a>',),
+        ('<a href="https://a.com/1#frag">x</a>'
+         ' <a href="https://a.com/2"></a>',),        # empty anchor kept
+        ('<a href="https://b.com/1">y</a> <a href="https://b.com/2">y</a>'
+         ' <a href="https://b.com/3">y</a>',),
+        ('<a href="ftp://c.com/1">z</a>',),           # non-http dropped
+    ], "text string")
+    seen = spark.createDataFrame([("https://a.com/2",)], "url string")
+    got = frontier_expand(pages, seen, per_host_cap=2)
+    rows = {(r.url, r.host) for r in got.collect()}
+    urls = {u for u, _ in rows}
+    assert "https://a.com/1" in urls          # fragment variant deduped
+    assert "https://a.com/2" not in urls      # seen
+    assert not any(u.startswith(("ftp", "/")) for u in urls)
+    assert len([u for u in urls if u.startswith("https://b.com")]) == 2
+    assert {h for _, h in rows} == {"a.com", "b.com"}
+    assert {r["rank"] for r in got.collect()} <= {1, 2}
