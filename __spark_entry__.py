@@ -1792,6 +1792,68 @@ def _q_kg_crawl_delta(spark, sf_dir):
 
 DCT_TITLE_URI = "http://purl.org/dc/terms/title"
 
+KG_CRAWL_TS = ("2026-01-01", "2026-02-01", "2026-03-01")
+
+
+def _kg_new_doc_rows(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(KG_NEW_URL, "http://example.org/res/doc/new",
+          DCT_TITLE_URI, "New doc"),
+         (KG_NEW_URL, "http://example.org/res/doc/new",
+          "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+          "http://xmlns.com/foaf/0.1/Document")],
+        "source_url string, subject string, predicate string, "
+        "object string")
+
+
+def _kg_three_crawls(spark) -> DataFrame:
+    """(source_url, s, p, o, crawl_ts) rows of three crawl snapshots
+    (twin: kgoracle._three_crawls states the same by formula): crawl 1
+    = the corpus; crawl 2 = the kg_crawl_delta mutation (…1.html docs
+    missing, …0.html titles revised, one new doc); crawl 3 = crawl 1's
+    triples minus …1./…3.html docs plus the new doc — so the …0.html
+    revision is REVERTED and the original titles get two disjoint
+    presence intervals."""
+    a = (_kg_read(spark, "triples")
+         .select("source_url", "subject", "predicate", "object")
+         .distinct())
+    new = _kg_new_doc_rows(spark)
+    b = (a.where(~F.col("source_url").like("%1.html"))
+         .withColumn("object",
+                     F.when((F.col("predicate") == DCT_TITLE_URI) &
+                            F.col("source_url").like("%0.html"),
+                            F.concat(F.col("object"), F.lit(" (rev 2)")))
+                      .otherwise(F.col("object")))
+         .unionByName(new))
+    c = (a.where(~F.col("source_url").like("%1.html") &
+                 ~F.col("source_url").like("%3.html"))
+         .unionByName(new))
+    ts = KG_CRAWL_TS
+    return (a.withColumn("crawl_ts", F.lit(ts[0]))
+            .unionByName(b.withColumn("crawl_ts", F.lit(ts[1])))
+            .unionByName(c.withColumn("crawl_ts", F.lit(ts[2]))))
+
+
+def _q_kg_triple_intervals(spark, sf_dir):
+    """Temporal triple table (versioning.temporal_intervals): the
+    three-crawl corpus collapses into maximal (valid_from, valid_to)
+    presence intervals — reverted …0.html titles carry TWO intervals,
+    …1.html docs close at crawl 2, the new doc opens at crawl 2 with
+    the FAR_FUTURE sentinel."""
+    from ferenda_spark.operators.versioning import temporal_intervals
+    return temporal_intervals(_kg_three_crawls(spark))
+
+
+def _q_kg_asof(spark, sf_dir):
+    """Time travel (versioning.triples_asof): the corpus state at an
+    instant inside crawl 2's currency window must equal crawl 2's
+    snapshot exactly — the oracle states that identity (the crawl-2
+    formula), not the interval implementation."""
+    from ferenda_spark.operators.versioning import (temporal_intervals,
+                                                    triples_asof)
+    return triples_asof(temporal_intervals(_kg_three_crawls(spark)),
+                        "2026-02-15")
+
 
 def _kg_fusion_corpus(spark) -> DataFrame:
     """Three assertion sources over the canonical KG (twin:
@@ -2874,6 +2936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_crawl_delta": _q_kg_crawl_delta,
         "kg_conflicts": _q_kg_conflicts,
         "kg_fused": _q_kg_fused,
+        "kg_triple_intervals": _q_kg_triple_intervals,
+        "kg_asof": _q_kg_asof,
         "kg_describe": _q_kg_describe,
         "kg_describe_sparql": _q_kg_describe_sparql,
         "kg_sparql_stats": _q_kg_sparql_stats,
@@ -3072,6 +3136,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_crawl_delta": kgoracle.sql_crawl_delta(kg, KG_NEW_URL),
         "kg_conflicts": kgoracle.sql_conflicts(kg),
         "kg_fused": kgoracle.sql_fused(kg),
+        "kg_triple_intervals": kgoracle.sql_triple_intervals(
+            kg, KG_NEW_URL, KG_CRAWL_TS),
+        # as-of inside crawl 2's window ≡ crawl 2's snapshot, by
+        # definition — the oracle states the identity, not the
+        # interval machinery
+        "kg_asof": kgoracle.sql_asof_crawl2(kg, KG_NEW_URL),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),

@@ -206,6 +206,21 @@ def main() -> None:
                                                       label_propagation)
         return label_propagation(citation_edges(stages["triples"]))
 
+    def kg_triple_intervals(spark, _):
+        # temporal triple table over three crawl snapshots:
+        # gaps-and-islands — one distinct + one window + one agg, all
+        # sharing the composite-triple-key exchange
+        from ferenda_spark.operators.versioning import temporal_intervals
+        from pyspark.sql import functions as F
+        a = stages["triples"].select("source_url", "subject",
+                                     "predicate", "object").distinct()
+        u = (a.withColumn("crawl_ts", F.lit("2026-01-01"))
+             .unionByName(a.where(~F.col("source_url").like("%1.html"))
+                          .withColumn("crawl_ts", F.lit("2026-02-01")))
+             .unionByName(a.where(~F.col("source_url").like("%3.html"))
+                          .withColumn("crawl_ts", F.lit("2026-03-01"))))
+        return temporal_intervals(u)
+
     def kg_entities_delta(spark, _):
         # incremental entity resolution: bootstrap CC minus the
         # %2.html batch, then the contracted-graph update — the
@@ -293,6 +308,7 @@ def main() -> None:
         "kg_crawl_delta": kg_crawl_delta,
         "kg_fused": kg_fused,
         "kg_entities_delta": kg_entities_delta,
+        "kg_triple_intervals": kg_triple_intervals,
         "frontier_expand": qs["frontier_expand"],
         "kg_triangles": kg_triangles,
         "kg_communities": kg_communities,

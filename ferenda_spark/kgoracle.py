@@ -958,3 +958,70 @@ def sql_fused(paths) -> str:
     SELECT subject, predicate, object, objtype, support, n_values
     FROM ranked WHERE rn = 1 ORDER BY subject, predicate
     """
+
+
+def _three_crawls(paths, new_url: str, ts) -> str:
+    """Shared three-crawl snapshot CTEs for the temporal queries —
+    states the _kg_three_crawls driver corpus by formula: crawl 1 =
+    corpus, crawl 2 = the kg_crawl_delta mutation, crawl 3 = crawl 1
+    minus …1./…3.html docs plus the new doc (the …0.html title
+    revision reverted)."""
+    new_subj = "http://example.org/res/doc/new"
+    return f"""
+    a AS (
+      SELECT DISTINCT source_url, subject, predicate, object
+      FROM {_t(paths, 'triples')}),
+    newdoc(source_url, subject, predicate, object) AS (VALUES
+      ('{new_url}', '{new_subj}', '{DCT}title', 'New doc'),
+      ('{new_url}', '{new_subj}', '{RDF_TYPE}',
+       'http://xmlns.com/foaf/0.1/Document')),
+    b AS (
+      SELECT source_url, subject, predicate,
+             CASE WHEN predicate = '{DCT}title'
+                       AND source_url LIKE '%0.html'
+                  THEN object || ' (rev 2)' ELSE object END AS object
+      FROM a WHERE source_url NOT LIKE '%1.html'
+      UNION ALL SELECT * FROM newdoc),
+    c AS (
+      SELECT * FROM a WHERE source_url NOT LIKE '%1.html'
+        AND source_url NOT LIKE '%3.html'
+      UNION ALL SELECT * FROM newdoc),
+    u AS (
+      SELECT *, '{ts[0]}' AS crawl_ts FROM a
+      UNION ALL SELECT *, '{ts[1]}' FROM b
+      UNION ALL SELECT *, '{ts[2]}' FROM c)"""
+
+
+def sql_triple_intervals(paths, new_url: str, ts) -> str:
+    return f"""
+    WITH {_three_crawls(paths, new_url, ts)},
+    crawls AS (
+      SELECT ts, row_number() OVER (ORDER BY ts) AS idx,
+             coalesce(lead(ts) OVER (ORDER BY ts), '9999-12-31')
+               AS next_ts
+      FROM (SELECT DISTINCT crawl_ts AS ts FROM u)),
+    t2 AS (SELECT DISTINCT source_url, subject, predicate, object,
+                  crawl_ts FROM u),
+    j AS (SELECT t2.*, cr.idx, cr.next_ts
+          FROM t2 JOIN crawls cr ON t2.crawl_ts = cr.ts),
+    isl AS (
+      SELECT *, idx - row_number() OVER (
+          PARTITION BY source_url, subject, predicate, object
+          ORDER BY idx) AS island
+      FROM j)
+    SELECT source_url, subject, predicate, object,
+           min(crawl_ts) AS valid_from,
+           arg_max(next_ts, idx) AS valid_to
+    FROM isl
+    GROUP BY source_url, subject, predicate, object, island
+    """
+
+
+def sql_asof_crawl2(paths, new_url: str) -> str:
+    """As-of an instant inside crawl 2's currency window ≡ crawl 2's
+    snapshot — the by-definition identity, no interval machinery."""
+    ts = ("1", "2", "3")  # unused by the b branch
+    return f"""
+    WITH {_three_crawls(paths, new_url, ts)}
+    SELECT DISTINCT source_url, subject, predicate, object FROM b
+    """

@@ -96,3 +96,64 @@ def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
                .select(F.lit("removed").alias("change"), *cols)
     return added.unionByName(removed) \
                 .orderBy("change", *cols)
+
+
+FAR_FUTURE = "9999-12-31"
+
+_TRIPLE_KEY = ("source_url", "subject", "predicate", "object")
+
+
+def temporal_intervals(snapshots: DataFrame,
+                       crawl_col: str = "crawl_ts",
+                       key_cols=_TRIPLE_KEY) -> DataFrame:
+    """Crawl snapshots → temporal triple table: rows tagged with the
+    crawl they appeared in become (key…, valid_from, valid_to) maximal
+    presence intervals (valid_to exclusive; :data:`FAR_FUTURE` = still
+    present in the newest crawl). A triple dropped by one crawl and
+    re-added by a later one gets two intervals — the gaps-and-islands
+    reconstruction over the crawl sequence, the lake analog of the
+    reference's per-document version archive
+    (ferenda/documentstore.py archive()/list_versions) applied at
+    triple grain.
+
+    Scale notes: the crawl list itself is tiny (one row per crawl) and
+    is the only thing that ever reaches the driver; it joins back as a
+    broadcast. The corpus-sized work is one distinct + one window +
+    one aggregation, all keyed on the uniform composite triple key —
+    a single exchange reused by the window sort and the island
+    grouping. Timestamps are ISO strings, so lexicographic window
+    order is chronological.
+    """
+    from pyspark.sql import Window
+    spark = snapshots.sparkSession
+    key = list(key_cols)
+    crawls = sorted(r[0] for r in
+                    snapshots.select(crawl_col).distinct().collect())
+    idx_rows = [(ts, i + 1,
+                 crawls[i + 1] if i + 1 < len(crawls) else FAR_FUTURE)
+                for i, ts in enumerate(crawls)]
+    idx = spark.createDataFrame(
+        idx_rows, "%s string, idx long, next_ts string" % crawl_col)
+    t = (snapshots.select(*key, crawl_col).distinct()
+         .join(F.broadcast(idx), crawl_col))
+    w = Window.partitionBy(*key).orderBy("idx")
+    isl = t.withColumn(
+        "island", F.col("idx") - F.row_number().over(w).cast("long"))
+    return (isl.groupBy(*key, "island")
+            .agg(F.min(crawl_col).alias("valid_from"),
+                 F.max_by("next_ts", "idx").alias("valid_to"))
+            .drop("island"))
+
+
+def triples_asof(intervals: DataFrame, ts: str,
+                 key_cols=_TRIPLE_KEY) -> DataFrame:
+    """Time travel: the corpus state at ``ts`` — every triple whose
+    presence interval covers the instant (valid_from ≤ ts < valid_to).
+    Both predicates push to the interval table's parquet scan. By
+    construction, as-of any instant within crawl i's currency window
+    equals crawl i's snapshot exactly — the kg_asof oracle states that
+    identity instead of mirroring the implementation."""
+    return (intervals
+            .where((F.col("valid_from") <= F.lit(ts)) &
+                   (F.col("valid_to") > F.lit(ts)))
+            .select(*key_cols))

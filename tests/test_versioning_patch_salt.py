@@ -115,3 +115,57 @@ def test_triple_diff_golden(spark):
            for r in triple_diff(old, new).collect()]
     # set semantics: the duplicate (u2…dup) rows collapse, no diff row
     assert got == [("added", "u1", "fresh"), ("removed", "u1", "gone")]
+
+
+def test_temporal_intervals_islands(spark):
+    """Presence intervals: continuous run, close-at-drop, re-add as a
+    second island, FAR_FUTURE sentinel on the newest crawl."""
+    from ferenda_spark.operators.versioning import (FAR_FUTURE,
+                                                    temporal_intervals)
+    rows = []
+    for ts, triples in [
+        ("2026-01-01", ["stay", "dropped", "flicker"]),
+        ("2026-02-01", ["stay", "added"]),
+        ("2026-03-01", ["stay", "added", "flicker"]),
+    ]:
+        rows += [("u", s, "p", "o", ts) for s in triples]
+    df = spark.createDataFrame(
+        rows, "source_url string, subject string, predicate string, "
+              "object string, crawl_ts string")
+    got = {(r.subject, r.valid_from, r.valid_to)
+           for r in temporal_intervals(df).collect()}
+    assert got == {
+        ("stay", "2026-01-01", FAR_FUTURE),
+        ("dropped", "2026-01-01", "2026-02-01"),
+        ("added", "2026-02-01", FAR_FUTURE),
+        ("flicker", "2026-01-01", "2026-02-01"),
+        ("flicker", "2026-03-01", FAR_FUTURE),
+    }
+
+
+def test_asof_equals_snapshot(spark):
+    """As-of any instant inside crawl i's currency window ≡ crawl i's
+    snapshot — the identity the kg_asof oracle states."""
+    import random
+
+    from ferenda_spark.operators.versioning import (temporal_intervals,
+                                                    triples_asof)
+    rng = random.Random(7)
+    crawls = ["2026-0%d-01" % i for i in range(1, 5)]
+    rows = []
+    snap = {}
+    for ts in crawls:
+        present = {("u%d" % i, "s%d" % i, "p", "o")
+                   for i in range(20) if rng.random() < 0.6}
+        snap[ts] = present
+        rows += [t + (ts,) for t in present]
+    df = spark.createDataFrame(
+        rows, "source_url string, subject string, predicate string, "
+              "object string, crawl_ts string")
+    iv = temporal_intervals(df)
+    for ts, probe in [("2026-01-01", "2026-01-15"),
+                      ("2026-02-01", "2026-02-01"),
+                      ("2026-03-01", "2026-03-31"),
+                      ("2026-04-01", "2027-06-01")]:
+        got = {tuple(r) for r in triples_asof(iv, probe).collect()}
+        assert got == snap[ts], probe
