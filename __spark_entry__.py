@@ -1897,6 +1897,19 @@ def _q_kg_fused(spark, sf_dir):
     return fuse_triples(_kg_fusion_corpus(spark), [DCT_TITLE_URI])
 
 
+def _q_kg_provenance(spark, sf_dir):
+    """Lineage as RDF (lineage.prov_triples): the parse stage's entries
+    table becomes W3C PROV-O triples — Entity/Activity typing,
+    wasDerivedFrom, wasGeneratedBy for ok rows (+ generatedAtTime from
+    the crawl timestamp), wasInvalidatedBy for failures — queryable
+    with the same SPARQL surface as the data it describes."""
+    from ferenda_spark.operators.lineage import (entries_from_extracted,
+                                                 prov_triples)
+    entries = entries_from_extracted(_extracted(spark), _pages(spark),
+                                     "parse", "r1")
+    return prov_triples(entries, _kg_read(spark, "pages_meta"))
+
+
 def _q_kg_stage_counters(spark, sf_dir):
     from ferenda_spark.operators.lineage import (entries_from_extracted,
                                                  stage_counters)
@@ -2938,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fused": _q_kg_fused,
         "kg_triple_intervals": _q_kg_triple_intervals,
         "kg_asof": _q_kg_asof,
+        "kg_provenance": _q_kg_provenance,
         "kg_describe": _q_kg_describe,
         "kg_describe_sparql": _q_kg_describe_sparql,
         "kg_sparql_stats": _q_kg_sparql_stats,
@@ -3142,6 +3156,7 @@ def oracle_sql() -> dict[str, str]:
         # definition — the oracle states the identity, not the
         # interval machinery
         "kg_asof": kgoracle.sql_asof_crawl2(kg, KG_NEW_URL),
+        "kg_provenance": kgoracle.sql_provenance(kg),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),

@@ -206,6 +206,17 @@ def main() -> None:
                                                       label_propagation)
         return label_propagation(citation_edges(stages["triples"]))
 
+    def kg_provenance(spark, _):
+        # lineage as PROV-O RDF: codegen projections over one entries
+        # scan + a url-keyed timestamp join; the activity census is
+        # bounded by runs × stages
+        from ferenda_spark.operators.lineage import prov_triples
+        from pyspark.sql import functions as F
+        e = stages["documents"].select(
+            "url", F.lit("parse").alias("stage"), "status",
+            F.lit("r1").alias("run_id"))
+        return prov_triples(e, stages["pages"].select("url", "warc_ts"))
+
     def kg_triple_intervals(spark, _):
         # temporal triple table over three crawl snapshots:
         # gaps-and-islands — one distinct + one window + one agg, all
@@ -309,6 +320,7 @@ def main() -> None:
         "kg_fused": kg_fused,
         "kg_entities_delta": kg_entities_delta,
         "kg_triple_intervals": kg_triple_intervals,
+        "kg_provenance": kg_provenance,
         "frontier_expand": qs["frontier_expand"],
         "kg_triangles": kg_triangles,
         "kg_communities": kg_communities,

@@ -1025,3 +1025,36 @@ def sql_asof_crawl2(paths, new_url: str) -> str:
     WITH {_three_crawls(paths, new_url, ts)}
     SELECT DISTINCT source_url, subject, predicate, object FROM b
     """
+
+
+def sql_provenance(paths, run_id: str = "r1",
+                   stage: str = "parse") -> str:
+    """Twin of lineage.prov_triples over the parse entries: the same
+    six projections stated over the documents (url, status) and
+    pages_meta (url, warc_ts) parquet."""
+    prov = "http://www.w3.org/ns/prov#"
+    d = _t(paths, "documents")
+    m = _t(paths, "pages_meta")
+    art = "e.url || '#" + stage + "'"
+    act = "'urn:run:" + run_id + ":" + stage + "'"
+    return f"""
+    WITH e AS (SELECT url, status FROM {d})
+    SELECT {art} AS subject, '{RDF_TYPE}' AS predicate,
+           '{prov}Entity' AS object, 'uri' AS objtype,
+           e.url AS source_url FROM e
+    UNION ALL
+    SELECT {art}, '{prov}wasDerivedFrom', e.url, 'uri', e.url FROM e
+    UNION ALL
+    SELECT {art}, '{prov}wasGeneratedBy', {act}, 'uri', e.url
+    FROM e WHERE status = 'ok'
+    UNION ALL
+    SELECT {art}, '{prov}generatedAtTime', mm.warc_ts::varchar,
+           'literal', e.url
+    FROM e JOIN {m} mm ON mm.url = e.url WHERE e.status = 'ok'
+    UNION ALL
+    SELECT {art}, '{prov}wasInvalidatedBy', {act}, 'uri', e.url
+    FROM e WHERE status <> 'ok'
+    UNION ALL
+    SELECT DISTINCT {act}, '{RDF_TYPE}', '{prov}Activity', 'uri', ''
+    FROM e
+    """

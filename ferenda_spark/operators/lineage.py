@@ -121,3 +121,58 @@ def merge_triples(spark: SparkSession, new_triples: DataFrame, path: str):
      .sortWithinPartitions("subject")
      .write.partitionBy("bucket", "predicate")
      .mode("append").parquet(path))
+
+
+PROV = "http://www.w3.org/ns/prov#"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def prov_triples(entries: DataFrame, meta: DataFrame) -> DataFrame:
+    """Lineage as RDF: the entries table (url, stage, status, run_id)
+    becomes W3C PROV-O triples, union-ready with the triple table — the
+    graph-native form of the reference's DocumentEntry sidecars (ref
+    ferenda/documententry.py:27-165), so provenance is queryable with
+    the same SPARQL surface as the data it describes.
+
+    Per entry row, for artifact A = url#stage and activity
+    Act = urn:run:run_id:stage —
+
+    - (A, rdf:type, prov:Entity)
+    - (A, prov:wasDerivedFrom, url)
+    - ok rows: (A, prov:wasGeneratedBy, Act) and, via ``meta``
+      (url, warc_ts), (A, prov:generatedAtTime, warc_ts)
+    - failed rows: (A, prov:wasInvalidatedBy, Act)
+    - one (Act, rdf:type, prov:Activity) per distinct activity
+
+    → (subject, predicate, object, objtype, source_url). Scale notes:
+    pure codegen projections unioned over one scan of entries; the
+    timestamp join is url-keyed (uniform); the activity census is a
+    distinct over (run_id, stage) — bounded by runs × stages, never
+    corpus-sized. No UDFs, nothing on the driver.
+    """
+    a = F.concat(F.col("url"), F.lit("#"), F.col("stage"))
+    act = F.concat(F.lit("urn:run:"), F.col("run_id"), F.lit(":"),
+                   F.col("stage"))
+
+    def row(s, p, o, objtype="uri", src=F.col("url")):
+        return [s.alias("subject"), F.lit(p).alias("predicate"),
+                o.alias("object"), F.lit(objtype).alias("objtype"),
+                src.alias("source_url")]
+
+    e = entries.select("url", "stage", "status", "run_id")
+    typed = e.select(*row(a, _RDF_TYPE, F.lit(PROV + "Entity")))
+    derived = e.select(*row(a, PROV + "wasDerivedFrom", F.col("url")))
+    ok = e.where(F.col("status") == "ok")
+    generated = ok.select(*row(a, PROV + "wasGeneratedBy", act))
+    at_time = (ok.join(meta.select("url", "warc_ts"), "url")
+               .select(*row(a, PROV + "generatedAtTime",
+                            F.col("warc_ts").cast("string"),
+                            objtype="literal")))
+    invalidated = (e.where(F.col("status") != "ok")
+                   .select(*row(a, PROV + "wasInvalidatedBy", act)))
+    activities = (e.select("run_id", "stage").distinct()
+                  .select(*row(act, _RDF_TYPE, F.lit(PROV + "Activity"),
+                               src=F.lit(""))))
+    return (typed.unionByName(derived).unionByName(generated)
+            .unionByName(at_time).unionByName(invalidated)
+            .unionByName(activities))

@@ -18,7 +18,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SWEEP_N = 1500
 QUERIES = ["kg_toc", "kg_toc_pagesets", "kg_pagerank", "kg_annotations",
            "kg_news_feed_entries", "kg_stale", "kg_search", "kg_faceted",
-           "kg_describe_rfc"]
+           "kg_describe_rfc",
+           # incremental CC (component shapes change with n) and the
+           # temporal islands (interval structure changes with n)
+           "kg_entities_delta", "kg_triple_intervals"]
 
 
 @pytest.fixture(scope="module")

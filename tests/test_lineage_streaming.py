@@ -149,3 +149,44 @@ def test_stream_extract_checkpoint(spark, pages, tmp_path):
     # restart with same checkpoint: no files reprocessed, no dup rows
     stream_extract(spark, src, out, ckpt)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_prov_triples_golden(spark):
+    """PROV-O emission: ok rows generate, failed rows invalidate, one
+    Activity per (run, stage), timestamps only for ok rows — and the
+    result is queryable through the same SPARQL surface."""
+    from ferenda_spark.operators.lineage import PROV, prov_triples
+    entries = spark.createDataFrame(
+        [("u1", "parse", "ok", None, "h1", "r1"),
+         ("u2", "parse", "fail", "boom", "h2", "r1")],
+        "url string, stage string, status string, error string, "
+        "content_hash string, run_id string")
+    meta = spark.createDataFrame(
+        [("u1", "2026-01-01 00:00:00"), ("u2", "2026-01-01 00:00:00")],
+        "url string, warc_ts string")
+    got = {(r.subject, r.predicate, r.object)
+           for r in prov_triples(entries, meta).collect()}
+    act = "urn:run:r1:parse"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert got == {
+        ("u1#parse", rdf_type, PROV + "Entity"),
+        ("u2#parse", rdf_type, PROV + "Entity"),
+        ("u1#parse", PROV + "wasDerivedFrom", "u1"),
+        ("u2#parse", PROV + "wasDerivedFrom", "u2"),
+        ("u1#parse", PROV + "wasGeneratedBy", act),
+        ("u1#parse", PROV + "generatedAtTime", "2026-01-01 00:00:00"),
+        ("u2#parse", PROV + "wasInvalidatedBy", act),
+        (act, rdf_type, PROV + "Activity"),
+    }
+    # the provenance graph answers SPARQL like any other triples
+    from ferenda_spark import sparql
+    t = prov_triples(entries, meta) \
+        .withColumn("lang", F.lit("")) \
+        .withColumn("datatype", F.lit("")) \
+        .withColumn("context", F.lit(""))
+    rows = sparql.compile_spark(t, """
+        PREFIX prov: <http://www.w3.org/ns/prov#>
+        SELECT ?doc WHERE {
+          ?a prov:wasInvalidatedBy ?act ; prov:wasDerivedFrom ?doc }
+    """).collect()
+    assert [r["doc"] for r in rows] == ["u2"]
