@@ -1584,6 +1584,26 @@ SELECT ?g ?c (COUNT(?s) AS ?n_titled) WHERE {
 """
 
 
+_KG_SPARQL_PATHVAR = """
+PREFIX dct: <http://purl.org/dc/terms/>
+SELECT ?g ?part ?top ?t WHERE {
+  GRAPH ?g { ?part dct:isPartOf+ ?top . ?top dct:title ?t }
+}
+"""
+
+
+def _q_kg_sparql_pathvar(spark, sf_dir):
+    """Property paths under GRAPH ?var: the isPartOf+ closure runs
+    per named graph (grouped on the context — one shared iteration,
+    not one job per graph) and ?g joins the plain title scan under the
+    same GRAPH ?g, so ancestors resolve within their own document
+    graph only."""
+    from ferenda_spark import sparql
+    quads = _kg_read(spark, "triples").withColumn(
+        "context", F.col("source_url"))
+    return sparql.compile_spark(quads, _KG_SPARQL_PATHVAR)
+
+
 def _q_kg_sparql_graphvar(spark, sf_dir):
     """GRAPH ?var over per-document named graphs (the reference's
     quad-store model: one graph per document, context = the doc URL).
@@ -2946,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search_indexed": _q_kg_search_indexed,
         "kg_sparql": _q_kg_sparql,
         "kg_sparql_graphvar": _q_kg_sparql_graphvar,
+        "kg_sparql_pathvar": _q_kg_sparql_pathvar,
         "kg_crawl_delta": _q_kg_crawl_delta,
         "kg_conflicts": _q_kg_conflicts,
         "kg_fused": _q_kg_fused,
@@ -3117,6 +3138,11 @@ def oracle_sql() -> dict[str, str]:
             "datatype, source_url, source_url AS context "
             "FROM read_parquet('%s'))" % kg["triples"],
             _KG_SPARQL_GRAPHVAR),
+        "kg_sparql_pathvar": sparql.compile_sql(
+            "(SELECT subject, predicate, object, objtype, lang, "
+            "datatype, source_url, source_url AS context "
+            "FROM read_parquet('%s'))" % kg["triples"],
+            _KG_SPARQL_PATHVAR),
         "kg_describe": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),

@@ -206,6 +206,16 @@ def main() -> None:
                                                       label_propagation)
         return label_propagation(citation_edges(stages["triples"]))
 
+    def kg_sparql_pathvar(spark, _):
+        # property path under GRAPH ?var: grouped per-named-graph
+        # closure (one shared (graph,node)-keyed iteration), ?g joins
+        # the plain scan under the same GRAPH ?g
+        from ferenda_spark import sparql
+        from pyspark.sql import functions as F
+        quads = stages["triples"].withColumn("context",
+                                             F.col("source_url"))
+        return sparql.compile_spark(quads, E._KG_SPARQL_PATHVAR)
+
     def kg_provenance(spark, _):
         # lineage as PROV-O RDF: codegen projections over one entries
         # scan + a url-keyed timestamp join; the activity census is
@@ -329,6 +339,7 @@ def main() -> None:
         "warc_ingest": qs["warc_ingest"],
         "robots_filter": qs["robots_filter"],
         "kg_sparql_structdata": qs["kg_sparql_structdata"],
+        "kg_sparql_pathvar": kg_sparql_pathvar,
         "cdx_index": qs["cdx_index"],
         "sitemap_entries": qs["sitemap_entries"],
         "warc_to_pages": qs["warc_to_pages"],

@@ -96,3 +96,38 @@ def reachable_nodes(edges: DataFrame, start: str, reverse: bool = False,
     # cycle's re-reach is anti-joined away before entering out —
     # matching transitive_closure's reflexive-pair exclusion
     return out.distinct()
+
+
+def grouped_transitive_closure(edges: DataFrame, group: str = "g",
+                               src: str = "src", dst: str = "dst"
+                               ) -> DataFrame:
+    """Per-group transitive closure to fixpoint: edges (group, src,
+    dst) → all (group, a, b) pairs reachable within ONE group — the
+    GRAPH ?var property-path semantics (one closure per named graph,
+    computed in a single shared iteration keyed on (group, node)
+    rather than one job per graph). Same fixpoint/termination argument
+    as :func:`transitive_closure`; per-document graphs keep each
+    group's pair set tiny, so the uniform (group, node) join keys are
+    the skew defense."""
+    base = (edges.select(F.col(group).alias("g"), F.col(src).alias("a"),
+                         F.col(dst).alias("b"))
+            .where(F.col("a") != F.col("b")).distinct()
+            .localCheckpoint(eager=True))
+    paths = base
+    frontier = base
+    while True:
+        nxt = (frontier.alias("p")
+               .join(base.alias("e"),
+                     (F.col("p.b") == F.col("e.a")) &
+                     (F.col("p.g") == F.col("e.g")))
+               .select(F.col("p.g").alias("g"), F.col("p.a").alias("a"),
+                       F.col("e.b").alias("b"))
+               .where(F.col("a") != F.col("b"))
+               .distinct()
+               .localCheckpoint(eager=True))
+        frontier = (nxt.join(paths, ["g", "a", "b"], "left_anti")
+                    .localCheckpoint(eager=True))
+        if frontier.isEmpty():
+            break
+        paths = paths.union(frontier).localCheckpoint(eager=True)
+    return paths.distinct()

@@ -68,7 +68,10 @@ Supported subset (what ferenda's own queries use):
   aligned union (EXISTS(A∪B) = EXISTS A OR EXISTS B)
 - ``GRAPH <ctx> { … }`` → context-column constraint on the scans,
   property-path triples included (the closure runs over that
-  context's edges only)
+  context's edges only); under ``GRAPH ?var`` paths compile to a
+  grouped per-named-graph closure (one shared iteration keyed on
+  (graph, node) — Spark — / a context-carrying recursive CTE — SQL)
+  with ?var bound to the closure's graph column
 - aggregates ``COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT`` (SAMPLE
   is deterministic-MIN; GROUP_CONCAT concatenates in sorted order —
   both choices valid per spec and identical across backends), with
@@ -1182,12 +1185,8 @@ class _Parser:
                     if ctx[0] == "uri":
                         t.graph = ctx[1]
                     else:
-                        if t.p[0] == "path":
-                            # a per-graph closure would need one
-                            # fixpoint per named graph; not offered
-                            raise SparqlError(
-                                "property paths under GRAPH ?var are "
-                                "not supported")
+                        # paths under GRAPH ?var compile to a grouped
+                        # per-named-graph closure in both backends
                         t.graph_var = ctx[1]
                 g.triples.extend(sub.triples)
                 g.filters.extend(sub.filters)
@@ -2010,6 +2009,68 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                 path_cache[(uri, "*", graph)] = rel
         return path_cache[(uri, mod, graph)]
 
+    def grouped_terms() -> DataFrame:
+        t = triples.filter(_extra_spark("named", None))
+        return (t.select(F.col("context").alias("g"),
+                         F.col("subject").alias("n"))
+                .union(t.filter(F.col("objtype") == "uri")
+                       .select(F.col("context").alias("g"),
+                               F.col("object").alias("n")))
+                .distinct())
+
+    def grouped_path_relation(uri: str, mod) -> DataFrame:
+        """(g, a, b) path pairs per NAMED graph — the GRAPH ?var
+        semantics: one closure per graph, all graphs in one shared
+        iteration keyed on (g, node). No seeded hybrid here: each
+        graph's pair set is bounded by that graph's size (per-document
+        graphs in the quad-store model), so the all-pairs form is the
+        scale path."""
+        from .graph.closure import grouped_transitive_closure
+        key = (uri, mod, Ellipsis)
+        if key in path_cache:
+            return path_cache[key]
+        named = triples.filter(_extra_spark("named", None))
+        if isinstance(mod, tuple):
+            m, n2 = mod
+            edges = (named.filter(pred_cond(uri))
+                     .select(F.col("context").alias("g"),
+                             F.col("subject").alias("a"),
+                             F.col("object").alias("b"))
+                     .where(F.col("a") != F.col("b")).distinct())
+            rel = edges if m <= 1 else None
+            cur = edges
+            for k in range(2, n2 + 1):
+                cur = (cur.alias("p")
+                       .join(edges.alias("e"),
+                             (F.col("p.b") == F.col("e.a")) &
+                             (F.col("p.g") == F.col("e.g")))
+                       .select(F.col("p.g").alias("g"),
+                               F.col("p.a").alias("a"),
+                               F.col("e.b").alias("b"))
+                       .where(F.col("a") != F.col("b")).distinct())
+                if k >= m:
+                    rel = cur if rel is None else rel.union(cur)
+            if m == 0:
+                rel = rel.unionByName(
+                    grouped_terms().select("g", F.col("n").alias("a"),
+                                           F.col("n").alias("b")))
+            path_cache[key] = rel.distinct()
+            return path_cache[key]
+        if (uri, "+", Ellipsis) not in path_cache:
+            edges = (named.filter(pred_cond(uri))
+                     .select(F.col("context").alias("g"),
+                             F.col("subject").alias("src"),
+                             F.col("object").alias("dst")))
+            path_cache[(uri, "+", Ellipsis)] = \
+                grouped_transitive_closure(edges)
+        rel = path_cache[(uri, "+", Ellipsis)]
+        if mod == "*":
+            rel = rel.unionByName(
+                grouped_terms().select("g", F.col("n").alias("a"),
+                                       F.col("n").alias("b")))
+            path_cache[(uri, "*", Ellipsis)] = rel
+        return path_cache[(uri, mod, Ellipsis)]
+
     def seeded_path(uri: str, mod: str, const: str,
                     forward: bool, graph=None) -> DataFrame:
         """(a, b) path pairs when one endpoint is a constant. Hybrid
@@ -2059,17 +2120,24 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         counter[0] += 1
         if t.p[0] == "path":
             s_bound, o_bound = t.s[0] != "var", t.o[0] != "var"
-            if s_bound != o_bound and t.p[2] in ("*", "+"):
+            if t.graph_var:
+                df = grouped_path_relation(t.p[1], t.p[2])
+                terms = (("g", ("var", t.graph_var)),
+                         ("a", t.s), ("b", t.o))
+            elif s_bound != o_bound and t.p[2] in ("*", "+"):
                 df = seeded_path(t.p[1], t.p[2],
                                  (t.s if s_bound else t.o)[1], s_bound,
                                  t.graph)
+                terms = (("a", t.s), ("b", t.o))
             else:   # both/neither bound, or a bounded quantifier
                 df = path_relation(t.p[1], t.p[2], t.graph)
+                terms = (("a", t.s), ("b", t.o))
             varcols, sel = {}, []
-            for col, term in (("a", t.s), ("b", t.o)):
+            for col, term in terms:
                 if term[0] == "var":
                     if term[1] in varcols:      # ?x p* ?x
-                        df = df.filter(F.col("a") == F.col("b"))
+                        df = df.filter(F.col(varcols[term[1]]) ==
+                                       F.col(col))
                     else:
                         varcols[term[1]] = col
                 else:
@@ -2579,16 +2647,87 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             path_names[(uri, "*", graph)] = name
         return path_names[(uri, mod, graph)]
 
+    def grouped_path_cte(uri: str, mod) -> str:
+        """Per-named-graph twin of path_cte (GRAPH ?var): the
+        recursive CTEs carry the context as ``g`` and the recursion
+        joins on it — one closure per graph, mirroring the Spark
+        backend's grouped_path_relation."""
+        named = _extra_sql("named", None)
+
+        def pc(prefix=""):
+            if isinstance(uri, tuple):
+                return "%spredicate IN (%s)" % (
+                    prefix, ", ".join("'%s'" % u.replace("'", "''")
+                                      for u in uri))
+            return "%spredicate = '%s'" % (prefix,
+                                           uri.replace("'", "''"))
+
+        key = (uri, mod, Ellipsis)
+        if key in path_names:
+            return path_names[key]
+        terms_sql = ("(SELECT context AS g, subject AS n FROM %s"
+                     " WHERE %s UNION SELECT context, object FROM %s"
+                     " WHERE objtype = 'uri' AND %s)"
+                     % (table_sql, named, table_sql, named))
+        if isinstance(mod, tuple):
+            m, n2 = mod
+            inner = "gpb%d" % len(ctes)
+            ctes.append(
+                "%s AS (SELECT context AS g, subject AS a,"
+                " object AS b, 1 AS d FROM %s"
+                " WHERE %s AND %s AND subject <> object"
+                " UNION ALL SELECT p.g, p.a, e.object, p.d + 1"
+                " FROM %s p JOIN %s e"
+                " ON p.b = e.subject AND e.context = p.g AND %s"
+                " WHERE p.d < %d AND p.a <> e.object)"
+                % (inner, table_sql, pc(), named, inner, table_sql,
+                   pc("e."), n2))
+            name = "gpathq%d" % len(ctes)
+            sel = ("SELECT DISTINCT g, a, b FROM %s"
+                   " WHERE d BETWEEN %d AND %d"
+                   % (inner, max(m, 1), n2))
+            if m == 0:
+                sel += " UNION SELECT g, n, n FROM %s" % terms_sql
+            ctes.append("%s AS (%s)" % (name, sel))
+            path_names[key] = name
+            return name
+        if (uri, "+", Ellipsis) not in path_names:
+            name = "gpath%d" % len(ctes)
+            ctes.append(
+                "%s AS (SELECT context AS g, subject AS a,"
+                " object AS b FROM %s"
+                " WHERE %s AND %s AND subject <> object"
+                " UNION SELECT p.g, p.a, e.object FROM %s p JOIN %s e"
+                " ON p.b = e.subject AND e.context = p.g AND %s"
+                " WHERE p.a <> e.object)"
+                % (name, table_sql, pc(), named, name, table_sql,
+                   pc("e.")))
+            path_names[(uri, "+", Ellipsis)] = name
+        if mod == "*":
+            name = "gstar%d" % len(ctes)
+            ctes.append(
+                "%s AS (SELECT g, a, b FROM %s"
+                " UNION SELECT g, n, n FROM %s)"
+                % (name, path_names[(uri, "+", Ellipsis)], terms_sql))
+            path_names[(uri, "*", Ellipsis)] = name
+        return path_names[(uri, mod, Ellipsis)]
+
     def scan_sql(t: Triple, prefix: str):
         alias = "%s%d" % (prefix, n[0])
         n[0] += 1
         if t.p[0] == "path":
-            rel = path_cte(t.p[1], t.p[2], t.graph)
+            if t.graph_var:
+                rel = grouped_path_cte(t.p[1], t.p[2])
+                terms = (("g", ("var", t.graph_var)),
+                         ("a", t.s), ("b", t.o))
+            else:
+                rel = path_cte(t.p[1], t.p[2], t.graph)
+                terms = (("a", t.s), ("b", t.o))
             varcols, conds = {}, []
-            for col, term in (("a", t.s), ("b", t.o)):
+            for col, term in terms:
                 if term[0] == "var":
                     if term[1] in varcols:
-                        conds.append("a = b")
+                        conds.append("%s = %s" % (varcols[term[1]], col))
                     else:
                         varcols[term[1]] = col
                 else:

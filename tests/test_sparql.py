@@ -1570,13 +1570,29 @@ def test_graph_variable_excludes_default_graph(spark, tmp_path):
     assert len(out_all) == 3
 
 
-def test_graph_variable_rejects_paths_and_mixed_constant(rfc_graph):
-    """Property paths under GRAPH ?var raise (a per-graph closure is
-    not offered); GRAPH ?g and GRAPH <uri> compose in one query."""
-    with pytest.raises(sparql.SparqlError):
-        sparql.parse(PREFIXES + """
-            SELECT ?g ?a WHERE { GRAPH ?g { ?a dct:isPartOf+ ?b } }
-        """)
+def test_graph_variable_property_paths(rfc_graph):
+    """Property paths under GRAPH ?var compile to a per-named-graph
+    closure (grouped on the context) in both backends; filtering the
+    grouped result to one graph equals the explicit GRAPH <uri> form;
+    GRAPH ?g and GRAPH <uri> compose in one query."""
+    out = run_both(rfc_graph, PREFIXES + """
+        SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a dct:isPartOf+ ?b } }
+    """)
+    assert len(out) > 0
+    assert all(r[0] == "docs" for r in out.values)   # edges live there
+    grouped = {tuple(r[1:]) for r in out.values if r[0] == "docs"}
+    explicit = run_both(rfc_graph, PREFIXES + """
+        SELECT ?a ?b WHERE { GRAPH <docs> { ?a dct:isPartOf+ ?b } }
+    """)
+    assert grouped == set(map(tuple, explicit.values))
+    # star under ?g: reflexive rows are per-graph terms, so org
+    # resources appear with g = orgs even with no isPartOf edge there
+    star = run_both(rfc_graph, PREFIXES + """
+        SELECT ?g ?a WHERE { GRAPH ?g { ?a dct:isPartOf* ?a } }
+    """)
+    gs = {tuple(r) for r in star.values}
+    assert ("orgs", "p1") in gs and ("docs", "d1") in gs
+    # composes with a constant context + a plain grouped scan
     out = run_both(rfc_graph, PREFIXES + """
         SELECT ?g ?s WHERE {
           GRAPH ?g { ?s dct:identifier ?i }
@@ -1584,3 +1600,17 @@ def test_graph_variable_rejects_paths_and_mixed_constant(rfc_graph):
         }
     """)
     assert all(r[0] == "docs" for r in out.values) and len(out) > 0
+
+
+def test_graph_variable_bounded_path_and_join(rfc_graph):
+    """Bounded quantifiers group per graph too, and the path scan's
+    ?g joins plain scans under the same GRAPH ?g (same-graph
+    co-location)."""
+    run_both(rfc_graph, PREFIXES + """
+        SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a dct:isPartOf{0,2} ?b } }
+    """)
+    out = run_both(rfc_graph, PREFIXES + """
+        SELECT ?g ?a ?t WHERE {
+          GRAPH ?g { ?a dct:isPartOf+ ?b . ?a dct:title ?t } }
+    """)
+    assert len(out) > 0 and all(r[0] == "docs" for r in out.values)

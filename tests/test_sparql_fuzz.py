@@ -371,8 +371,10 @@ pathq_st = st.fixed_dictionaries({
     "inverse": st.booleans(),        # ^p:r — inverse path
     "alt": st.booleans(),            # (p:r|p:k) — union edge set
     # GRAPH-scoped path: the closure must use that context's edges
-    # only (ADVICE r3 regression)
-    "graph": st.one_of(st.none(), st.sampled_from(["g1", "g2"])),
+    # only (ADVICE r3 regression) — or GRAPH ?gv, the grouped
+    # per-named-graph closure with ?gv bound to the graph column
+    "graph": st.one_of(st.none(),
+                       st.sampled_from(["g1", "g2", "?gv"])),
     "extra": st.one_of(st.none(), pattern_st),
     # sequence tail: base-path/p:<seq> — the fresh-variable desugar
     # composed with every other path feature drawn above
@@ -388,7 +390,9 @@ def render_path_query(q):
     tail = "/p:%s" % q["seq"] if q.get("seq") else ""
     path = "%s %s%s%s%s %s . " % (term_sparql(s), caret, base, q["mod"],
                                   tail, term_sparql(o))
-    if q.get("graph"):
+    if q.get("graph") == "?gv":
+        path = "GRAPH ?gv { %s} " % path
+    elif q.get("graph"):
         path = "GRAPH <%s> { %s} " % (q["graph"], path)
     body = path
     if q["extra"]:
