@@ -190,3 +190,35 @@ def test_prov_triples_golden(spark):
           ?a prov:wasInvalidatedBy ?act ; prov:wasDerivedFrom ?doc }
     """).collect()
     assert [r["doc"] for r in rows] == ["u2"]
+
+
+def test_compact_triples_roundtrip(spark, tmp_path):
+    """Fragmented (bucket, predicate) partitions compact to one file
+    each with the content multiset unchanged."""
+    from ferenda_spark.operators.lineage import (bucket_of,
+                                                 compact_triples,
+                                                 table_manifest,
+                                                 write_triples)
+    cols = ("source_url string, subject string, predicate string, "
+            "object string, objtype string, lang string, "
+            "datatype string, context string")
+    rows = [("u%d" % i, "s%d" % i, "p%d" % (i % 2), "o%d" % i,
+             "literal", "", "", "") for i in range(40)]
+    path = str(tmp_path / "triples")
+    write_triples(spark.createDataFrame(rows[:30], cols), path)
+    # two append writes (the streaming-sink path) fragment partitions
+    for lo, hi in ((30, 35), (35, 40)):
+        (spark.createDataFrame(rows[lo:hi], cols)
+         .withColumn("bucket", bucket_of(F.col("source_url")))
+         .repartition("bucket", "predicate")
+         .write.partitionBy("bucket", "predicate")
+         .mode("append").parquet(path))
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    m = table_manifest(spark, path).collect()
+    assert any(r["n_files"] > 1 for r in m), "fixture failed to fragment"
+    compact_triples(spark, path)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+    m2 = table_manifest(spark, path).collect()
+    assert all(r["n_files"] == 1 for r in m2)
+    assert sum(r["n_rows"] for r in m2) == sum(r["n_rows"] for r in m)
