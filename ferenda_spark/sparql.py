@@ -76,7 +76,11 @@ Supported subset (what ferenda's own queries use):
   is deterministic-MIN; GROUP_CONCAT concatenates in sorted order —
   both choices valid per spec and identical across backends), with
   ``GROUP BY`` and ``HAVING`` (over group vars + agg aliases)
-- property paths ``p*`` / ``p+`` / bounded ``p{m,n}`` & ``p{,n}``;
+- property paths ``p*`` / ``p+`` / bounded ``p{m,n}`` & ``p{,n}``,
+  over a URI, an alternation ``(p1|p2)`` or a negated set
+  ``!(p1|p2)`` (closure over the complement edge set), each
+  composing with ``^``; string literals may be single- or
+  double-quoted (the tokenizer normalizes);
   plain nested ``{ … }`` groups inline at any depth; UNION nests to
   any depth via parse-time DNF distribution (``T·(A∪B) = T·A ∪
   T·B``, multiset-preserving) — everywhere except inside positive
@@ -142,7 +146,7 @@ _TOKEN = re.compile(r"""
     (?P<ws>\s+|\#[^\n]*)
   | (?P<uri><[^>\s]*>)
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
@@ -159,8 +163,15 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
             raise SparqlError("cannot tokenize at %r" % text[pos:pos + 20])
         pos = m.end()
         kind = m.lastgroup
+        tok = m.group()
+        if kind == "str" and tok.startswith("'"):
+            # normalize 'single-quoted' (spec-legal) to the canonical
+            # double-quoted form every consumer expects: unescape \',
+            # escape raw "
+            body = tok[1:-1].replace("\\'", "'").replace('"', '\\"')
+            tok = '"%s"' % body
         if kind != "ws":
-            out.append((kind, m.group()))
+            out.append((kind, tok))
     out.append(("eof", ""))
     return out
 
@@ -1361,9 +1372,11 @@ class _Parser:
                 self.expect_op(")")
             else:
                 uris = [self._iri()]
-            if self.path_mod() is not None:
-                raise SparqlError("quantifiers on negated property "
-                                  "sets are not supported")
+            mod = self.path_mod()
+            if mod is not None:
+                # !(p1|p2)+ — closure over the complement edge set;
+                # the "!" marker flips pred_cond/pc to NOT IN
+                return ("path", ("!",) + tuple(uris), mod), inv
             return ("negset", tuple(uris)), inv
         if self.peek()[1] == "(":
             self.i += 1
@@ -1927,6 +1940,19 @@ def _extra_sql(kind: str, val) -> str:
     return "datatype = '%s'" % val.replace("'", "''")
 
 
+def _pc_sql(uri, prefix: str = "") -> str:
+    """SQL edge filter for a path base (twin of the Spark backend's
+    pred_cond): one URI, an alternation tuple → IN list, or a
+    ("!", p1, …) negated set → NOT IN."""
+    if isinstance(uri, tuple):
+        neg = bool(uri) and uri[0] == "!"
+        vals = uri[1:] if neg else uri
+        return "%spredicate %sIN (%s)" % (
+            prefix, "NOT " if neg else "",
+            ", ".join("'%s'" % u.replace("'", "''") for u in vals))
+    return "%spredicate = '%s'" % (prefix, uri.replace("'", "''"))
+
+
 # --------------------------------------------------------- spark backend
 
 def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
@@ -1948,9 +1974,12 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         return triples.filter(F.col("context") == graph)
 
     def pred_cond(uri):
-        """Edge filter for a path base: one URI, or an alternation
-        tuple ((p1|p2)+ closes over the UNION of the edge sets)."""
+        """Edge filter for a path base: one URI, an alternation tuple
+        ((p1|p2)+ closes over the UNION of the edge sets), or a
+        ("!", p1, …) negated set (closure over the complement)."""
         if isinstance(uri, tuple):
+            if uri and uri[0] == "!":
+                return ~F.col("predicate").isin(list(uri[1:]))
             return F.col("predicate").isin(list(uri))
         return F.col("predicate") == uri
 
@@ -2592,13 +2621,7 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         gce = "" if esc is None else " AND e.context = '%s'" % esc
 
         def pc(prefix=""):
-            # one URI, or an alternation tuple → IN list
-            if isinstance(uri, tuple):
-                return "%spredicate IN (%s)" % (
-                    prefix, ", ".join("'%s'" % u.replace("'", "''")
-                                      for u in uri))
-            return "%spredicate = '%s'" % (prefix,
-                                           uri.replace("'", "''"))
+            return _pc_sql(uri, prefix)
         if (uri, mod, graph) in path_names:
             return path_names[(uri, mod, graph)]
         if isinstance(mod, tuple):
@@ -2655,12 +2678,7 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         named = _extra_sql("named", None)
 
         def pc(prefix=""):
-            if isinstance(uri, tuple):
-                return "%spredicate IN (%s)" % (
-                    prefix, ", ".join("'%s'" % u.replace("'", "''")
-                                      for u in uri))
-            return "%spredicate = '%s'" % (prefix,
-                                           uri.replace("'", "''"))
+            return _pc_sql(uri, prefix)
 
         key = (uri, mod, Ellipsis)
         if key in path_names:

@@ -1614,3 +1614,46 @@ def test_graph_variable_bounded_path_and_join(rfc_graph):
           GRAPH ?g { ?a dct:isPartOf+ ?b . ?a dct:title ?t } }
     """)
     assert len(out) > 0 and all(r[0] == "docs" for r in out.values)
+
+
+def test_negated_property_set_quantified(graph):
+    """!(p1|p2)+ closes over the COMPLEMENT edge set in both
+    backends; with isPartOf excluded, the chain d4→d3→d1 disappears
+    and only non-isPartOf uri edges (and their compositions) remain."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?a ?b WHERE { ?a !(dct:isPartOf)+ ?b }
+    """)
+    pairs = set(map(tuple, out.values))
+    assert ("d4", "d3") not in pairs and ("d4", "d1") not in pairs
+    assert ("d1", "p1") in pairs                # publisher edge kept
+    # complement of everything = empty closure
+    all_preds = ("dct:title|dct:identifier|dct:publisher|"
+                 "dct:isPartOf|dct:references|dct:isReferencedBy|"
+                 "rdf:type|foaf:name")
+    out2 = run_both(graph, PREFIXES +
+                    "PREFIX rdf: "
+                    "<http://www.w3.org/1999/02/22-rdf-syntax-ns#>\n"
+                    "SELECT ?a ?b WHERE { ?a !(%s){1,2} ?b }"
+                    % all_preds)
+    assert len(out2) == 0
+
+
+def test_single_quoted_strings(graph):
+    """SPARQL string literals may be single-quoted (spec grammar);
+    the tokenizer normalizes them, so filters, GROUP_CONCAT
+    separators and VALUES behave exactly like the double-quoted
+    form."""
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE { ?s dct:title 'Gamma' }
+    """)
+    assert [r[0] for r in out.values] == ["d3"]
+    out = run_both(graph, PREFIXES + """
+        SELECT (GROUP_CONCAT(?i; SEPARATOR=',') AS ?ids) WHERE {
+          ?s dct:identifier ?i }
+    """)
+    assert out.values[0][0] == "12,3,7"   # sorted-order concat
+    out = run_both(graph, PREFIXES + """
+        SELECT ?s WHERE {
+          ?s dct:title ?t FILTER (?t = 'Gamma' || ?t = "Beta memo") }
+    """)
+    assert sorted(r[0] for r in out.values) == ["d2", "d3"]

@@ -370,6 +370,7 @@ pathq_st = st.fixed_dictionaries({
     "force_bfs": st.booleans(),      # exercise the seeded-BFS branch
     "inverse": st.booleans(),        # ^p:r — inverse path
     "alt": st.booleans(),            # (p:r|p:k) — union edge set
+    "neg": st.booleans(),            # !(…) — complement edge set
     # GRAPH-scoped path: the closure must use that context's edges
     # only (ADVICE r3 regression) — or GRAPH ?gv, the grouped
     # per-named-graph closure with ?gv bound to the graph column
@@ -387,6 +388,10 @@ def render_path_query(q):
         if q["direction"] else (("var", "a"), ("const", q["endpoint"]))
     caret = "^" if q.get("inverse") else ""
     base = "(p:r|p:k)" if q.get("alt") else "p:r"
+    if q.get("neg"):
+        # ^ composes (the parser swaps endpoints before compilation,
+        # shared by both backends)
+        base = "!(%s)" % base.strip("()")
     tail = "/p:%s" % q["seq"] if q.get("seq") else ""
     path = "%s %s%s%s%s %s . " % (term_sparql(s), caret, base, q["mod"],
                                   tail, term_sparql(o))
