@@ -2479,6 +2479,59 @@ FRONTIER_SQL = (
     " SELECT url, host, rank FROM ranked WHERE rank <= 3")
 
 
+def _q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (crawl.resolve_redirects): per-group
+    chains p/5k → … → p/5k+4 (terminals, 1-4 hops), a 3-cycle that
+    must come back unresolved, and a duplicate-source row that must
+    collapse to the min destination; pointer doubling resolves in
+    log2(16) = 4 self-joins. Twin: REDIRECTS_SQL walks the same
+    mapping step-by-step under the same 16-hop cap."""
+    from ferenda_spark.operators.crawl import resolve_redirects
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def page(c):
+        return F.concat(F.lit("https://r.example/p/"), c.cast("string"))
+
+    chain = (docs.where(d % 5 != 4)
+             .select(page(d).alias("src"), page(d + 1).alias("dst")))
+    extra = spark.createDataFrame(
+        [("https://r.example/c/0", "https://r.example/c/1"),
+         ("https://r.example/c/1", "https://r.example/c/2"),
+         ("https://r.example/c/2", "https://r.example/c/0"),
+         ("https://r.example/p/0", "https://r.example/zzz")],
+        "src string, dst string")
+    return resolve_redirects(chain.unionByName(extra), max_hops=16)
+
+
+# SQL twin of _q_redirect_resolve — change BOTH or parity breaks
+REDIRECTS_SQL = (
+    "WITH RECURSIVE raw AS ("
+    "  SELECT 'https://r.example/p/' || doc_id::varchar AS src,"
+    "         'https://r.example/p/' || (doc_id + 1)::varchar AS dst"
+    "  FROM documents WHERE doc_id % 5 <> 4"
+    "  UNION ALL SELECT * FROM (VALUES"
+    "    ('https://r.example/c/0', 'https://r.example/c/1'),"
+    "    ('https://r.example/c/1', 'https://r.example/c/2'),"
+    "    ('https://r.example/c/2', 'https://r.example/c/0'),"
+    "    ('https://r.example/p/0', 'https://r.example/zzz'))"
+    "    v(src, dst)),"
+    " m AS (SELECT src, min(dst) AS dst FROM raw GROUP BY src"
+    "       HAVING src <> min(dst)),"
+    " walk AS ("
+    "  SELECT src AS start, dst AS cur, 1 AS d FROM m"
+    "  UNION ALL SELECT w.start, m.dst, w.d + 1 FROM walk w"
+    "  JOIN m ON m.src = w.cur WHERE w.d < 16),"
+    " term AS (SELECT start, cur, d FROM walk"
+    "          WHERE cur NOT IN (SELECT src FROM m)),"
+    " res AS (SELECT start, arg_min(cur, d) AS final,"
+    "                min(d)::BIGINT AS hops FROM term GROUP BY start)"
+    " SELECT m.src AS url, res.final, res.hops,"
+    "        CASE WHEN res.final IS NULL THEN 'unresolved'"
+    "             ELSE 'resolved' END AS status"
+    " FROM m LEFT JOIN res ON res.start = m.src")
+
+
 def _q_url_stats(spark, sf_dir):
     """Outbound-link census over web text (deterministic URL
     injection, same expression in URL_DOCS_SQL)."""
@@ -3014,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": _q_url_stats,
         "anchor_stats": _q_anchor_stats,
         "frontier_expand": _q_frontier_expand,
+        "redirect_resolve": _q_redirect_resolve,
         "boilerplate_filter": _q_boilerplate,
         "page_metadata": _q_page_metadata,
         "dedup_delta": _q_dedup_delta,
@@ -3222,6 +3276,7 @@ def oracle_sql() -> dict[str, str]:
         "url_stats": textops.oracle_sql_url_stats(table=URL_DOCS_SQL),
         "anchor_stats": textops.oracle_sql_anchor_stats(
             table=ANCHOR_DOCS_SQL),
+        "redirect_resolve": REDIRECTS_SQL,
         "frontier_expand": FRONTIER_SQL % {"anchor_docs":
                                            ANCHOR_DOCS_SQL},
         "boilerplate_filter": curation.oracle_sql_boilerplate(

@@ -332,6 +332,7 @@ def main() -> None:
         "kg_triple_intervals": kg_triple_intervals,
         "kg_provenance": kg_provenance,
         "frontier_expand": qs["frontier_expand"],
+        "redirect_resolve": qs["redirect_resolve"],
         "kg_triangles": kg_triangles,
         "kg_communities": kg_communities,
         "kg_domain_pagerank": qs["kg_domain_pagerank"],

@@ -226,3 +226,55 @@ def frontier_expand(pages: DataFrame, seen: DataFrame,
     return (cand.select("url", host_of(F.col("url")).alias("host"))
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= per_host_cap))
+
+
+def resolve_redirects(redirects: DataFrame, max_hops: int = 16,
+                      src_col: str = "src", dst_col: str = "dst"
+                      ) -> DataFrame:
+    """Redirect-chain resolution → (url, final, hops, status): every
+    redirecting URL mapped to its terminal destination (the first node
+    with no outgoing redirect), with the exact chain length; chains
+    longer than ``max_hops`` and redirect cycles come back
+    status='unresolved' with NULL final — the canonical-URL step a
+    crawl lake runs over its 3xx records before frontier scheduling
+    and URL dedup.
+
+    Non-functional inputs (two redirects from one URL) collapse
+    deterministically to the min destination.
+
+    Scale notes: pointer doubling, not step-by-step walking — each
+    round composes the mapping with itself (f ∘ f), so a 16-hop cap
+    costs log2(16) = 4 self-joins on uniform url keys instead of 16
+    frontier rounds; chain *distances* add through the composition, so
+    the hop count is exact. ``max_hops`` must be a power of two so the
+    Spark doubling and the oracle's step-walk cap agree exactly.
+    """
+    if max_hops & (max_hops - 1):
+        raise ValueError("max_hops must be a power of two")
+    m = (redirects.groupBy(F.col(src_col).alias("src"))
+         .agg(F.min(dst_col).alias("cur"))
+         .where(F.col("src") != F.col("cur"))
+         .withColumn("hops", F.lit(1).cast("long"))
+         .localCheckpoint(eager=True))
+    f = m
+    rounds = max_hops.bit_length() - 1      # log2(max_hops)
+    for _ in range(rounds):
+        nxt = f.select(F.col("src").alias("_s"),
+                       F.col("cur").alias("_c"),
+                       F.col("hops").alias("_h"))
+        f = (f.join(nxt, f["cur"] == nxt["_s"], "left")
+             .select("src",
+                     F.coalesce("_c", "cur").alias("cur"),
+                     (F.col("hops") + F.coalesce("_h", F.lit(0)))
+                     .alias("hops"))
+             .localCheckpoint(eager=True))
+    srcs = m.select(F.col("src").alias("_t"))
+    out = (f.join(srcs, f["cur"] == srcs["_t"], "left")
+           .select("src", "cur", "hops", F.col("_t").isNotNull()
+                   .alias("_loops")))
+    return out.select(
+        F.col("src").alias("url"),
+        F.when(~F.col("_loops"), F.col("cur")).alias("final"),
+        F.when(~F.col("_loops"), F.col("hops")).alias("hops"),
+        F.when(F.col("_loops"), F.lit("unresolved"))
+         .otherwise(F.lit("resolved")).alias("status"))

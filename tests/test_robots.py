@@ -145,3 +145,30 @@ def test_frontier_expand_semantics(spark):
     assert len([u for u in urls if u.startswith("https://b.com")]) == 2
     assert {h for _, h in rows} == {"a.com", "b.com"}
     assert {r["rank"] for r in got.collect()} <= {1, 2}
+
+
+def test_resolve_redirects_semantics(spark):
+    """Chains resolve with exact hop counts, cycles and self-loops
+    come back unresolved, duplicate sources collapse to min dst, and
+    a chain longer than max_hops is unresolved."""
+    from ferenda_spark.operators.crawl import resolve_redirects
+    rows = [("a", "b"), ("b", "c"),                 # a -2-> c
+            ("x", "x"),                             # self-loop, dropped
+            ("c1", "c2"), ("c2", "c1"),             # 2-cycle
+            ("dup", "z2"), ("dup", "z1")]           # collapses to z1
+    rows += [("l%d" % i, "l%d" % (i + 1)) for i in range(20)]  # 20-chain
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {r["url"]: (r["final"], r["hops"], r["status"])
+           for r in resolve_redirects(df, max_hops=16).collect()}
+    assert got["a"] == ("c", 2, "resolved")
+    assert got["b"] == ("c", 1, "resolved")
+    assert "x" not in got                   # self-redirect is no-op
+    assert got["c1"] == (None, None, "unresolved")
+    assert got["c2"] == (None, None, "unresolved")
+    assert got["dup"] == ("z1", 1, "resolved")
+    assert got["l0"] == (None, None, "unresolved")   # 20 > 16 hops
+    assert got["l4"] == ("l20", 16, "resolved")      # exactly 16
+    assert got["l19"] == ("l20", 1, "resolved")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        resolve_redirects(df, max_hops=10)  # not a power of two
