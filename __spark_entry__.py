@@ -1917,6 +1917,33 @@ def _q_kg_fused(spark, sf_dir):
     return fuse_triples(_kg_fusion_corpus(spark), [DCT_TITLE_URI])
 
 
+def _q_kg_nquads(spark, sf_dir):
+    """Graph-publishing dump (render.nquads_lines): the whole KG as
+    canonical N-Quads lines — per-document named graphs (context =
+    source_url), literal escaping per N-Triples rules — one codegen
+    projection, ready for write.text. Twin: the same string-building
+    CASE chain in DuckDB."""
+    from ferenda_spark.operators.render import nquads_lines
+    quads = _kg_read(spark, "triples").withColumn(
+        "context", F.col("source_url"))
+    return nquads_lines(quads)
+
+
+KG_NQUADS_SQL_TMPL = (
+    "SELECT '<' || subject || '> <' || predicate || '> ' ||"
+    " CASE WHEN objtype = 'uri' THEN '<' || object || '>'"
+    " ELSE '\"' || replace(replace(replace(replace(replace(object,"
+    " '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'),"
+    " chr(9), '\\t') || '\"' ||"
+    "  CASE WHEN coalesce(lang, '') <> '' THEN '@' || lang"
+    "       WHEN coalesce(datatype, '') <> ''"
+    "       THEN '^^<' || datatype || '>'"
+    "       ELSE '' END END ||"
+    " CASE WHEN coalesce(source_url, '') <> ''"
+    "      THEN ' <' || source_url || '>' ELSE '' END || ' .' AS line"
+    " FROM %s")
+
+
 def _q_kg_provenance(spark, sf_dir):
     """Lineage as RDF (lineage.prov_triples): the parse stage's entries
     table becomes W3C PROV-O triples — Entity/Activity typing,
@@ -3026,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_intervals": _q_kg_triple_intervals,
         "kg_asof": _q_kg_asof,
         "kg_provenance": _q_kg_provenance,
+        "kg_nquads": _q_kg_nquads,
         "kg_describe": _q_kg_describe,
         "kg_describe_sparql": _q_kg_describe_sparql,
         "kg_sparql_stats": _q_kg_sparql_stats,
@@ -3237,6 +3265,8 @@ def oracle_sql() -> dict[str, str]:
         # interval machinery
         "kg_asof": kgoracle.sql_asof_crawl2(kg, KG_NEW_URL),
         "kg_provenance": kgoracle.sql_provenance(kg),
+        "kg_nquads": KG_NQUADS_SQL_TMPL % (
+            "read_parquet('%s')" % kg["triples"]),
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),

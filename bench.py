@@ -216,6 +216,14 @@ def main() -> None:
                                              F.col("source_url"))
         return sparql.compile_spark(quads, E._KG_SPARQL_PATHVAR)
 
+    def kg_nquads(spark, _):
+        # graph-publishing dump: one codegen string projection, no
+        # shuffle, no UDF
+        from ferenda_spark.operators.render import nquads_lines
+        from pyspark.sql import functions as F
+        return nquads_lines(stages["triples"].withColumn(
+            "context", F.col("source_url")))
+
     def kg_provenance(spark, _):
         # lineage as PROV-O RDF: codegen projections over one entries
         # scan + a url-keyed timestamp join; the activity census is
@@ -331,6 +339,7 @@ def main() -> None:
         "kg_entities_delta": kg_entities_delta,
         "kg_triple_intervals": kg_triple_intervals,
         "kg_provenance": kg_provenance,
+        "kg_nquads": kg_nquads,
         "frontier_expand": qs["frontier_expand"],
         "redirect_resolve": qs["redirect_resolve"],
         "kg_triangles": kg_triangles,

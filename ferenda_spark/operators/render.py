@@ -88,3 +88,39 @@ def roundtrip_triples(rendered: DataFrame, context: str = "") -> DataFrame:
     return (rendered.select("url", "uri", "xhtml")
             .mapInPandas(run, _TRIPLE_SCHEMA)
             .withColumn("context", F.lit(context)))
+
+
+def nquads_lines(triples: DataFrame) -> DataFrame:
+    """→ one-column (line) N-Quads serialization of the triple table —
+    the graph-publishing dump sink (the distributed twin of
+    rdfio.to_ntriples, asserted equal in tests) as ONE codegen
+    projection: no UDFs, no shuffle, ready for
+    ``df.write.text(path)``. Rows with a non-empty context emit the
+    quad form ``<s> <p> o <g> .``; default-graph rows emit triples.
+    Escaping follows N-Triples canonical rules (backslash first, then
+    quote/newline/CR/tab) — the same chain as rdfio._nt_escape and
+    the DuckDB twin."""
+
+    def esc(c):
+        for a, b in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")):
+            c = F.replace(c, F.lit(a), F.lit(b))
+        return c
+
+    lang = F.coalesce(F.col("lang"), F.lit(""))
+    dtype = F.coalesce(F.col("datatype"), F.lit(""))
+    ctx = F.coalesce(F.col("context"), F.lit(""))
+    obj = F.when(
+        F.col("objtype") == "uri",
+        F.concat(F.lit("<"), F.col("object"), F.lit(">"))
+    ).otherwise(F.concat(
+        F.lit('"'), esc(F.col("object")), F.lit('"'),
+        F.when(lang != "", F.concat(F.lit("@"), lang))
+         .when(dtype != "", F.concat(F.lit("^^<"), dtype, F.lit(">")))
+         .otherwise(F.lit(""))))
+    return triples.select(F.concat(
+        F.lit("<"), F.col("subject"), F.lit("> <"), F.col("predicate"),
+        F.lit("> "), obj,
+        F.when(ctx != "", F.concat(F.lit(" <"), ctx, F.lit(">")))
+         .otherwise(F.lit("")),
+        F.lit(" .")).alias("line"))

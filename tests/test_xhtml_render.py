@@ -103,3 +103,38 @@ def test_spark_stage_roundtrip_equals_triples_table(spark):
     for r in sample:
         assert r.xhtml.startswith('<?xml version="1.0"')
         assert 'about="%s"' % r.uri in r.xhtml
+
+
+def test_nquads_lines_matches_single_node_serializer(spark):
+    """Distributed N-Quads projection ≡ rdfio.to_ntriples on
+    default-graph rows (escaping corners included), quad form for
+    named graphs, and the output re-parses to the same triples."""
+    from ferenda_spark.model import Triple
+    from ferenda_spark.operators.render import nquads_lines
+    from ferenda_spark.rdfio import parse_turtle, to_ntriples
+    rows = [
+        ("s1", "p", 'say "hi"\nback\\slash\ttab', "literal", "", "", ""),
+        ("s1", "p", "plain", "literal", "en", "", ""),
+        ("s1", "p", "2020", "literal", "",
+         "http://www.w3.org/2001/XMLSchema#gYear", ""),
+        ("s1", "p", "u1", "uri", "", "", ""),
+        ("s2", "p", "in-graph", "literal", "", "", "g1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, "
+              "objtype string, lang string, datatype string, "
+              "context string")
+    lines = sorted(r["line"] for r in nquads_lines(df).collect())
+    # default-graph rows equal the single-node N-Triples serializer
+    triples = [Triple(s, p, o, ot, lg, dt)
+               for s, p, o, ot, lg, dt, cx in rows if not cx]
+    expected_nt = sorted(
+        line for line in to_ntriples(triples).splitlines())
+    assert [ln for ln in lines if not ln.endswith("<g1> .")] \
+        == expected_nt
+    assert '<s2> <p> "in-graph" <g1> .' in lines
+    # round-trip: the escaped literal survives parse
+    parsed = parse_turtle("\n".join(
+        ln for ln in lines if not ln.endswith("<g1> .")))
+    objs = {t.object for t in parsed}
+    assert 'say "hi"\nback\\slash\ttab' in objs
