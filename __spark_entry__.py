@@ -874,6 +874,51 @@ REVISIT_SQL = """
     FROM documents"""
 
 
+# generative twin of recrawl_priority over the same two-crawl
+# response set (change the builders and this together): re-crawled
+# docs' newest capture is the 2026-05-01 re-crawl, the rest keep the
+# crawl-1 2026-02-x date; priority = versions/captures × days stale
+# at now = 2026-06-01
+RECRAWL_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+        'https://site' || (doc_id % 7)::varchar || '.example/p/'
+          || doc_id::varchar AS url,
+        (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)::BIGINT
+          AS n_captures,
+        (CASE WHEN doc_id % 3 = 0 AND doc_id % 6 <> 0 THEN 2
+              ELSE 1 END)::BIGINT AS n_versions,
+        CASE WHEN doc_id % 3 = 0 THEN DATE '2026-05-01'
+             ELSE ('2026-02-'
+                   || lpad((1 + doc_id % 28)::varchar, 2, '0'))::DATE
+        END AS last_d
+      FROM documents)
+    SELECT url, n_captures, n_versions,
+           date_diff('day', last_d, DATE '2026-06-01')::BIGINT
+             AS age_days,
+           round(n_versions::DOUBLE / n_captures
+                 * date_diff('day', last_d, DATE '2026-06-01'), 6)
+             AS priority
+    FROM d ORDER BY priority DESC, url"""
+
+
+def _q_recrawl_priority(spark, sf_dir):
+    """Freshness-driven recrawl schedule over the two-crawl lake
+    (crawl.recrawl_priority): change rate × staleness per URL —
+    changed re-crawls carry rate 1, unchanged re-crawls rate 1/2,
+    single captures rate 1 with the older February age; the
+    closed-form generative oracle states every row's priority from
+    the doc_id formulas."""
+    from ferenda_spark.operators.crawl import recrawl_priority
+    from ferenda_spark.operators.warc import warc_records
+    recs = (warc_records(_warc_injected_blobs(spark, sf_dir))
+            .unionAll(warc_records(_warc_recrawl_blobs(spark, sf_dir)))
+            .where(F.col("rec_type") == "response"))
+    caps = recs.select("url", "warc_date",
+                       F.md5(F.col("payload")).alias("digest"))
+    return recrawl_priority(caps, "2026-06-01")
+
+
 def _q_revisit_stats(spark, sf_dir):
     """Per-URL capture-history stats over the two-crawl lake: revisit
     detection (digest unchanged vs previous capture — the WARC
@@ -3026,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_captures": _q_latest_captures,
         "politeness_schedule": _q_politeness_schedule,
         "revisit_stats": _q_revisit_stats,
+        "recrawl_priority": _q_recrawl_priority,
         "structdata_entities": _q_structdata_entities,
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
         "kg_rdfs_delta": _q_kg_rdfs_delta,
@@ -3194,6 +3240,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_captures": LATEST_CAPTURES_SQL,
         "politeness_schedule": POLITENESS_SQL,
         "revisit_stats": REVISIT_SQL,
+        "recrawl_priority": RECRAWL_SQL,
         "structdata_entities": STRUCT_ENTITIES_SQL,
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
         "kg_rdfs_delta": _kg_rdfs_delta_sql(kg),

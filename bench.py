@@ -356,6 +356,7 @@ def main() -> None:
         "latest_captures": qs["latest_captures"],
         "politeness_schedule": qs["politeness_schedule"],
         "revisit_stats": qs["revisit_stats"],
+        "recrawl_priority": qs["recrawl_priority"],
         "structdata_entities": qs["structdata_entities"],
         "dedup_minhash_lsh": qs["dedup_minhash_lsh"],
         "dedup_simhash": qs["dedup_simhash"],

@@ -278,3 +278,34 @@ def resolve_redirects(redirects: DataFrame, max_hops: int = 16,
         F.when(~F.col("_loops"), F.col("hops")).alias("hops"),
         F.when(F.col("_loops"), F.lit("unresolved"))
          .otherwise(F.lit("resolved")).alias("status"))
+
+
+def recrawl_priority(captures: DataFrame, now: str,
+                     url_col: str = "url", ts_col: str = "warc_date",
+                     digest_col: str = "digest") -> DataFrame:
+    """Freshness-driven recrawl scheduling → (url, n_captures,
+    n_versions, age_days, priority): the Cho & Garcia-Molina
+    refresh-ordering signal — estimated change rate (distinct payload
+    versions per capture) × staleness (days since the newest capture
+    at ``now``, an ISO date string). The feedback loop that closes the
+    crawl lake: capture history in (revisit_stats' input shape),
+    fetch-order out (feed the top of this into
+    :func:`politeness_schedule`).
+
+    Scale notes: ONE url-keyed hash aggregation with map-side combine
+    (count / distinct-digest / max-date) and codegen date arithmetic —
+    digests are 32-hex strings, page bodies never reach this operator.
+    Ordered by (priority DESC, url) — the schedule head.
+    """
+    g = (captures.groupBy(F.col(url_col).alias("url"))
+         .agg(F.count(F.lit(1)).alias("n_captures"),
+              F.countDistinct(digest_col).alias("n_versions"),
+              F.max(ts_col).alias("_last")))
+    age = F.datediff(F.to_date(F.lit(now)),
+                     F.to_date(F.substring("_last", 1, 10)))
+    return (g.select(
+        "url", "n_captures", "n_versions",
+        age.cast("long").alias("age_days"),
+        F.round(F.col("n_versions").cast("double") /
+                F.col("n_captures") * age, 6).alias("priority"))
+        .orderBy(F.desc("priority"), "url"))

@@ -172,3 +172,25 @@ def test_resolve_redirects_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         resolve_redirects(df, max_hops=10)  # not a power of two
+
+
+def test_recrawl_priority_golden(spark):
+    """Change rate × staleness: a changed re-crawl outranks an
+    unchanged one at equal age; staleness breaks rate ties."""
+    from ferenda_spark.operators.crawl import recrawl_priority
+    caps = spark.createDataFrame([
+        ("a", "2026-01-01T00:00:00Z", "v1"),
+        ("a", "2026-03-01T00:00:00Z", "v2"),     # changed re-crawl
+        ("b", "2026-01-01T00:00:00Z", "w1"),
+        ("b", "2026-03-01T00:00:00Z", "w1"),     # unchanged re-crawl
+        ("c", "2026-01-01T00:00:00Z", "x1"),     # stale single capture
+    ], "url string, warc_date string, digest string")
+    got = {r["url"]: (r["n_captures"], r["n_versions"], r["age_days"],
+                      r["priority"])
+           for r in recrawl_priority(caps, "2026-03-31").collect()}
+    assert got["a"] == (2, 2, 30, 30.0)
+    assert got["b"] == (2, 1, 30, 15.0)
+    assert got["c"] == (1, 1, 89, 89.0)
+    order = [r["url"] for r in
+             recrawl_priority(caps, "2026-03-31").collect()]
+    assert order == ["c", "a", "b"]
