@@ -1295,6 +1295,27 @@ def _q_kg_search_indexed(spark, sf_dir):
                                    resources=res)
 
 
+def _q_kg_search_delta(spark, sf_dir):
+    """Incremental index maintenance (fulltext.merge_posting_index):
+    the index is bootstrapped WITHOUT the …2.html docs, their
+    resources then merge in as a crawl batch (replace-by-uri +
+    append), and the same query runs — identical scores to the
+    full-rebuild path by construction, so it SHARES kg_search_indexed's
+    oracle (incremental ≡ rebuild is the checked spec)."""
+    from ferenda_spark.operators.fulltext import (build_posting_index,
+                                                  fulltext_search_indexed,
+                                                  merge_posting_index)
+    res = _kg_read(spark, "resources")
+    docs = _kg_read(spark, "documents")
+    batch = F.col("url").like("%2.html")
+    postings, doclens = build_posting_index(res.where(~batch),
+                                            docs=docs.where(~batch))
+    postings, doclens = merge_posting_index(
+        postings, doclens, res.where(batch), docs_delta=docs.where(batch))
+    return fulltext_search_indexed(postings, doclens, KG_SEARCH_TERMS,
+                                   resources=res)
+
+
 _KG_SPARQL_QUERY = """
 PREFIX dct: <http://purl.org/dc/terms/>
 PREFIX bibo: <http://purl.org/ontology/bibo/>
@@ -3090,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_routing": _q_kg_routing,
         "kg_search": _q_kg_search,
         "kg_search_indexed": _q_kg_search_indexed,
+        "kg_search_delta": _q_kg_search_delta,
         "kg_sparql": _q_kg_sparql,
         "kg_sparql_graphvar": _q_kg_sparql_graphvar,
         "kg_sparql_pathvar": _q_kg_sparql_pathvar,
@@ -3260,6 +3282,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_routing": _kg_routing_sql(kg),
         "kg_search": _kg_search_sql(kg),
         "kg_search_indexed": _kg_search_sql(kg),
+        # incremental index ≡ full rebuild, by definition — same twin
+        "kg_search_delta": _kg_search_sql(kg),
         "kg_sparql": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_QUERY),
         "kg_sparql_graphvar": sparql.compile_sql(

@@ -150,6 +150,19 @@ def main() -> None:
         return fulltext_search_indexed(postings, doclens,
                                        ["stream", "batch"])
 
+    def kg_search_delta(spark, _):
+        # incremental index maintenance: bootstrap minus the %2.html
+        # docs, merge the batch (broadcast anti-join replace), search
+        from ferenda_spark.operators.fulltext import (
+            build_posting_index, fulltext_search_indexed,
+            merge_posting_index)
+        from pyspark.sql import functions as F
+        res = stages["resources"]
+        batch = F.col("url").like("%2.html")
+        p, d = build_posting_index(res.where(~batch))
+        p, d = merge_posting_index(p, d, res.where(batch))
+        return fulltext_search_indexed(p, d, ["stream", "batch"])
+
     def kg_sparql(spark, _):
         # ad-hoc SPARQL surface: BGP + 2 OPTIONALs + regex FILTER
         # compiled to broadcast-join pushed-filter pattern scans
@@ -327,6 +340,7 @@ def main() -> None:
         "kg_xhtml": kg_xhtml,
         "kg_search": kg_search,
         "kg_search_indexed": kg_search_indexed,
+        "kg_search_delta": kg_search_delta,
         "kg_sparql": kg_sparql,
         "kg_sparql_nested": kg_sparql_nested,
         "kg_describe_rfc": kg_describe_rfc,

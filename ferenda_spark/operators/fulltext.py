@@ -272,3 +272,43 @@ def oracle_sql_fulltext(resources_table: str, terms: list[str],
     ORDER BY score DESC, resource_uri ASC
     LIMIT {k}
     """
+
+
+def merge_posting_index(postings: DataFrame, doclens: DataFrame,
+                        res_delta: DataFrame,
+                        docs_delta: DataFrame | None = None,
+                        removed_uris: DataFrame | None = None,
+                        text_col: str = "text",
+                        id_col: str = "resource_uri",
+                        title_boost: int = 4
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Incremental index maintenance → (postings, doclens): changed
+    resources' postings are replaced, removed resources' dropped, new
+    ones appended — the ES update/delete-then-commit analog (ref
+    ferenda/fulltextindex.py:452-539) as set operations, so the
+    incremental index is IDENTICAL to a full rebuild (asserted by
+    tests and the kg_search_delta driver query, which shares the full
+    rebuild's oracle).
+
+    Scale notes: the crawl-batch-sized delta/removal uri sets
+    broadcast into two anti-joins against the corpus-sized tables
+    (which therefore never shuffle); only the delta runs the explode +
+    groupBy build. Production layout note: with postings partitioned
+    by term, the anti-join rewrites only data files whose terms occur
+    in the delta — Iceberg MERGE handles that file pruning.
+    """
+    new_p, new_d = build_posting_index(res_delta, docs_delta,
+                                       text_col, id_col, title_boost)
+    gone = res_delta.select(F.col(id_col).alias("resource_uri"))
+    if removed_uris is not None:
+        gone = gone.unionByName(
+            removed_uris.select(F.col(id_col).alias("resource_uri")))
+    gone = gone.distinct()
+    merged_p = (postings.join(F.broadcast(gone), "resource_uri",
+                              "left_anti")
+                .select("term", "resource_uri", "tf")
+                .unionByName(new_p))
+    merged_d = (doclens.join(F.broadcast(gone), "resource_uri",
+                             "left_anti")
+                .unionByName(new_d))
+    return merged_p, merged_d

@@ -79,3 +79,32 @@ def test_indexed_prunes_to_query_terms(spark, corpus):
         checkpoint=False)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "zebra" in plan  # term literal pushed into the plan
+
+
+def test_merge_posting_index_equals_rebuild(spark):
+    """Incremental maintenance ≡ full rebuild: replace-by-uri for
+    changed resources, append for new, drop for removed."""
+    from ferenda_spark.operators.fulltext import (build_posting_index,
+                                                  merge_posting_index)
+    cols = "resource_uri string, url string, text string"
+    base = spark.createDataFrame([
+        ("r1", "u1", "alpha beta beta"),
+        ("r2", "u2", "gamma alpha"),
+        ("r3", "u3", "delta"),
+    ], cols)
+    # r2 changes, r4 is new, r3 is removed
+    changed = spark.createDataFrame(
+        [("r2", "u2", "gamma gamma epsilon"),
+         ("r4", "u4", "alpha zeta")], cols)
+    removed = spark.createDataFrame([("r3",)], "resource_uri string")
+    p0, d0 = build_posting_index(base)
+    p1, d1 = merge_posting_index(p0, d0, changed, removed_uris=removed)
+    final = spark.createDataFrame([
+        ("r1", "u1", "alpha beta beta"),
+        ("r2", "u2", "gamma gamma epsilon"),
+        ("r4", "u4", "alpha zeta"),
+    ], cols)
+    pf, df_ = build_posting_index(final)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(p1) == key(pf)
+    assert key(d1) == key(df_)
