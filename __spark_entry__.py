@@ -327,6 +327,23 @@ def _q_kg_pagerank(spark, sf_dir):
     return pagerank(citation_edges(_kg_read(spark, "triples")))
 
 
+def _q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank (graphops.personalized_pagerank):
+    citation-graph importance relative to a seed neighborhood —
+    teleport n/|S| on the bare document resources (no #fragment —
+    the documents themselves, not their parts), 0 elsewhere; same hybrid power iteration and
+    dangling handling as kg_pagerank, oracled by the unrolled
+    seed-weighted CTE."""
+    from ferenda_spark.operators.graphops import (citation_edges,
+                                                  personalized_pagerank)
+    edges = citation_edges(_kg_read(spark, "triples"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    seeds = nodes.where(~F.col("node").like("%#%"))
+    return personalized_pagerank(edges, seeds)
+
+
 def _q_kg_hits(spark, sf_dir):
     from ferenda_spark.operators.graphops import citation_edges, hits
     return hits(citation_edges(_kg_read(spark, "triples")))
@@ -3075,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ispartof_closure": _q_kg_ispartof_closure,
         "kg_inbound_refs": _q_kg_inbound_refs,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_ppr": _q_kg_ppr,
         "kg_hits": _q_kg_hits,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
@@ -3240,6 +3258,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_ispartof_closure": kgoracle.sql_ispartof_closure(kg),
         "kg_inbound_refs": kgoracle.sql_inbound_refs(kg),
         "kg_pagerank": kgoracle.sql_pagerank(kg),
+        "kg_ppr": kgoracle.sql_personalized_pagerank(
+            kg, "node NOT LIKE '%#%'"),
         "kg_hits": kgoracle.sql_hits(kg),
         "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
         "kg_citation_map": kgoracle.sql_citation_map(kg),

@@ -219,6 +219,19 @@ def main() -> None:
                                                       label_propagation)
         return label_propagation(citation_edges(stages["triples"]))
 
+    def kg_ppr(spark, _):
+        # seed-biased teleport power iteration over the bench-SF
+        # citation graph (seeds = bare document resources)
+        from ferenda_spark.operators.graphops import (
+            citation_edges, personalized_pagerank)
+        from pyspark.sql import functions as F
+        edges = citation_edges(stages["triples"])
+        nodes = (edges.select(F.col("src").alias("node"))
+                 .unionByName(edges.select(F.col("dst").alias("node")))
+                 .distinct())
+        return personalized_pagerank(
+            edges, nodes.where(~F.col("node").like("%#%")))
+
     def kg_sparql_pathvar(spark, _):
         # property path under GRAPH ?var: grouped per-named-graph
         # closure (one shared (graph,node)-keyed iteration), ?g joins
@@ -359,6 +372,7 @@ def main() -> None:
         "kg_triangles": kg_triangles,
         "kg_communities": kg_communities,
         "kg_domain_pagerank": qs["kg_domain_pagerank"],
+        "kg_ppr": kg_ppr,
         "structured_data": qs["kg_structured_data"],
         "warc_ingest": qs["warc_ingest"],
         "robots_filter": qs["robots_filter"],

@@ -1058,3 +1058,52 @@ def sql_provenance(paths, run_id: str = "r1",
     SELECT DISTINCT {act}, '{RDF_TYPE}', '{prov}Activity', 'uri', ''
     FROM e
     """
+
+
+def sql_personalized_pagerank(paths, seed_pred: str,
+                              damping: float = 0.85, iters: int = 15,
+                              round_to: int = 6) -> str:
+    """Unrolled personalized-PageRank twin: teleport weight n/|S| on
+    seed nodes (``seed_pred`` is a SQL predicate over ``node``), 0
+    elsewhere — PR = (1-d)·w + d·(contrib + dangling·w/n), the same
+    update rule as graphops.personalized_pagerank."""
+    head = f"""
+    WITH {_edges_cte(paths).replace(' AS (', ' AS MATERIALIZED (', 1)},
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e),
+    outd AS MATERIALIZED (
+      SELECT src AS node, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+    nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+    seeds AS MATERIALIZED (SELECT node FROM nodes WHERE {seed_pred}),
+    ns AS MATERIALIZED (SELECT count(*)::DOUBLE AS s FROM seeds),
+    w AS MATERIALIZED (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN (SELECT n FROM nn) / (SELECT s FROM ns)
+                  ELSE 0.0 END AS w
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+    r0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS rank FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+    c{k} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(r.rank / d.deg) AS contrib
+      FROM e JOIN r{k - 1} r ON r.node = e.src
+             JOIN outd d ON d.node = e.src
+      GROUP BY e.dst),
+    dg{k} AS MATERIALIZED (
+      SELECT coalesce(sum(r.rank), 0.0) AS mass
+      FROM r{k - 1} r LEFT JOIN outd d ON d.node = r.node
+      WHERE d.node IS NULL),
+    r{k} AS MATERIALIZED (
+      SELECT w.node,
+             {1.0 - damping} * w.w + {damping} *
+               (coalesce(c.contrib, 0.0) +
+                (SELECT mass FROM dg{k}) * w.w / (SELECT n FROM nn))
+               AS rank
+      FROM w LEFT JOIN c{k} c ON c.node = w.node)"""
+        )
+    return (head + "".join(steps) +
+            f"""
+    SELECT node, round(rank, {round_to}) AS rank FROM r{iters}
+    ORDER BY rank DESC, node""")

@@ -531,3 +531,108 @@ def host_graph(edges: DataFrame, src_col: str = "src",
     return (h.groupBy("src_host", "dst_host")
             .agg(F.count(F.lit(1)).alias("weight"))
             .orderBy(F.desc("weight"), "src_host", "dst_host"))
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          damping: float = 0.85, max_iter: int = 15,
+                          round_to: int = 6,
+                          driver_threshold: int = 2_000_000
+                          ) -> DataFrame:
+    """→ (node, rank): PageRank with the teleport biased to a seed
+    set — entity importance *relative to* a topic/domain/document
+    neighborhood (the related-entity ranking a KG serves per seed).
+
+    Same unnormalized formulation as :func:`pagerank` with teleport
+    weights w(v) = n/|S| on seeds, 0 elsewhere (uniform seeds = all
+    nodes reduces exactly to :func:`pagerank`):
+
+        PR(v) = (1-d)·w(v) + d·(Σ PR(u)/out(u) + dangling·w(v)/n)
+
+    Seeds outside the edge node set are ignored (semi-join). Hybrid
+    branches, fixed max_iter rounds and per-round checkpointing follow
+    :func:`pagerank`.
+    """
+    E = edges.select("src", "dst").distinct()
+    n_edges = E.limit(driver_threshold + 1).count()
+    spark = edges.sparkSession
+    if n_edges == 0:
+        return spark.createDataFrame([], "node string, rank double")
+    if n_edges <= driver_threshold:
+        import numpy as np
+        import pandas as pd
+        pairs = [(r["src"], r["dst"]) for r in E.collect()]
+        names = sorted({x for p in pairs for x in p})
+        idx = {n: i for i, n in enumerate(names)}
+        seed_set = {r["node"] for r in seeds.select("node").collect()}
+        seed_idx = [idx[s] for s in seed_set if s in idx]
+        if not seed_idx:
+            raise ValueError("no seed is a node of the edge set")
+        src = np.array([idx[s] for s, _ in pairs])
+        dst = np.array([idx[d] for _, d in pairs])
+        n = len(names)
+        w = np.zeros(n)
+        w[seed_idx] = n / len(seed_idx)
+        out_deg = np.bincount(src, minlength=n)
+        dangling_mask = out_deg == 0
+        safe_deg = np.where(dangling_mask, 1, out_deg)
+        r = np.ones(n)
+        for _ in range(max_iter):
+            contrib = np.bincount(dst, weights=(r / safe_deg)[src],
+                                  minlength=n)
+            dangling = r[dangling_mask].sum()
+            r = (1.0 - damping) * w + damping * (contrib +
+                                                 dangling * w / n)
+        out = pd.DataFrame({"node": names,
+                            "rank": np.round(r, round_to)})
+        return spark.createDataFrame(out).orderBy(F.desc("rank"),
+                                                  "node")
+    from .util import iter_checkpoint
+    edges = E
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n_nodes = nodes.count()
+    seed_nodes = (nodes.join(seeds.select("node").distinct(),
+                             "node", "left_semi")
+                  .localCheckpoint(eager=True))
+    n_seeds = seed_nodes.count()
+    if not n_seeds:
+        raise ValueError("no seed is a node of the edge set")
+    weights = (nodes.join(seed_nodes.withColumn("_s", F.lit(True)),
+                          "node", "left")
+               .select("node",
+                       F.when(F.col("_s"),
+                              F.lit(float(n_nodes) / n_seeds))
+                        .otherwise(F.lit(0.0)).alias("w"))
+               .localCheckpoint(eager=True))
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1))
+                                       .alias("out_degree"))
+    ed = edges.join(out_deg, "src").localCheckpoint(eager=True)
+    dangling_nodes = (nodes.join(out_deg.withColumnRenamed("src",
+                                                           "node"),
+                                 "node", "left_anti")
+                      .localCheckpoint(eager=True))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for i in range(max_iter):
+        contribs = (ed.join(ranks.withColumnRenamed("node", "src"),
+                            "src")
+                    .select(F.col("dst").alias("node"),
+                            (F.col("rank") / F.col("out_degree"))
+                            .alias("contrib")))
+        summed = contribs.groupBy("node").agg(F.sum("contrib")
+                                              .alias("c"))
+        dmass = (dangling_nodes.join(ranks, "node")
+                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                      .alias("dmass")))
+        ranks = iter_checkpoint(
+            weights.join(summed, "node", "left")
+            .crossJoin(F.broadcast(dmass))
+            .select("node",
+                    (F.lit(1.0 - damping) * F.col("w") +
+                     F.lit(damping) *
+                     (F.coalesce(F.col("c"), F.lit(0.0)) +
+                      F.col("dmass") * F.col("w") / F.lit(float(n_nodes))))
+                    .alias("rank")), i)
+    return (ranks.select("node", F.round("rank", round_to)
+                         .alias("rank"))
+            .orderBy(F.desc("rank"), "node"))

@@ -277,3 +277,37 @@ def test_host_graph_rollup_rules(spark):
     # is 'a.example' — ports never split a host into a new node
     assert got == [("a.example", "b.example", 2),
                    ("c.example", "b.example", 1)]
+
+
+def test_personalized_pagerank_semantics(spark):
+    """Uniform seeds reduce exactly to classic pagerank; a biased
+    seed concentrates mass on its neighborhood; both hybrid branches
+    agree."""
+    from ferenda_spark.operators.graphops import (pagerank,
+                                                  personalized_pagerank)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),        # cycle
+         ("x", "y"), ("y", "x"),                    # separate pair
+         ("c", "x")],
+        "src string, dst string")
+    nodes = spark.createDataFrame(
+        [(n,) for n in "abcxy"], "node string")
+    uniform = {r["node"]: r["rank"] for r in
+               personalized_pagerank(edges, nodes).collect()}
+    classic = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert uniform == classic
+    seeds = spark.createDataFrame([("x",)], "node string")
+    biased = {r["node"]: r["rank"] for r in
+              personalized_pagerank(edges, seeds).collect()}
+    # teleport mass lands only in the x/y neighborhood; a/b/c decay
+    # toward 0 (they are upstream of x, never reached from it)
+    assert biased["x"] > uniform["x"] and biased["y"] > uniform["y"]
+    assert biased["a"] < 0.05 and biased["b"] < 0.05
+    dist = {r["node"]: r["rank"] for r in
+            personalized_pagerank(edges, seeds,
+                                  driver_threshold=0).collect()}
+    assert dist == biased
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        personalized_pagerank(
+            edges, spark.createDataFrame([("zz",)], "node string"))
