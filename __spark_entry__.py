@@ -344,6 +344,17 @@ def _q_kg_ppr(spark, sf_dir):
     return personalized_pagerank(edges, seeds)
 
 
+def _q_kg_walks(spark, sf_dir):
+    """Deterministic random walks over the citation graph
+    (graphops.random_walks): the DeepWalk corpus-prep step — 2 walks
+    of length 6 from every node, step choice via the shared md5-hex
+    device so the recursive-CTE twin reproduces every walk."""
+    from ferenda_spark.operators.graphops import (citation_edges,
+                                                  random_walks)
+    return random_walks(citation_edges(_kg_read(spark, "triples")),
+                        length=6, walks_per_node=2)
+
+
 def _q_kg_hits(spark, sf_dir):
     from ferenda_spark.operators.graphops import citation_edges, hits
     return hits(citation_edges(_kg_read(spark, "triples")))
@@ -3094,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_ppr": _q_kg_ppr,
         "kg_hits": _q_kg_hits,
+        "kg_walks": _q_kg_walks,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
         "kg_triangles": _q_kg_triangles,
@@ -3261,6 +3273,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": kgoracle.sql_personalized_pagerank(
             kg, "node NOT LIKE '%#%'"),
         "kg_hits": kgoracle.sql_hits(kg),
+        "kg_walks": kgoracle.sql_random_walks(kg),
         "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
         "kg_citation_map": kgoracle.sql_citation_map(kg),
         "kg_triangles": kgoracle.sql_triangles(kg),

@@ -232,6 +232,14 @@ def main() -> None:
         return personalized_pagerank(
             edges, nodes.where(~F.col("node").like("%#%")))
 
+    def kg_walks(spark, _):
+        # DeepWalk corpus prep: length-6 deterministic walks from
+        # every citation node, one frontier join per step
+        from ferenda_spark.operators.graphops import (citation_edges,
+                                                      random_walks)
+        return random_walks(citation_edges(stages["triples"]),
+                            length=6, walks_per_node=2)
+
     def kg_sparql_pathvar(spark, _):
         # property path under GRAPH ?var: grouped per-named-graph
         # closure (one shared (graph,node)-keyed iteration), ?g joins
@@ -373,6 +381,7 @@ def main() -> None:
         "kg_communities": kg_communities,
         "kg_domain_pagerank": qs["kg_domain_pagerank"],
         "kg_ppr": kg_ppr,
+        "kg_walks": kg_walks,
         "structured_data": qs["kg_structured_data"],
         "warc_ingest": qs["warc_ingest"],
         "robots_filter": qs["robots_filter"],

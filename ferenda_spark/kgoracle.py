@@ -1107,3 +1107,34 @@ def sql_personalized_pagerank(paths, seed_pred: str,
             f"""
     SELECT node, round(rank, {round_to}) AS rank FROM r{iters}
     ORDER BY rank DESC, node""")
+
+
+def sql_random_walks(paths, length: int = 6, walks_per_node: int = 2,
+                     seed: int = 0) -> str:
+    """Recursive-CTE twin of graphops.random_walks over the citation
+    edges — the same md5-hex step choice, sorted-distinct adjacency
+    and sink-stop semantics."""
+    return f"""
+    WITH RECURSIVE {_edges_cte(paths)},
+    adj AS (
+      SELECT src, list_sort(list_distinct(list(dst))) AS nbrs
+      FROM (SELECT DISTINCT src, dst FROM e) GROUP BY src),
+    -- explicit DISTINCT: under WITH RECURSIVE, DuckDB reads a bare
+    -- UNION CTE as base/step recursion and does NOT dedup the base
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    starts AS (
+      SELECT node || ':' || w::varchar AS walk_id, node
+      FROM nodes, range({walks_per_node}) t(w)),
+    walk AS (
+      SELECT walk_id, 0 AS step, node FROM starts
+      UNION ALL
+      SELECT w.walk_id, w.step + 1,
+             a.nbrs[1 + (('0x' || substr(md5(
+                 w.walk_id || ':' || '{seed}' || ':'
+                 || (w.step + 1)::varchar), 1, 8))::BIGINT
+               % len(a.nbrs))::INT]
+      FROM walk w JOIN adj a ON a.src = w.node
+      WHERE w.step < {length})
+    SELECT walk_id, step, node FROM walk
+    """

@@ -636,3 +636,52 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     return (ranks.select("node", F.round("rank", round_to)
                          .alias("rank"))
             .orderBy(F.desc("rank"), "node"))
+
+
+def random_walks(edges: DataFrame, length: int = 8,
+                 walks_per_node: int = 1, seed: int = 0) -> DataFrame:
+    """→ (walk_id, step, node): fixed-length random walks from every
+    node — the DeepWalk/node2vec corpus-preparation step (walks become
+    'sentences' for embedding training). Deterministic: the step
+    choice is the engine-agnostic md5 device the sampling operators
+    use (first 8 hex chars as an integer, mod degree), so re-runs and
+    both engines emit identical walks — seedable via ``seed``.
+
+    Walks stop early at sink nodes (no outgoing edge). step 0 is the
+    start node; walk_id = start:replica.
+
+    Scale notes: adjacency is built once (one hash agg into sorted
+    neighbor arrays) and each of the ``length`` steps is ONE join of
+    the frontier against it on uniform node keys — no per-walk
+    Python, no RNG state; hub adjacency arrays are bounded by
+    out-degree (AQE skew-split covers celebrity hubs).
+    """
+    adj = (edges.select("src", "dst").distinct()
+           .groupBy("src")
+           .agg(F.array_sort(F.collect_set("dst")).alias("nbrs"))
+           .localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    starts = nodes.crossJoin(
+        edges.sparkSession.range(walks_per_node)
+        .select(F.col("id").cast("string").alias("_w")))
+    frontier = starts.select(
+        F.concat_ws(":", "node", "_w").alias("walk_id"),
+        F.col("node"), F.lit(0).alias("step"))
+    out = frontier
+    for s in range(1, length + 1):
+        hx = F.md5(F.concat_ws(":", F.col("walk_id"),
+                               F.lit(str(seed)), F.lit(str(s))))
+        idx = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+               % F.size("nbrs"))
+        frontier = (frontier
+                    .join(adj, frontier["node"] == adj["src"])
+                    .select("walk_id",
+                            F.element_at("nbrs",
+                                         (idx + 1).cast("int"))
+                            .alias("node"),
+                            F.lit(s).alias("step"))
+                    .localCheckpoint(eager=True))
+        out = out.unionByName(frontier)
+    return out.select("walk_id", "step", "node")

@@ -311,3 +311,31 @@ def test_personalized_pagerank_semantics(spark):
     with _pytest.raises(ValueError):
         personalized_pagerank(
             edges, spark.createDataFrame([("zz",)], "node string"))
+
+
+def test_random_walks_deterministic(spark):
+    """Every node starts walks_per_node walks at step 0; walks stop at
+    sinks; steps follow edges; re-runs (and different partitionings)
+    reproduce identical walks; seed changes them."""
+    from ferenda_spark.operators.graphops import random_walks
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string")
+    adj = {"a": {"b", "c"}, "b": {"c"}, "c": {"a", "d"}}
+    w1 = sorted(map(tuple, random_walks(edges, 3, 2).collect()))
+    w2 = sorted(map(tuple,
+                    random_walks(edges.repartition(7), 3, 2).collect()))
+    assert w1 == w2
+    rows = {}
+    for wid, step, node in w1:
+        rows.setdefault(wid, {})[step] = node
+    assert len(rows) == 8                   # 4 nodes × 2 walks
+    for wid, path in rows.items():
+        assert path[0] == wid.split(":")[0]
+        for s in range(1, max(path) + 1):
+            assert path[s] in adj[path[s - 1]]      # follows an edge
+        if max(path) < 3:                           # stopped early
+            assert path[max(path)] == "d"           # only at the sink
+    w3 = sorted(map(tuple,
+                    random_walks(edges, 3, 2, seed=1).collect()))
+    assert w3 != w1
