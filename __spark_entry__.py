@@ -355,6 +355,19 @@ def _q_kg_walks(spark, sf_dir):
                         length=6, walks_per_node=2)
 
 
+def _q_kg_walk_pairs(spark, sf_dir):
+    """Skip-gram pairs over the deterministic walks
+    (graphops.walk_pairs): window-2 co-occurrence counts — the
+    embedding trainer's input; oracle = the walks CTE self-joined
+    under the same window rule."""
+    from ferenda_spark.operators.graphops import (citation_edges,
+                                                  random_walks,
+                                                  walk_pairs)
+    walks = random_walks(citation_edges(_kg_read(spark, "triples")),
+                         length=6, walks_per_node=2)
+    return walk_pairs(walks, window=2)
+
+
 def _q_kg_hits(spark, sf_dir):
     from ferenda_spark.operators.graphops import citation_edges, hits
     return hits(citation_edges(_kg_read(spark, "triples")))
@@ -3106,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": _q_kg_ppr,
         "kg_hits": _q_kg_hits,
         "kg_walks": _q_kg_walks,
+        "kg_walk_pairs": _q_kg_walk_pairs,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
         "kg_triangles": _q_kg_triangles,
@@ -3274,6 +3288,7 @@ def oracle_sql() -> dict[str, str]:
             kg, "node NOT LIKE '%#%'"),
         "kg_hits": kgoracle.sql_hits(kg),
         "kg_walks": kgoracle.sql_random_walks(kg),
+        "kg_walk_pairs": kgoracle.sql_walk_pairs(kg),
         "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
         "kg_citation_map": kgoracle.sql_citation_map(kg),
         "kg_triangles": kgoracle.sql_triangles(kg),

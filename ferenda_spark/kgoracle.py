@@ -1138,3 +1138,18 @@ def sql_random_walks(paths, length: int = 6, walks_per_node: int = 2,
       WHERE w.step < {length})
     SELECT walk_id, step, node FROM walk
     """
+
+
+def sql_walk_pairs(paths, window: int = 2, length: int = 6,
+                   walks_per_node: int = 2, seed: int = 0) -> str:
+    """Twin of graphops.walk_pairs over sql_random_walks' walks."""
+    walks = sql_random_walks(paths, length, walks_per_node, seed)
+    return f"""
+    WITH w AS ({walks})
+    SELECT a.node AS center, b.node AS context,
+           count(*) AS n_pairs
+    FROM w a JOIN w b ON a.walk_id = b.walk_id
+    WHERE a.step <> b.step AND abs(a.step - b.step) <= {window}
+      AND a.node <> b.node
+    GROUP BY a.node, b.node
+    """

@@ -685,3 +685,29 @@ def random_walks(edges: DataFrame, length: int = 8,
                     .localCheckpoint(eager=True))
         out = out.unionByName(frontier)
     return out.select("walk_id", "step", "node")
+
+
+def walk_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(walk_id, step, node) walks → (center, context, n_pairs):
+    skip-gram training pairs within ``window`` steps on the same walk,
+    aggregated to pair counts — what an embedding trainer consumes
+    (walks are the sentences, this is the co-occurrence explode).
+    Self-pairs are dropped; direction is kept (center precedes or
+    follows context — both emitted, as skip-gram windows are
+    symmetric).
+
+    Scale notes: one walk_id-keyed self-join bounded by window (each
+    row matches ≤ 2·window others on an equality key + a range
+    predicate) and one map-side-combined pair count. Walk tables are
+    walks·length rows — already linear in nodes, not edges.
+    """
+    a = walks.select(F.col("walk_id"), F.col("step").alias("s1"),
+                     F.col("node").alias("center"))
+    b = walks.select(F.col("walk_id"), F.col("step").alias("s2"),
+                     F.col("node").alias("context"))
+    pairs = (a.join(b, "walk_id")
+             .where((F.col("s1") != F.col("s2")) &
+                    (F.abs(F.col("s1") - F.col("s2")) <= window) &
+                    (F.col("center") != F.col("context"))))
+    return (pairs.groupBy("center", "context")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

@@ -339,3 +339,19 @@ def test_random_walks_deterministic(spark):
     w3 = sorted(map(tuple,
                     random_walks(edges, 3, 2, seed=1).collect()))
     assert w3 != w1
+
+
+def test_walk_pairs_window(spark):
+    from ferenda_spark.operators.graphops import walk_pairs
+    walks = spark.createDataFrame(
+        [("w", 0, "a"), ("w", 1, "b"), ("w", 2, "c"), ("w", 3, "a"),
+         ("v", 0, "x")],
+        "walk_id string, step int, node string")
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in walk_pairs(walks, window=2).collect()}
+    # window 2 on w: (0,1)(0,2)(1,2)(1,3)(2,3) both directions,
+    # self-pairs (a,a from steps 0/3... none within window 2? |0-3|=3)
+    assert got == {("a", "b"): 2, ("b", "a"): 2,   # steps 0-1 and 1-3
+                   ("a", "c"): 2, ("c", "a"): 2,   # steps 0-2 and 2-3
+                   ("b", "c"): 1, ("c", "b"): 1}
+    assert ("x", "x") not in got                   # lone node, no pair
