@@ -3060,6 +3060,41 @@ def _q_events_windowed(spark, sf_dir):
     return windowed_event_counts(_read(spark, sf_dir, "events"))
 
 
+def _q_events_asof(spark, sf_dir):
+    """Backward as-of join (versioning.asof_join): every event picks
+    the per-user config version current at event time (versions land
+    hourly+6h per user starting 01:00, so first-hour events match
+    NULL); oracle = DuckDB's NATIVE ASOF LEFT JOIN over the same
+    formulaic version table — semantics pinned to the reference
+    implementation of the concept."""
+    from ferenda_spark.operators.versioning import asof_join
+    events = _read(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id")
+    r = F.col("id")
+    versions = spark.range(150 * 4).select(
+        (r % 150).cast("long").alias("user_id"),
+        (F.lit("2024-01-01 01:00:00").cast("timestamp") +
+         F.make_interval(hours=(r / 150).cast("int") * 6)).alias("ts"),
+        (r / 150).cast("long").alias("version"))
+    out = asof_join(events, versions, ["user_id"],
+                    value_cols=["version"])
+    return out.select("event_id", F.col("ts").cast("string").alias("ts"),
+                      "user_id", "version")
+
+
+EVENTS_ASOF_SQL = """
+    WITH versions AS (
+      SELECT (r % 150)::BIGINT AS user_id,
+             TIMESTAMP '2024-01-01 01:00:00'
+               + INTERVAL 6 HOUR * (r // 150) AS ts,
+             (r // 150)::BIGINT AS version
+      FROM range(600) t(r))
+    SELECT e.event_id, e.ts::varchar AS ts, e.user_id, v.version
+    FROM events e ASOF LEFT JOIN versions v
+      ON e.user_id = v.user_id AND e.ts >= v.ts
+"""
+
+
 def _q_events_sessionize(spark, sf_dir):
     """Gap-based session reconstruction per user (30-minute gap)."""
     from ferenda_spark.streaming.windows import sessionize
@@ -3217,6 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_pivot": _q_facet_pivot,
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
+        "events_asof": _q_events_asof,
         "stats_groupby": _q_stats_groupby,
         "window_topk": _q_window_topk,
         "reverse_refs": _q_reverse_refs,
@@ -3488,6 +3524,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
         """,
+        "events_asof": EVENTS_ASOF_SQL,
         "events_sessionize": """
             WITH flagged AS (
               SELECT user_id, ts, event_id,

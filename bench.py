@@ -426,6 +426,7 @@ def main() -> None:
         "facet_pivot": qs["facet_pivot"],
         "events_windowed": qs["events_windowed"],
         "events_sessionize": qs["events_sessionize"],
+        "events_asof": qs["events_asof"],
         "reverse_refs": qs["reverse_refs"],
         "lineitem_pricing": qs["lineitem_pricing"],
     }

@@ -157,3 +157,50 @@ def triples_asof(intervals: DataFrame, ts: str,
             .where((F.col("valid_from") <= F.lit(ts)) &
                    (F.col("valid_to") > F.lit(ts)))
             .select(*key_cols))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              value_cols: list[str] | None = None) -> DataFrame:
+    """Backward as-of join: each left row picks the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` within the same ``on`` key
+    (inclusive at equality), NULL values when none precedes — the
+    time-series join Spark lacks natively (events ↔ the capture /
+    config / price version current at event time).
+
+    Implemented as the union-merge: both sides tagged and unioned,
+    one window over (key) ordered by (ts, side) carries the last
+    non-null right payload forward (``last(…, ignorenulls)``), left
+    rows then keep their carried match. ONE exchange on the key and
+    one sort — no range-explode, no per-row lookup; equal to a sorted
+    merge per key, which is what a 1000-executor plan wants (the
+    DuckDB twin is the engine's native ASOF JOIN, so the semantics are
+    pinned to the reference implementation of the concept).
+    """
+    value_cols = list(value_cols or
+                      [c for c in right.columns
+                       if c not in on and c != right_ts])
+    lrow = F.struct(*[F.col(c) for c in left.columns])
+    lside = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
+        lrow.alias("_lrow"),
+        F.lit(None).cast(
+            "struct<" + ", ".join(
+                "%s: %s" % (c, right.schema[c].dataType.simpleString())
+                for c in value_cols) + ">").alias("_val"))
+    rside = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
+        F.lit(None).cast(lside.schema["_lrow"].dataType.simpleString())
+        .alias("_lrow"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_val"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*on).orderBy("_ts", "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (lside.unionByName(rside)
+               .withColumn("_m", F.last("_val", ignorenulls=True).over(w))
+               .where(F.col("_side") == 1))
+    return matched.select(
+        *[F.col("_lrow.%s" % c).alias(c) for c in left.columns],
+        *[F.col("_m.%s" % c).alias(c) for c in value_cols])

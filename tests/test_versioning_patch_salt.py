@@ -169,3 +169,23 @@ def test_asof_equals_snapshot(spark):
                       ("2026-04-01", "2027-06-01")]:
         got = {tuple(r) for r in triples_asof(iv, probe).collect()}
         assert got == snap[ts], probe
+
+
+def test_asof_join_semantics(spark):
+    """Backward inclusive match, per-key isolation, NULL before the
+    first right row."""
+    from ferenda_spark.operators.versioning import asof_join
+    left = spark.createDataFrame(
+        [("u1", 5, "e1"), ("u1", 10, "e2"), ("u1", 12, "e3"),
+         ("u2", 7, "e4"), ("u3", 9, "e5")],
+        "user string, ts int, event string")
+    right = spark.createDataFrame(
+        [("u1", 10, "v1"), ("u1", 11, "v2"), ("u2", 1, "w1")],
+        "user string, ts int, version string")
+    got = {r["event"]: r["version"]
+           for r in asof_join(left, right, ["user"]).collect()}
+    assert got == {"e1": None,      # before the first u1 version
+                   "e2": "v1",      # inclusive at equality
+                   "e3": "v2",
+                   "e4": "w1",
+                   "e5": None}      # key with no right rows
