@@ -3082,6 +3082,44 @@ def _q_events_asof(spark, sf_dir):
                       "user_id", "version")
 
 
+def _q_events_range_join(spark, sf_dir):
+    """Grid-bucketed range join (versioning.range_join): formulaic
+    points land in formulaic per-key validity intervals (start ≤ ts <
+    end); boundary points sit exactly on starts/ends of every 8th
+    interval, intervals span 0-4 grid cells so the explode fan-out and
+    the single-cell point path are both exercised. Oracle: the plain
+    inequality join (DuckDB IEJoin)."""
+    from ferenda_spark.operators.versioning import range_join
+    i = F.col("id")
+    intervals = spark.range(200).select(
+        i.alias("interval_id"), (i % 10).alias("key"),
+        ((i * 7) % 1000).alias("start"),
+        ((i * 7) % 1000 + (i % 5) * 130 + 5).alias("end"))
+    points = spark.range(2000).select(
+        i.alias("point_id"), (i % 10).alias("key"),
+        F.when(i % 8 == 0, (F.floor(i / 8).cast("long") * 7) % 1000)
+         .otherwise(i % 1009).alias("ts"))
+    return range_join(points, intervals, on=["key"], grid=64)
+
+
+EVENTS_RANGE_SQL = """
+    WITH intervals AS (
+      SELECT r AS interval_id, r % 10 AS key,
+             (r * 7) % 1000 AS start,
+             (r * 7) % 1000 + (r % 5) * 130 + 5 AS "end"
+      FROM range(200) t(r)),
+    points AS (
+      SELECT r AS point_id, r % 10 AS key,
+             CASE WHEN r % 8 = 0 THEN ((r // 8) * 7) % 1000
+                  ELSE r % 1009 END AS ts
+      FROM range(2000) t(r))
+    SELECT p.point_id, p.key, p.ts,
+           i.interval_id, i.start, i."end"
+    FROM points p JOIN intervals i
+      ON p.key = i.key AND p.ts >= i.start AND p.ts < i."end"
+"""
+
+
 EVENTS_ASOF_SQL = """
     WITH versions AS (
       SELECT (r % 150)::BIGINT AS user_id,
@@ -3253,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "stats_groupby": _q_stats_groupby,
         "window_topk": _q_window_topk,
         "reverse_refs": _q_reverse_refs,
@@ -3525,6 +3564,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
         """,
         "events_asof": EVENTS_ASOF_SQL,
+        "events_range_join": EVENTS_RANGE_SQL,
         "events_sessionize": """
             WITH flagged AS (
               SELECT user_id, ts, event_id,

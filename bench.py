@@ -427,6 +427,7 @@ def main() -> None:
         "events_windowed": qs["events_windowed"],
         "events_sessionize": qs["events_sessionize"],
         "events_asof": qs["events_asof"],
+        "events_range_join": qs["events_range_join"],
         "reverse_refs": qs["reverse_refs"],
         "lineitem_pricing": qs["lineitem_pricing"],
     }

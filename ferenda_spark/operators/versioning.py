@@ -204,3 +204,38 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     return matched.select(
         *[F.col("_lrow.%s" % c).alias(c) for c in left.columns],
         *[F.col("_m.%s" % c).alias(c) for c in value_cols])
+
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               point_ts: str = "ts", start_col: str = "start",
+               end_col: str = "end", on: list[str] | None = None,
+               grid: int = 3600) -> DataFrame:
+    """Point-in-interval range join: each point row joined to every
+    interval row (same ``on`` key) with start ≤ ts < end — the other
+    time-series join Spark lacks natively (events ↔ validity windows,
+    captures ↔ crawl campaigns).
+
+    Implemented as the grid-bucket equi-join: intervals explode into
+    the time-grid cells they cover, points key into their single cell,
+    the join runs on (key, cell) and the exact inequality filters
+    after — so the plan is a hash join on uniform composite keys
+    instead of a cross join + filter (or a broadcast nested loop),
+    and the fan-out is bounded by interval length / ``grid``. Pick
+    ``grid`` near the typical interval length: one cell per interval,
+    one candidate bucket per point. Empty intervals (end ≤ start)
+    match nothing. Column names of the two sides must not collide
+    (beyond ``on``).
+    """
+    on = list(on or [])
+    g = F.lit(grid)
+    cell_first = F.floor(F.col(start_col) / g).cast("long")
+    cell_last = F.floor((F.col(end_col) - 1) / g).cast("long")
+    iv = (intervals.where(F.col(end_col) > F.col(start_col))
+          .withColumn("_cell", F.explode(F.sequence(cell_first,
+                                                    cell_last))))
+    pt = points.withColumn(
+        "_cell", F.floor(F.col(point_ts) / g).cast("long"))
+    return (pt.join(iv, on + ["_cell"])
+            .where((F.col(point_ts) >= F.col(start_col)) &
+                   (F.col(point_ts) < F.col(end_col)))
+            .drop("_cell"))

@@ -189,3 +189,24 @@ def test_asof_join_semantics(spark):
                    "e3": "v2",
                    "e4": "w1",
                    "e5": None}      # key with no right rows
+
+
+def test_range_join_semantics(spark):
+    """Inclusive start / exclusive end, per-key isolation, multi-cell
+    intervals, empty intervals match nothing, grid invariance."""
+    from ferenda_spark.operators.versioning import range_join
+    intervals = spark.createDataFrame(
+        [(1, "k1", 10, 20), (2, "k1", 15, 300),   # spans many cells
+         (3, "k2", 10, 20), (4, "k1", 50, 50)],   # empty
+        "iid int, key string, start int, end int")
+    points = spark.createDataFrame(
+        [(1, "k1", 10), (2, "k1", 19), (3, "k1", 20), (4, "k1", 299),
+         (5, "k2", 12), (6, "k1", 50)],
+        "pid int, key string, ts int")
+    for grid in (4, 64, 1000):
+        got = {(r["pid"], r["iid"]) for r in
+               range_join(points, intervals, on=["key"],
+                          grid=grid).collect()}
+        assert got == {(1, 1), (2, 1),       # start incl, end excl
+                       (2, 2), (3, 2), (4, 2), (6, 2),
+                       (5, 3)}, grid          # k2 isolated; empty iv
