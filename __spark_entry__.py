@@ -368,6 +368,31 @@ def _q_kg_walk_pairs(spark, sf_dir):
     return walk_pairs(walks, window=2)
 
 
+def _q_kg_pmi(spark, sf_dir):
+    """PMI/PPMI association scores over the skip-gram pairs
+    (graphops.pmi_scores): ln(n_pairs·N / (cnt_c·cnt_x)) — the matrix
+    an SGNS embedding factorizes (Levy & Goldberg 2014), completing
+    the walks → pairs → PMI corpus-prep chain; oracle = the identical
+    arithmetic over the walk-pairs CTE."""
+    from ferenda_spark.operators.graphops import (citation_edges,
+                                                  pmi_scores,
+                                                  random_walks,
+                                                  walk_pairs)
+    walks = random_walks(citation_edges(_kg_read(spark, "triples")),
+                         length=6, walks_per_node=2)
+    return pmi_scores(walk_pairs(walks, window=2))
+
+
+def _q_kg_linkpred(spark, sf_dir):
+    """Adamic–Adar link prediction over the citation graph
+    (graphops.adamic_adar): for every non-adjacent undirected pair
+    sharing a neighbor, Σ 1/ln(deg z) over the common neighbors —
+    the "entities that should probably be linked" signal; oracle =
+    the same wedge join + NOT EXISTS exclusion in DuckDB."""
+    from ferenda_spark.operators.graphops import adamic_adar, citation_edges
+    return adamic_adar(citation_edges(_kg_read(spark, "triples")))
+
+
 def _q_kg_hits(spark, sf_dir):
     from ferenda_spark.operators.graphops import citation_edges, hits
     return hits(citation_edges(_kg_read(spark, "triples")))
@@ -3193,6 +3218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": _q_kg_hits,
         "kg_walks": _q_kg_walks,
         "kg_walk_pairs": _q_kg_walk_pairs,
+        "kg_pmi": _q_kg_pmi,
+        "kg_linkpred": _q_kg_linkpred,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
         "kg_triangles": _q_kg_triangles,
@@ -3364,6 +3391,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": kgoracle.sql_hits(kg),
         "kg_walks": kgoracle.sql_random_walks(kg),
         "kg_walk_pairs": kgoracle.sql_walk_pairs(kg),
+        "kg_pmi": kgoracle.sql_pmi_scores(kg),
+        "kg_linkpred": kgoracle.sql_adamic_adar(kg),
         "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
         "kg_citation_map": kgoracle.sql_citation_map(kg),
         "kg_triangles": kgoracle.sql_triangles(kg),

@@ -240,6 +240,24 @@ def main() -> None:
         return random_walks(citation_edges(stages["triples"]),
                             length=6, walks_per_node=2)
 
+    def kg_pmi(spark, _):
+        # embedding-prep chain walks -> skip-gram pairs -> PMI matrix;
+        # marginals broadcast back into the pair-sized join
+        from ferenda_spark.operators.graphops import (citation_edges,
+                                                      pmi_scores,
+                                                      random_walks,
+                                                      walk_pairs)
+        walks = random_walks(citation_edges(stages["triples"]),
+                             length=6, walks_per_node=2)
+        return pmi_scores(walk_pairs(walks, window=2))
+
+    def kg_linkpred(spark, _):
+        # Adamic-Adar: wedge join through the shared neighbor + one
+        # anti-join excluding existing pairs
+        from ferenda_spark.operators.graphops import (adamic_adar,
+                                                      citation_edges)
+        return adamic_adar(citation_edges(stages["triples"]))
+
     def kg_sparql_pathvar(spark, _):
         # property path under GRAPH ?var: grouped per-named-graph
         # closure (one shared (graph,node)-keyed iteration), ?g joins
@@ -382,6 +400,8 @@ def main() -> None:
         "kg_domain_pagerank": qs["kg_domain_pagerank"],
         "kg_ppr": kg_ppr,
         "kg_walks": kg_walks,
+        "kg_pmi": kg_pmi,
+        "kg_linkpred": kg_linkpred,
         "structured_data": qs["kg_structured_data"],
         "warc_ingest": qs["warc_ingest"],
         "robots_filter": qs["robots_filter"],

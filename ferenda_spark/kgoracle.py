@@ -1153,3 +1153,48 @@ def sql_walk_pairs(paths, window: int = 2, length: int = 6,
       AND a.node <> b.node
     GROUP BY a.node, b.node
     """
+
+
+def sql_pmi_scores(paths, window: int = 2, length: int = 6,
+                   walks_per_node: int = 2, seed: int = 0) -> str:
+    """Twin of graphops.pmi_scores over sql_walk_pairs' pair counts:
+    identical arithmetic — ln(n_pairs·N / (cnt_c·cnt_x)) rounded to 6
+    — with the marginals/total as plain aggregates."""
+    pairs = sql_walk_pairs(paths, window, length, walks_per_node, seed)
+    return f"""
+    WITH p AS ({pairs}),
+    tot AS (SELECT sum(n_pairs)::DOUBLE AS n FROM p),
+    cm AS (SELECT center, sum(n_pairs) AS cc FROM p GROUP BY center),
+    xm AS (SELECT context, sum(n_pairs) AS cx FROM p GROUP BY context)
+    SELECT p.center, p.context, p.n_pairs::BIGINT AS n_pairs,
+           round(ln(p.n_pairs::DOUBLE * tot.n /
+                    (cm.cc::DOUBLE * xm.cx::DOUBLE)), 6) AS pmi,
+           round(greatest(ln(p.n_pairs::DOUBLE * tot.n /
+                             (cm.cc::DOUBLE * xm.cx::DOUBLE)),
+                          0.0), 6) AS ppmi
+    FROM p JOIN cm USING (center) JOIN xm USING (context) CROSS JOIN tot
+    ORDER BY center, context
+    """
+
+
+def sql_adamic_adar(paths, min_score: float = 0.0) -> str:
+    """Twin of graphops.adamic_adar: same undirected simple graph,
+    wedge enumeration through the shared neighbor, Σ 1/ln(deg z),
+    existing-pair exclusion via NOT EXISTS."""
+    return f"""
+    WITH {_undirected_ctes(paths)},
+    adj AS (SELECT a AS node, b AS nbr FROM und
+            UNION ALL SELECT b, a FROM und),
+    w AS (SELECT nbr AS z, node AS e FROM adj),
+    wed AS (
+      SELECT l.e AS a, r.e AS b, 1.0 / ln(d.d::DOUBLE) AS w
+      FROM w l JOIN w r ON l.z = r.z AND l.e < r.e
+      JOIN deg d ON d.n = l.z),
+    sc AS (SELECT a, b, count(*)::BIGINT AS common,
+                  round(sum(w), 6) AS score
+           FROM wed GROUP BY a, b)
+    SELECT a, b, common, score
+    FROM sc WHERE score > {min_score}
+      AND NOT EXISTS (SELECT 1 FROM und u WHERE u.a = sc.a AND u.b = sc.b)
+    ORDER BY a, b
+    """

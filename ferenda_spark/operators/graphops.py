@@ -711,3 +711,74 @@ def walk_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
                     (F.col("center") != F.col("context"))))
     return (pairs.groupBy("center", "context")
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def pmi_scores(pairs: DataFrame, round_to: int = 6) -> DataFrame:
+    """(center, context, n_pairs) co-occurrence counts → the same rows
+    with ``pmi`` — pointwise mutual information
+    ln(P(c,x) / (P(c)·P(x))) = ln(n_pairs · N / (cnt_c · cnt_x)) —
+    the association statistic an SGNS/GloVe-style embedding factorizes
+    (Levy & Goldberg 2014: SGNS ≈ shifted-PMI matrix factorization).
+    Completes the corpus-prep chain random_walks → walk_pairs → PMI
+    matrix. ``ppmi`` is the positive part, max(pmi, 0).
+
+    Scale notes: marginals are ONE map-side-combined aggregation each
+    over the pair table, node-sized, and broadcast back into the
+    pair-sized join; the grand total is a 1-row aggregate crossed in.
+    No shuffle of the pair table itself beyond the two broadcast-hash
+    probes. The pair table is the only corpus-scale relation here.
+    """
+    total = pairs.agg(F.sum("n_pairs").cast("double").alias("_n"))
+    cm = (pairs.groupBy("center").agg(F.sum("n_pairs").alias("_cc")))
+    xm = (pairs.groupBy("context").agg(F.sum("n_pairs").alias("_cx")))
+    pmi = F.log(F.col("n_pairs").cast("double") * F.col("_n") /
+                (F.col("_cc").cast("double") * F.col("_cx")))
+    return (pairs
+            .join(F.broadcast(cm), "center")
+            .join(F.broadcast(xm), "context")
+            .crossJoin(F.broadcast(total))
+            .select("center", "context", "n_pairs",
+                    F.round(pmi, round_to).alias("pmi"),
+                    F.round(F.greatest(pmi, F.lit(0.0)),
+                            round_to).alias("ppmi")))
+
+
+def adamic_adar(edges: DataFrame, min_score: float = 0.0,
+                round_to: int = 6) -> DataFrame:
+    """Directed edges → (a, b, common, score): Adamic–Adar link
+    prediction over the undirected simple graph — for every
+    non-adjacent pair (a < b) sharing ≥1 neighbor, score
+    Σ_z 1/ln(deg z) over the common neighbors z (Adamic & Adar 2003),
+    plus the raw common-neighbor count. The classic "which entities
+    should probably be linked" signal over a citation/co-occurrence
+    graph; every common neighbor has deg ≥ 2, so 1/ln(deg) is finite.
+
+    Scale notes: the wedge self-join through the shared neighbor z is
+    the textbook Σ deg(z)² plan — the same shape as
+    :func:`triangle_counts`' wedge stage, keyed on z (uniform hash
+    keys). Hub-z fan-out is inherent to the statistic itself (a hub
+    contributes to deg² pairs); pre-filter ``min_score`` / a degree
+    cap upstream if a corpus has adversarial hubs. The existing-edge
+    exclusion is one anti-join on the (a,b) composite key.
+    """
+    und = _undirected(edges)
+    # symmetric adjacency (node, neighbor)
+    adj = (und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+           .unionByName(und.select(F.col("b").alias("node"),
+                                   F.col("a").alias("nbr"))))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # wedges a—z—b with a < b, weighted by z's inverse-log degree
+    w = adj.select(F.col("nbr").alias("z"), F.col("node").alias("end"))
+    wedges = (w.alias("l")
+              .join(w.alias("r"), "z")
+              .where(F.col("l.end") < F.col("r.end"))
+              .join(deg.withColumnRenamed("node", "z"), "z")
+              .select(F.col("l.end").alias("a"),
+                      F.col("r.end").alias("b"),
+                      (F.lit(1.0) / F.log(F.col("deg").cast("double")))
+                      .alias("w")))
+    scored = (wedges.groupBy("a", "b")
+              .agg(F.count(F.lit(1)).alias("common"),
+                   F.round(F.sum("w"), round_to).alias("score"))
+              .where(F.col("score") > min_score))
+    return scored.join(und, ["a", "b"], "left_anti")

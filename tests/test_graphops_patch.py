@@ -355,3 +355,62 @@ def test_walk_pairs_window(spark):
                    ("a", "c"): 2, ("c", "a"): 2,   # steps 0-2 and 2-3
                    ("b", "c"): 1, ("c", "b"): 1}
     assert ("x", "x") not in got                   # lone node, no pair
+
+
+def test_pmi_scores_arithmetic(spark):
+    from math import log
+
+    from ferenda_spark.operators.graphops import pmi_scores
+    pairs = spark.createDataFrame(
+        [("a", "b", 8), ("b", "a", 8), ("a", "c", 1), ("c", "a", 1),
+         ("b", "c", 1), ("c", "b", 1)],
+        "center string, context string, n_pairs long")
+    got = {(r["center"], r["context"]): (r["pmi"], r["ppmi"])
+           for r in pmi_scores(pairs).collect()}
+    # N=20; center marginals a:9, b:9, c:2 (context identical by
+    # symmetry of this pair set)
+    ab = log(8 * 20 / (9 * 9))     # > 0: a,b strongly associated
+    ac = log(1 * 20 / (9 * 2))     # > 0 slightly
+    bc = log(1 * 20 / (9 * 2))
+    cb = log(1 * 20 / (2 * 9))
+    assert got[("a", "b")] == (round(ab, 6), round(ab, 6))
+    assert got[("a", "c")] == (round(ac, 6), round(ac, 6))
+    assert got[("b", "c")][0] == round(bc, 6)
+    assert got[("c", "b")][0] == round(cb, 6)
+    # clamp: a negative-PMI pair has ppmi exactly 0
+    neg = spark.createDataFrame(
+        [("x", "y", 1), ("y", "x", 1), ("x", "z", 9), ("z", "x", 9),
+         ("y", "z", 9), ("z", "y", 9)],
+        "center string, context string, n_pairs long")
+    ngot = {(r["center"], r["context"]): (r["pmi"], r["ppmi"])
+            for r in pmi_scores(neg).collect()}
+    xy = log(1 * 38 / (10 * 10))   # ln(0.38) < 0
+    assert ngot[("x", "y")] == (round(xy, 6), 0.0)
+
+
+def test_adamic_adar_golden(spark):
+    from math import log
+
+    from ferenda_spark.operators.graphops import adamic_adar
+    # square a-b-c-d-a plus chord a-c: predict b-d through a and c
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "src string, dst string")
+    got = {(r["a"], r["b"]): (r["common"], r["score"])
+           for r in adamic_adar(edges).collect()}
+    # existing pairs (incl. the chord) never appear
+    assert ("a", "c") not in got and ("a", "b") not in got
+    # b-d share neighbors a (deg 3) and c (deg 3)
+    assert got[("b", "d")] == (2, round(1 / log(3) + 1 / log(3), 6))
+    assert list(got) == [("b", "d")]
+
+
+def test_adamic_adar_direction_collapse(spark):
+    from ferenda_spark.operators.graphops import adamic_adar
+    # anti-parallel directed edges collapse to one undirected pair;
+    # u-z, z-v (and their reverses) predict only (u, v)
+    edges = spark.createDataFrame(
+        [("u", "z"), ("z", "u"), ("z", "v")], "src string, dst string")
+    got = [(r["a"], r["b"], r["common"]) for r in
+           adamic_adar(edges).collect()]
+    assert got == [("u", "v", 1)]
