@@ -393,6 +393,38 @@ def _q_kg_linkpred(spark, sf_dir):
     return adamic_adar(citation_edges(_kg_read(spark, "triples")))
 
 
+def _q_kg_kcore(spark, sf_dir):
+    """2-core of the walk co-occurrence graph (graphops.kcore):
+    degree peeling to fixpoint under the shared KCORE_ROUNDS cap —
+    the density filter before community/embedding stages. The edge
+    set is walk_pairs' window-2 co-occurrences (any 3-node walk
+    window forms a triangle, so the core is non-trivial where the
+    bare citation tree's would be empty); oracle = the identical
+    peeling unrolled in DuckDB over the same pairs CTE (shared cap,
+    so both engines agree by construction)."""
+    from ferenda_spark.operators.graphops import (citation_edges, kcore,
+                                                  random_walks,
+                                                  walk_pairs)
+    pairs = walk_pairs(
+        random_walks(citation_edges(_kg_read(spark, "triples")),
+                     length=6, walks_per_node=2), window=2)
+    return kcore(pairs.select(F.col("center").alias("src"),
+                              F.col("context").alias("dst")), k=2)
+
+
+def _q_kg_negatives(spark, sf_dir):
+    """Filtered negative sampling over the citation edges
+    (graphops.negative_samples): each positive's tail corrupted twice
+    via the shared md5 device against dense (bucket, node)-ordered
+    node ids, true-edge/self collisions filtered — the KG-embedding
+    trainer's contrastive input; oracle = one global row_number +
+    the same corruption formula."""
+    from ferenda_spark.operators.graphops import (citation_edges,
+                                                  negative_samples)
+    return negative_samples(citation_edges(_kg_read(spark, "triples")),
+                            per_positive=2)
+
+
 def _q_kg_hits(spark, sf_dir):
     from ferenda_spark.operators.graphops import citation_edges, hits
     return hits(citation_edges(_kg_read(spark, "triples")))
@@ -3220,6 +3252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walk_pairs": _q_kg_walk_pairs,
         "kg_pmi": _q_kg_pmi,
         "kg_linkpred": _q_kg_linkpred,
+        "kg_kcore": _q_kg_kcore,
+        "kg_negatives": _q_kg_negatives,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
         "kg_triangles": _q_kg_triangles,
@@ -3393,6 +3427,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_walk_pairs": kgoracle.sql_walk_pairs(kg),
         "kg_pmi": kgoracle.sql_pmi_scores(kg),
         "kg_linkpred": kgoracle.sql_adamic_adar(kg),
+        "kg_kcore": kgoracle.sql_kcore(
+            kg, k=2, edges_cte=("e AS (SELECT center AS src, "
+                                "context AS dst FROM (%s))"
+                                % kgoracle.sql_walk_pairs(kg))),
+        "kg_negatives": kgoracle.sql_negative_samples(kg,
+                                                      per_positive=2),
         "kg_citation_degrees": kgoracle.sql_citation_degrees(kg),
         "kg_citation_map": kgoracle.sql_citation_map(kg),
         "kg_triangles": kgoracle.sql_triangles(kg),

@@ -258,6 +258,28 @@ def main() -> None:
                                                       citation_edges)
         return adamic_adar(citation_edges(stages["triples"]))
 
+    def kg_kcore(spark, _):
+        # density filter: peel the walk co-occurrence graph to its
+        # 2-core (fixed shared rounds, early-out on stability)
+        from ferenda_spark.operators.graphops import (citation_edges,
+                                                      kcore,
+                                                      random_walks,
+                                                      walk_pairs)
+        from pyspark.sql import functions as F
+        pairs = walk_pairs(
+            random_walks(citation_edges(stages["triples"]),
+                         length=6, walks_per_node=2), window=2)
+        return kcore(pairs.select(F.col("center").alias("src"),
+                                  F.col("context").alias("dst")), k=2)
+
+    def kg_negatives(spark, _):
+        # contrastive-training input: 2 filtered tail corruptions per
+        # positive edge via the shared md5 device
+        from ferenda_spark.operators.graphops import (citation_edges,
+                                                      negative_samples)
+        return negative_samples(citation_edges(stages["triples"]),
+                                per_positive=2)
+
     def kg_sparql_pathvar(spark, _):
         # property path under GRAPH ?var: grouped per-named-graph
         # closure (one shared (graph,node)-keyed iteration), ?g joins
@@ -402,6 +424,8 @@ def main() -> None:
         "kg_walks": kg_walks,
         "kg_pmi": kg_pmi,
         "kg_linkpred": kg_linkpred,
+        "kg_kcore": kg_kcore,
+        "kg_negatives": kg_negatives,
         "structured_data": qs["kg_structured_data"],
         "warc_ingest": qs["warc_ingest"],
         "robots_filter": qs["robots_filter"],

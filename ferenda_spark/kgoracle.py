@@ -778,9 +778,13 @@ def sql_citation_map(paths, damping: float = 0.85, iters: int = 15,
     """
 
 
-def _undirected_ctes(paths) -> str:
-    """e (directed citation edges) → und (a<b distinct pairs) + deg."""
-    return f"""{_edges_cte(paths)},
+def _undirected_ctes(paths, edges_cte: str | None = None) -> str:
+    """e (directed citation edges) → und (a<b distinct pairs) + deg.
+
+    ``edges_cte`` overrides the edge source: any ``e AS (SELECT src,
+    dst ...)`` CTE text (same contract as sql_pagerank's override)."""
+    base = edges_cte if edges_cte is not None else _edges_cte(paths)
+    return f"""{base},
     und AS (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM e WHERE src <> dst),
@@ -1197,4 +1201,70 @@ def sql_adamic_adar(paths, min_score: float = 0.0) -> str:
     FROM sc WHERE score > {min_score}
       AND NOT EXISTS (SELECT 1 FROM und u WHERE u.a = sc.a AND u.b = sc.b)
     ORDER BY a, b
+    """
+
+
+def sql_kcore(paths, k: int = 2, rounds: int | None = None,
+              edges_cte: str | None = None) -> str:
+    """Twin of graphops.kcore: the same peeling unrolled KCORE_ROUNDS
+    times (the shared cap — both engines run exactly these rounds, so
+    they agree by construction; extra rounds past the fixpoint are
+    no-ops)."""
+    from .operators.graphops import KCORE_ROUNDS
+    r = KCORE_ROUNDS if rounds is None else rounds
+    # MATERIALIZED: each u/d is referenced 3x by the next round —
+    # without it DuckDB inlines the chain exponentially (observed as
+    # "Too many open files" on the base parquet at 24 rounds)
+    ctes = [_undirected_ctes(paths, edges_cte),
+            "u0 AS MATERIALIZED (SELECT a, b FROM und)"]
+    for i in range(r):
+        ctes.append(f"""
+    d{i} AS MATERIALIZED (SELECT n, count(*) AS c FROM (
+        SELECT a AS n FROM u{i} UNION ALL SELECT b FROM u{i}) GROUP BY n)""")
+        ctes.append(f"""
+    u{i + 1} AS MATERIALIZED (SELECT a, b FROM u{i}
+      WHERE a IN (SELECT n FROM d{i} WHERE c >= {k})
+        AND b IN (SELECT n FROM d{i} WHERE c >= {k}))""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT node, count(*)::BIGINT AS core_deg FROM (
+        SELECT a AS node FROM u{r} UNION ALL SELECT b FROM u{r})
+    GROUP BY node HAVING count(*) >= {k}
+    ORDER BY node
+    """
+
+
+def sql_negative_samples(paths, per_positive: int = 2, seed: int = 0,
+                         buckets: int = 32) -> str:
+    """Twin of graphops.negative_samples: dense node ids via ONE
+    row_number ordered by (md5-bucket, node) — provably identical to
+    the operator's per-bucket window + broadcast offsets — and the
+    same md5 corruption device, self/true-edge exclusion."""
+    return f"""
+    WITH {_edges_cte(paths)},
+    pe AS (SELECT DISTINCT src, dst FROM e),
+    nodes AS (SELECT src AS node FROM pe UNION SELECT dst FROM pe),
+    nb AS (SELECT node,
+                  ('0x' || substr(md5(node), 1, 8))::BIGINT % {buckets}
+                    AS bkt
+           FROM nodes),
+    ids AS (SELECT node,
+                   row_number() OVER (ORDER BY bkt, node) AS nid
+            FROM nb),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    cand AS (
+      SELECT src, dst, i.sample_i,
+             ('0x' || substr(md5(src || chr(31) || dst || chr(31) ||
+                                 sample_i::VARCHAR || ':{seed}'),
+                             1, 8))::BIGINT % nn.n + 1 AS nid
+      FROM pe
+      CROSS JOIN (SELECT unnest(range(0, {per_positive})) AS sample_i) i
+      CROSS JOIN nn)
+    SELECT c.src, c.dst, c.sample_i::BIGINT AS sample_i,
+           ids.node AS neg
+    FROM cand c JOIN ids USING (nid)
+    WHERE ids.node <> c.src
+      AND NOT EXISTS (SELECT 1 FROM pe t
+                      WHERE t.src = c.src AND t.dst = ids.node)
+    ORDER BY src, dst, sample_i
     """

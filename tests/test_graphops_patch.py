@@ -414,3 +414,56 @@ def test_adamic_adar_direction_collapse(spark):
     got = [(r["a"], r["b"], r["common"]) for r in
            adamic_adar(edges).collect()]
     assert got == [("u", "v", 1)]
+
+
+def test_kcore_peeling(spark):
+    from ferenda_spark.operators.graphops import kcore
+    # triangle a-b-c with a pendant chain c-d-e: e peels in round 1,
+    # d only in round 2 — the iterative part is load-bearing
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    got = {r["node"]: r["core_deg"] for r in kcore(edges, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # a pure path has no 2-core at all
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    assert kcore(path, k=2).count() == 0
+    # k=1 keeps every non-isolated node (fixpoint after round 0)
+    assert kcore(path, k=1).count() == 4
+
+
+def test_negative_samples_semantics(spark):
+    import hashlib
+
+    from ferenda_spark.operators.graphops import negative_samples
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "src string, dst string")
+    out = negative_samples(edges, per_positive=3, seed=7).collect()
+    true = {("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")}
+    for r in out:
+        assert r["neg"] != r["src"]                 # no self-corruption
+        assert (r["src"], r["neg"]) not in true     # filtered setting
+        assert 0 <= r["sample_i"] < 3
+    # determinism: bit-identical on re-run, different under a new seed
+    again = negative_samples(edges, per_positive=3, seed=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = negative_samples(edges, per_positive=3, seed=8).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+    # the corruption formula, reimplemented from the spec: dense ids
+    # ordered by (md5-bucket, node), pick md5(src\x1fdst\x1fi:seed)%N+1
+    def dev(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    nodes = ["a", "b", "c", "d"]
+    ordered = sorted(nodes, key=lambda n: (dev(n) % 32, n))
+    nid = {i + 1: n for i, n in enumerate(ordered)}
+    expected = set()
+    for (s, d) in true:
+        for i in range(3):
+            neg = nid[dev(f"{s}\x1f{d}\x1f{i}:7") % 4 + 1]
+            if neg != s and (s, neg) not in true:
+                expected.add((s, d, i, neg))
+    assert {(r["src"], r["dst"], r["sample_i"], r["neg"])
+            for r in out} == expected
