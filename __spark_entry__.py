@@ -3177,6 +3177,46 @@ EVENTS_RANGE_SQL = """
 """
 
 
+def _q_events_interval_overlap(spark, sf_dir):
+    """Grid-bucketed interval×interval overlap join
+    (versioning.interval_overlap): formulaic validity windows ↔
+    formulaic campaign windows on the same key, half-open semantics
+    (touching ends never match), every 7th campaign empty (matches
+    nothing), spans of 0-4 grid cells on both sides so the
+    first-shared-cell dedup is load-bearing. Oracle: the plain
+    inequality join."""
+    from ferenda_spark.operators.versioning import interval_overlap
+    i = F.col("id")
+    left = spark.range(200).select(
+        i.alias("interval_id"), (i % 10).alias("key"),
+        ((i * 7) % 1000).alias("start"),
+        ((i * 7) % 1000 + (i % 5) * 130 + 5).alias("end"))
+    right = spark.range(150).select(
+        i.alias("campaign_id"), (i % 10).alias("key"),
+        ((i * 13) % 1000).alias("rstart"),
+        ((i * 13) % 1000 + (i % 7) * 60).alias("rend"))
+    return interval_overlap(left, right, on=["key"], grid=64)
+
+
+EVENTS_OVERLAP_SQL = """
+    WITH lv AS (
+      SELECT r AS interval_id, r % 10 AS key,
+             (r * 7) % 1000 AS start,
+             (r * 7) % 1000 + (r % 5) * 130 + 5 AS "end"
+      FROM range(200) t(r)),
+    rv AS (
+      SELECT r AS campaign_id, r % 10 AS key,
+             (r * 13) % 1000 AS rstart,
+             (r * 13) % 1000 + (r % 7) * 60 AS rend
+      FROM range(150) t(r))
+    SELECT l.interval_id, l.key, l.start, l."end",
+           r.campaign_id, r.rstart, r.rend
+    FROM lv l JOIN rv r
+      ON l.key = r.key AND l.start < r.rend AND r.rstart < l."end"
+      AND r.rend > r.rstart AND l."end" > l.start
+"""
+
+
 EVENTS_ASOF_SQL = """
     WITH versions AS (
       SELECT (r % 150)::BIGINT AS user_id,
@@ -3353,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
+        "events_interval_overlap": _q_events_interval_overlap,
         "stats_groupby": _q_stats_groupby,
         "window_topk": _q_window_topk,
         "reverse_refs": _q_reverse_refs,
@@ -3634,6 +3675,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_asof": EVENTS_ASOF_SQL,
         "events_range_join": EVENTS_RANGE_SQL,
+        "events_interval_overlap": EVENTS_OVERLAP_SQL,
         "events_sessionize": """
             WITH flagged AS (
               SELECT user_id, ts, event_id,

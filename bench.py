@@ -472,6 +472,7 @@ def main() -> None:
         "events_sessionize": qs["events_sessionize"],
         "events_asof": qs["events_asof"],
         "events_range_join": qs["events_range_join"],
+        "events_interval_overlap": qs["events_interval_overlap"],
         "reverse_refs": qs["reverse_refs"],
         "lineitem_pricing": qs["lineitem_pricing"],
     }

@@ -239,3 +239,46 @@ def range_join(points: DataFrame, intervals: DataFrame,
             .where((F.col(point_ts) >= F.col(start_col)) &
                    (F.col(point_ts) < F.col(end_col)))
             .drop("_cell"))
+
+
+def interval_overlap(left: DataFrame, right: DataFrame,
+                     on: list[str] | None = None,
+                     lstart: str = "start", lend: str = "end",
+                     rstart: str = "rstart", rend: str = "rend",
+                     grid: int = 3600) -> DataFrame:
+    """Interval × interval overlap join: every (left, right) pair on
+    the same ``on`` key whose half-open spans intersect
+    (lstart < rend AND rstart < lend) — validity windows ↔ crawl
+    campaigns, entity-presence intervals ↔ incident windows; the
+    third time-series join of the family (asof_join, range_join).
+
+    Grid-bucketed on BOTH sides: each interval explodes into the time
+    cells it covers, candidates hash-join on (key, cell), and each
+    genuinely overlapping pair is kept exactly ONCE — at the first
+    cell the two spans share, cell = max(floor(lstart/g),
+    floor(rstart/g)), the standard dedup predicate (every
+    overlapping pair shares that cell; no DISTINCT over the fan-out
+    needed) — with the exact inequalities filtering false cell-mates.
+    Fan-out per row is span/grid like range_join; empty intervals
+    (end ≤ start) match nothing. Column names must not collide beyond
+    ``on``.
+    """
+    on = list(on or [])
+    g = F.lit(grid)
+
+    def cells(df, s, e):
+        first = F.floor(F.col(s) / g).cast("long")
+        last = F.floor((F.col(e) - 1) / g).cast("long")
+        return (df.where(F.col(e) > F.col(s))
+                .withColumn("_cell", F.explode(F.sequence(first, last))))
+
+    lv = cells(left, lstart, lend)
+    rv = cells(right, rstart, rend)
+    first_shared = F.greatest(
+        F.floor(F.col(lstart) / g).cast("long"),
+        F.floor(F.col(rstart) / g).cast("long"))
+    return (lv.join(rv, on + ["_cell"])
+            .where((F.col(lstart) < F.col(rend)) &
+                   (F.col(rstart) < F.col(lend)) &
+                   (F.col("_cell") == first_shared))
+            .drop("_cell"))

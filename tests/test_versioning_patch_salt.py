@@ -210,3 +210,26 @@ def test_range_join_semantics(spark):
         assert got == {(1, 1), (2, 1),       # start incl, end excl
                        (2, 2), (3, 2), (4, 2), (6, 2),
                        (5, 3)}, grid          # k2 isolated; empty iv
+
+
+def test_interval_overlap_semantics(spark):
+    """Half-open overlap, exactly-once per pair, key isolation,
+    empty-interval exclusion, grid invariance."""
+    from ferenda_spark.operators.versioning import interval_overlap
+    left = spark.createDataFrame(
+        [("L1", "k", 100, 200),    # overlaps R1 partially, R2 nested
+         ("L2", "k", 200, 300),    # touches R1's end exactly -> no
+         ("L3", "j", 100, 200),    # same span, other key
+         ("L4", "k", 50, 50)],     # empty
+        "lid string, key string, start long, end long")
+    right = spark.createDataFrame(
+        [("R1", "k", 150, 200),    # overlap [150,200) with L1
+         ("R2", "k", 120, 130),    # nested in L1
+         ("R3", "k", 0, 100),      # touches L1's start -> no
+         ("R4", "k", 40, 60)],     # would cover L4's empty point
+        "rid string, key string, rstart long, rend long")
+    for grid in (7, 64, 1000):
+        got = sorted((r["lid"], r["rid"]) for r in
+                     interval_overlap(left, right, on=["key"],
+                                      grid=grid).collect())
+        assert got == [("L1", "R1"), ("L1", "R2")], grid
