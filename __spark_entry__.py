@@ -94,6 +94,13 @@ def _kg_rdfs_sql(kg_paths: dict) -> str:
                              CORPUS_ONTOLOGY)
 
 
+def _kg_owl_sql(kg_paths: dict) -> str:
+    from ferenda_spark.operators.inference import (
+        CORPUS_OWL_ONTOLOGY, sql_owl_entailed)
+    return sql_owl_entailed("read_parquet('%s')" % kg_paths["triples"],
+                            CORPUS_OWL_ONTOLOGY)
+
+
 # incremental-entailment delta batch: two new docs (type chain +
 # subproperty/domain/range fire) and one NEW schema axiom (every
 # foaf:Document — asserted or derived — becomes ex:Archivable, the
@@ -1261,6 +1268,19 @@ def _q_kg_rdfs_entailed(spark, sf_dir):
     from ferenda_spark.operators.inference import (
         CORPUS_ONTOLOGY, rdfs_materialize)
     return rdfs_materialize(_kg_read(spark, "triples"), CORPUS_ONTOLOGY)
+
+
+def _q_kg_owl_entailed(spark, sf_dir):
+    """OWL-RL property-rule materialization (inference.owl_materialize)
+    — prp-inv / prp-symp / prp-trp over the corpus axioms (transitive
+    isPartOf with hasPart inverse, isReferencedBy inverse, sameAs
+    symmetric+transitive): inverse/symmetric images broadcast-joined
+    before and after ONE shared (predicate, node)-keyed closure;
+    oracle = the same rules with a grouped recursive CTE."""
+    from ferenda_spark.operators.inference import (
+        CORPUS_OWL_ONTOLOGY, owl_materialize)
+    return owl_materialize(_kg_read(spark, "triples"),
+                           CORPUS_OWL_ONTOLOGY)
 
 
 _KG_UPDATE = """
@@ -3313,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": _q_recrawl_priority,
         "structdata_entities": _q_structdata_entities,
         "kg_rdfs_entailed": _q_kg_rdfs_entailed,
+        "kg_owl_entailed": _q_kg_owl_entailed,
         "kg_rdfs_delta": _q_kg_rdfs_delta,
         "kg_shacl_report": _q_kg_shacl_report,
         "kg_sparql_update": _q_kg_sparql_update,
@@ -3498,6 +3519,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_priority": RECRAWL_SQL,
         "structdata_entities": STRUCT_ENTITIES_SQL,
         "kg_rdfs_entailed": _kg_rdfs_sql(kg),
+        "kg_owl_entailed": _kg_owl_sql(kg),
         "kg_rdfs_delta": _kg_rdfs_delta_sql(kg),
         "kg_shacl_report": _kg_shacl_sql(kg),
         "kg_sparql_update": _kg_update_sql(kg),

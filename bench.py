@@ -184,6 +184,13 @@ def main() -> None:
                                                        rdfs_materialize)
         return rdfs_materialize(stages["triples"], CORPUS_ONTOLOGY)
 
+    def kg_owl_entailed(spark, _):
+        # OWL property rules: inverse/symmetric broadcast images
+        # around ONE shared (predicate, node)-keyed transitive closure
+        from ferenda_spark.operators.inference import (
+            CORPUS_OWL_ONTOLOGY, owl_materialize)
+        return owl_materialize(stages["triples"], CORPUS_OWL_ONTOLOGY)
+
     def kg_void_stats(spark, _):
         # VoID dataset description: one rollup scan + the type join
         from ferenda_spark.operators.graphops import void_stats
@@ -406,6 +413,7 @@ def main() -> None:
         "kg_sparql_nested": kg_sparql_nested,
         "kg_describe_rfc": kg_describe_rfc,
         "kg_rdfs_entailed": kg_rdfs_entailed,
+        "kg_owl_entailed": kg_owl_entailed,
         "kg_shacl_report": kg_shacl_report,
         "kg_sparql_update": kg_sparql_update,
         "kg_void_stats": kg_void_stats,

@@ -466,3 +466,189 @@ def sql_rdfs_delta(table_sql: str, delta_values_sql: str,
     return ("SELECT * FROM (%s) EXCEPT SELECT * FROM (%s)"
             % (sql_rdfs_entailed(union, ontology),
                sql_rdfs_entailed(table_sql, ontology)))
+
+
+OWL_INVERSE = NS["owl"] + "inverseOf"
+OWL_SYMMETRIC = NS["owl"] + "SymmetricProperty"
+OWL_TRANSITIVE = NS["owl"] + "TransitiveProperty"
+
+
+def _owl_schema(ontology, data_schema=()):
+    """→ (inverse_pairs both directions, symmetric set, transitive
+    set) from schema triples; owl:inverseOf is itself symmetric, so
+    (p inv q) registers q→p too."""
+    inv, sym, trans = set(), set(), set()
+    for s, p, o in list(ontology) + list(data_schema):
+        if p == OWL_INVERSE:
+            inv.add((s, o))
+            inv.add((o, s))
+        elif p == RDF_TYPE and o == OWL_SYMMETRIC:
+            sym.add(s)
+        elif p == RDF_TYPE and o == OWL_TRANSITIVE:
+            trans.add(s)
+        else:
+            raise ValueError("not an OWL property-schema triple: %s %s"
+                             % (p, o))
+    if RDF_TYPE in {p for p, _ in inv} | sym | trans:
+        raise ValueError("OWL schema over rdf:type itself is not "
+                         "supported")
+    return inv, sym, trans
+
+
+def owl_materialize(triples: DataFrame,
+                    ontology: list[tuple[str, str, str]],
+                    include_data_schema: bool = True) -> DataFrame:
+    """→ distinct entailed (subject, predicate, object, objtype): the
+    asserted triples plus the OWL-RL *property-rule* subset —
+    prp-inv (owl:inverseOf, both directions), prp-symp
+    (owl:SymmetricProperty), prp-trp (owl:TransitiveProperty) — the
+    reasoner half rdfs_materialize leaves to the class/subsumption
+    rules. Only URI-object triples participate (a literal can never
+    become a subject); transitivity-derived self-loops (a p a from a
+    cycle) are excluded, matching the house closure semantics
+    (graph/closure.py) and the recursive-CTE twin.
+
+    Fixpoint argument (why one pass suffices): inverse/symmetric
+    images are applied BEFORE the per-predicate transitive closure, so
+    every transitive predicate closes over its full edge set; the
+    post-closure inverse/symmetric re-application is exact because
+    closure and inversion commute — inv(closure(E)) = closure(inv(E))
+    — so nothing new can feed back. Schema is ontology-sized: the
+    rule tables broadcast; the per-predicate closure runs as ONE
+    shared (predicate, node)-keyed iteration
+    (graph/closure.grouped_transitive_closure), not one job per
+    predicate.
+    """
+    from ..graph.closure import grouped_transitive_closure
+    spark = triples.sparkSession
+    data_schema = []
+    if include_data_schema:
+        # bounded collect: schema triples are ontology-sized
+        is_schema = (F.col("predicate") == OWL_INVERSE) | \
+            ((F.col("predicate") == RDF_TYPE) &
+             F.col("object").isin(OWL_SYMMETRIC, OWL_TRANSITIVE))
+        data_schema = [(r.subject, r.predicate, r.object) for r in
+                       (triples.where(is_schema)
+                        .select("subject", "predicate", "object")
+                        .distinct().collect())]
+    inv, sym, trans = _owl_schema(ontology, data_schema)
+
+    data = triples.select("subject", "predicate", "object", "objtype")
+    uri = data.where(F.col("objtype") == "uri")
+
+    def invsym(df):
+        """inverse + symmetric images of URI-object triples in df."""
+        out = []
+        inv_df = _pair_df(spark, inv, ("p_from", "p_to"))
+        if inv_df is not None:
+            out.append(df.join(F.broadcast(inv_df),
+                               df["predicate"] == inv_df["p_from"])
+                       .select(F.col("object").alias("subject"),
+                               F.col("p_to").alias("predicate"),
+                               F.col("subject").alias("object"),
+                               F.lit("uri").alias("objtype")))
+        if sym:
+            out.append(df.where(F.col("predicate").isin(*sym))
+                       .select(F.col("object").alias("subject"),
+                               "predicate",
+                               F.col("subject").alias("object"),
+                               F.lit("uri").alias("objtype")))
+        return out
+
+    e1 = [data] + invsym(uri)
+    if trans:
+        edges = e1[0].where((F.col("objtype") == "uri") &
+                            F.col("predicate").isin(*trans))
+        for part in e1[1:]:
+            edges = edges.union(part.where(F.col("predicate")
+                                           .isin(*trans)))
+        closed = grouped_transitive_closure(
+            edges.select("predicate", "subject", "object"),
+            group="predicate", src="subject", dst="object")
+        tc = closed.select(F.col("a").alias("subject"),
+                           F.col("g").alias("predicate"),
+                           F.col("b").alias("object"),
+                           F.lit("uri").alias("objtype"))
+        e1.append(tc)
+        e1.extend(invsym(tc))
+    out = e1[0]
+    for part in e1[1:]:
+        out = out.union(part)
+    return out.distinct()
+
+
+def sql_owl_entailed(table_sql: str,
+                     ontology: list[tuple[str, str, str]]) -> str:
+    """DuckDB twin of :func:`owl_materialize` (include_data_schema
+    semantics included): the same inverse/symmetric images before and
+    after a per-predicate recursive-CTE closure (grouped on the
+    predicate column, self-loops excluded), UNION (set) dedup."""
+    def vals(triples):
+        rows = ", ".join("('%s', '%s', '%s')"
+                         % tuple(x.replace("'", "''") for x in t)
+                         for t in triples)
+        return rows or "(NULL, NULL, NULL)"
+    return f"""
+WITH RECURSIVE onto(s, p, o) AS (
+  SELECT * FROM (VALUES {vals(ontology)}) v(s, p, o) WHERE s IS NOT NULL
+  UNION
+  SELECT DISTINCT subject, predicate, object FROM {table_sql}
+  WHERE predicate = '{OWL_INVERSE}'
+     OR (predicate = '{RDF_TYPE}'
+         AND object IN ('{OWL_SYMMETRIC}', '{OWL_TRANSITIVE}'))
+),
+inv(p_from, p_to) AS (
+  SELECT s, o FROM onto WHERE p = '{OWL_INVERSE}'
+  UNION SELECT o, s FROM onto WHERE p = '{OWL_INVERSE}'
+),
+sym(p) AS (SELECT s FROM onto
+           WHERE p = '{RDF_TYPE}' AND o = '{OWL_SYMMETRIC}'),
+trans(p) AS (SELECT s FROM onto
+             WHERE p = '{RDF_TYPE}' AND o = '{OWL_TRANSITIVE}'),
+d AS (SELECT subject, predicate, object, objtype FROM {table_sql}),
+u AS (SELECT * FROM d WHERE objtype = 'uri'),
+e1 AS (
+  SELECT * FROM d
+  UNION
+  SELECT u.object, i.p_to, u.subject, 'uri'
+  FROM u JOIN inv i ON u.predicate = i.p_from
+  UNION
+  SELECT u.object, u.predicate, u.subject, 'uri'
+  FROM u WHERE u.predicate IN (SELECT p FROM sym)
+),
+te AS (SELECT predicate, subject AS s, object AS o FROM e1
+       WHERE objtype = 'uri' AND predicate IN (SELECT p FROM trans)),
+tc(predicate, s, o) AS (
+  SELECT predicate, s, o FROM te WHERE s <> o
+  UNION
+  SELECT t.predicate, t.s, e.o FROM tc t
+  JOIN te e ON e.predicate = t.predicate AND e.s = t.o
+  WHERE t.s <> e.o
+)
+SELECT DISTINCT subject, predicate, object, objtype FROM (
+  SELECT * FROM e1
+  UNION
+  SELECT s, predicate, o, 'uri' FROM tc
+  UNION
+  SELECT t.o, i.p_to, t.s, 'uri'
+  FROM tc t JOIN inv i ON t.predicate = i.p_from
+  UNION
+  SELECT o, predicate, s, 'uri' FROM tc
+  WHERE predicate IN (SELECT p FROM sym)
+)
+"""
+
+
+# OWL property axioms for the synthetic corpus: containment is
+# transitive with a named inverse, references has a named inverse,
+# and owl:sameAs is (per its real OWL semantics) symmetric AND
+# transitive — exercising the sym×trans composition on the corpus's
+# genuine identity chains.
+CORPUS_OWL_ONTOLOGY = [
+    (NS["dcterms"] + "isPartOf", RDF_TYPE, OWL_TRANSITIVE),
+    (NS["dcterms"] + "isPartOf", OWL_INVERSE, NS["dcterms"] + "hasPart"),
+    (NS["dcterms"] + "references", OWL_INVERSE,
+     NS["dcterms"] + "isReferencedBy"),
+    (NS["owl"] + "sameAs", RDF_TYPE, OWL_SYMMETRIC),
+    (NS["owl"] + "sameAs", RDF_TYPE, OWL_TRANSITIVE),
+]

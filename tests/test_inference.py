@@ -233,3 +233,81 @@ def test_stream_entailment(spark, tmp_path):
     stream_entailment(spark, tdir, edir, str(tmp_path / "cp2"), ONTO,
                       max_files_per_trigger=1)
     assert _rows(spark.read.parquet(edir)) == full
+
+
+# --- OWL property-rule materialization ------------------------------------
+
+OWL = "http://www.w3.org/2002/07/owl#"
+EX = "http://example.org/"
+
+
+def _owl_run(spark, data, onto):
+    from ferenda_spark.operators.inference import owl_materialize
+    df = spark.createDataFrame(
+        data, "subject string, predicate string, object string, "
+              "objtype string")
+    return {(r.subject, r.predicate, r.object, r.objtype)
+            for r in owl_materialize(df, onto).collect()}
+
+
+def test_owl_inverse_and_symmetric(spark):
+    from ferenda_spark.namespaces import RDF_TYPE
+    onto = [(EX + "partOf", OWL + "inverseOf", EX + "hasPart"),
+            (EX + "near", RDF_TYPE, OWL + "SymmetricProperty")]
+    got = _owl_run(spark, [
+        ("a", EX + "partOf", "b", "uri"),
+        ("c", EX + "hasPart", "d", "uri"),      # inverse fires BOTH ways
+        ("x", EX + "near", "y", "uri"),
+        ("m", EX + "partOf", "lit", "literal"),  # literal never inverts
+    ], onto)
+    assert ("b", EX + "hasPart", "a", "uri") in got
+    assert ("d", EX + "partOf", "c", "uri") in got
+    assert ("y", EX + "near", "x", "uri") in got
+    assert ("m", EX + "partOf", "lit", "literal") in got   # kept asserted
+    assert not any(s == "lit" for s, _, _, _ in got)       # never subject
+
+
+def test_owl_transitive_cycle_and_composition(spark):
+    from ferenda_spark.namespaces import RDF_TYPE
+    onto = [(EX + "anc", RDF_TYPE, OWL + "TransitiveProperty"),
+            (EX + "anc", OWL + "inverseOf", EX + "desc")]
+    got = _owl_run(spark, [
+        ("a", EX + "anc", "b", "uri"),
+        ("b", EX + "anc", "c", "uri"),
+        ("c", EX + "anc", "a", "uri"),          # cycle
+        ("z", EX + "desc", "b", "uri"),         # feeds anc via inverse
+    ], onto)
+    anc = {(s, o) for s, p, o, _ in got if p == EX + "anc"}
+    # closure over the cycle + the inverse-fed edge b->z
+    assert ("a", "c") in anc and ("b", "a") in anc and ("c", "b") in anc
+    assert ("a", "z") in anc                    # a->b->z through inverse
+    assert not any(s == o for s, o in anc)      # no self-loops derived
+    desc = {(s, o) for s, p, o, _ in got if p == EX + "desc"}
+    assert desc == {(o, s) for s, o in anc}     # inv(closure)==closure(inv)
+
+
+def test_owl_symmetric_transitive_sameas(spark):
+    from ferenda_spark.namespaces import RDF_TYPE
+    onto = [(OWL + "sameAs", RDF_TYPE, OWL + "SymmetricProperty"),
+            (OWL + "sameAs", RDF_TYPE, OWL + "TransitiveProperty")]
+    got = _owl_run(spark, [
+        ("a", OWL + "sameAs", "b", "uri"),
+        ("b", OWL + "sameAs", "c", "uri"),
+    ], onto)
+    same = {(s, o) for s, p, o, _ in got if p == OWL + "sameAs"}
+    assert same == {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+                    ("a", "c"), ("c", "a")}
+
+
+def test_owl_data_schema_and_guard(spark):
+    import pytest as _pytest
+    from ferenda_spark.namespaces import RDF_TYPE
+    # axiom asserted IN the data (include_data_schema)
+    got = _owl_run(spark, [
+        (EX + "near", RDF_TYPE, OWL + "SymmetricProperty", "uri"),
+        ("x", EX + "near", "y", "uri"),
+    ], [])
+    assert ("y", EX + "near", "x", "uri") in got
+    with _pytest.raises(ValueError):
+        _owl_run(spark, [("x", EX + "p", "y", "uri")],
+                 [(RDF_TYPE, RDF_TYPE, OWL + "TransitiveProperty")])
