@@ -432,6 +432,37 @@ def _q_kg_negatives(spark, sf_dir):
                             per_positive=2)
 
 
+def _q_kg_cocitation(spark, sf_dir):
+    """Co-citation + bibliographic coupling (Small 1973 / Kessler
+    1963) over the citation graph (graphops.cocitation_coupling):
+    the two classic pairwise-similarity signals, each one wedge
+    self-join keyed on the shared endpoint; same-join twin."""
+    from ferenda_spark.operators.graphops import cocitation_coupling
+    # over the full link graph (references ∪ isPartOf): the corpus's
+    # reference edges are 1:1 by construction, so the containment
+    # edges supply the shared endpoints — siblings sharing a parent
+    # couple, a child's parent and its referenced doc co-cite
+    t = _kg_read(spark, "triples")
+    edges = (t.where(F.col("predicate").isin(
+                "http://purl.org/dc/terms/references",
+                "http://purl.org/dc/terms/isPartOf") &
+                (F.col("objtype") == "uri"))
+             .select(F.col("subject").alias("src"),
+                     F.col("object").alias("dst"))
+             .where(F.col("src") != F.col("dst")))
+    return cocitation_coupling(edges)
+
+
+def _q_kg_charsets(spark, sf_dir):
+    """Characteristic-set census (Neumann & Moerkotte ICDE 2011) over
+    the triple table (graphops.characteristic_sets): each subject's
+    sorted predicate set + census — the cardinality-estimation
+    artifact star-join SPARQL optimizers read instead of sampling;
+    string_agg twin."""
+    from ferenda_spark.operators.graphops import characteristic_sets
+    return characteristic_sets(_kg_read(spark, "triples"))
+
+
 def _q_kg_hits(spark, sf_dir):
     from ferenda_spark.operators.graphops import citation_edges, hits
     return hits(citation_edges(_kg_read(spark, "triples")))
@@ -3314,6 +3345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linkpred": _q_kg_linkpred,
         "kg_kcore": _q_kg_kcore,
         "kg_negatives": _q_kg_negatives,
+        "kg_cocitation": _q_kg_cocitation,
+        "kg_charsets": _q_kg_charsets,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
         "kg_triangles": _q_kg_triangles,
@@ -3489,6 +3522,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_walk_pairs": kgoracle.sql_walk_pairs(kg),
         "kg_pmi": kgoracle.sql_pmi_scores(kg),
         "kg_linkpred": kgoracle.sql_adamic_adar(kg),
+        "kg_cocitation": kgoracle.sql_cocitation_coupling(
+            kg, edges_cte=(
+                "e AS (SELECT subject AS src, object AS dst FROM "
+                "read_parquet('%s') WHERE predicate IN "
+                "('http://purl.org/dc/terms/references', "
+                "'http://purl.org/dc/terms/isPartOf') AND objtype = "
+                "'uri')" % kg["triples"])),
+        "kg_charsets": kgoracle.sql_characteristic_sets(kg),
         "kg_kcore": kgoracle.sql_kcore(
             kg, k=2, edges_cte=("e AS (SELECT center AS src, "
                                 "context AS dst FROM (%s))"

@@ -287,6 +287,27 @@ def main() -> None:
         return negative_samples(citation_edges(stages["triples"]),
                                 per_positive=2)
 
+    def kg_cocitation(spark, _):
+        # two wedge self-joins over the link graph (references u
+        # isPartOf), each keyed on the shared endpoint
+        from ferenda_spark.operators.graphops import cocitation_coupling
+        from pyspark.sql import functions as F
+        t = stages["triples"]
+        edges = (t.where(F.col("predicate").isin(
+                    "http://purl.org/dc/terms/references",
+                    "http://purl.org/dc/terms/isPartOf") &
+                    (F.col("objtype") == "uri"))
+                 .select(F.col("subject").alias("src"),
+                         F.col("object").alias("dst"))
+                 .where(F.col("src") != F.col("dst")))
+        return cocitation_coupling(edges)
+
+    def kg_charsets(spark, _):
+        # characteristic-set census: one subject-keyed aggregate +
+        # one census over the combination-bounded result
+        from ferenda_spark.operators.graphops import characteristic_sets
+        return characteristic_sets(stages["triples"])
+
     def kg_sparql_pathvar(spark, _):
         # property path under GRAPH ?var: grouped per-named-graph
         # closure (one shared (graph,node)-keyed iteration), ?g joins
@@ -434,6 +455,8 @@ def main() -> None:
         "kg_linkpred": kg_linkpred,
         "kg_kcore": kg_kcore,
         "kg_negatives": kg_negatives,
+        "kg_cocitation": kg_cocitation,
+        "kg_charsets": kg_charsets,
         "structured_data": qs["kg_structured_data"],
         "warc_ingest": qs["warc_ingest"],
         "robots_filter": qs["robots_filter"],

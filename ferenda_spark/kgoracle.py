@@ -1268,3 +1268,47 @@ def sql_negative_samples(paths, per_positive: int = 2, seed: int = 0,
                       WHERE t.src = c.src AND t.dst = ids.node)
     ORDER BY src, dst, sample_i
     """
+
+
+def sql_cocitation_coupling(paths, min_n: int = 1,
+                            edges_cte: str | None = None) -> str:
+    """Twin of graphops.cocitation_coupling: the same two wedge
+    self-joins — co-citation keyed on the citing doc, coupling keyed
+    on the shared reference. ``edges_cte`` overrides the edge source
+    (same contract as sql_kcore's)."""
+    base = edges_cte if edges_cte is not None else _edges_cte(paths)
+    return f"""
+    WITH {base},
+    de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst)
+    SELECT kind, a, b, n FROM (
+      SELECT 'cocitation' AS kind, l.dst AS a, r.dst AS b,
+             count(*)::BIGINT AS n
+      FROM de l JOIN de r ON l.src = r.src AND l.dst < r.dst
+      GROUP BY l.dst, r.dst
+      UNION ALL
+      SELECT 'coupling', l.src, r.src, count(*)::BIGINT
+      FROM de l JOIN de r ON l.dst = r.dst AND l.src < r.src
+      GROUP BY l.src, r.src)
+    WHERE n >= {min_n}
+    ORDER BY kind, a, b
+    """
+
+
+def sql_characteristic_sets(paths) -> str:
+    """Twin of graphops.characteristic_sets: per-subject sorted
+    distinct predicate string, then the census."""
+    t = _t(paths, "triples")
+    return f"""
+    WITH per_subj AS (
+      SELECT subject,
+             string_agg(DISTINCT predicate, '|' ORDER BY predicate)
+               AS cs,
+             count(*) AS nt
+      FROM {t} GROUP BY subject)
+    SELECT cs, count(*)::BIGINT AS n_subjects,
+           (length(cs) - length(replace(cs, '|', '')) + 1)::BIGINT
+             AS n_preds,
+           round(avg(nt), 6) AS avg_triples
+    FROM per_subj GROUP BY cs
+    ORDER BY cs
+    """

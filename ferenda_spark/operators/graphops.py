@@ -902,3 +902,63 @@ def negative_samples(edges: DataFrame, per_positive: int = 2,
               .select("src", "dst",
                       F.col("sample_i").cast("long").alias("sample_i"),
                       "neg")
+
+
+def cocitation_coupling(edges: DataFrame, min_n: int = 1) -> DataFrame:
+    """Directed citation edges → (kind, a, b, n) with a < b:
+    ``cocitation`` counts the documents citing BOTH a and b (Small
+    1973 — similarity of the cited), ``coupling`` counts the
+    references shared by a and b (Kessler 1963 — similarity of the
+    citing). The two classic citation-similarity signals, each one
+    self-join on the shared endpoint.
+
+    Scale notes: both wedges key on the shared node (uniform hash
+    keys) — the Σ deg² shape shared with adamic_adar/triangle_counts;
+    ``min_n`` prunes the long tail before it leaves the aggregate.
+    """
+    E = edges.select("src", "dst").distinct()
+
+    def wedge(key, end, kind):
+        l = E.select(F.col(key).alias("k"), F.col(end).alias("x"))
+        return (l.alias("l").join(l.alias("r"), "k")
+                .where(F.col("l.x") < F.col("r.x"))
+                .groupBy(F.col("l.x").alias("a"),
+                         F.col("r.x").alias("b"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(kind).alias("kind"), "a", "b", "n"))
+
+    # co-citation pairs the CITED (shared citing doc = src key);
+    # coupling pairs the CITING (shared reference = dst key)
+    out = (wedge("src", "dst", "cocitation")
+           .unionByName(wedge("dst", "src", "coupling")))
+    return out.where(F.col("n") >= min_n)
+
+
+def characteristic_sets(triples: DataFrame) -> DataFrame:
+    """→ (cs, n_subjects, n_preds, avg_triples): the characteristic-
+    set census (Neumann & Moerkotte, ICDE 2011) — each subject's
+    sorted distinct predicate set (joined with '|'), how many subjects
+    share exactly that set, the set's size, and the mean number of
+    triples per subject carrying it. THE cardinality-estimation
+    artifact for star-shaped SPARQL joins: the optimizer reads this
+    tiny table instead of sampling the corpus.
+
+    Scale notes: one subject-keyed aggregate (distinct predicates +
+    triple count per subject — map-side combined) and one census
+    aggregate over the subject-sized result; output is bounded by the
+    number of distinct predicate COMBINATIONS (typically hundreds on
+    billions of triples).
+    """
+    per_subj = (triples.groupBy("subject")
+                .agg(F.array_join(
+                        F.sort_array(F.collect_set("predicate")), "|")
+                     .alias("cs"),
+                     F.count(F.lit(1)).alias("nt")))
+    return (per_subj.groupBy("cs")
+            .agg(F.count(F.lit(1)).alias("n_subjects"),
+                 F.round(F.avg("nt"), 6).alias("avg_triples"))
+            .withColumn("n_preds",
+                        F.size(F.split(F.col("cs"), r"\|")))
+            .select("cs", "n_subjects",
+                    F.col("n_preds").cast("long").alias("n_preds"),
+                    "avg_triples"))

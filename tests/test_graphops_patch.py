@@ -467,3 +467,33 @@ def test_negative_samples_semantics(spark):
                 expected.add((s, d, i, neg))
     assert {(r["src"], r["dst"], r["sample_i"], r["neg"])
             for r in out} == expected
+
+
+def test_cocitation_coupling_golden(spark):
+    from ferenda_spark.operators.graphops import cocitation_coupling
+    # p cites a,b ; q cites b,c  → cocitation: (a,b) by p, (b,c) by q;
+    # coupling: (p,q) share b
+    edges = spark.createDataFrame(
+        [("p", "a"), ("p", "b"), ("q", "b"), ("q", "c")],
+        "src string, dst string")
+    got = {(r["kind"], r["a"], r["b"]): r["n"]
+           for r in cocitation_coupling(edges).collect()}
+    assert got == {("cocitation", "a", "b"): 1,
+                   ("cocitation", "b", "c"): 1,
+                   ("coupling", "p", "q"): 1}
+    # min_n prunes
+    assert cocitation_coupling(edges, min_n=2).count() == 0
+
+
+def test_characteristic_sets_census(spark):
+    from ferenda_spark.operators.graphops import characteristic_sets
+    triples = spark.createDataFrame(
+        [("s1", "b", "x"), ("s1", "a", "y"), ("s1", "a", "z"),
+         ("s2", "a", "u"), ("s2", "b", "v"),
+         ("s3", "a", "w")],
+        "subject string, predicate string, object string")
+    got = {r["cs"]: (r["n_subjects"], r["n_preds"], r["avg_triples"])
+           for r in characteristic_sets(triples).collect()}
+    # s1 and s2 share the sorted set a|b (s1 with 3 triples, s2 with 2)
+    assert got["a|b"] == (2, 2, 2.5)
+    assert got["a"] == (1, 1, 1.0)
