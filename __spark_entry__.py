@@ -2188,6 +2188,19 @@ def _q_token_stats(spark, sf_dir):
     return token_stats(_read(spark, sf_dir, "documents"))
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct census
+    (sketches.hll_distinct): per-lang approximate distinct texts on
+    the shared md5 device — the sketch itself cross-checks register
+    for register against the DuckDB twin (integer-scaled harmonic
+    sums, string-bit-length ranks: no float order-dependence, no
+    libm log2 boundaries); p=6 so the corpus exercises BOTH the raw
+    HLL estimate and the linear-counting small-range branch."""
+    from ferenda_spark.operators.sketches import hll_distinct
+    return hll_distinct(_read(spark, sf_dir, "documents"),
+                        keys=["lang"], value="text", p=6)
+
+
 def _q_quality(spark, sf_dir):
     from ferenda_spark.operators.textops import quality_score
     return quality_score(_read(spark, sf_dir, "documents"))
@@ -3411,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stage_counters": _q_kg_stage_counters,
         # training-data pipeline ops (DuckDB-oracled)
         "token_stats": _q_token_stats,
+        "hll_distinct": _q_hll_distinct,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
         "resample_mixture": _q_resample_mixture,
@@ -3478,6 +3492,7 @@ def oracle_sql() -> dict[str, str]:
     from ferenda_spark.operators import (curation, dedup, multimodal,
                                          packing, sampling, similarity,
                                          textops)
+    from ferenda_spark.operators import sketches as _sketches
     # the quadratic jaccard ground truth is materialized once (same
     # DuckDB engine + SQL, cached by input/kernel fingerprint) and
     # shared by three oracles — see dedup.ensure_jaccard_pairs_oracle
@@ -3637,6 +3652,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_stage_counters": kgoracle.sql_stage_counters(kg),
         # training-data / relational oracles over driver parquet views
         "token_stats": textops.oracle_sql_token_stats(),
+        "hll_distinct": _sketches.sql_hll_distinct(
+            "documents", keys=["lang"], value="text", p=6),
         "pack_sequences": packing.oracle_sql_pack(budget=256, n_shards=8),
         "stratified_sample": sampling.oracle_sql_stratified(
             "documents", "lang", 0.3,

@@ -481,6 +481,7 @@ def main() -> None:
         "ann_topk": qs["ann_topk"],
         "pack_sequences": qs["pack_sequences"],
         "token_stats": qs["token_stats"],
+        "hll_distinct": qs["hll_distinct"],
         "top_ngrams": qs["top_ngrams"],
         "bpe_pairs": qs["bpe_pairs"],
         "bpe_encode": qs["bpe_encode"],

@@ -1,0 +1,124 @@
+"""Engine-agnostic distinct-count sketches.
+
+``approx_count_distinct`` exists in both Spark (HLL++) and DuckDB
+(their own HLL), but their hashes and bias tables differ — the results
+can never cross-check. This module implements classic HyperLogLog
+(Flajolet et al. 2007) on the shared md5 device, so the SAME sketch —
+register for register, estimate for estimate — comes out of Spark, the
+DuckDB twin, and any re-run at any partitioning: the sketch itself is
+oracle-checkable, not just "approximately right".
+
+Determinism engineering:
+
+- the 60-bit hash is the md5-hex device widened to 15 hex chars
+  (fits signed 64 in both engines);
+- register rank ρ uses STRING bit-length (``length(bin(w))`` =
+  ⌊log2 w⌋+1 exactly in both engines) — never floating log2, whose
+  boundary rounding could differ per libm;
+- the harmonic sum Σ 2^-ρ is computed as an INTEGER sum of
+  2^(width+1-ρ) (≤ 2^61 for p=12 — no overflow, no float
+  order-dependence across partitions), divided once at the end by the
+  exact power-of-two scale.
+
+Scale notes: one (key, register) map-side-combined max + one key-sized
+final aggregate — the register table is bounded by keys·2^p rows, the
+corpus never shuffles wider than (key, idx, ρ). This is THE way to
+count distinct URLs/hashes per host on 100 TB without an exact
+distinct exchange.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_HASH_BITS = 60  # 15 hex chars of md5 — fits signed 64 everywhere
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_distinct(df: DataFrame, keys: list[str], value: str,
+                 p: int = 12, round_to: int = 3) -> DataFrame:
+    """→ per-``keys`` row: (``est_distinct``, ``n_registers``) — the
+    HyperLogLog distinct estimate of ``value`` (NULLs ignored), with
+    the small-range linear-counting correction (raw ≤ 2.5m with empty
+    registers → m·ln(m/V)). Deterministic and engine-agnostic; twin:
+    :func:`sql_hll_distinct`.
+    """
+    m = 1 << p
+    width = HLL_HASH_BITS - p
+    h = F.conv(F.substring(F.md5(F.col(value)), 1, 15), 16, 10) \
+         .cast("long")
+    idx = F.pmod(h, F.lit(m))
+    w = F.shiftright(h, p)
+    rho = (F.when(w == 0, F.lit(width + 1))
+           .otherwise(F.lit(width) - F.length(F.bin(w)) + 1))
+    regs = (df.where(F.col(value).isNotNull())
+            .select(*keys, idx.alias("_idx"), rho.alias("_rho"))
+            .groupBy(*keys, "_idx")
+            .agg(F.max("_rho").alias("_r")))
+    # shiftleft() the SQL function takes a column shift amount (the
+    # python wrapper insists on an int literal)
+    scaled = F.expr("shiftleft(cast(1 as bigint), %d - _r)" % (width + 1))
+    per_key = (regs.groupBy(*keys)
+               .agg(F.sum(scaled).alias("_s"),
+                    F.count(F.lit(1)).alias("n_registers")))
+    empties = F.lit(m) - F.col("n_registers")
+    s = (F.col("_s") + empties *
+         F.lit(float(2 ** (width + 1)))) / F.lit(float(2 ** (width + 1)))
+    raw = F.lit(_alpha(m) * m * m) / s
+    est = F.when((raw <= 2.5 * m) & (empties > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / empties)) \
+           .otherwise(raw)
+    return per_key.select(*keys,
+                          F.round(est, round_to).alias("est_distinct"),
+                          F.col("n_registers").cast("long")
+                          .alias("n_registers"))
+
+
+def sql_hll_distinct(table_sql: str, keys: list[str], value: str,
+                     p: int = 12, round_to: int = 3) -> str:
+    """DuckDB twin of :func:`hll_distinct` — identical hash, register
+    assignment, integer-scaled harmonic sum and corrections."""
+    m = 1 << p
+    width = HLL_HASH_BITS - p
+    alpha = _alpha(m)
+    kcols = ", ".join(keys)
+    scale = 2 ** (width + 1)
+    return f"""
+    WITH rows_ AS (
+      SELECT {kcols},
+             ('0x' || substr(md5({value}), 1, 15))::BIGINT AS h
+      FROM {table_sql} WHERE {value} IS NOT NULL),
+    regs AS (
+      SELECT {kcols}, h % {m} AS idx,
+             max(CASE WHEN (h >> {p}) = 0 THEN {width + 1}
+                 ELSE {width} - length(bin(h >> {p})) + 1 END) AS r
+      FROM rows_ GROUP BY {kcols}, idx),
+    agg AS (
+      SELECT {kcols},
+             sum((1::BIGINT << ({width + 1} - r)))::BIGINT AS s_int,
+             count(*) AS n_registers
+      FROM regs GROUP BY {kcols}),
+    est AS (
+      SELECT {kcols}, n_registers,
+             (s_int + ({m} - n_registers) * {float(scale)})
+               / {float(scale)} AS s,
+             ({m} - n_registers) AS empties
+      FROM agg)
+    SELECT {kcols},
+           round(CASE WHEN ({alpha * m * m} / s) <= {2.5 * m}
+                       AND empties > 0
+                      THEN {float(m)} * ln({float(m)} / empties)
+                      ELSE {alpha * m * m} / s END,
+                 {round_to}) AS est_distinct,
+           n_registers::BIGINT AS n_registers
+    FROM est
+    ORDER BY {kcols}
+    """
