@@ -463,6 +463,42 @@ def _q_kg_charsets(spark, sf_dir):
     return characteristic_sets(_kg_read(spark, "triples"))
 
 
+def _q_kg_distances(spark, sf_dir):
+    """Multi-source BFS distances (graphops.bfs_distances): hop count
+    from the nearest document root over the containment+reference
+    graph (hasPart direction ∪ references) — one frontier join per
+    round under the shared BFS_ROUNDS cap, min-dist on first visit;
+    oracle = the bounded recursive expansion with min(dist)."""
+    from ferenda_spark.operators.graphops import bfs_distances
+    t = _kg_read(spark, "triples")
+    refs = (t.where((F.col("predicate") ==
+                     "http://purl.org/dc/terms/references") &
+                    (F.col("objtype") == "uri"))
+            .select(F.col("subject").alias("src"),
+                    F.col("object").alias("dst")))
+    parts = (t.where((F.col("predicate") ==
+                      "http://purl.org/dc/terms/isPartOf") &
+                     (F.col("objtype") == "uri"))
+             .select(F.col("object").alias("src"),
+                     F.col("subject").alias("dst")))
+    seeds = _kg_read(spark, "documents").select(
+        F.col("uri").alias("node"))
+    return bfs_distances(refs.unionByName(parts), seeds)
+
+
+def _q_kg_modularity(spark, sf_dir):
+    """Newman-Girvan modularity of the label-propagation communities
+    over the citation graph (graphops.modularity): per-community
+    Q_c = e_c/m − (d_c/2m)² + the '__Q__' total — the quality score
+    closing the community-detection loop; oracle = the identical
+    arithmetic over the unrolled-LPA assignment CTE."""
+    from ferenda_spark.operators.graphops import (citation_edges,
+                                                  label_propagation,
+                                                  modularity)
+    edges = citation_edges(_kg_read(spark, "triples"))
+    return modularity(edges, label_propagation(edges))
+
+
 def _q_kg_hits(spark, sf_dir):
     from ferenda_spark.operators.graphops import citation_edges, hits
     return hits(citation_edges(_kg_read(spark, "triples")))
@@ -3360,6 +3396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": _q_kg_negatives,
         "kg_cocitation": _q_kg_cocitation,
         "kg_charsets": _q_kg_charsets,
+        "kg_distances": _q_kg_distances,
+        "kg_modularity": _q_kg_modularity,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
         "kg_triangles": _q_kg_triangles,
@@ -3537,6 +3575,19 @@ def oracle_sql() -> dict[str, str]:
         "kg_walk_pairs": kgoracle.sql_walk_pairs(kg),
         "kg_pmi": kgoracle.sql_pmi_scores(kg),
         "kg_linkpred": kgoracle.sql_adamic_adar(kg),
+        "kg_distances": kgoracle.sql_bfs_distances(
+            kg,
+            seeds_cte=("seeds AS (SELECT DISTINCT uri AS node FROM "
+                       "read_parquet('%s'))" % kg["documents"]),
+            edges_cte=(
+                "e AS (SELECT subject AS src, object AS dst FROM "
+                "read_parquet('{t}') WHERE predicate = "
+                "'http://purl.org/dc/terms/references' AND objtype = "
+                "'uri' UNION ALL SELECT object, subject FROM "
+                "read_parquet('{t}') WHERE predicate = "
+                "'http://purl.org/dc/terms/isPartOf' AND objtype = "
+                "'uri')".format(t=kg["triples"]))),
+        "kg_modularity": kgoracle.sql_modularity(kg),
         "kg_cocitation": kgoracle.sql_cocitation_coupling(
             kg, edges_cte=(
                 "e AS (SELECT subject AS src, object AS dst FROM "

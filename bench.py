@@ -308,6 +308,34 @@ def main() -> None:
         from ferenda_spark.operators.graphops import characteristic_sets
         return characteristic_sets(stages["triples"])
 
+    def kg_distances(spark, _):
+        # multi-source BFS from document roots over containment +
+        # references: one frontier join per round, min-dist visits
+        from ferenda_spark.operators.graphops import bfs_distances
+        from pyspark.sql import functions as F
+        t = stages["triples"]
+        refs = (t.where((F.col("predicate") ==
+                         "http://purl.org/dc/terms/references") &
+                        (F.col("objtype") == "uri"))
+                .select(F.col("subject").alias("src"),
+                        F.col("object").alias("dst")))
+        parts = (t.where((F.col("predicate") ==
+                          "http://purl.org/dc/terms/isPartOf") &
+                         (F.col("objtype") == "uri"))
+                 .select(F.col("object").alias("src"),
+                         F.col("subject").alias("dst")))
+        seeds = stages["documents"].select(F.col("uri").alias("node"))
+        return bfs_distances(refs.unionByName(parts), seeds)
+
+    def kg_modularity(spark, _):
+        # community quality: Q over the LPA assignment, broadcast
+        # double probe + label-keyed aggregates
+        from ferenda_spark.operators.graphops import (citation_edges,
+                                                      label_propagation,
+                                                      modularity)
+        edges = citation_edges(stages["triples"])
+        return modularity(edges, label_propagation(edges))
+
     def kg_sparql_pathvar(spark, _):
         # property path under GRAPH ?var: grouped per-named-graph
         # closure (one shared (graph,node)-keyed iteration), ?g joins
@@ -457,6 +485,8 @@ def main() -> None:
         "kg_negatives": kg_negatives,
         "kg_cocitation": kg_cocitation,
         "kg_charsets": kg_charsets,
+        "kg_distances": kg_distances,
+        "kg_modularity": kg_modularity,
         "structured_data": qs["kg_structured_data"],
         "warc_ingest": qs["warc_ingest"],
         "robots_filter": qs["robots_filter"],

@@ -1312,3 +1312,56 @@ def sql_characteristic_sets(paths) -> str:
     FROM per_subj GROUP BY cs
     ORDER BY cs
     """
+
+
+def sql_bfs_distances(paths, seeds_cte: str,
+                      edges_cte: str | None = None,
+                      rounds: int | None = None) -> str:
+    """Twin of graphops.bfs_distances: recursive expansion bounded at
+    the shared BFS_ROUNDS cap, min dist per node. ``seeds_cte`` is any
+    ``seeds AS (SELECT ... AS node)`` CTE text; ``edges_cte``
+    overrides the edge source (sql_kcore's contract)."""
+    from .operators.graphops import BFS_ROUNDS
+    r = BFS_ROUNDS if rounds is None else rounds
+    base = edges_cte if edges_cte is not None else _edges_cte(paths)
+    return f"""
+    WITH RECURSIVE {base},
+    {seeds_cte},
+    reach(node, dist) AS (
+      SELECT DISTINCT node, 0::BIGINT FROM seeds
+      UNION
+      SELECT e.dst, r.dist + 1 FROM reach r
+      JOIN e ON e.src = r.node AND e.src <> e.dst
+      WHERE r.dist < {r}
+    )
+    SELECT node, min(dist)::BIGINT AS dist FROM reach GROUP BY node
+    ORDER BY node
+    """
+
+
+def sql_modularity(paths, rounds: int = 4) -> str:
+    """Twin of graphops.modularity over sql_communities' assignment:
+    identical Q_c = e_c/m − (d_c/2m)² arithmetic + the '__Q__' total
+    (summed unrounded, rounded once — matching the Spark fold)."""
+    asg = sql_communities(paths, rounds)
+    return f"""
+    WITH {_undirected_ctes(paths)},
+    asg AS ({asg}),
+    ec AS (
+      SELECT x.label, count(*) AS ec
+      FROM und u JOIN asg x ON x.node = u.a JOIN asg y ON y.node = u.b
+      WHERE x.label = y.label GROUP BY x.label),
+    dc AS (
+      SELECT asg.label, sum(d.d) AS dc
+      FROM deg d JOIN asg ON asg.node = d.n GROUP BY asg.label),
+    mm AS (SELECT count(*)::DOUBLE AS m FROM und),
+    qq AS (
+      SELECT dc.label,
+             coalesce(ec.ec, 0) / mm.m
+               - pow(dc.dc / (2 * mm.m), 2) AS q
+      FROM dc LEFT JOIN ec USING (label) CROSS JOIN mm)
+    SELECT label, round(q, 6) AS q FROM qq
+    UNION ALL
+    SELECT '__Q__', round(sum(q), 6) FROM qq
+    ORDER BY label
+    """

@@ -962,3 +962,84 @@ def characteristic_sets(triples: DataFrame) -> DataFrame:
             .select("cs", "n_subjects",
                     F.col("n_preds").cast("long").alias("n_preds"),
                     "avg_triples"))
+
+
+# shared by bfs_distances() and kgoracle.sql_bfs_distances — same
+# rationale as KCORE_ROUNDS: both engines bound the expansion at the
+# same depth, so they agree by construction on any graph.
+BFS_ROUNDS = 32
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame,
+                  rounds: int = BFS_ROUNDS) -> DataFrame:
+    """(src, dst) directed edges + seeds(node) → (node, dist): the
+    hop count from the NEAREST seed, multi-source BFS — "how far is
+    every entity from the publication roots / from the seed list" in
+    one pass instead of one traversal per seed. Unreachable nodes are
+    absent; depth is bounded by the shared ``rounds`` cap (early-out
+    when a frontier is empty — the fixpoint — so the cap only matters
+    past diameter 32, where the twin stops identically).
+
+    Scale notes: each round joins the frontier (nodes at dist i) into
+    the edge set on uniform src keys and anti-joins the visited set —
+    frontier-sized work, never all-pairs; iter_checkpoint bounds
+    lineage. The visited set is the output being built, node-sized.
+    """
+    from .util import iter_checkpoint
+    E = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")).distinct()
+    dist = (seeds.select("node").distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True))
+    frontier = dist
+    for i in range(rounds):
+        nxt = (frontier.join(E, frontier["node"] == E["src"])
+               .select(F.col("dst").alias("node"),
+                       (F.col("dist") + 1).alias("dist"))
+               .groupBy("node").agg(F.min("dist").alias("dist")))
+        frontier = iter_checkpoint(
+            nxt.join(dist, "node", "left_anti"), i)
+        if frontier.isEmpty():
+            break
+        dist = dist.union(frontier).localCheckpoint(eager=True)
+    return dist
+
+
+def modularity(edges: DataFrame, assignment: DataFrame,
+               round_to: int = 6) -> DataFrame:
+    """Undirected-simple-graph modularity of a community assignment
+    (Newman & Girvan 2004): per community c,
+    Q_c = e_c/m − (d_c/2m)², plus the '__Q__' total row — the
+    quality score for label_propagation's output (how much denser
+    inside communities than chance). ``assignment`` is (node, label).
+
+    Scale notes: e_c is one broadcast-assignment double probe over
+    the undirected pair set + a label-keyed count; d_c one degree
+    aggregate joined to the (node-sized) assignment. m is a 1-row
+    crossed aggregate; nothing corpus-sized leaves the executors.
+    """
+    und = _undirected(edges)
+    a = assignment.select(F.col("node").alias("a"),
+                          F.col("label").alias("la"))
+    b = assignment.select(F.col("node").alias("b"),
+                          F.col("label").alias("lb"))
+    internal = (und.join(a, "a").join(b, "b")
+                .where(F.col("la") == F.col("lb"))
+                .groupBy(F.col("la").alias("label"))
+                .agg(F.count(F.lit(1)).alias("ec")))
+    deg = (und.select(F.col("a").alias("node"))
+           .unionByName(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    dc = (deg.join(assignment, "node")
+          .groupBy("label").agg(F.sum("d").alias("dc")))
+    m = und.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    q = (dc.join(internal, "label", "left")
+         .crossJoin(F.broadcast(m))
+         .select("label",
+                 (F.coalesce(F.col("ec"), F.lit(0)) / F.col("m")
+                  - F.pow(F.col("dc") / (2 * F.col("m")), F.lit(2.0)))
+                 .alias("q")))
+    per = q.select("label", F.round("q", round_to).alias("q"))
+    total = q.agg(F.round(F.sum("q"), round_to).alias("q")) \
+             .select(F.lit("__Q__").alias("label"), "q")
+    return per.unionByName(total)

@@ -497,3 +497,43 @@ def test_characteristic_sets_census(spark):
     # s1 and s2 share the sorted set a|b (s1 with 3 triples, s2 with 2)
     assert got["a|b"] == (2, 2, 2.5)
     assert got["a"] == (1, 1, 1.0)
+
+
+def test_bfs_distances_golden(spark):
+    from ferenda_spark.operators.graphops import bfs_distances
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "c"), ("t", "b"),   # t is a
+         ("c", "s"),                                       # cycle back
+         ("x", "y")],                                      # unreachable
+        "src string, dst string")
+    seeds = spark.createDataFrame([("s",), ("t",)], "node string")
+    got = {r["node"]: r["dist"] for r in
+           bfs_distances(edges, seeds).collect()}
+    # b is 2 hops from s but 1 from t → min wins; cycle can't shrink s
+    assert got == {"s": 0, "t": 0, "a": 1, "b": 1, "c": 2}
+    assert "x" not in got and "y" not in got
+
+
+def test_modularity_golden(spark):
+    from math import isclose
+
+    from ferenda_spark.operators.graphops import modularity
+    # two triangles joined by one bridge; perfect 2-community split
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")],
+        "src string, dst string")
+    asg = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "L"),
+         ("d", "R"), ("e", "R"), ("f", "R")], "node string, label string")
+    got = {r["label"]: r["q"] for r in modularity(edges, asg).collect()}
+    # m=7; each side: e_c=3, d_c=7 → q = 3/7 - (7/14)^2 = 3/7 - 1/4
+    per = 3 / 7 - 0.25
+    assert isclose(got["L"], round(per, 6)) and \
+        isclose(got["R"], round(per, 6))
+    assert isclose(got["__Q__"], round(2 * per, 6))
+    # everyone in one community → Q = e/m - 1 = 0 exactly... (d=2m)
+    one = spark.createDataFrame([(n, "A") for n in "abcdef"],
+                                "node string, label string")
+    gq = {r["label"]: r["q"] for r in modularity(edges, one).collect()}
+    assert gq["__Q__"] == 0.0
