@@ -499,6 +499,15 @@ def _q_kg_modularity(spark, sf_dir):
     return modularity(edges, label_propagation(edges))
 
 
+def _q_kg_completeness(spark, sf_dir):
+    """KG completeness profile (validate.completeness_report): per
+    (class × non-type predicate) the fraction of the class's subjects
+    carrying the predicate, zero-filled over the schema-sized grid —
+    the curation-priority table; same-join twin."""
+    from ferenda_spark.operators.validate import completeness_report
+    return completeness_report(_kg_read(spark, "triples"))
+
+
 def _q_kg_hits(spark, sf_dir):
     from ferenda_spark.operators.graphops import citation_edges, hits
     return hits(citation_edges(_kg_read(spark, "triples")))
@@ -2237,6 +2246,16 @@ def _q_hll_distinct(spark, sf_dir):
                         keys=["lang"], value="text", p=6)
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Sliding context-window chunking (packing.chunk_documents):
+    documents split into size-64/stride-48 word windows — the step
+    between raw docs and trainer sequences; pure codegen, no shuffle
+    (explode + slice + array_join); list-slice twin."""
+    from ferenda_spark.operators.packing import chunk_documents
+    return chunk_documents(_read(spark, sf_dir, "documents"),
+                           size=64, stride=48)
+
+
 def _q_quality(spark, sf_dir):
     from ferenda_spark.operators.textops import quality_score
     return quality_score(_read(spark, sf_dir, "documents"))
@@ -3398,6 +3417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_charsets": _q_kg_charsets,
         "kg_distances": _q_kg_distances,
         "kg_modularity": _q_kg_modularity,
+        "kg_completeness": _q_kg_completeness,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
         "kg_triangles": _q_kg_triangles,
@@ -3463,6 +3483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops (DuckDB-oracled)
         "token_stats": _q_token_stats,
         "hll_distinct": _q_hll_distinct,
+        "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
         "resample_mixture": _q_resample_mixture,
@@ -3531,6 +3552,7 @@ def oracle_sql() -> dict[str, str]:
                                          packing, sampling, similarity,
                                          textops)
     from ferenda_spark.operators import sketches as _sketches
+    from ferenda_spark.operators import validate as _validate
     # the quadratic jaccard ground truth is materialized once (same
     # DuckDB engine + SQL, cached by input/kernel fingerprint) and
     # shared by three oracles — see dedup.ensure_jaccard_pairs_oracle
@@ -3588,6 +3610,8 @@ def oracle_sql() -> dict[str, str]:
                 "'http://purl.org/dc/terms/isPartOf' AND objtype = "
                 "'uri')".format(t=kg["triples"]))),
         "kg_modularity": kgoracle.sql_modularity(kg),
+        "kg_completeness": _validate.sql_completeness_report(
+            "read_parquet('%s')" % kg["triples"]),
         "kg_cocitation": kgoracle.sql_cocitation_coupling(
             kg, edges_cte=(
                 "e AS (SELECT subject AS src, object AS dst FROM "
@@ -3705,6 +3729,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": textops.oracle_sql_token_stats(),
         "hll_distinct": _sketches.sql_hll_distinct(
             "documents", keys=["lang"], value="text", p=6),
+        "chunk_documents": packing.oracle_sql_chunk_documents(
+            size=64, stride=48),
         "pack_sequences": packing.oracle_sql_pack(budget=256, n_shards=8),
         "stratified_sample": sampling.oracle_sql_stratified(
             "documents", "lang", 0.3,

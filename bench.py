@@ -487,6 +487,7 @@ def main() -> None:
         "kg_charsets": kg_charsets,
         "kg_distances": kg_distances,
         "kg_modularity": kg_modularity,
+        "kg_completeness": qs["kg_completeness"],
         "structured_data": qs["kg_structured_data"],
         "warc_ingest": qs["warc_ingest"],
         "robots_filter": qs["robots_filter"],
@@ -512,6 +513,7 @@ def main() -> None:
         "pack_sequences": qs["pack_sequences"],
         "token_stats": qs["token_stats"],
         "hll_distinct": qs["hll_distinct"],
+        "chunk_documents": qs["chunk_documents"],
         "top_ngrams": qs["top_ngrams"],
         "bpe_pairs": qs["bpe_pairs"],
         "bpe_encode": qs["bpe_encode"],

@@ -124,3 +124,81 @@ def oracle_sql_pack(documents_table: str = "documents",
     )
     SELECT shard, bin_id, pos_in_bin, doc_id, n_tokens FROM packed
     """
+
+
+def chunk_documents(docs: DataFrame, size: int = 128, stride: int = 96,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """→ (id, chunk_id, start_word, n_words, chunk_text): fixed
+    context-window splitting with overlap — the step between raw
+    documents and trainer sequences when documents exceed the model's
+    window (stride < size ⇒ consecutive chunks share size−stride
+    words, the standard sliding-window setting). Chunk starts are
+    0, stride, 2·stride, …; the last chunk may be short; empty/NULL
+    texts emit nothing.
+
+    Scale notes: pure codegen — the word array is built once per row,
+    the chunk count is arithmetic, the explode fans each document into
+    its chunks and ``slice``/``array_join`` rebuild the windows. No
+    shuffle at all: chunking is embarrassingly row-parallel, and the
+    output order is (id, chunk_id)-keyed for the downstream packer.
+    """
+    if not (0 < stride <= size):
+        raise ValueError("need 0 < stride <= size")
+    from .textops import words_col
+    w = words_col(F.col(text_col))
+    n = F.size(w)
+    # number of starts: 1 + ceil(max(0, n - size) / stride)
+    n_chunks = (F.lit(1) +
+                F.floor((F.greatest(n - size, F.lit(0)) +
+                         F.lit(stride - 1)) / F.lit(stride))
+                .cast("int"))
+    out = (docs.select(F.col(id_col), w.alias("_w"), n.alias("_n"),
+                       n_chunks.alias("_c"))
+           .where(F.col("_n") > 0)
+           .select(id_col, "_w", "_n",
+                   F.explode(F.sequence(F.lit(0), F.col("_c") - 1))
+                   .alias("chunk_id")))
+    start = F.col("chunk_id") * stride
+    return (out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_word"),
+        F.least(F.lit(size), F.col("_n") - start).cast("long")
+         .alias("n_words"),
+        F.array_join(F.slice(F.col("_w"), start + 1, size), " ")
+         .alias("chunk_text")))
+
+
+def oracle_sql_chunk_documents(size: int = 128, stride: int = 96,
+                               table: str = "documents",
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> str:
+    """DuckDB twin of :func:`chunk_documents`: the same shared-class
+    whitespace split, start arithmetic and list slicing."""
+    return f"""
+    WITH w AS (
+      SELECT {id_col},
+             CASE WHEN trim(coalesce({text_col}, '')) = ''
+                  THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(
+                         trim(coalesce({text_col}, '')), '{WS_SPLIT}')
+             END AS words
+      FROM {table}),
+    c AS (
+      SELECT {id_col}, words, len(words) AS n,
+             1 + (greatest(n - {size}, 0) + {stride - 1}) // {stride}
+               AS n_chunks
+      FROM w WHERE len(words) > 0),
+    x AS (
+      SELECT {id_col}, words, n, unnest(range(0, n_chunks)) AS chunk_id
+      FROM c)
+    SELECT {id_col}, chunk_id::BIGINT AS chunk_id,
+           (chunk_id * {stride})::BIGINT AS start_word,
+           least({size}, n - chunk_id * {stride})::BIGINT AS n_words,
+           array_to_string(
+             words[(chunk_id * {stride} + 1):(chunk_id * {stride} + {size})],
+             ' ') AS chunk_text
+    FROM x
+    ORDER BY {id_col}, chunk_id
+    """

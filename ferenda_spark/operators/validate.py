@@ -212,3 +212,64 @@ def sql_validate_shapes(table_sql: str, shapes: list[Shape]) -> str:
       WHERE max_count IS NOT NULL AND n > max_count
     ORDER BY focus, shape_id, "constraint", value
     """
+
+
+def completeness_report(triples: DataFrame,
+                        round_to: int = 6) -> DataFrame:
+    """→ (cls, predicate, n_subjects, n_with, coverage): for every
+    (rdf:type class × non-type predicate) combination, how many of
+    the class's subjects carry the predicate at least once — the KG
+    completeness profile (the "98% of Products have a price, 3% have
+    a gtin" table that drives curation priorities). Combinations a
+    class never exhibits appear with coverage 0.
+
+    Scale notes: the type table and the (subject, predicate) distinct
+    are the only corpus-sized aggregates (uniform subject keys,
+    map-side combined); the class×predicate frame is schema-sized, so
+    the zero-fill cross join and the final arithmetic are free.
+    """
+    typed = (triples.where((F.col("predicate") == RDF_TYPE) &
+                           (F.col("objtype") == "uri"))
+             .select("subject", F.col("object").alias("cls"))
+             .distinct())
+    cls_n = typed.groupBy("cls").agg(F.count(F.lit(1))
+                                     .alias("n_subjects"))
+    sp = (triples.where(F.col("predicate") != RDF_TYPE)
+          .select("subject", "predicate").distinct())
+    n_with = (typed.join(sp, "subject")
+              .groupBy("cls", "predicate")
+              .agg(F.count(F.lit(1)).alias("n_with")))
+    all_preds = sp.select("predicate").distinct()
+    grid = cls_n.crossJoin(all_preds)
+    return (grid.join(n_with, ["cls", "predicate"], "left")
+            .select("cls", "predicate", "n_subjects",
+                    F.coalesce(F.col("n_with"), F.lit(0))
+                    .cast("long").alias("n_with"))
+            .withColumn("coverage",
+                        F.round(F.col("n_with") /
+                                F.col("n_subjects"), round_to)))
+
+
+def sql_completeness_report(table_sql: str) -> str:
+    """DuckDB twin of :func:`completeness_report`."""
+    return f"""
+    WITH typed AS (
+      SELECT DISTINCT subject, object AS cls FROM {table_sql}
+      WHERE predicate = '{RDF_TYPE}' AND objtype = 'uri'),
+    cls_n AS (SELECT cls, count(*) AS n_subjects FROM typed GROUP BY cls),
+    sp AS (SELECT DISTINCT subject, predicate FROM {table_sql}
+           WHERE predicate <> '{RDF_TYPE}'),
+    n_with AS (
+      SELECT t.cls, s.predicate, count(*) AS n
+      FROM typed t JOIN sp s USING (subject)
+      GROUP BY t.cls, s.predicate),
+    grid AS (
+      SELECT c.cls, c.n_subjects, p.predicate
+      FROM cls_n c CROSS JOIN (SELECT DISTINCT predicate FROM sp) p)
+    SELECT g.cls, g.predicate, g.n_subjects::BIGINT AS n_subjects,
+           coalesce(w.n, 0)::BIGINT AS n_with,
+           round(coalesce(w.n, 0) / g.n_subjects::DOUBLE, 6) AS coverage
+    FROM grid g LEFT JOIN n_with w
+      ON w.cls = g.cls AND w.predicate = g.predicate
+    ORDER BY g.cls, g.predicate
+    """

@@ -1155,3 +1155,48 @@ def test_dedup_delta_driver_parity(spark, duck):
     # novel docs match nothing in the corpus; template self-overlap
     # within the batch stays under the 0.5 threshold
     assert (~novel["is_dup"]).all()
+
+
+def test_chunk_documents_windows(spark):
+    from ferenda_spark.operators.packing import chunk_documents
+    import pytest as _pytest
+    docs = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6"),   # 7 words
+         (2, "a b"),                    # fits one window
+         (3, ""), (4, None)],           # emit nothing
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["chunk_id"]):
+           (r["start_word"], r["n_words"], r["chunk_text"])
+           for r in chunk_documents(docs, size=4, stride=2).collect()}
+    # starts 0,2,4 for doc 1: 1 + ceil((7-4)/2) = 3 chunks
+    assert got[(1, 0)] == (0, 4, "w0 w1 w2 w3")
+    assert got[(1, 1)] == (2, 4, "w2 w3 w4 w5")
+    assert got[(1, 2)] == (4, 3, "w4 w5 w6")       # short tail
+    assert got[(2, 0)] == (0, 2, "a b")
+    assert {d for d, _ in got} == {1, 2}
+    # overlap: consecutive windows share size - stride words
+    assert got[(1, 0)][2].split()[2:] == got[(1, 1)][2].split()[:2]
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=4, stride=5)
+
+
+def test_completeness_report_grid(spark):
+    from ferenda_spark.namespaces import RDF_TYPE
+    from ferenda_spark.operators.validate import completeness_report
+    EX = "http://example.org/"
+    rows = [("p1", RDF_TYPE, EX + "Product", "uri"),
+            ("p2", RDF_TYPE, EX + "Product", "uri"),
+            ("o1", RDF_TYPE, EX + "Org", "uri"),
+            ("p1", EX + "price", "9", "literal"),
+            ("p1", EX + "price", "10", "literal"),   # multiplicity ≠ cover
+            ("o1", EX + "name", "x", "literal")]
+    df = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, "
+              "objtype string")
+    got = {(r["cls"], r["predicate"]): (r["n_subjects"], r["n_with"],
+                                        r["coverage"])
+           for r in completeness_report(df).collect()}
+    assert got[(EX + "Product", EX + "price")] == (2, 1, 0.5)
+    assert got[(EX + "Product", EX + "name")] == (2, 0, 0.0)   # zero-fill
+    assert got[(EX + "Org", EX + "name")] == (1, 1, 1.0)
+    assert len(got) == 4                                       # 2 cls × 2 preds
