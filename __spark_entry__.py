@@ -508,6 +508,42 @@ def _q_kg_completeness(spark, sf_dir):
     return completeness_report(_kg_read(spark, "triples"))
 
 
+_KG_LINK_EDGES_CTE = (
+    "e AS (SELECT subject AS src, object AS dst FROM "
+    "read_parquet('%s') WHERE predicate IN "
+    "('http://purl.org/dc/terms/references', "
+    "'http://purl.org/dc/terms/isPartOf') AND objtype = 'uri')")
+
+
+def _kg_link_edges(spark):
+    t = _kg_read(spark, "triples")
+    return (t.where(F.col("predicate").isin(
+                "http://purl.org/dc/terms/references",
+                "http://purl.org/dc/terms/isPartOf") &
+                (F.col("objtype") == "uri"))
+            .select(F.col("subject").alias("src"),
+                    F.col("object").alias("dst"))
+            .where(F.col("src") != F.col("dst")))
+
+
+def _q_kg_degree_dist(spark, sf_dir):
+    """Undirected degree distribution of the link graph
+    (graphops.degree_histogram): the first census anyone plots over
+    a web graph; node-sized degree count + max_deg-bounded
+    histogram."""
+    from ferenda_spark.operators.graphops import degree_histogram
+    return degree_histogram(_kg_link_edges(spark))
+
+
+def _q_kg_graph_stats(spark, sf_dir):
+    """One-look graph census (graphops.graph_stats): n/m/max/mean
+    degree, the CSN-2009 power-law MLE exponent (histogram-folded ln
+    sum, rounded to 4) and Newman-2002 degree assortativity computed
+    ENTIRELY from integer moment sums — no corpus-sized float fold."""
+    from ferenda_spark.operators.graphops import graph_stats
+    return graph_stats(_kg_link_edges(spark))
+
+
 def _q_kg_hits(spark, sf_dir):
     from ferenda_spark.operators.graphops import citation_edges, hits
     return hits(citation_edges(_kg_read(spark, "triples")))
@@ -2246,6 +2282,16 @@ def _q_hll_distinct(spark, sf_dir):
                         keys=["lang"], value="text", p=6)
 
 
+def _q_length_quantiles(spark, sf_dir):
+    """Exact per-language word-length quantiles
+    (textops.length_quantiles): Spark percentile ≡ DuckDB
+    quantile_cont on the same (n−1)·q interpolation (spiked), the
+    corpus length census that sets truncation budgets."""
+    from ferenda_spark.operators.textops import length_quantiles
+    return length_quantiles(_read(spark, sf_dir, "documents"),
+                            keys=["lang"])
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Sliding context-window chunking (packing.chunk_documents):
     documents split into size-64/stride-48 word windows — the step
@@ -3418,6 +3464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distances": _q_kg_distances,
         "kg_modularity": _q_kg_modularity,
         "kg_completeness": _q_kg_completeness,
+        "kg_degree_dist": _q_kg_degree_dist,
+        "kg_graph_stats": _q_kg_graph_stats,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
         "kg_triangles": _q_kg_triangles,
@@ -3484,6 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "hll_distinct": _q_hll_distinct,
         "chunk_documents": _q_chunk_documents,
+        "length_quantiles": _q_length_quantiles,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
         "resample_mixture": _q_resample_mixture,
@@ -3610,6 +3659,10 @@ def oracle_sql() -> dict[str, str]:
                 "'http://purl.org/dc/terms/isPartOf' AND objtype = "
                 "'uri')".format(t=kg["triples"]))),
         "kg_modularity": kgoracle.sql_modularity(kg),
+        "kg_degree_dist": kgoracle.sql_degree_histogram(
+            kg, edges_cte=_KG_LINK_EDGES_CTE % kg["triples"]),
+        "kg_graph_stats": kgoracle.sql_graph_stats(
+            kg, edges_cte=_KG_LINK_EDGES_CTE % kg["triples"]),
         "kg_completeness": _validate.sql_completeness_report(
             "read_parquet('%s')" % kg["triples"]),
         "kg_cocitation": kgoracle.sql_cocitation_coupling(
@@ -3731,6 +3784,8 @@ def oracle_sql() -> dict[str, str]:
             "documents", keys=["lang"], value="text", p=6),
         "chunk_documents": packing.oracle_sql_chunk_documents(
             size=64, stride=48),
+        "length_quantiles": textops.oracle_sql_length_quantiles(
+            keys=["lang"]),
         "pack_sequences": packing.oracle_sql_pack(budget=256, n_shards=8),
         "stratified_sample": sampling.oracle_sql_stratified(
             "documents", "lang", 0.3,

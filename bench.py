@@ -488,6 +488,8 @@ def main() -> None:
         "kg_distances": kg_distances,
         "kg_modularity": kg_modularity,
         "kg_completeness": qs["kg_completeness"],
+        "kg_degree_dist": qs["kg_degree_dist"],
+        "kg_graph_stats": qs["kg_graph_stats"],
         "structured_data": qs["kg_structured_data"],
         "warc_ingest": qs["warc_ingest"],
         "robots_filter": qs["robots_filter"],
@@ -514,6 +516,7 @@ def main() -> None:
         "token_stats": qs["token_stats"],
         "hll_distinct": qs["hll_distinct"],
         "chunk_documents": qs["chunk_documents"],
+        "length_quantiles": qs["length_quantiles"],
         "top_ngrams": qs["top_ngrams"],
         "bpe_pairs": qs["bpe_pairs"],
         "bpe_encode": qs["bpe_encode"],

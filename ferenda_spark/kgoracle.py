@@ -1365,3 +1365,44 @@ def sql_modularity(paths, rounds: int = 4) -> str:
     SELECT '__Q__', round(sum(q), 6) FROM qq
     ORDER BY label
     """
+
+
+def sql_degree_histogram(paths, edges_cte: str | None = None) -> str:
+    """Twin of graphops.degree_histogram."""
+    return f"""
+    WITH {_undirected_ctes(paths, edges_cte)}
+    SELECT d AS deg, count(*)::BIGINT AS n_nodes
+    FROM deg GROUP BY d ORDER BY deg
+    """
+
+
+def sql_graph_stats(paths, edges_cte: str | None = None) -> str:
+    """Twin of graphops.graph_stats: identical integer moment sums
+    and final arithmetic."""
+    return f"""
+    WITH {_undirected_ctes(paths, edges_cte)},
+    hist AS (SELECT d, count(*) AS c FROM deg GROUP BY d),
+    base AS (
+      SELECT (SELECT count(*) FROM deg) AS nn,
+             (SELECT max(d) FROM deg) AS maxd,
+             (SELECT count(*) FROM und) AS m,
+             (SELECT sum(c * ln(2.0 * d)) FROM hist) AS lsum),
+    mom AS (
+      SELECT sum(da.d * db.d)::BIGINT AS sjk,
+             sum(da.d + db.d)::BIGINT AS sj,
+             sum(da.d * da.d + db.d * db.d)::BIGINT AS sj2
+      FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b)
+    SELECT stat, value FROM (
+      SELECT 'n_nodes' AS stat, nn::DOUBLE AS value FROM base
+      UNION ALL SELECT 'n_edges', m::DOUBLE FROM base
+      UNION ALL SELECT 'max_deg', maxd::DOUBLE FROM base
+      UNION ALL SELECT 'mean_deg', round(2 * m::DOUBLE / nn, 6) FROM base
+      UNION ALL SELECT 'alpha_mle', round(1.0 + nn / lsum, 4) FROM base
+      UNION ALL
+      SELECT 'assortativity',
+             round(((sjk / m::DOUBLE) - pow(sj / (2 * m::DOUBLE), 2))
+                   / nullif((sj2 / (2 * m::DOUBLE))
+                            - pow(sj / (2 * m::DOUBLE), 2), 0.0), 6)
+      FROM base CROSS JOIN mom)
+    ORDER BY stat
+    """

@@ -1043,3 +1043,72 @@ def modularity(edges: DataFrame, assignment: DataFrame,
     total = q.agg(F.round(F.sum("q"), round_to).alias("q")) \
              .select(F.lit("__Q__").alias("label"), "q")
     return per.unionByName(total)
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """→ (deg, n_nodes): the undirected degree distribution — the
+    first census anyone plots over a web graph. One node-sized degree
+    count + one histogram aggregate (output bounded by max degree)."""
+    und = _undirected(edges)
+    deg = (und.select(F.col("a").alias("n"))
+           .unionByName(und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+    return (deg.groupBy("deg")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .select(F.col("deg").cast("long"), "n_nodes"))
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """→ (stat, value) rows: the one-look census of the undirected
+    simple graph — n_nodes, n_edges, max_deg, mean_deg, the
+    continuous power-law MLE exponent alpha_mle = 1 + n/Σln(2dᵢ)
+    (Clauset-Shalizi-Newman 2009, xmin=1), and the degree
+    assortativity coefficient (Newman 2002).
+
+    Determinism engineering: assortativity is computed ENTIRELY from
+    integer moment sums over the edge list (Σjk, Σ(j+k), Σ(j²+k²) —
+    no float fold order), divided once at the end; the MLE's Σ ln
+    folds over the degree HISTOGRAM (max_deg-sized, not corpus-sized)
+    and rounds to 4, wide enough that a last-ulp fold difference
+    cannot move the printed value. mean_deg = 2m/n exactly.
+    """
+    und = _undirected(edges)
+    deg = (und.select(F.col("a").alias("n"))
+           .unionByName(und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    base = (deg.agg(F.count(F.lit(1)).alias("nn"),
+                    F.max("d").alias("maxd"))
+            .crossJoin(und.agg(F.count(F.lit(1)).alias("m")))
+            .crossJoin(hist.agg(
+                F.sum(F.col("c") *
+                      F.log(2.0 * F.col("d"))).alias("lsum"))))
+    # per-edge endpoint degrees for the assortativity moments
+    ed = (und.join(deg.withColumnRenamed("n", "a")
+                   .withColumnRenamed("d", "j"), "a")
+          .join(deg.withColumnRenamed("n", "b")
+                .withColumnRenamed("d", "k"), "b"))
+    mom = ed.agg(F.sum(F.col("j") * F.col("k")).alias("sjk"),
+                 F.sum(F.col("j") + F.col("k")).alias("sj"),
+                 F.sum(F.col("j") * F.col("j") +
+                       F.col("k") * F.col("k")).alias("sj2"))
+    t = base.crossJoin(F.broadcast(mom))
+    m = F.col("m").cast("double")
+    num = (F.col("sjk") / m) - F.pow(F.col("sj") / (2 * m), F.lit(2.0))
+    den = (F.col("sj2") / (2 * m)) - \
+        F.pow(F.col("sj") / (2 * m), F.lit(2.0))
+    rows = [
+        ("n_nodes", F.col("nn").cast("double")),
+        ("n_edges", F.col("m").cast("double")),
+        ("max_deg", F.col("maxd").cast("double")),
+        ("mean_deg", F.round(2 * m / F.col("nn"), 6)),
+        ("alpha_mle", F.round(1.0 + F.col("nn") / F.col("lsum"), 4)),
+        ("assortativity",
+         F.round(num / F.nullif(den, F.lit(0.0)), 6)),
+    ]
+    out = None
+    for name, expr in rows:
+        part = t.select(F.lit(name).alias("stat"),
+                        expr.alias("value"))
+        out = part if out is None else out.unionByName(part)
+    return out

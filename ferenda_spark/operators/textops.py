@@ -890,3 +890,62 @@ def oracle_sql_page_metadata(table: str = "documents",
            len({metas})::BIGINT AS n_meta
     FROM {table} ORDER BY doc_id
     """
+
+
+LENGTH_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def length_quantiles(docs: DataFrame, keys: list[str] | None = None,
+                     text_col: str = "text",
+                     qs: tuple = LENGTH_QUANTILES) -> DataFrame:
+    """→ (keys…, q, n_words_q): EXACT interpolated word-length
+    quantiles per key group — the corpus length census that sets
+    truncation budgets and flags degenerate slices. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` implement the same
+    (n−1)·q interpolation on the sorted group, so the twin is
+    bit-checkable (spiked before shipping; rounded to 6).
+
+    Scale notes: exact per-group quantiles sort within the key
+    exchange — that is the price of "exact" (and the reason the
+    estimate-only path would use percentile_approx, which no oracle
+    can cross-check). Groups are language/host-sized; the melt to
+    (q, value) rows happens after aggregation on the key-sized frame.
+    """
+    keys = list(keys or [])
+    n = F.size(words_col(F.col(text_col)))
+    aggs = [F.round(F.percentile(F.col("_n"), F.lit(q)), 6)
+            .alias("_q%d" % i) for i, q in enumerate(qs)]
+    agg = docs.select(*keys, n.alias("_n")).groupBy(*keys).agg(*aggs)
+    stack = F.expr("stack(%d, %s) AS (q, n_words_q)" % (
+        len(qs), ", ".join("cast(%r as double), _q%d" % (q, i)
+                           for i, q in enumerate(qs))))
+    return agg.select(*keys, stack)
+
+
+def oracle_sql_length_quantiles(table: str = "documents",
+                                keys: list[str] | None = None,
+                                text_col: str = "text",
+                                qs: tuple = LENGTH_QUANTILES) -> str:
+    """DuckDB twin of :func:`length_quantiles`."""
+    keys = list(keys or [])
+    kcols = ", ".join(keys)
+    kpfx = (kcols + ", ") if keys else ""
+    branches = "\n      UNION ALL ".join(
+        f"SELECT {kpfx}{q} AS q, q{i} AS n_words_q FROM agg"
+        for i, q in enumerate(qs))
+    qaggs = ", ".join(
+        f"round(quantile_cont(n, {q}), 6) AS q{i}"
+        for i, q in enumerate(qs))
+    grp = ("GROUP BY " + kcols) if keys else ""
+    return f"""
+    WITH w AS (
+      SELECT {kpfx}
+             CASE WHEN trim(coalesce({text_col}, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(
+                         trim(coalesce({text_col}, '')), '{WS_SPLIT}'))
+             END AS n
+      FROM {table}),
+    agg AS (SELECT {kpfx}{qaggs} FROM w {grp})
+    {branches}
+    ORDER BY {kpfx}q
+    """

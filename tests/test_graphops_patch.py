@@ -537,3 +537,27 @@ def test_modularity_golden(spark):
                                 "node string, label string")
     gq = {r["label"]: r["q"] for r in modularity(edges, one).collect()}
     assert gq["__Q__"] == 0.0
+
+
+def test_graph_stats_star_values(spark):
+    from math import log
+
+    from ferenda_spark.operators.graphops import (degree_histogram,
+                                                  graph_stats)
+    # star: hub h with 4 leaves — maximally disassortative (r = -1)
+    edges = spark.createDataFrame(
+        [("h", x) for x in "abcd"], "src string, dst string")
+    hist = {r["deg"]: r["n_nodes"]
+            for r in degree_histogram(edges).collect()}
+    assert hist == {1: 4, 4: 1}
+    got = {r["stat"]: r["value"] for r in graph_stats(edges).collect()}
+    assert got["n_nodes"] == 5 and got["n_edges"] == 4
+    assert got["max_deg"] == 4 and got["mean_deg"] == 1.6
+    assert got["assortativity"] == -1.0
+    # alpha: 1 + n / (4·ln2 + 1·ln8)
+    assert got["alpha_mle"] == round(1 + 5 / (4 * log(2) + log(8)), 4)
+    # regular graph (triangle): denominator 0 → NULL, not a crash
+    tri = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")],
+                                "src string, dst string")
+    t = {r["stat"]: r["value"] for r in graph_stats(tri).collect()}
+    assert t["assortativity"] is None and t["mean_deg"] == 2.0
