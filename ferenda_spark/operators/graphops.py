@@ -791,10 +791,12 @@ def adamic_adar(edges: DataFrame, min_score: float = 0.0,
 # same superset).  Real web/citation graphs converge in a handful of
 # rounds — the driver parity run would surface a corpus that doesn't.
 KCORE_ROUNDS = 24
+KCORE_DRIVER_THRESHOLD = 2_000_000  # edges; below -> plain-Python peel
 
 
 def kcore(edges: DataFrame, k: int = 2,
-          rounds: int = KCORE_ROUNDS) -> DataFrame:
+          rounds: int = KCORE_ROUNDS,
+          driver_threshold: int = KCORE_DRIVER_THRESHOLD) -> DataFrame:
     """Directed edges → (node, core_deg): the k-core of the undirected
     simple graph — the maximal subgraph where every node keeps degree
     ≥ k — with each surviving node's degree inside the core. The
@@ -814,11 +816,34 @@ def kcore(edges: DataFrame, k: int = 2,
     iter_checkpoint bounds lineage/stats growth like the other
     iterative operators. Early-out when a round is already stable
     (one count per round, same cadence as connected components).
+    Hybrid like pagerank/hits/CC: link graphs are a tiny slice of the
+    corpus, so below the edge cutoff the peel runs in plain Python on
+    the driver — same rounds, same result (tested branch-for-branch).
     """
     from .util import iter_checkpoint
     und = _undirected(edges)
+    n_edges = und.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        pairs = [(r["a"], r["b"]) for r in und.collect()]
+        for _ in range(rounds):
+            deg: dict = {}
+            for a, b in pairs:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            kept = [(a, b) for a, b in pairs
+                    if deg[a] >= k and deg[b] >= k]
+            if len(kept) == len(pairs):
+                break
+            pairs = kept
+        core: dict = {}
+        for a, b in pairs:
+            core[a] = core.get(a, 0) + 1
+            core[b] = core.get(b, 0) + 1
+        rows = sorted((n, c) for n, c in core.items() if c >= k)
+        return edges.sparkSession.createDataFrame(
+            rows or [], "node string, core_deg long")
     cur = und
-    prev_n = cur.count()
+    prev_n = -1  # limited count above can't seed the stability check
     for i in range(rounds):
         deg = (cur.select(F.col("a").alias("n"))
                .unionByName(cur.select(F.col("b").alias("n")))
@@ -968,10 +993,13 @@ def characteristic_sets(triples: DataFrame) -> DataFrame:
 # rationale as KCORE_ROUNDS: both engines bound the expansion at the
 # same depth, so they agree by construction on any graph.
 BFS_ROUNDS = 32
+BFS_DRIVER_THRESHOLD = 2_000_000  # edges; below -> plain-Python BFS
 
 
 def bfs_distances(edges: DataFrame, seeds: DataFrame,
-                  rounds: int = BFS_ROUNDS) -> DataFrame:
+                  rounds: int = BFS_ROUNDS,
+                  driver_threshold: int = BFS_DRIVER_THRESHOLD
+                  ) -> DataFrame:
     """(src, dst) directed edges + seeds(node) → (node, dist): the
     hop count from the NEAREST seed, multi-source BFS — "how far is
     every entity from the publication roots / from the seed list" in
@@ -984,10 +1012,33 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
     the edge set on uniform src keys and anti-joins the visited set —
     frontier-sized work, never all-pairs; iter_checkpoint bounds
     lineage. The visited set is the output being built, node-sized.
+    Hybrid like pagerank/hits/CC/kcore: below the edge cutoff the BFS
+    runs in plain Python on the driver — same cap, same result
+    (tested branch-for-branch).
     """
     from .util import iter_checkpoint
     E = edges.select("src", "dst").where(
         F.col("src") != F.col("dst")).distinct()
+    n_edges = E.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        adj: dict = {}
+        for r in E.collect():
+            adj.setdefault(r["src"], []).append(r["dst"])
+        d = {r["node"]: 0 for r in
+             seeds.select("node").distinct().collect()}
+        frontier = list(d)
+        for i in range(rounds):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in d:
+                        d[v] = i + 1
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        return edges.sparkSession.createDataFrame(
+            sorted(d.items()) or [], "node string, dist long")
     dist = (seeds.select("node").distinct()
             .withColumn("dist", F.lit(0).cast("long"))
             .localCheckpoint(eager=True))

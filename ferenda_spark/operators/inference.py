@@ -497,7 +497,9 @@ def _owl_schema(ontology, data_schema=()):
 
 def owl_materialize(triples: DataFrame,
                     ontology: list[tuple[str, str, str]],
-                    include_data_schema: bool = True) -> DataFrame:
+                    include_data_schema: bool = True,
+                    driver_threshold: int = DELTA_BROADCAST_THRESHOLD
+                    ) -> DataFrame:
     """→ distinct entailed (subject, predicate, object, objtype): the
     asserted triples plus the OWL-RL *property-rule* subset —
     prp-inv (owl:inverseOf, both directions), prp-symp
@@ -562,13 +564,33 @@ def owl_materialize(triples: DataFrame,
         for part in e1[1:]:
             edges = edges.union(part.where(F.col("predicate")
                                            .isin(*trans)))
-        closed = grouped_transitive_closure(
-            edges.select("predicate", "subject", "object"),
-            group="predicate", src="subject", dst="object")
-        tc = closed.select(F.col("a").alias("subject"),
-                           F.col("g").alias("predicate"),
-                           F.col("b").alias("object"),
-                           F.lit("uri").alias("objtype"))
+        edges = edges.select("predicate", "subject", "object")                      .distinct()
+        # hybrid like the graph analytics: transitive-predicate edge
+        # sets are a tiny slice of the corpus, so below the cutoff
+        # the per-predicate closure runs in plain Python (same
+        # fixpoint, tested branch-for-branch); above it, the shared
+        # (predicate, node)-keyed distributed iteration
+        n_edges = edges.limit(driver_threshold + 1).count()
+        if n_edges <= driver_threshold:
+            by_p: dict = {}
+            for r in edges.collect():
+                by_p.setdefault(r["predicate"], set()).add(
+                    (r["subject"], r["object"]))
+            rows = []
+            for p, pairs in by_p.items():
+                rows.extend((s_, p, o_, "uri")
+                            for s_, o_ in _closure(pairs))
+            tc = spark.createDataFrame(
+                sorted(rows) or [],
+                "subject string, predicate string, object string, "
+                "objtype string")
+        else:
+            closed = grouped_transitive_closure(
+                edges, group="predicate", src="subject", dst="object")
+            tc = closed.select(F.col("a").alias("subject"),
+                               F.col("g").alias("predicate"),
+                               F.col("b").alias("object"),
+                               F.lit("uri").alias("objtype"))
         e1.append(tc)
         e1.extend(invsym(tc))
     out = e1[0]

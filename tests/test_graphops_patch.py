@@ -561,3 +561,24 @@ def test_graph_stats_star_values(spark):
                                 "src string, dst string")
     t = {r["stat"]: r["value"] for r in graph_stats(tri).collect()}
     assert t["assortativity"] is None and t["mean_deg"] == 2.0
+
+
+def test_kcore_bfs_both_branches_agree(spark):
+    """Driver-Python and distributed branches are the same function."""
+    from ferenda_spark.operators.graphops import bfs_distances, kcore
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+         ("e", "f"), ("f", "d"), ("b", "e")],
+        "src string, dst string")
+    for k in (2, 3):
+        drv = sorted(map(tuple, kcore(edges, k=k).collect()))
+        dist = sorted(map(tuple,
+                          kcore(edges, k=k, driver_threshold=0)
+                          .collect()))
+        assert drv == dist, k
+    seeds = spark.createDataFrame([("a",)], "node string")
+    drv = sorted(map(tuple, bfs_distances(edges, seeds).collect()))
+    dist = sorted(map(tuple,
+                      bfs_distances(edges, seeds, driver_threshold=0)
+                      .collect()))
+    assert drv == dist

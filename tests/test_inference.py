@@ -311,3 +311,20 @@ def test_owl_data_schema_and_guard(spark):
     with _pytest.raises(ValueError):
         _owl_run(spark, [("x", EX + "p", "y", "uri")],
                  [(RDF_TYPE, RDF_TYPE, OWL + "TransitiveProperty")])
+
+
+def test_owl_both_closure_branches_agree(spark):
+    from ferenda_spark.namespaces import RDF_TYPE
+    from ferenda_spark.operators.inference import owl_materialize
+    onto = [(EX + "anc", RDF_TYPE, OWL + "TransitiveProperty"),
+            (EX + "anc", OWL + "inverseOf", EX + "desc")]
+    df = spark.createDataFrame(
+        [("a", EX + "anc", "b", "uri"), ("b", EX + "anc", "c", "uri"),
+         ("z", EX + "desc", "b", "uri")],
+        "subject string, predicate string, object string, "
+        "objtype string")
+    drv = sorted(map(tuple, owl_materialize(df, onto).collect()))
+    dist = sorted(map(tuple,
+                      owl_materialize(df, onto,
+                                      driver_threshold=0).collect()))
+    assert drv == dist
