@@ -574,16 +574,36 @@ def owl_materialize(triples: DataFrame,
         if n_edges <= driver_threshold:
             by_p: dict = {}
             for r in edges.collect():
-                by_p.setdefault(r["predicate"], set()).add(
-                    (r["subject"], r["object"]))
+                by_p.setdefault(r["predicate"], {}).setdefault(
+                    r["subject"], set()).add(r["object"])
             rows = []
-            for p, pairs in by_p.items():
-                rows.extend((s_, p, o_, "uri")
-                            for s_, o_ in _closure(pairs))
+            for p, adj in by_p.items():
+                # per-source BFS: cost = closure size (NOT the
+                # quadratic schema _closure — data edge sets are
+                # thousands of times larger than an ontology)
+                for s0 in adj:
+                    seen, stack = set(), list(adj[s0])
+                    while stack:
+                        v = stack.pop()
+                        if v in seen:
+                            continue
+                        seen.add(v)
+                        stack.extend(adj.get(v, ()))
+                    rows.extend((s0, p, o_, "uri")
+                                for o_ in seen if o_ != s0)
+            import pandas as _pd
             tc = spark.createDataFrame(
-                sorted(rows) or [],
-                "subject string, predicate string, object string, "
-                "objtype string")
+                _pd.DataFrame(sorted(rows),
+                              columns=["subject", "predicate",
+                                       "object", "objtype"])
+                if rows else _pd.DataFrame(
+                    {"subject": _pd.Series(dtype="object"),
+                     "predicate": _pd.Series(dtype="object"),
+                     "object": _pd.Series(dtype="object"),
+                     "objtype": _pd.Series(dtype="object")}),
+                schema="subject string, predicate string, "
+                       "object string, objtype string") \
+                .localCheckpoint(eager=True)
         else:
             closed = grouped_transitive_closure(
                 edges, group="predicate", src="subject", dst="object")
