@@ -544,6 +544,15 @@ def _q_kg_graph_stats(spark, sf_dir):
     return graph_stats(_kg_link_edges(spark))
 
 
+def _q_kg_summaries(spark, sf_dir):
+    """Entity summarization (graphops.entity_summaries): top-3 most
+    informative facts per entity under the predicate-IDF relevance
+    model (LinkSUM-style), total tie-break, WindowGroupLimit plan;
+    same-ranking twin."""
+    from ferenda_spark.operators.graphops import entity_summaries
+    return entity_summaries(_kg_read(spark, "triples"))
+
+
 def _q_kg_hits(spark, sf_dir):
     from ferenda_spark.operators.graphops import citation_edges, hits
     return hits(citation_edges(_kg_read(spark, "triples")))
@@ -3466,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_completeness": _q_kg_completeness,
         "kg_degree_dist": _q_kg_degree_dist,
         "kg_graph_stats": _q_kg_graph_stats,
+        "kg_summaries": _q_kg_summaries,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
         "kg_triangles": _q_kg_triangles,
@@ -3659,6 +3669,7 @@ def oracle_sql() -> dict[str, str]:
                 "'http://purl.org/dc/terms/isPartOf' AND objtype = "
                 "'uri')".format(t=kg["triples"]))),
         "kg_modularity": kgoracle.sql_modularity(kg),
+        "kg_summaries": kgoracle.sql_entity_summaries(kg),
         "kg_degree_dist": kgoracle.sql_degree_histogram(
             kg, edges_cte=_KG_LINK_EDGES_CTE % kg["triples"]),
         "kg_graph_stats": kgoracle.sql_graph_stats(

@@ -489,6 +489,7 @@ def main() -> None:
         "kg_modularity": kg_modularity,
         "kg_completeness": qs["kg_completeness"],
         "kg_degree_dist": qs["kg_degree_dist"],
+        "kg_summaries": qs["kg_summaries"],
         "kg_graph_stats": qs["kg_graph_stats"],
         "structured_data": qs["kg_structured_data"],
         "warc_ingest": qs["warc_ingest"],

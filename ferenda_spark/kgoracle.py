@@ -1406,3 +1406,31 @@ def sql_graph_stats(paths, edges_cte: str | None = None) -> str:
       FROM base CROSS JOIN mom)
     ORDER BY stat
     """
+
+
+def sql_entity_summaries(paths, k: int = 3) -> str:
+    """Twin of graphops.entity_summaries."""
+    t = _t(paths, "triples")
+    return f"""
+    WITH facts AS (
+      SELECT DISTINCT subject, predicate, object FROM {t}
+      WHERE predicate <> '{RDF_TYPE}'),
+    dfp AS (
+      SELECT predicate, count(*) AS df FROM
+        (SELECT DISTINCT subject, predicate FROM facts)
+      GROUP BY predicate),
+    nn AS (SELECT count(DISTINCT subject) AS n FROM facts),
+    scored AS (
+      SELECT f.subject, f.predicate, f.object,
+             round(ln(nn.n::DOUBLE / dfp.df), 6) AS score
+      FROM facts f JOIN dfp USING (predicate) CROSS JOIN nn),
+    ranked AS (
+      SELECT subject, predicate, object, score,
+             row_number() OVER (
+               PARTITION BY subject
+               ORDER BY score DESC, predicate, object) AS rank
+      FROM scored)
+    SELECT subject, rank::BIGINT AS rank, predicate, object, score
+    FROM ranked WHERE rank <= {k}
+    ORDER BY subject, rank
+    """

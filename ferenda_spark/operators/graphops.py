@@ -1163,3 +1163,41 @@ def graph_stats(edges: DataFrame) -> DataFrame:
                         expr.alias("value"))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def entity_summaries(triples: DataFrame, k: int = 3,
+                     round_to: int = 6) -> DataFrame:
+    """→ (subject, rank, predicate, object, score): the top-``k``
+    most informative facts per entity — LinkSUM/FACES-style entity
+    summarization with predicate informativeness as the relevance
+    model: score = ln(N / df_p) where df_p = how many subjects carry
+    predicate p (rare predicates say more about an entity than
+    boilerplate ones like rdf:type). Ties break on (predicate,
+    object) so the ranking is total and engine-agnostic.
+
+    Scale notes: the predicate document-frequency table is
+    schema-sized and broadcasts; the per-subject top-k compiles to
+    WindowGroupLimit (rank pushed below the sort — Spark never fully
+    sorts any subject's fact list), one subject-keyed exchange.
+    """
+    from pyspark.sql import Window
+
+    from ..namespaces import RDF_TYPE
+    facts = (triples.where(F.col("predicate") != RDF_TYPE)
+             .select("subject", "predicate", "object").distinct())
+    df_p = (facts.select("subject", "predicate").distinct()
+            .groupBy("predicate")
+            .agg(F.count(F.lit(1)).alias("df")))
+    n = facts.select("subject").distinct() \
+             .agg(F.count(F.lit(1)).alias("n"))
+    scored = (facts.join(F.broadcast(df_p), "predicate")
+              .crossJoin(F.broadcast(n))
+              .withColumn("score",
+                          F.round(F.log(F.col("n").cast("double") /
+                                        F.col("df")), round_to)))
+    w = Window.partitionBy("subject").orderBy(
+        F.desc("score"), F.asc("predicate"), F.asc("object"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("subject", F.col("rank").cast("long").alias("rank"),
+                    "predicate", "object", "score"))

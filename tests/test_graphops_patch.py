@@ -582,3 +582,29 @@ def test_kcore_bfs_both_branches_agree(spark):
                       bfs_distances(edges, seeds, driver_threshold=0)
                       .collect()))
     assert drv == dist
+
+
+def test_entity_summaries_idf_ranking(spark):
+    from math import log
+
+    from ferenda_spark.namespaces import RDF_TYPE
+    from ferenda_spark.operators.graphops import entity_summaries
+    EX = "http://example.org/"
+    rows = [("s1", EX + "common", "x"), ("s2", EX + "common", "x"),
+            ("s3", EX + "common", "x"),
+            ("s1", EX + "rare", "y"),
+            ("s1", EX + "mid", "z"), ("s2", EX + "mid", "z"),
+            ("s1", RDF_TYPE, EX + "T")]        # type never ranks
+    df = spark.createDataFrame(
+        rows, "subject string, predicate string, object string")
+    got = [(r["rank"], r["predicate"], r["score"]) for r in
+           entity_summaries(df, k=2).where(F.col("subject") == "s1")
+           .orderBy("rank").collect()]
+    # N=3 subjects; df(rare)=1, df(mid)=2, df(common)=3
+    assert got == [(1, EX + "rare", round(log(3 / 1), 6)),
+                   (2, EX + "mid", round(log(3 / 2), 6))]
+    # k caps every subject; s2 keeps its 2 facts, s3 its 1
+    counts = {r["subject"]: r["c"] for r in
+              entity_summaries(df, k=2).groupBy("subject")
+              .agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert counts == {"s1": 2, "s2": 2, "s3": 1}
