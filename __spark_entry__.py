@@ -553,6 +553,16 @@ def _q_kg_summaries(spark, sf_dir):
     return entity_summaries(_kg_read(spark, "triples"))
 
 
+def _q_kg_title_pairs(spark, sf_dir):
+    """Blocked ER candidate pairs (operators/linking.blocked_pairs):
+    documents whose ASCII-projected titles share a (16-char prefix,
+    exact length) block and sit within Levenshtein 2 — the classic
+    cheap pass before an expensive scorer; the projection makes
+    Spark's codepoint distance ≡ DuckDB's byte distance."""
+    from ferenda_spark.operators.linking import blocked_pairs
+    return blocked_pairs(_kg_read(spark, "documents"))
+
+
 def _q_kg_hits(spark, sf_dir):
     from ferenda_spark.operators.graphops import citation_edges, hits
     return hits(citation_edges(_kg_read(spark, "triples")))
@@ -1532,6 +1542,27 @@ def _q_kg_search_indexed(spark, sf_dir):
         res, docs=_kg_read(spark, "documents"))
     return fulltext_search_indexed(postings, doclens, KG_SEARCH_TERMS,
                                    resources=res)
+
+
+def _q_kg_search_fused(spark, sf_dir):
+    """Reciprocal-rank fusion (fulltext.rrf_fuse): the BM25 top-20
+    merged with the top-100 citation-pagerank authority list via
+    Σ 1/(60+rank) — score-calibration-free hybrid retrieval (Cormack
+    2009); both candidate lists are k-bounded by contract, oracle =
+    the same two row_number rankings + the same fold."""
+    from ferenda_spark.operators.fulltext import (build_posting_index,
+                                                  fulltext_search_indexed,
+                                                  rrf_fuse)
+    from ferenda_spark.operators.graphops import citation_edges, pagerank
+    res = _kg_read(spark, "resources")
+    postings, doclens = build_posting_index(
+        res, docs=_kg_read(spark, "documents"))
+    search = fulltext_search_indexed(postings, doclens,
+                                     KG_SEARCH_TERMS, resources=res)
+    pr = (pagerank(citation_edges(_kg_read(spark, "triples")))
+          .orderBy(F.desc("rank"), "node").limit(100))
+    return rrf_fuse([(search, "resource_uri", "score"),
+                     (pr, "node", "rank")])
 
 
 def _q_kg_search_delta(spark, sf_dir):
@@ -3476,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_dist": _q_kg_degree_dist,
         "kg_graph_stats": _q_kg_graph_stats,
         "kg_summaries": _q_kg_summaries,
+        "kg_title_pairs": _q_kg_title_pairs,
         "kg_citation_degrees": _q_kg_citation_degrees,
         "kg_citation_map": _q_kg_citation_map,
         "kg_triangles": _q_kg_triangles,
@@ -3512,6 +3544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_routing": _q_kg_routing,
         "kg_search": _q_kg_search,
         "kg_search_indexed": _q_kg_search_indexed,
+        "kg_search_fused": _q_kg_search_fused,
         "kg_search_delta": _q_kg_search_delta,
         "kg_sparql": _q_kg_sparql,
         "kg_sparql_graphvar": _q_kg_sparql_graphvar,
@@ -3610,6 +3643,7 @@ def oracle_sql() -> dict[str, str]:
     from ferenda_spark.operators import (curation, dedup, multimodal,
                                          packing, sampling, similarity,
                                          textops)
+    from ferenda_spark.operators import linking as _linking_ops
     from ferenda_spark.operators import sketches as _sketches
     from ferenda_spark.operators import validate as _validate
     # the quadratic jaccard ground truth is materialized once (same
@@ -3670,6 +3704,8 @@ def oracle_sql() -> dict[str, str]:
                 "'uri')".format(t=kg["triples"]))),
         "kg_modularity": kgoracle.sql_modularity(kg),
         "kg_summaries": kgoracle.sql_entity_summaries(kg),
+        "kg_title_pairs": _linking_ops.sql_blocked_pairs(
+            "read_parquet('%s')" % kg["documents"]),
         "kg_degree_dist": kgoracle.sql_degree_histogram(
             kg, edges_cte=_KG_LINK_EDGES_CTE % kg["triples"]),
         "kg_graph_stats": kgoracle.sql_graph_stats(
@@ -3732,6 +3768,21 @@ def oracle_sql() -> dict[str, str]:
         "kg_routing": _kg_routing_sql(kg),
         "kg_search": _kg_search_sql(kg),
         "kg_search_indexed": _kg_search_sql(kg),
+        "kg_search_fused": """
+    WITH s AS (%s), p AS (%s),
+    pl AS (SELECT node, rank FROM p
+           ORDER BY rank DESC, node LIMIT 100),
+    sr AS (SELECT resource_uri AS id,
+                  row_number() OVER (ORDER BY score DESC, resource_uri)
+                    AS rnk FROM s),
+    pr AS (SELECT node AS id,
+                  row_number() OVER (ORDER BY rank DESC, node) AS rnk
+           FROM pl),
+    u AS (SELECT id, rnk FROM sr UNION ALL SELECT id, rnk FROM pr)
+    SELECT id, round(sum(1.0 / (60 + rnk)), 6) AS rrf,
+           count(*)::BIGINT AS n_lists
+    FROM u GROUP BY id ORDER BY id
+    """ % (_kg_search_sql(kg), kgoracle.sql_pagerank(kg)),
         # incremental index ≡ full rebuild, by definition — same twin
         "kg_search_delta": _kg_search_sql(kg),
         "kg_sparql": sparql.compile_sql(

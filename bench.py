@@ -490,6 +490,8 @@ def main() -> None:
         "kg_completeness": qs["kg_completeness"],
         "kg_degree_dist": qs["kg_degree_dist"],
         "kg_summaries": qs["kg_summaries"],
+        "kg_search_fused": qs["kg_search_fused"],
+        "kg_title_pairs": qs["kg_title_pairs"],
         "kg_graph_stats": qs["kg_graph_stats"],
         "structured_data": qs["kg_structured_data"],
         "warc_ingest": qs["warc_ingest"],

@@ -312,3 +312,34 @@ def merge_posting_index(postings: DataFrame, doclens: DataFrame,
                              "left_anti")
                 .unionByName(new_d))
     return merged_p, merged_d
+
+
+def rrf_fuse(rankings: list[tuple[DataFrame, str, str]],
+             k: int = 60, round_to: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of candidate
+    lists: each input (df, id_col, score_col) is ranked by
+    (score desc, id asc — total, engine-agnostic) and every id gets
+    Σ 1/(k + rankᵣ) over the lists it appears in, plus ``n_lists``.
+    THE standard way to merge BM25 with a graph signal (pagerank)
+    without score calibration.
+
+    Contract: inputs are per-query CANDIDATE lists (top-k search
+    results, top-k authority lists) — bounded by construction — so
+    the global row_number window here is bounded too; fusing a
+    corpus-sized ranking is a contract violation, cap it upstream.
+    RRF over two lists sums two IEEE doubles — addition of two terms
+    is commutative, so the result is fold-order-free.
+    """
+    from pyspark.sql import Window
+    parts = []
+    for df, id_col, score_col in rankings:
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        parts.append(df.select(F.col(id_col).alias("id"),
+                               F.row_number().over(w).alias("rnk")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (u.groupBy("id")
+            .agg(F.round(F.sum(F.lit(1.0) / (F.lit(k) + F.col("rnk"))),
+                         round_to).alias("rrf"),
+                 F.count(F.lit(1)).alias("n_lists")))

@@ -96,3 +96,70 @@ def link_triples(triples: DataFrame, dictionary: DataFrame,
                     F.lit("uri").alias("objtype"),
                     F.lit("").alias("lang"), F.lit("").alias("datatype"),
                     "source_url", "method"))
+
+
+def blocked_pairs(df: DataFrame, id_col: str = "url",
+                  text_col: str = "title", max_dist: int = 2,
+                  block_len: int = 16) -> DataFrame:
+    """→ (a, b, dist): standard-blocking entity-resolution candidate
+    pairs — rows whose normalized keys share a block (first
+    ``block_len`` chars + exact length) and sit within Levenshtein
+    ``max_dist``; ``a < b`` on the id. The classic cheap ER pass
+    before an expensive scorer.
+
+    Engine note: Spark's levenshtein counts CODEPOINTS, DuckDB's
+    counts bytes — they diverge on non-ASCII. The distance here runs
+    over the ASCII PROJECTION (every non-ASCII char → '?', lowercased,
+    trimmed) so both engines see 1-byte chars and agree exactly; for
+    blocking that projection is the usual accent-insensitive key
+    anyway. NULL/empty keys never pair.
+
+    Scale notes: one self equi-join on the (prefix, length) block key
+    — quadratic only within a block, the knob being ``block_len``;
+    the distance is evaluated JVM-side (codegen) on the joined pairs
+    only. Adversarial single-hot-block data wants a longer prefix or
+    an upstream length-band split, the standard blocking trade.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")),
+        r"[^\x20-\x7e]", "?")))
+    keyed = (df.select(F.col(id_col).alias("_id"), norm.alias("_k"))
+             .where(F.col("_k") != "")
+             .withColumn("_blk", F.concat_ws(
+                 "|", F.substring(F.col("_k"), 1, block_len),
+                 F.length(F.col("_k")).cast("string")))
+             .distinct())
+    l = keyed.select(F.col("_blk"), F.col("_id").alias("a"),
+                     F.col("_k").alias("_ka"))
+    r = keyed.select(F.col("_blk"), F.col("_id").alias("b"),
+                     F.col("_k").alias("_kb"))
+    return (l.join(r, "_blk")
+            .where(F.col("a") < F.col("b"))
+            .withColumn("dist", F.levenshtein("_ka", "_kb"))
+            .where(F.col("dist") <= max_dist)
+            .select("a", "b", F.col("dist").cast("long").alias("dist")))
+
+
+def sql_blocked_pairs(table_sql: str, id_col: str = "url",
+                      text_col: str = "title", max_dist: int = 2,
+                      block_len: int = 16) -> str:
+    """DuckDB twin of :func:`blocked_pairs` (the ASCII projection
+    makes byte-Levenshtein ≡ codepoint-Levenshtein)."""
+    return f"""
+    WITH keyed AS (
+      SELECT DISTINCT {id_col} AS id,
+             lower(trim(regexp_replace(coalesce({text_col}, ''),
+                                       '[^\\x20-\\x7e]', '?', 'g')))
+               AS k
+      FROM {table_sql}),
+    blk AS (
+      SELECT id, k,
+             substr(k, 1, {block_len}) || '|' || length(k)::VARCHAR
+               AS b
+      FROM keyed WHERE k <> '')
+    SELECT l.id AS a, r.id AS b,
+           levenshtein(l.k, r.k)::BIGINT AS dist
+    FROM blk l JOIN blk r ON l.b = r.b AND l.id < r.id
+    WHERE levenshtein(l.k, r.k) <= {max_dist}
+    ORDER BY a, b
+    """

@@ -90,3 +90,28 @@ def test_stale_after_marks_exactly_dependents(spark):
     got = [r.url for r in
            stale_after(deps, ["http://example.org/doc/a.html"]).collect()]
     assert got == ["http://example.org/doc/a.html"]
+
+
+def test_blocked_pairs_semantics(spark):
+    from ferenda_spark.operators.linking import blocked_pairs
+    df = spark.createDataFrame(
+        [("u1", "Annual Report 2021"),
+         ("u2", "Annual Report 2022"),     # dist 1, same block
+         ("u3", "Annual Review 2021"),     # dist 3 > max -> out
+         ("u4", "Different length title"),  # other block
+         ("u5", "Annual Report 20XX"),     # dist 2 to u1/u2
+         ("u6", None), ("u7", "")],        # never pair
+        "url string, title string")
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in blocked_pairs(df, max_dist=2).collect()}
+    assert got == {("u1", "u2"): 1, ("u1", "u5"): 2, ("u2", "u5"): 2}
+    # non-ASCII projects to '?' so both engines agree; é≠e is dist 1
+    # (the accent sits past the 16-char block prefix — a difference
+    # inside the prefix would put the rows in different blocks)
+    acc = spark.createDataFrame(
+        [("a1", "Quarterly Report Café 9"),
+         ("a2", "Quarterly Report Cafe 9")],
+        "url string, title string")
+    g2 = {(r["a"], r["b"]): r["dist"]
+          for r in blocked_pairs(acc, max_dist=2).collect()}
+    assert g2 == {("a1", "a2"): 1}

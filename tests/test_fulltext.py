@@ -108,3 +108,23 @@ def test_merge_posting_index_equals_rebuild(spark):
     key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert key(p1) == key(pf)
     assert key(d1) == key(df_)
+
+
+def test_rrf_fuse_golden(spark):
+    from ferenda_spark.operators.fulltext import rrf_fuse
+    s1 = spark.createDataFrame([("d1", 9.0), ("d2", 5.0), ("d3", 1.0)],
+                               "doc string, score double")
+    s2 = spark.createDataFrame([("d2", 0.9), ("d4", 0.5)],
+                               "node string, rank double")
+    got = {r["id"]: (r["rrf"], r["n_lists"]) for r in
+           rrf_fuse([(s1, "doc", "score"), (s2, "node", "rank")],
+                    k=60).collect()}
+    assert got["d2"] == (round(1 / 62 + 1 / 61, 6), 2)   # both lists
+    assert got["d1"] == (round(1 / 61, 6), 1)
+    assert got["d4"] == (round(1 / 62, 6), 1)   # rank 2 in its list
+    # tie on score breaks on id: equal scores rank in id order
+    t = spark.createDataFrame([("b", 1.0), ("a", 1.0)],
+                              "doc string, score double")
+    gt = {r["id"]: r["rrf"] for r in
+          rrf_fuse([(t, "doc", "score")], k=60).collect()}
+    assert gt["a"] == round(1 / 61, 6) and gt["b"] == round(1 / 62, 6)
