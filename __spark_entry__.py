@@ -2342,6 +2342,25 @@ def _q_chunk_documents(spark, sf_dir):
                            size=64, stride=48)
 
 
+CMS_CANDIDATES = ["the", "batch", "stream", "zzz-absent"]
+
+
+def _q_cms_counts(spark, sf_dir):
+    """Count-Min frequency estimates (sketches.cms_counters +
+    cms_estimate): word occurrences sketched into a 4×2048 counter
+    table (one map-side-combined aggregate; the corpus never
+    shuffles), then point-estimated for a fixed candidate list incl.
+    an absent word — the sketch arithmetic itself is the oracle."""
+    from ferenda_spark.operators.sketches import (cms_counters,
+                                                  cms_estimate)
+    from ferenda_spark.operators.textops import words_col
+    words = (_read(spark, sf_dir, "documents")
+             .select(F.explode(words_col(F.col("text"))).alias("w")))
+    cand = spark.createDataFrame([(c,) for c in CMS_CANDIDATES],
+                                 "value string")
+    return cms_estimate(cms_counters(words, "w"), cand)
+
+
 def _q_quality(spark, sf_dir):
     from ferenda_spark.operators.textops import quality_score
     return quality_score(_read(spark, sf_dir, "documents"))
@@ -3576,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "chunk_documents": _q_chunk_documents,
         "length_quantiles": _q_length_quantiles,
+        "cms_counts": _q_cms_counts,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
         "resample_mixture": _q_resample_mixture,
@@ -3848,6 +3868,14 @@ def oracle_sql() -> dict[str, str]:
             size=64, stride=48),
         "length_quantiles": textops.oracle_sql_length_quantiles(
             keys=["lang"]),
+        "cms_counts": _sketches.sql_cms_estimate(
+            ("(SELECT unnest(CASE WHEN trim(coalesce(text, '')) = ''"
+             " THEN []::VARCHAR[] ELSE regexp_split_to_array("
+             "trim(coalesce(text, '')), '%s') END) AS w"
+             " FROM documents)" % textops.WS_SPLIT),
+            "w",
+            "SELECT * FROM (VALUES %s) v(value)" % ", ".join(
+                "('%s')" % c for c in CMS_CANDIDATES)),
         "pack_sequences": packing.oracle_sql_pack(budget=256, n_shards=8),
         "stratified_sample": sampling.oracle_sql_stratified(
             "documents", "lang", 0.3,

@@ -520,6 +520,7 @@ def main() -> None:
         "hll_distinct": qs["hll_distinct"],
         "chunk_documents": qs["chunk_documents"],
         "length_quantiles": qs["length_quantiles"],
+        "cms_counts": qs["cms_counts"],
         "top_ngrams": qs["top_ngrams"],
         "bpe_pairs": qs["bpe_pairs"],
         "bpe_encode": qs["bpe_encode"],

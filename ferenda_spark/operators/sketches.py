@@ -122,3 +122,78 @@ def sql_hll_distinct(table_sql: str, keys: list[str], value: str,
     FROM est
     ORDER BY {kcols}
     """
+
+
+def cms_counters(df: DataFrame, value: str, d: int = 4,
+                 w: int = 2048) -> DataFrame:
+    """→ (row_i, bucket, cnt): the Count-Min sketch (Cormode &
+    Muthukrishnan 2005) of ``value``'s frequency distribution — ``d``
+    hash rows × ``w`` buckets, each cell the count of values hashing
+    into it. Point-queryable forever after via :func:`cms_estimate`
+    without touching the corpus again; the frequency companion to the
+    HLL cardinality sketch, on the same md5 device (row i's hash =
+    md5(value␟i)).
+
+    Scale notes: one explode (×d, narrow rows) + one map-side-combined
+    aggregate to a d·w-row table. The corpus never shuffles — only
+    (row_i, bucket) partial counts do.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row_i")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat_ws("\x1f", F.col(value),
+                          F.col("row_i").cast("string"))), 1, 8),
+        16, 10).cast("long") % w)
+    return (df.where(F.col(value).isNotNull())
+            .select(F.col(value), rows)
+            .select("row_i", bucket.alias("bucket"))
+            .groupBy("row_i", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(counters: DataFrame, candidates: DataFrame,
+                 value: str = "value", d: int = 4,
+                 w: int = 2048) -> DataFrame:
+    """→ (value, est): the CMS point estimate min_i cnt[i][hᵢ(v)] for
+    every candidate — an overestimate by at most εN w.h.p. (ε = e/w).
+    Candidates broadcast (they are a query list, not the corpus)."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row_i")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat_ws("\x1f", F.col(value),
+                          F.col("row_i").cast("string"))), 1, 8),
+        16, 10).cast("long") % w)
+    probes = (candidates.select(F.col(value), rows)
+              .select(value, "row_i", bucket.alias("bucket")))
+    return (F.broadcast(probes).join(counters, ["row_i", "bucket"],
+                                     "left")
+            .groupBy(value)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est")))
+
+
+def sql_cms_estimate(table_sql: str, value: str,
+                     candidates_sql: str, d: int = 4,
+                     w: int = 2048) -> str:
+    """DuckDB twin of cms_counters + cms_estimate over a candidate
+    CTE (``candidates_sql`` must select one column named ``value``)."""
+    return f"""
+    WITH vals AS (
+      SELECT {value} AS v FROM {table_sql} WHERE {value} IS NOT NULL),
+    expl AS (
+      SELECT v, unnest(range(0, {d})) AS row_i FROM vals),
+    counters AS (
+      SELECT row_i,
+             ('0x' || substr(md5(v || chr(31) || row_i::VARCHAR),
+                             1, 8))::BIGINT % {w} AS bucket,
+             count(*) AS cnt
+      FROM expl GROUP BY row_i, bucket),
+    cand AS ({candidates_sql}),
+    probes AS (
+      SELECT value, row_i,
+             ('0x' || substr(md5(value || chr(31) || row_i::VARCHAR),
+                             1, 8))::BIGINT % {w} AS bucket
+      FROM (SELECT value, unnest(range(0, {d})) AS row_i FROM cand))
+    SELECT p.value, min(coalesce(c.cnt, 0))::BIGINT AS est
+    FROM probes p LEFT JOIN counters c USING (row_i, bucket)
+    GROUP BY p.value
+    ORDER BY p.value
+    """

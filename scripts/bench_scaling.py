@@ -117,6 +117,30 @@ def run():
     return minhash_lsh_pairs(spark.read.parquet(DEDUP_PATH)).count()
 '''
 
+WORKLOAD_SKETCH = r'''
+# map-side-combine counterpart for the sketch family: deterministic
+# HLL distinct census per synthetic host over md5 pseudo-urls — the
+# corpus shuffles only (key, register, rho) rows and the register
+# table is keys*2^p, so this is the op whose scaling SHOULD be near
+# the hardware ceiling; a miss would indicate an engine problem, not
+# a workload one. 500 hosts x ~n/500 urls each, 1M distinct url pool
+# so registers saturate.
+from pyspark.sql import functions as F
+from ferenda_spark.operators.sketches import hll_distinct
+
+SK_PATH = "/tmp/scaling_sketch_docs_%d" % n_docs
+if not __import__("os").path.exists(SK_PATH + "/_SUCCESS"):
+    (spark.range(n_docs).repartition(64)
+     .select((F.col("id") % 500).cast("string").alias("host"),
+             F.md5(F.concat((F.col("id") % 1000000).cast("string"),
+                            F.lit(":u"))).alias("url"))
+     .write.mode("overwrite").parquet(SK_PATH))
+
+def run():
+    return hll_distinct(spark.read.parquet(SK_PATH),
+                        ["host"], "url", p=12).count()
+'''
+
 WORKLOAD_RDFS = r'''
 # graph-artifact counterpart: RDFS materialization over a synthetic
 # triple table — per-rule broadcast joins feeding ONE terminal (s,p,o)
@@ -164,7 +188,7 @@ def run():
 '''
 
 WORKLOADS = {"extract": WORKLOAD_EXTRACT, "dedup": WORKLOAD_DEDUP,
-             "rdfs": WORKLOAD_RDFS}
+             "rdfs": WORKLOAD_RDFS, "sketch": WORKLOAD_SKETCH}
 
 WORKER = r'''
 import json, sys, time
