@@ -675,6 +675,17 @@ HOST_GRAPH_SQL = f"""
     GROUP BY src_host, dst_host
     ORDER BY weight DESC, src_host, dst_host"""
 
+# weighted host edges CTE for kgoracle.sql_weighted_pagerank —
+# identical weight rule to HOST_GRAPH_SQL / graphops.host_graph
+HOST_WEDGES_CTE = f"""e AS (
+      SELECT src_host AS src, dst_host AS dst,
+             count(*)::DOUBLE AS w FROM (
+        SELECT {_HOST_SQL % 'src'} AS src_host,
+               {_HOST_SQL % 'dst'} AS dst_host
+        FROM {WEBGRAPH_EDGES_SQL} e0) h
+      WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+      GROUP BY src_host, dst_host)"""
+
 # edges CTE handed to kgoracle.sql_pagerank for kg_domain_pagerank
 HOST_EDGES_CTE = f"""e AS (
       SELECT DISTINCT src_host AS src, dst_host AS dst FROM (
@@ -700,6 +711,21 @@ def _q_kg_domain_pagerank(spark, sf_dir):
     hg = host_graph(_webgraph_injected_edges(spark, sf_dir))
     return pagerank(hg.select(F.col("src_host").alias("src"),
                               F.col("dst_host").alias("dst")))
+
+
+def _q_kg_domain_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank over the host graph
+    (graphops.weighted_pagerank): rank splits over out-edges in
+    proportion to collapsed-link weight — the correct CC-style domain
+    ranking (the unweighted variant treats a 10 000-link host pair
+    like a 1-link one); same hybrid/round structure as pagerank,
+    unrolled weighted-CTE oracle."""
+    from ferenda_spark.operators.graphops import (host_graph,
+                                                  weighted_pagerank)
+    hg = host_graph(_webgraph_injected_edges(spark, sf_dir))
+    return weighted_pagerank(
+        hg.select(F.col("src_host").alias("src"),
+                  F.col("dst_host").alias("dst"), "weight"))
 
 
 def _structdata_injected_pages(spark, sf_dir) -> DataFrame:
@@ -3533,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "kg_host_graph": _q_kg_host_graph,
         "kg_domain_pagerank": _q_kg_domain_pagerank,
+        "kg_domain_pagerank_weighted": _q_kg_domain_pagerank_weighted,
         "kg_structured_data": _q_kg_structured_data,
         "warc_ingest": _q_warc_ingest,
         "robots_filter": _q_robots_filter,
@@ -3753,6 +3780,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_host_graph": HOST_GRAPH_SQL,
         "kg_domain_pagerank": kgoracle.sql_pagerank(
             kg, edges_cte=HOST_EDGES_CTE),
+        "kg_domain_pagerank_weighted": kgoracle.sql_weighted_pagerank(
+            kg, edges_cte=HOST_WEDGES_CTE),
         "kg_structured_data": STRUCTDATA_SQL,
         "warc_ingest": WARC_SQL,
         "robots_filter": ROBOTS_SQL,

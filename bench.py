@@ -477,6 +477,7 @@ def main() -> None:
         "kg_triangles": kg_triangles,
         "kg_communities": kg_communities,
         "kg_domain_pagerank": qs["kg_domain_pagerank"],
+        "kg_domain_pagerank_weighted": qs["kg_domain_pagerank_weighted"],
         "kg_ppr": kg_ppr,
         "kg_walks": kg_walks,
         "kg_pmi": kg_pmi,

@@ -1434,3 +1434,42 @@ def sql_entity_summaries(paths, k: int = 3) -> str:
     FROM ranked WHERE rank <= {k}
     ORDER BY subject, rank
     """
+
+
+def sql_weighted_pagerank(paths, edges_cte: str, damping: float = 0.85,
+                          iters: int = 15, round_to: int = 6) -> str:
+    """Twin of graphops.weighted_pagerank: the unrolled iteration with
+    contrib = rank·w/W_src. ``edges_cte`` must provide ``e AS (SELECT
+    … src, … dst, … w)`` with parallel edges already summed and
+    src<>dst (the operator aggregates its input the same way)."""
+    head = f"""
+    WITH {edges_cte.replace(' AS (', ' AS MATERIALIZED (', 1)},
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e),
+    wsum AS MATERIALIZED (
+      SELECT src AS node, sum(w)::DOUBLE AS ws FROM e GROUP BY src),
+    nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS rank FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+    c{k} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(r.rank * e.w / d.ws) AS contrib
+      FROM e JOIN r{k - 1} r ON r.node = e.src
+             JOIN wsum d ON d.node = e.src
+      GROUP BY e.dst),
+    dg{k} AS MATERIALIZED (
+      SELECT coalesce(sum(r.rank), 0.0) AS mass
+      FROM r{k - 1} r LEFT JOIN wsum d ON d.node = r.node
+      WHERE d.node IS NULL),
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+             {1.0 - damping} + {damping} *
+               (coalesce(c.contrib, 0.0) +
+                (SELECT mass FROM dg{k}) / (SELECT n FROM nn)) AS rank
+      FROM nodes n LEFT JOIN c{k} c ON c.node = n.node)"""
+        )
+    return (head + "".join(steps) +
+            f"""
+    SELECT node, round(rank, {round_to}) AS rank FROM r{iters}
+    ORDER BY rank DESC, node""")

@@ -608,3 +608,33 @@ def test_entity_summaries_idf_ranking(spark):
               entity_summaries(df, k=2).groupBy("subject")
               .agg(F.count(F.lit(1)).alias("c")).collect()}
     assert counts == {"s1": 2, "s2": 2, "s3": 1}
+
+
+def test_weighted_pagerank_semantics(spark):
+    from ferenda_spark.operators.graphops import pagerank, weighted_pagerank
+    # hub h splits rank 9:1 between a and b — a must outrank b;
+    # with all weights 1 the weighted op reduces to classic pagerank
+    edges = spark.createDataFrame(
+        [("h", "a", 9.0), ("h", "b", 1.0), ("a", "h", 1.0),
+         ("b", "h", 1.0)], "src string, dst string, weight double")
+    got = {r["node"]: r["rank"] for r in
+           weighted_pagerank(edges).collect()}
+    assert got["a"] > got["b"] > 0
+    unit = edges.select("src", "dst", F.lit(1.0).alias("weight"))
+    wp = {r["node"]: r["rank"] for r in
+          weighted_pagerank(unit).collect()}
+    cp = {r["node"]: r["rank"] for r in
+          pagerank(unit.select("src", "dst")).collect()}
+    assert wp == cp
+    # parallel edges pre-aggregate: (h,a,9) == (h,a,4)+(h,a,5)
+    split = spark.createDataFrame(
+        [("h", "a", 4.0), ("h", "a", 5.0), ("h", "b", 1.0),
+         ("a", "h", 1.0), ("b", "h", 1.0)],
+        "src string, dst string, weight double")
+    sp = {r["node"]: r["rank"] for r in
+          weighted_pagerank(split).collect()}
+    assert sp == got
+    # both branches agree
+    dist = {r["node"]: r["rank"] for r in
+            weighted_pagerank(edges, driver_threshold=0).collect()}
+    assert dist == got
