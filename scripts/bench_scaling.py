@@ -123,15 +123,20 @@ WORKLOAD_SKETCH = r'''
 # corpus shuffles only (key, register, rho) rows and the register
 # table is keys*2^p, so this is the op whose scaling SHOULD be near
 # the hardware ceiling; a miss would indicate an engine problem, not
-# a workload one. 500 hosts x ~n/500 urls each, 1M distinct url pool
-# so registers saturate.
+# a workload one. 50 hosts (not 500: at 500x4096 the per-task
+# partial-agg hash map is ~2M entries, comparable to the rows each
+# task sees at this corpus size — the map build then thrashes the
+# shared LLC and measures cache contention, not scaling; a 100 TB
+# deployment has orders of magnitude more rows per map entry, which
+# 50 hosts models at this size) x 1M-distinct url pool so registers
+# saturate.
 from pyspark.sql import functions as F
 from ferenda_spark.operators.sketches import hll_distinct
 
-SK_PATH = "/tmp/scaling_sketch_docs_%d" % n_docs
+SK_PATH = "/tmp/scaling_sketch50_docs_%d" % n_docs
 if not __import__("os").path.exists(SK_PATH + "/_SUCCESS"):
     (spark.range(n_docs).repartition(64)
-     .select((F.col("id") % 500).cast("string").alias("host"),
+     .select((F.col("id") % 50).cast("string").alias("host"),
              F.md5(F.concat((F.col("id") % 1000000).cast("string"),
                             F.lit(":u"))).alias("url"))
      .write.mode("overwrite").parquet(SK_PATH))
