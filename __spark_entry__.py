@@ -2387,6 +2387,28 @@ def _q_cms_counts(spark, sf_dir):
     return cms_estimate(cms_counters(words, "w"), cand)
 
 
+BLOOM_CANDIDATES = ["the", "batch", "stream", "zzz-absent", "qq-never"]
+
+
+def _q_bloom_words(spark, sf_dir):
+    """Bloom membership filter (sketches.bloom_words +
+    bloom_contains): word occurrences folded into a 2^16-bit filter
+    stored as 32-bit lanes of a word table (one map-side-combined
+    bit_or; the corpus never shuffles), then membership-tested for a
+    fixed candidate list incl. two absent words — the frontier-dedup
+    primitive ("did the crawl already see this URL?"), no false
+    negatives by construction, and the sketch arithmetic itself is
+    the oracle."""
+    from ferenda_spark.operators.sketches import (bloom_contains,
+                                                  bloom_words)
+    from ferenda_spark.operators.textops import words_col
+    words = (_read(spark, sf_dir, "documents")
+             .select(F.explode(words_col(F.col("text"))).alias("w")))
+    cand = spark.createDataFrame([(c,) for c in BLOOM_CANDIDATES],
+                                 "value string")
+    return bloom_contains(bloom_words(words, "w"), cand)
+
+
 def _q_quality(spark, sf_dir):
     from ferenda_spark.operators.textops import quality_score
     return quality_score(_read(spark, sf_dir, "documents"))
@@ -3623,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "length_quantiles": _q_length_quantiles,
         "cms_counts": _q_cms_counts,
+        "bloom_urls": _q_bloom_words,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
         "resample_mixture": _q_resample_mixture,
@@ -3905,6 +3928,14 @@ def oracle_sql() -> dict[str, str]:
             "w",
             "SELECT * FROM (VALUES %s) v(value)" % ", ".join(
                 "('%s')" % c for c in CMS_CANDIDATES)),
+        "bloom_urls": _sketches.sql_bloom_contains(
+            ("(SELECT unnest(CASE WHEN trim(coalesce(text, '')) = ''"
+             " THEN []::VARCHAR[] ELSE regexp_split_to_array("
+             "trim(coalesce(text, '')), '%s') END) AS w"
+             " FROM documents)" % textops.WS_SPLIT),
+            "w",
+            "SELECT * FROM (VALUES %s) v(value)" % ", ".join(
+                "('%s')" % c for c in BLOOM_CANDIDATES)),
         "pack_sequences": packing.oracle_sql_pack(budget=256, n_shards=8),
         "stratified_sample": sampling.oracle_sql_stratified(
             "documents", "lang", 0.3,

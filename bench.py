@@ -522,6 +522,7 @@ def main() -> None:
         "chunk_documents": qs["chunk_documents"],
         "length_quantiles": qs["length_quantiles"],
         "cms_counts": qs["cms_counts"],
+        "bloom_urls": qs["bloom_urls"],
         "top_ngrams": qs["top_ngrams"],
         "bpe_pairs": qs["bpe_pairs"],
         "bpe_encode": qs["bpe_encode"],

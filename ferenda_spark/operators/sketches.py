@@ -197,3 +197,102 @@ def sql_cms_estimate(table_sql: str, value: str,
     GROUP BY p.value
     ORDER BY p.value
     """
+
+
+def bloom_words(df: DataFrame, value: str, m_bits: int = 1 << 16,
+                k: int = 4) -> DataFrame:
+    """→ (word_idx, bits): the Bloom filter (Bloom 1970) of the
+    ``value`` column as a table of 32-bit words — bit h_i(v) set for
+    every value v and hash row i < ``k``, on the same md5 device as
+    :func:`cms_counters` (h_i(v) = md5(v␟i) % m). The membership
+    companion to the HLL (cardinality) and CMS (frequency) sketches:
+    :func:`bloom_contains` answers "did the crawl already see this
+    URL/word?" forever after without touching the corpus — no false
+    negatives, false positives ≤ (1-e^{-kn/m})^k.
+
+    Bits pack into 32-bit lanes of a BIGINT word (bit = pos & 31,
+    word_idx = pos >> 5) because a 63-bit shift overflows DuckDB's
+    signed ``<<`` — the twin must run the identical arithmetic.
+
+    Scale notes: one explode (×k, narrow rows) + one map-side-combined
+    ``bit_or`` to a ≤ m/32-row table; the corpus never shuffles — only
+    (word_idx, mask) partial ORs do. This is THE frontier-dedup
+    primitive at 100 TB: the filter table broadcasts to admission
+    tasks instead of anti-joining the full crawl history.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("row_i")
+    pos = (F.conv(F.substring(
+        F.md5(F.concat_ws("\x1f", F.col(value),
+                          F.col("row_i").cast("string"))), 1, 8),
+        16, 10).cast("long") % m_bits)
+    return (df.where(F.col(value).isNotNull())
+            .select(F.col(value), rows)
+            .select(pos.alias("_pos"))
+            .select(F.shiftright(F.col("_pos"), 5).alias("word_idx"),
+                    F.expr("shiftleft(cast(1 as bigint), "
+                           "cast(_pos % 32 as int))").alias("_mask"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("_mask").alias("bits")))
+
+
+def bloom_contains(words: DataFrame, candidates: DataFrame,
+                   value: str = "value", m_bits: int = 1 << 16,
+                   k: int = 4) -> DataFrame:
+    """→ (value, present): Bloom membership for every candidate —
+    present iff ALL k probe bits are set (a missing word row means
+    every bit in that lane is clear). Candidates broadcast (a query
+    list, not the corpus); the filter table is the join's build side
+    only through the lane key, so the corpus-sized side never moves."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("row_i")
+    pos = (F.conv(F.substring(
+        F.md5(F.concat_ws("\x1f", F.col(value),
+                          F.col("row_i").cast("string"))), 1, 8),
+        16, 10).cast("long") % m_bits)
+    probes = (candidates.select(F.col(value), rows)
+              .select(value, pos.alias("_pos"))
+              .select(value,
+                      F.shiftright(F.col("_pos"), 5).alias("word_idx"),
+                      F.expr("shiftleft(cast(1 as bigint), "
+                             "cast(_pos % 32 as int))").alias("_mask")))
+    hit = (F.coalesce(F.col("bits"), F.lit(0))
+           .bitwiseAND(F.col("_mask")) != 0).cast("int")
+    # the filter table (≤ m/32 rows) is the broadcast side — a left
+    # join can only build right, so broadcasting the probe side would
+    # be ignored (HintErrorLogger) and shuffle both
+    return (probes
+            .join(F.broadcast(words), ["word_idx"], "left")
+            .groupBy(value)
+            .agg((F.min(hit) == 1).alias("present")))
+
+
+def sql_bloom_contains(table_sql: str, value: str,
+                       candidates_sql: str, m_bits: int = 1 << 16,
+                       k: int = 4) -> str:
+    """DuckDB twin of bloom_words + bloom_contains over a candidate
+    CTE (``candidates_sql`` must select one column named ``value``) —
+    identical hash rows, 32-bit lane packing and bit_or fold."""
+    return f"""
+    WITH vals AS (
+      SELECT {value} AS v FROM {table_sql} WHERE {value} IS NOT NULL),
+    pos AS (
+      SELECT ('0x' || substr(md5(v || chr(31) || row_i::VARCHAR),
+                             1, 8))::BIGINT % {m_bits} AS p
+      FROM (SELECT v, unnest(range(0, {k})) AS row_i FROM vals)),
+    words AS (
+      SELECT p >> 5 AS word_idx,
+             bit_or(1::BIGINT << (p % 32)::INTEGER) AS bits
+      FROM pos GROUP BY word_idx),
+    cand AS ({candidates_sql}),
+    probes AS (
+      SELECT value,
+             ('0x' || substr(md5(value || chr(31) || row_i::VARCHAR),
+                             1, 8))::BIGINT % {m_bits} AS p
+      FROM (SELECT value, unnest(range(0, {k})) AS row_i FROM cand))
+    SELECT pr.value,
+           min(CASE WHEN (coalesce(w.bits, 0) &
+                          (1::BIGINT << (pr.p % 32)::INTEGER)) != 0
+                    THEN 1 ELSE 0 END) = 1 AS present
+    FROM probes pr LEFT JOIN words w ON w.word_idx = pr.p >> 5
+    GROUP BY pr.value
+    ORDER BY pr.value
+    """

@@ -86,3 +86,55 @@ def test_cms_bounds_and_parity(spark, tmp_path):
         "SELECT * FROM (VALUES ('v199'), ('v0'), ('nope')) x(value)"
     )).fetchall())
     assert oracle == got
+
+
+def test_bloom_membership_and_parity(spark, tmp_path):
+    from ferenda_spark.operators.sketches import (bloom_contains,
+                                                  bloom_words,
+                                                  sql_bloom_contains)
+    # 500 inserted values; probe 20 present + 20 absent
+    df = spark.range(500).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    words = bloom_words(df, "v", m_bits=1 << 16, k=4)
+    cand = spark.createDataFrame(
+        [("u%d" % i,) for i in range(0, 500, 25)] +
+        [("miss-%d" % i,) for i in range(20)], "value string")
+    got = {r["value"]: r["present"] for r in
+           bloom_contains(words, cand, m_bits=1 << 16, k=4).collect()}
+    # NO false negatives, ever — the Bloom contract
+    for i in range(0, 500, 25):
+        assert got["u%d" % i] is True
+    # 2^16 bits / 500*4 set bits → fp rate ~ (2000/65536)^4 ≈ 1e-6:
+    # all 20 absent probes must read absent
+    for i in range(20):
+        assert got["miss-%d" % i] is False
+    # repartitioning changes nothing (bit_or is order-free)
+    words2 = bloom_words(df.repartition(13), "v", m_bits=1 << 16, k=4)
+    got2 = {r["value"]: r["present"] for r in
+            bloom_contains(words2, cand, m_bits=1 << 16,
+                           k=4).collect()}
+    assert got2 == got
+    # twin parity, lane for lane
+    p = str(tmp_path / "t.parquet")
+    df.write.mode("overwrite").parquet(p)
+    import duckdb
+    oracle = dict(duckdb.sql(sql_bloom_contains(
+        "(SELECT v FROM read_parquet('%s/*.parquet'))" % p, "v",
+        "SELECT * FROM (VALUES %s) x(value)" % ", ".join(
+            "('%s')" % c for c in got))).fetchall())
+    assert oracle == got
+
+
+def test_bloom_saturated_filter(spark):
+    from ferenda_spark.operators.sketches import (bloom_contains,
+                                                  bloom_words)
+    # tiny filter (64 bits) + 1000 values → every lane saturates and
+    # EVERY probe reads present: the documented false-positive mode,
+    # never a crash or a false negative
+    df = spark.range(1000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    words = bloom_words(df, "v", m_bits=64, k=4)
+    cand = spark.createDataFrame([("u1",), ("absent",)], "value string")
+    got = {r["value"]: r["present"] for r in
+           bloom_contains(words, cand, m_bits=64, k=4).collect()}
+    assert got == {"u1": True, "absent": True}
