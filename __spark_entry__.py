@@ -2387,6 +2387,55 @@ def _q_cms_counts(spark, sf_dir):
     return cms_estimate(cms_counters(words, "w"), cand)
 
 
+def _q_kg_scc(spark, sf_dir):
+    """Strongly connected components (graphops.scc): redirect loops /
+    citation cycles / link-farm knots are exactly the nontrivial SCCs
+    of the crawl's directed graphs — undirected CC would glue every
+    chain to its cycle. Corpus: a partial permutation v → (7v+3) mod
+    500 (nodes v ≡ 2 mod 3 lose their out-edge, leaving four 4-cycles
+    and one 2-cycle among path fragments), chain edges v → v+1 for
+    v mod 10 < 3, plus an injected 3-cycle and a figure-8 (two
+    2-cycles sharing a node → ONE SCC). Hybrid Tarjan-on-driver /
+    Trim+FW-BW-peel distributed, both branches tested equal; the twin
+    states the definition itself (min over the mutual-reachability
+    closure)."""
+    from ferenda_spark.operators.graphops import scc
+    docs = _read(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 500
+
+    def node(c):
+        return F.concat(F.lit("n"),
+                        F.lpad(c.cast("string"), 3, "0"))
+
+    perm = (docs.where(v % 3 != 2)
+            .select(node(v).alias("src"),
+                    node((v * 7 + 3) % 500).alias("dst")))
+    chain = (docs.where(v % 10 < 3)
+             .select(node(v).alias("src"),
+                     node((v + 1) % 500).alias("dst")))
+    extra = spark.createDataFrame(
+        [("c0", "c1"), ("c1", "c2"), ("c2", "c0"),
+         ("f0", "f1"), ("f1", "f0"), ("f1", "f2"), ("f2", "f1")],
+        "src string, dst string")
+    return scc(perm.unionByName(chain).unionByName(extra))
+
+
+# SQL twin of _q_kg_scc's edge corpus — change BOTH or parity breaks
+KG_SCC_EDGES_SQL = (
+    "SELECT 'n' || lpad((doc_id % 500)::VARCHAR, 3, '0') AS src,"
+    "       'n' || lpad((((doc_id % 500) * 7 + 3) % 500)::VARCHAR,"
+    "                   3, '0') AS dst"
+    " FROM documents WHERE (doc_id % 500) % 3 <> 2"
+    " UNION ALL"
+    " SELECT 'n' || lpad((doc_id % 500)::VARCHAR, 3, '0'),"
+    "        'n' || lpad((((doc_id % 500) + 1) % 500)::VARCHAR, 3, '0')"
+    " FROM documents WHERE (doc_id % 500) % 10 < 3"
+    " UNION ALL SELECT * FROM (VALUES"
+    "   ('c0', 'c1'), ('c1', 'c2'), ('c2', 'c0'),"
+    "   ('f0', 'f1'), ('f1', 'f0'), ('f1', 'f2'), ('f2', 'f1')"
+    " ) v(src, dst)")
+
+
 BLOOM_CANDIDATES = ["the", "batch", "stream", "zzz-absent", "qq-never"]
 
 
@@ -3579,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_citation_map": _q_kg_citation_map,
         "kg_triangles": _q_kg_triangles,
         "kg_communities": _q_kg_communities,
+        "kg_scc": _q_kg_scc,
         "kg_host_graph": _q_kg_host_graph,
         "kg_domain_pagerank": _q_kg_domain_pagerank,
         "kg_domain_pagerank_weighted": _q_kg_domain_pagerank_weighted,
@@ -3710,9 +3760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from ferenda_spark import annoracle, kgoracle, sparql
-    from ferenda_spark.operators import (curation, dedup, multimodal,
-                                         packing, sampling, similarity,
-                                         textops)
+    from ferenda_spark.operators import (curation, dedup, graphops,
+                                         multimodal, packing, sampling,
+                                         similarity, textops)
     from ferenda_spark.operators import linking as _linking_ops
     from ferenda_spark.operators import sketches as _sketches
     from ferenda_spark.operators import validate as _validate
@@ -3800,6 +3850,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_citation_map": kgoracle.sql_citation_map(kg),
         "kg_triangles": kgoracle.sql_triangles(kg),
         "kg_communities": kgoracle.sql_communities(kg),
+        "kg_scc": graphops.sql_scc(KG_SCC_EDGES_SQL),
         "kg_host_graph": HOST_GRAPH_SQL,
         "kg_domain_pagerank": kgoracle.sql_pagerank(
             kg, edges_cte=HOST_EDGES_CTE),

@@ -476,6 +476,7 @@ def main() -> None:
         "redirect_resolve": qs["redirect_resolve"],
         "kg_triangles": kg_triangles,
         "kg_communities": kg_communities,
+        "kg_scc": qs["kg_scc"],
         "kg_domain_pagerank": qs["kg_domain_pagerank"],
         "kg_domain_pagerank_weighted": qs["kg_domain_pagerank_weighted"],
         "kg_ppr": kg_ppr,

@@ -1285,3 +1285,217 @@ def weighted_pagerank(edges: DataFrame, damping: float = 0.85,
     return ranks.select("node",
                         F.round("rank", round_to).alias("rank")) \
                 .orderBy(F.desc("rank"), "node")
+
+
+SCC_DRIVER_THRESHOLD = 2_000_000  # edges; below → Tarjan on the driver
+
+
+def _driver_scc(spark, pairs):
+    """Iterative Tarjan (1972) over collected (src, dst) pairs →
+    (node, scc_id) rows, scc_id = lexicographic min member."""
+    adj: dict = {}
+    nodes = set()
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+        nodes.add(s)
+        nodes.add(d)
+    index: dict = {}
+    low: dict = {}
+    onstack = set()
+    stack: list = []
+    comp: dict = {}
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = len(index)
+                stack.append(v)
+                onstack.add(v)
+            descended = False
+            ns = adj.get(v, ())
+            for i in range(pi, len(ns)):
+                w = ns[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    descended = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if descended:
+                continue
+            work.pop()
+            if work:
+                p = work[-1][0]
+                low[p] = min(low[p], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                cid = min(members)
+                for w in members:
+                    comp[w] = cid
+    return spark.createDataFrame(sorted(comp.items()) or [],
+                                 "node string, scc_id string")
+
+
+def scc(edges: DataFrame,
+        driver_threshold: int = SCC_DRIVER_THRESHOLD,
+        max_rounds: int = 64) -> DataFrame:
+    """(src, dst) directed edges → (node, scc_id): strongly connected
+    components, scc_id = lexicographic min member of the component.
+    The DIRECTED counterpart of the sameAs connected-components pass:
+    redirect loops, citation cycles and link-farm knots are exactly
+    the nontrivial SCCs of the crawl's directed graphs (undirected CC
+    would glue every chain to its cycle).
+
+    Hybrid like pagerank/CC: below the edge cutoff, iterative Tarjan
+    on the driver (one linear pass). Above it, Trim + forward/backward
+    min-label peeling (the FW-BW-Trim / coloring family — Orzan 2004,
+    McLendon et al. 2005): each pass (1) trims, to fixpoint, nodes
+    with no in- or no out-edge in the live subgraph (singleton SCCs —
+    kills the DAG fringe, which is most of a web graph), then (2)
+    propagates f(v) = min id reachable FROM v and b(v) = min id that
+    REACHES v, each to fixpoint; nodes with f(v) = b(v) are settled —
+    f is constant on an SCC, and f(v) = b(v) = c certifies mutual
+    reachability with c, so settled nodes form complete SCCs (at
+    minimum the SCC of each live region's min id settles, so the peel
+    terminates). ``max_rounds`` bounds outer passes (worst case — a
+    long chain of 2-cycles — is depth-linear; web graphs settle in a
+    few passes because one giant SCC + DAG fringe is the norm).
+
+    Scale notes: every step is frontier/label joins on uniform node
+    keys + min-aggregates with map-side partial combine; the settled
+    set leaves the live subgraph, so later passes shrink. No closure
+    table, no all-pairs anywhere. Twin: :func:`sql_scc` states the
+    definition itself (min over the mutual-reachability closure) —
+    exact on gate-sized graphs, and branch-for-branch equality is
+    tested like the other hybrids.
+    """
+    spark = edges.sparkSession
+    E = (edges.select("src", "dst")
+         .where(F.col("src") != F.col("dst")).distinct())
+    n_edges = E.limit(driver_threshold + 1).count()
+    if n_edges == 0:
+        # self-loops / empty input: every named node is its own SCC
+        return (edges.select(F.col("src").alias("node"))
+                .union(edges.select(F.col("dst").alias("node")))
+                .distinct()
+                .select("node", F.col("node").alias("scc_id"))
+                .orderBy("node"))
+    if n_edges <= driver_threshold:
+        pairs = [(r["src"], r["dst"]) for r in E.collect()]
+        # nodes appearing only in self-loops still need a row
+        extra = (edges.select(F.col("src").alias("node"))
+                 .union(edges.select(F.col("dst").alias("node")))
+                 .distinct().collect())
+        pairs += [(r["node"], r["node"]) for r in extra]
+        return _driver_scc(spark, pairs).orderBy("node")
+
+    from .util import iter_checkpoint
+
+    live_nodes = (edges.select(F.col("src").alias("node"))
+                  .union(edges.select(F.col("dst").alias("node")))
+                  .distinct().localCheckpoint(eager=True))
+    live_edges = E.localCheckpoint(eager=True)
+    done = None
+
+    def keep(assigned):
+        nonlocal done, live_nodes, live_edges
+        done = assigned if done is None else done.unionByName(assigned)
+        done = done.localCheckpoint(eager=True)
+        live_nodes = (live_nodes.join(assigned.select("node"), "node",
+                                      "left_anti")
+                      .localCheckpoint(eager=True))
+        live_edges = (live_edges
+                      .join(live_nodes.select(F.col("node")
+                                              .alias("src")), "src")
+                      .join(live_nodes.select(F.col("node")
+                                              .alias("dst")), "dst")
+                      .select("src", "dst").localCheckpoint(eager=True))
+
+    def minlabel(edge_sel):
+        """min-label fixpoint: lbl(v) = min(v, lbl of edge_sel
+        neighbors), propagated to fixpoint over the live subgraph."""
+        lbl = live_nodes.select("node", F.col("node").alias("lbl"))
+        i = 0
+        while True:
+            nb = (live_edges
+                  .join(lbl.withColumnRenamed("node", edge_sel[0])
+                           .withColumnRenamed("lbl", "_nl"),
+                        edge_sel[0])
+                  .groupBy(F.col(edge_sel[1]).alias("node"))
+                  .agg(F.min("_nl").alias("_m")))
+            nxt = iter_checkpoint(
+                lbl.join(nb, "node", "left")
+                   .select("node", F.least("lbl", F.coalesce("_m", "lbl"))
+                           .alias("lbl")), i)
+            changed = (nxt.join(lbl.withColumnRenamed("lbl", "_old"),
+                                "node")
+                       .where(F.col("lbl") != F.col("_old"))
+                       .limit(1).count())
+            lbl = nxt
+            i += 1
+            if not changed:
+                return lbl
+
+    for _ in range(max_rounds):
+        if not live_nodes.limit(1).count():
+            break
+        # (1) trim fixpoint: no out-edge or no in-edge → singleton SCC
+        while True:
+            srcs = live_edges.select(F.col("src").alias("node")).distinct()
+            dsts = live_edges.select(F.col("dst").alias("node")).distinct()
+            trivial = (live_nodes.join(srcs, "node", "left_anti")
+                       .union(live_nodes.join(dsts, "node", "left_anti"))
+                       .distinct())
+            if not trivial.limit(1).count():
+                break
+            keep(trivial.select("node", F.col("node").alias("scc_id")))
+            if not live_nodes.limit(1).count():
+                break
+        if not live_nodes.limit(1).count():
+            break
+        # (2) f: min reachable FROM v (pull over v→u);  b: min that
+        # REACHES v (pull over u→v)
+        f = minlabel(("dst", "src"))
+        b = minlabel(("src", "dst"))
+        settled = (f.join(b.withColumnRenamed("lbl", "_b"), "node")
+                   .where(F.col("lbl") == F.col("_b"))
+                   .select("node", F.col("lbl").alias("scc_id")))
+        keep(settled)
+    else:
+        if live_nodes.limit(1).count():
+            raise RuntimeError("scc: max_rounds=%d exhausted with live "
+                               "nodes remaining" % max_rounds)
+    return done.orderBy("node")
+
+
+def sql_scc(edges_sql: str) -> str:
+    """DuckDB twin of :func:`scc` — the definition itself: scc_id(v)
+    = min({v} ∪ {u : v→*u AND u→*v}) over the mutual-reachability
+    closure. Exact at gate scale; the Spark side must match it from
+    either hybrid branch. ``edges_sql`` must select (src, dst)."""
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    reach(a, b) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.a, e2.dst FROM reach r JOIN e e2 ON e2.src = r.b),
+    mutual AS (
+      SELECT r1.a AS v, r1.b AS u
+      FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+    SELECT n.node, least(n.node, coalesce(min(m.u), n.node)) AS scc_id
+    FROM n LEFT JOIN mutual m ON m.v = n.node
+    GROUP BY n.node
+    ORDER BY n.node
+    """

@@ -1,0 +1,69 @@
+"""Strongly connected components: known shapes, both hybrid branches,
+DuckDB mutual-reachability parity."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators.graphops import scc, sql_scc
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _got(df):
+    return {r["node"]: r["scc_id"] for r in df.collect()}
+
+
+def test_scc_known_shapes(spark):
+    # two triangles joined by a one-way bridge + a dangling tail
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x"),
+             ("c", "x"),            # bridge: one direction only
+             ("z", "t")]            # DAG tail
+    want = {"a": "a", "b": "a", "c": "a",
+            "x": "x", "y": "x", "z": "x", "t": "t"}
+    assert _got(scc(_edges(spark, pairs))) == want
+    # figure-8: two 2-cycles sharing f1 → ONE component
+    pairs = [("f0", "f1"), ("f1", "f0"), ("f1", "f2"), ("f2", "f1")]
+    assert _got(scc(_edges(spark, pairs))) == {
+        "f0": "f0", "f1": "f0", "f2": "f0"}
+    # pure DAG → all singletons; self-loop → its own singleton
+    pairs = [("p", "q"), ("q", "r"), ("s", "s")]
+    assert _got(scc(_edges(spark, pairs))) == {
+        "p": "p", "q": "q", "r": "r", "s": "s"}
+
+
+def test_scc_branches_agree(spark):
+    # deterministic mixed graph: partial permutation (cycles + paths)
+    # + chains; distributed Trim+FW-BW peel (threshold=0) must equal
+    # driver Tarjan row for row
+    n = 120
+    pairs = ([("v%03d" % v, "v%03d" % ((7 * v + 3) % n))
+              for v in range(n) if v % 3 != 2] +
+             [("v%03d" % v, "v%03d" % ((v + 1) % n))
+              for v in range(n) if v % 10 < 3])
+    e = _edges(spark, pairs)
+    drv = _got(scc(e))
+    dist = _got(scc(e, driver_threshold=0))
+    assert drv == dist
+    # sanity: the graph actually has nontrivial components
+    from collections import Counter
+    sizes = Counter(drv.values())
+    assert max(sizes.values()) >= 2
+
+
+def test_scc_duckdb_parity(spark, tmp_path):
+    n = 90
+    pairs = ([("v%03d" % v, "v%03d" % ((7 * v + 3) % n))
+              for v in range(n) if v % 3 != 2] +
+             [("c0", "c1"), ("c1", "c2"), ("c2", "c0")])
+    e = _edges(spark, pairs)
+    p = str(tmp_path / "e.parquet")
+    e.write.mode("overwrite").parquet(p)
+    got = sorted(_got(scc(e)).items())
+    oracle = duckdb.sql(sql_scc(
+        "SELECT src, dst FROM read_parquet('%s/*.parquet')" % p)
+    ).fetchall()
+    assert got == [(a, b) for a, b in oracle]
