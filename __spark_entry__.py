@@ -2436,6 +2436,44 @@ KG_SCC_EDGES_SQL = (
     " ) v(src, dst)")
 
 
+def _q_kg_anf(spark, sf_dir):
+    """Approximate neighborhood function (graphops.anf_neighborhood,
+    HyperANF — Boldi/Rosa/Vigna WWW 2011): N(t) for t = 0..6 over the
+    same mixed cycle/chain corpus as kg_scc — per-node HLL register
+    sets unioned along out-edges each round, integer-summed totals on
+    the shared md5 device, so the distance census (and the effective
+    diameter read off it) cross-checks digit for digit against the
+    unrolled-CTE twin without any all-pairs BFS."""
+    from ferenda_spark.operators.graphops import anf_neighborhood
+    docs = _read(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 500
+
+    def node(c):
+        return F.concat(F.lit("n"),
+                        F.lpad(c.cast("string"), 3, "0"))
+
+    perm = (docs.where(v % 3 != 2)
+            .select(node(v).alias("src"),
+                    node((v * 7 + 3) % 500).alias("dst")))
+    chain = (docs.where(v % 10 < 3)
+             .select(node(v).alias("src"),
+                     node((v + 1) % 500).alias("dst")))
+    return anf_neighborhood(perm.unionByName(chain), rounds=6)
+
+
+# SQL twin edge corpus of _q_kg_anf — the kg_scc corpus minus the
+# injected VALUES cycles (change BOTH or parity breaks)
+KG_ANF_EDGES_SQL = (
+    "SELECT 'n' || lpad((doc_id % 500)::VARCHAR, 3, '0') AS src,"
+    "       'n' || lpad((((doc_id % 500) * 7 + 3) % 500)::VARCHAR,"
+    "                   3, '0') AS dst"
+    " FROM documents WHERE (doc_id % 500) % 3 <> 2"
+    " UNION ALL"
+    " SELECT 'n' || lpad((doc_id % 500)::VARCHAR, 3, '0'),"
+    "        'n' || lpad((((doc_id % 500) + 1) % 500)::VARCHAR, 3, '0')"
+    " FROM documents WHERE (doc_id % 500) % 10 < 3")
+
+
 BLOOM_CANDIDATES = ["the", "batch", "stream", "zzz-absent", "qq-never"]
 
 
@@ -3311,6 +3349,35 @@ def _q_dedup_exact(spark, sf_dir):
         _read(spark, sf_dir, "documents")))
 
 
+def _q_dedup_containment(spark, sf_dir):
+    """Directed shingle-containment pairs (dedup.containment_pairs):
+    the asymmetric dedup Jaccard misses — snippet docs built as the
+    first 12 words of every doc_id % 4 == 0 document (ids +200000)
+    are fully contained in their source (containment 1.0) while the
+    reverse direction scores near zero; prefix-filtered containment
+    join (rarity-ordered prefix tokens vs the full inverted index,
+    exact array verify on candidates only) against the brute-force
+    all-directed-pairs twin."""
+    from ferenda_spark.operators.dedup import containment_pairs
+    from ferenda_spark.operators.textops import words_col
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    snip = (docs.where(F.col("doc_id") % 4 == 0)
+            .select((F.col("doc_id") + 200000).alias("doc_id"),
+                    F.array_join(F.slice(words_col(F.col("text")),
+                                         1, 12), " ").alias("text")))
+    return containment_pairs(docs.unionByName(snip), threshold=0.8)
+
+
+def _contain_docs_sql():
+    from ferenda_spark.operators.textops import WS_SPLIT
+    return ("(SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 200000, array_to_string("
+            "(CASE WHEN trim(coalesce(text, '')) = '' "
+            "THEN []::VARCHAR[] ELSE regexp_split_to_array("
+            "trim(coalesce(text, '')), '%s') END)[1:12], ' ') "
+            "FROM documents WHERE doc_id %% 4 = 0)" % WS_SPLIT)
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     from ferenda_spark.operators.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
@@ -3361,6 +3428,18 @@ def _q_ann_lsh_topk(spark, sf_dir):
     from ferenda_spark.operators.similarity import ann_lsh_topk
     emb = _read(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 50), k=5)
+
+
+def _q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.ann_pq_topk, Jégou et al.
+    TPAMI 2011): the memory-bound end of the ANN family — corpus
+    vectors compressed to 8 sub-codes, every query scores the whole
+    code table through per-subspace lookup tables (ADC), no candidate
+    generation; seeded/deterministic, hard cross-execution oracle
+    like the LSH/IVF variants, recall pinned in pytest."""
+    from ferenda_spark.operators.similarity import ann_pq_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    return ann_pq_topk(emb, emb.where(F.col("vec_id") < 50), k=5)
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
@@ -3629,6 +3708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "kg_communities": _q_kg_communities,
         "kg_scc": _q_kg_scc,
+        "kg_anf": _q_kg_anf,
         "kg_host_graph": _q_kg_host_graph,
         "kg_domain_pagerank": _q_kg_domain_pagerank,
         "kg_domain_pagerank_weighted": _q_kg_domain_pagerank_weighted,
@@ -3747,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_windows": _q_dedup_windows,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_clusters": _q_embedding_clusters,
         "dedup_embedding": _q_dedup_embedding,
@@ -3754,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_containment": _q_dedup_containment,
         "dedup_clusters": _q_dedup_clusters,
     }
 
@@ -3851,6 +3933,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": kgoracle.sql_triangles(kg),
         "kg_communities": kgoracle.sql_communities(kg),
         "kg_scc": graphops.sql_scc(KG_SCC_EDGES_SQL),
+        "kg_anf": graphops.sql_anf(KG_ANF_EDGES_SQL, rounds=6),
         "kg_host_graph": HOST_GRAPH_SQL,
         "kg_domain_pagerank": kgoracle.sql_pagerank(
             kg, edges_cte=HOST_EDGES_CTE),
@@ -4041,6 +4124,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_windows": dedup.oracle_sql_duplicate_windows(
             table=SPAN_DOCS_SQL, k=20),
         "dedup_ngram_jaccard": jaccard_oracle,
+        "dedup_containment": dedup.oracle_sql_containment(
+            _contain_docs_sql(), threshold=0.8),
         # LSH verifies candidates with exact jaccard → same ground
         # truth as brute force (recall checked by the oracle).
         "dedup_minhash_lsh": jaccard_oracle,
@@ -4055,6 +4140,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": annoracle.sql_bpe_census(ann),
         "dedup_simhash": annoracle.sql_simhash(ann),
         "ann_lsh_topk": annoracle.sql_ann_topk(ann, "ann_lsh_topk"),
+        "ann_pq_topk": annoracle.sql_ann_topk(ann, "ann_pq_topk"),
         "ann_ivf_topk": annoracle.sql_ann_topk(ann, "ann_ivf_topk"),
         "embedding_clusters": annoracle.sql_embedding_clusters(ann),
         "dedup_clusters": dedup.oracle_sql_dup_clusters(jaccard_oracle),

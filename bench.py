@@ -477,6 +477,7 @@ def main() -> None:
         "kg_triangles": kg_triangles,
         "kg_communities": kg_communities,
         "kg_scc": qs["kg_scc"],
+        "kg_anf": qs["kg_anf"],
         "kg_domain_pagerank": qs["kg_domain_pagerank"],
         "kg_domain_pagerank_weighted": qs["kg_domain_pagerank_weighted"],
         "kg_ppr": kg_ppr,
@@ -513,10 +514,12 @@ def main() -> None:
         # blocked exact GEMM (scale path) replaced the O(n²)-fold brute
         # twin in the headline; the twin remains the sf0.01 oracle
         "dedup_embedding": qs["dedup_embedding_blocked"],
+        "dedup_containment": qs["dedup_containment"],
         "dedup_lines": qs["dedup_lines"],
         "dedup_delta": qs["dedup_delta"],
         "dedup_windows": qs["dedup_windows"],
         "ann_topk": qs["ann_topk"],
+        "ann_pq_topk": qs["ann_pq_topk"],
         "pack_sequences": qs["pack_sequences"],
         "token_stats": qs["token_stats"],
         "hll_distinct": qs["hll_distinct"],

@@ -48,7 +48,7 @@ _FINGERPRINT_MODULES = ["annoracle.py", "operators/dedup.py",
                         "operators/similarity.py", "operators/bpe.py",
                         "operators/textops.py"]
 
-TABLES = ("dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
+TABLES = ("ann_pq_topk", "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
           "embedding_clusters", "bpe_train", "bpe_census")
 
 
@@ -211,6 +211,46 @@ def ann_ivf_twin(sf_dir: str, n_queries: int = 50, k: int = 5,
     return _rank_topk(ids[qi], ids[ni], sims, k)
 
 
+def ann_pq_twin(sf_dir: str, n_queries: int = 50, k: int = 5,
+                m_sub: int = 32, k_codes: int = 16,
+                train_sample: int = 20_000, seed: int = 11):
+    """Single-threaded :func:`similarity.ann_pq_topk` (driver-query
+    defaults): crc32-ordered train sample → per-subspace Lloyd's →
+    fold-encode every vector → per-query LUT → ADC scores in the
+    same j-order accumulation → rank."""
+    import numpy as np
+    from .operators.similarity import _fold_matmul, _pq_train
+    ids, V = _load_embeddings(sf_dir)
+    h = np.array([zlib.crc32(str(int(i)).encode()) for i in ids],
+                 dtype=np.int64)
+    order = np.lexsort((ids, h))[:min(train_sample, len(ids))]
+    books = _pq_train(V[order], m_sub, k_codes, seed=seed)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    d_sub = books.shape[2]
+    half = [0.5 * (books[j] * books[j]).sum(axis=1)
+            for j in range(m_sub)]
+    codes = np.stack(
+        [(_fold_matmul(Vn[:, j * d_sub:(j + 1) * d_sub],
+                       books[j].T) - half[j]).argmax(axis=1)
+         for j in range(m_sub)], axis=1)
+    qpos = np.nonzero(ids < n_queries)[0]
+    Q = Vn[qpos]
+    LUT = np.stack([_fold_matmul(Q[:, j * d_sub:(j + 1) * d_sub],
+                                 books[j].T)
+                    for j in range(m_sub)], axis=1)
+    out_q, out_n, out_s = [], [], []
+    for qi in range(len(qpos)):
+        acc = np.zeros(len(ids))
+        for j in range(m_sub):
+            acc += LUT[qi, j][codes[:, j]]
+        mask = ids != ids[qpos[qi]]
+        out_q.append(np.full(mask.sum(), ids[qpos[qi]]))
+        out_n.append(ids[mask])
+        out_s.append(acc[mask])
+    return _rank_topk(np.concatenate(out_q), np.concatenate(out_n),
+                      np.concatenate(out_s), k)
+
+
 def kmeans_clusters_twin(sf_dir: str, n_clusters: int = 16,
                          iters: int = 10, train_sample: int = 20_000,
                          seed: int = 11):
@@ -270,6 +310,9 @@ def ensure_ann_tables(sf_dir: str) -> dict[str, str]:
         "ann_lsh_topk": pa.schema([("query_id", pa.int64()),
                                    ("neighbor_id", pa.int64()),
                                    ("rank", pa.int32())]),
+        "ann_pq_topk": pa.schema([("query_id", pa.int64()),
+                                  ("neighbor_id", pa.int64()),
+                                  ("rank", pa.int32())]),
         "ann_ivf_topk": pa.schema([("query_id", pa.int64()),
                                    ("neighbor_id", pa.int64()),
                                    ("rank", pa.int32())]),
@@ -286,6 +329,7 @@ def ensure_ann_tables(sf_dir: str) -> dict[str, str]:
     from .operators import bpe
     outs = {"dedup_simhash": simhash_twin(sf_dir),
             "ann_lsh_topk": ann_lsh_twin(sf_dir),
+            "ann_pq_topk": ann_pq_twin(sf_dir),
             "ann_ivf_topk": ann_ivf_twin(sf_dir),
             "embedding_clusters": kmeans_clusters_twin(sf_dir),
             "bpe_train": bpe.train_twin(sf_dir),

@@ -701,6 +701,88 @@ def oracle_sql_ngram_jaccard(table: str = "documents",
     """
 
 
+def containment_pairs(df: DataFrame, threshold: float = 0.8,
+                      n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      shingles: DataFrame | None = None) -> DataFrame:
+    """→ (a_id, b_id, containment), a_id ≠ b_id: DIRECTED near-dup
+    pairs by shingle containment |Sh(a) ∩ Sh(b)| / |Sh(a)| ≥
+    ``threshold`` — the asymmetric companion to Jaccard. Jaccard
+    misses inclusion: a paragraph quoted inside a 100× longer page
+    has Jaccard ≈ 0.01 but containment 1.0, and subset relations
+    (snippet→page, article→mirror-with-chrome) are exactly what a
+    crawl dedup pass must catch that symmetric similarity cannot.
+    Empty-shingle docs are excluded (containment undefined).
+
+    Scale path — prefix-filtered containment join (the SSJoin family,
+    Chaudhuri/Ganti/Kaushik ICDE 2006), never all-pairs:
+
+    1. one shingle-frequency census (vocabulary-sized);
+    2. per doc, its shingles sort by global rarity (df, then shingle
+       — a total order with no global rank table, so no single-
+       partition sort anywhere) and the floor((1-t)·|A|)+1 rarest
+       form A's PREFIX: a B containing ≥ t·|A| of A's shingles can
+       miss at most floor((1-t)·|A|) of them, so it must share a
+       prefix shingle — candidates generated by joining PREFIX
+       tokens (rare by construction — no hot keys) against the full
+       inverted index;
+    3. exact verify on candidate pairs only, via the materialized
+       shingle arrays (array_intersect — both sides are distinct
+       sets). The prefix bound is slacked by 1e-9 against float
+       boundary error (conservative: a too-long prefix costs
+       candidates, never correctness), so output ≡ the brute-force
+       twin :func:`oracle_sql_containment`.
+    """
+    sh = (shingle_table(df, n, text_col, id_col)
+          if shingles is None else shingles)
+    sh = sh.where(F.size("sh") > 0)
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (ex.join(dfreq, "s")
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy("id").orderBy("_df", "s")))
+              .join(sh.select("id", F.size("sh").alias("_sz")), "id"))
+    prefix = ranked.where(
+        F.col("_rn") <= F.greatest(
+            F.lit(1),
+            F.col("_sz") - F.ceil(F.col("_sz") * threshold - 1e-9) + 1))
+    cand = (prefix.select(F.col("id").alias("a_id"), "s")
+            .join(ex.select(F.col("id").alias("b_id"), "s"), "s")
+            .where(F.col("a_id") != F.col("b_id"))
+            .select("a_id", "b_id").distinct())
+    a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
+    c = (F.size(F.array_intersect("a_sh", "b_sh")) /
+         F.size("a_sh")).alias("_c")
+    return (cand.join(a, "a_id").join(b, "b_id")
+            .select("a_id", "b_id", F.round(c, 6).alias("containment"))
+            .where(F.col("containment") >= threshold)
+            .orderBy("a_id", "b_id"))
+
+
+def oracle_sql_containment(table: str = "documents",
+                           threshold: float = 0.8, n: int = 3) -> str:
+    """Brute-force DuckDB twin of :func:`containment_pairs` — all
+    directed pairs, identical shingle construction and arithmetic."""
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_sql_shingles(n)} AS sh
+      FROM (SELECT doc_id,
+                   CASE WHEN trim(text)='' THEN []::varchar[]
+                        ELSE regexp_split_to_array(trim(text), '{WS_SPLIT}') END AS words
+            FROM {table})
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.sh, b.sh))::double
+                 / len(a.sh), 6) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND round(len(list_intersect(a.sh, b.sh))::double
+                / len(a.sh), 6) >= {threshold}
+    ORDER BY a_id, b_id
+    """
+
+
 def sql_cosine(x: str, y: str) -> str:
     """Sequential left-fold cosine for DuckDB — identical IEEE op order
     to :func:`cosine_sim` (Spark's F.aggregate 0.0-init fold and

@@ -1499,3 +1499,139 @@ def sql_scc(edges_sql: str) -> str:
     GROUP BY n.node
     ORDER BY n.node
     """
+
+
+def anf_neighborhood(edges: DataFrame, rounds: int = 6, p: int = 5,
+                     round_to: int = 3) -> DataFrame:
+    """(src, dst) directed edges → (t, est_pairs) for t = 0..rounds:
+    the approximate neighborhood function N(t) = Σ_v |ball_t(v)| —
+    how many (v, u) pairs lie within t hops — via HyperANF (Boldi,
+    Rosa & Vigna, WWW 2011): one HLL register set per node on the
+    shared md5 device (:mod:`.sketches`), unioned along out-edges
+    each round (elementwise max — ball_t(v) = {v} ∪ ⋃_{v→u}
+    ball_{t-1}(u)). N(t)'s growth curve IS the web graph's distance
+    census: effective diameter = min t with N(t) ≥ 0.9·N(∞), without
+    any all-pairs BFS.
+
+    Determinism engineering (same devices as
+    :func:`~ferenda_spark.operators.sketches.hll_distinct`): md5→
+    60-bit hash, string-bit-length ranks, integer-scaled harmonic
+    sums; register max is order-free, and each round's total is an
+    INTEGER sum of per-node round(est·10^round_to) — no float
+    accumulation order anywhere, so Spark, the unrolled-CTE DuckDB
+    twin (:func:`sql_anf`) and any partitioning agree digit for
+    digit.
+
+    Scale notes: registers live LONG-form as (node, idx, r) rows —
+    m = 2^p rows per node (the sketch's actual memory), so each round
+    is one edge join on uniform dst keys + one map-side-combined max,
+    the same shape as the HLL census; no 2^p-wide codegen, no
+    closure table. Per-round totals are 1-row aggregates.
+    ``rounds`` is the t budget, not a correctness cap — N(t) is exact
+    -in-expectation at every t it reports.
+    """
+    from .sketches import HLL_HASH_BITS, _alpha
+    from .util import iter_checkpoint
+    m = 1 << p
+    width = HLL_HASH_BITS - p
+    spark = edges.sparkSession
+    E = (edges.select("src", "dst")
+         .where(F.col("src") != F.col("dst")).distinct()
+         .localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    if not nodes.limit(1).count():
+        return spark.createDataFrame([], "t long, est_pairs double")
+    h = F.conv(F.substring(F.md5(F.col("node")), 1, 15), 16, 10) \
+         .cast("long")
+    w = F.shiftright(h, p)
+    regs = (nodes.select("node",
+                         F.pmod(h, F.lit(m)).alias("idx"),
+                         (F.when(w == 0, F.lit(width + 1))
+                          .otherwise(F.lit(width) - F.length(F.bin(w))
+                                     + 1)).alias("r"))
+            .localCheckpoint(eager=True))
+
+    def total(regs_t, t):
+        # per-node HLL estimate (integer-scaled harmonic sum, empty
+        # registers folded as 2^(width+1), linear-counting branch),
+        # then an INTEGER grand total of round(est·10^round_to)
+        scaled = F.expr(
+            "shiftleft(cast(1 as bigint), %d - r)" % (width + 1))
+        per = (regs_t.groupBy("node")
+               .agg(F.sum(scaled).alias("_s"),
+                    F.count(F.lit(1)).alias("_n")))
+        empties = F.lit(m) - F.col("_n")
+        s = (F.col("_s") + empties * F.lit(float(2 ** (width + 1)))) \
+            / F.lit(float(2 ** (width + 1)))
+        raw = F.lit(_alpha(m) * m * m) / s
+        est = F.when((raw <= 2.5 * m) & (empties > 0),
+                     F.lit(float(m)) * F.log(F.lit(float(m)) / empties)) \
+               .otherwise(raw)
+        unit = 10 ** round_to
+        return per.select(
+            F.round(est * unit, 0).cast("long").alias("_e")) \
+            .agg((F.sum("_e") / F.lit(float(unit))).alias("est_pairs")) \
+            .select(F.lit(t).cast("long").alias("t"), "est_pairs")
+
+    out = total(regs, 0)
+    for t in range(1, rounds + 1):
+        prop = (E.join(regs.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"), "idx", "r"))
+        regs = iter_checkpoint(
+            regs.unionByName(prop)
+                .groupBy("node", "idx").agg(F.max("r").alias("r")), t)
+        out = out.unionByName(total(regs, t))
+    return out.orderBy("t")
+
+
+def sql_anf(edges_sql: str, rounds: int = 6, p: int = 5,
+            round_to: int = 3) -> str:
+    """DuckDB twin of :func:`anf_neighborhood` — the identical
+    register iteration unrolled one CTE per round (the pagerank-CTE
+    device), identical hash/rank/harmonic arithmetic to
+    :func:`~ferenda_spark.operators.sketches.sql_hll_distinct`."""
+    from .sketches import HLL_HASH_BITS, _alpha
+    m = 1 << p
+    width = HLL_HASH_BITS - p
+    alpha = _alpha(m)
+    scale = float(2 ** (width + 1))
+    unit = 10 ** round_to
+    ctes = [f"""e AS (
+      SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    r0 AS (
+      SELECT node,
+             ('0x' || substr(md5(node), 1, 15))::BIGINT % {m} AS idx,
+             CASE WHEN (('0x' || substr(md5(node), 1, 15))::BIGINT
+                        >> {p}) = 0 THEN {width + 1}
+                  ELSE {width} - length(bin(
+                       ('0x' || substr(md5(node), 1, 15))::BIGINT
+                       >> {p})) + 1 END AS r
+      FROM n)"""]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""r{t} AS (
+      SELECT node, idx, max(r) AS r FROM (
+        SELECT e.src AS node, q.idx, q.r
+        FROM e JOIN r{t - 1} q ON q.node = e.dst
+        UNION ALL SELECT node, idx, r FROM r{t - 1})
+      GROUP BY node, idx)""")
+    legs = []
+    for t in range(rounds + 1):
+        legs.append(f"""
+    SELECT {t}::BIGINT AS t,
+           sum(round(CASE WHEN ({alpha * m * m} / s) <= {2.5 * m}
+                           AND empties > 0
+                          THEN {float(m)} * ln({float(m)} / empties)
+                          ELSE {alpha * m * m} / s END
+                     * {unit}, 0)::BIGINT)::BIGINT / {float(unit)}
+             AS est_pairs
+    FROM (
+      SELECT node,
+             (sum((1::BIGINT << ({width + 1} - r)))::BIGINT
+              + ({m} - count(*)) * {scale}) / {scale} AS s,
+             ({m} - count(*)) AS empties
+      FROM r{t} GROUP BY node)""")
+    return ("WITH " + ",\n    ".join(ctes) +
+            "\n" + "\nUNION ALL".join(legs) + "\nORDER BY t")

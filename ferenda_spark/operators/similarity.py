@@ -341,3 +341,159 @@ def kmeans_clusters(items: DataFrame, n_clusters: int = 16,
     return (ensure_parallelism(items.select(F.col(id_col), vec_col))
             .mapInPandas(run, schema)
             .orderBy("vec_id"))
+
+
+# ------------------------------------------------------ product quant
+#
+# The memory-bound end of the ANN spectrum (Jégou/Douze/Schmid TPAMI
+# 2011): corpus vectors compress to m_sub byte-ish codes (here
+# m_sub·log2(k_codes) bits), queries score the WHOLE corpus through
+# per-subspace lookup tables (ADC) — no candidate generation at all,
+# which is the right trade when the corpus must stay resident (a
+# reranking tier, a dedup sweep) and 64·8 bytes/vector won't fit.
+
+
+def _pq_train(V, m_sub: int, k_codes: int, iters: int = 10,
+              seed: int = 11):
+    """Per-subspace Lloyd's over the (normalized) sample →
+    (m_sub, k_codes, d_sub) codebook tensor. Assignment uses
+    argmax(v·c − |c|²/2) — the Euclidean argmin rewritten so encode,
+    ADC and the single-threaded twin share ONE fold-ordered kernel
+    (ties → lowest code index, numpy argmax order)."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    d_sub = V.shape[1] // m_sub
+    books = []
+    for j in range(m_sub):
+        S = V[:, j * d_sub:(j + 1) * d_sub]
+        C = S[rng.choice(len(S), size=min(k_codes, len(S)),
+                         replace=False)].copy()
+        for _ in range(iters):
+            scores = _fold_matmul(S, C.T) - 0.5 * (C * C).sum(axis=1)
+            assign = scores.argmax(axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def _pq_encode_stage(df: DataFrame, idc: str, vec_col: str, books
+                     ) -> DataFrame:
+    """(id, codes int[]): nearest sub-centroid per subspace — one
+    shuffle-free Arrow pass, codebooks broadcast by closure."""
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
+    schema = StructType([StructField("id", LongType()),
+                         StructField("codes",
+                                     ArrayType(IntegerType()))])
+    m_sub, _, d_sub = books.shape
+
+    def run(batches):
+        import numpy as np
+        B = np.asarray(books)
+        half = [0.5 * (B[j] * B[j]).sum(axis=1) for j in range(m_sub)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[idc].to_numpy().astype("int64")
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                               1e-12)
+            codes = np.stack(
+                [(_fold_matmul(V[:, j * d_sub:(j + 1) * d_sub],
+                               B[j].T) - half[j]).argmax(axis=1)
+                 for j in range(m_sub)], axis=1).astype("int32")
+            yield pd.DataFrame({"id": ids, "codes": list(codes)})
+
+    return ensure_parallelism(df.select(F.col(idc), vec_col)) \
+        .mapInPandas(run, schema)
+
+
+def ann_pq_topk(items: DataFrame, queries: DataFrame, k: int = 5,
+                m_sub: int = 32, k_codes: int = 16,
+                train_sample: int = 20_000, seed: int = 11,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """PQ/ADC approximate top-k → (query_id, neighbor_id, rank):
+    corpus vectors quantized to ``m_sub`` sub-codes (defaults: 32
+    subspaces of 2 dims × 16 codes = 128 bits/vector — recall 0.61@5
+    measured on the near-random-within-cluster driver embeddings;
+    real text embeddings with correlated dims compress much harder),
+    each query builds
+    one (m_sub × k_codes) inner-product lookup table and scores every
+    corpus code by m_sub table gathers — asymmetric distance (query
+    exact, corpus quantized), cosine via unit-normalizing both sides.
+
+    Scale notes: the scored relation is the CODE table (m_sub ints
+    per vector — 32× smaller than the vectors at d=64), scanned once
+    for ALL queries; queries broadcast; per-batch per-query top-k
+    pre-prunes before the one k·|queries|-row global ranking window,
+    and batch boundaries cannot change the result (global top-k ≡
+    top-k of per-batch top-k unions; total (−score, id) order).
+    Recall levers: k_codes (cell resolution) and m_sub (independent
+    subspaces); ``tests/test_similarity_stateful.py`` pins measured
+    recall vs brute force."""
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    import numpy as np
+    V = train_sample_matrix(items, train_sample, vec_col, id_col)
+    books = _pq_train(V, m_sub, k_codes, seed=seed)
+    codes = _pq_encode_stage(
+        items.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        "neighbor_id", vec_col, books)
+    qpdf = (queries.select(F.col(id_col).alias("query_id"), vec_col)
+            .toPandas().sort_values("query_id"))
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = qpdf["query_id"].to_numpy().astype("int64")
+    d_sub = books.shape[2]
+    # per-query per-subspace LUT: q_sub · C_sub^T (fold-ordered)
+    LUT = np.stack([_fold_matmul(Q[:, j * d_sub:(j + 1) * d_sub],
+                                 books[j].T)
+                    for j in range(books.shape[0])], axis=1)
+    schema = StructType([StructField("query_id", LongType()),
+                         StructField("neighbor_id", LongType()),
+                         StructField("sim", DoubleType())])
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy().astype("int64")
+            C = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                acc = np.zeros(len(ids))
+                for j in range(LUT.shape[1]):
+                    acc += LUT[qi, j][C[:, j]]
+                mask = ids != qids[qi]
+                cand_ids, cand_s = ids[mask], acc[mask]
+                take = min(k, len(cand_ids))
+                if not take:
+                    continue
+                # the batch-local prune must use the SAME total order
+                # as the global window ((−sim, id)): score-only
+                # argpartition could drop the tie-break winner at the
+                # k boundary and make output depend on batching
+                part = np.lexsort((cand_ids, -cand_s))[:take]
+                out_q.append(np.full(take, qids[qi]))
+                out_n.append(cand_ids[part])
+                out_s.append(cand_s[part])
+            if out_q:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s)})
+
+    sims = codes.mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("neighbor_id"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank")
+            .orderBy("query_id", "rank"))

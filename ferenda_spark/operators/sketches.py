@@ -43,14 +43,14 @@ def _alpha(m: int) -> float:
     return {16: 0.673, 32: 0.697, 64: 0.709}[m]
 
 
-def hll_distinct(df: DataFrame, keys: list[str], value: str,
-                 p: int = 12, round_to: int = 3) -> DataFrame:
-    """→ per-``keys`` row: (``est_distinct``, ``n_registers``) — the
-    HyperLogLog distinct estimate of ``value`` (NULLs ignored), with
-    the small-range linear-counting correction (raw ≤ 2.5m with empty
-    registers → m·ln(m/V)). Deterministic and engine-agnostic; twin:
-    :func:`sql_hll_distinct`.
-    """
+def hll_registers(df: DataFrame, keys: list[str], value: str,
+                  p: int = 12) -> DataFrame:
+    """→ per-``keys`` HLL register table (keys…, _idx, _r) — the
+    mergeable sketch state itself. Mergeable by construction: max per
+    (keys, _idx) of any union of register tables ≡ the table of the
+    unioned corpus, which is what makes the sketch incrementally
+    maintainable (streaming/sketchstate.py) and cross-crawl
+    combinable without rescanning either side."""
     m = 1 << p
     width = HLL_HASH_BITS - p
     h = F.conv(F.substring(F.md5(F.col(value)), 1, 15), 16, 10) \
@@ -59,10 +59,20 @@ def hll_distinct(df: DataFrame, keys: list[str], value: str,
     w = F.shiftright(h, p)
     rho = (F.when(w == 0, F.lit(width + 1))
            .otherwise(F.lit(width) - F.length(F.bin(w)) + 1))
-    regs = (df.where(F.col(value).isNotNull())
+    return (df.where(F.col(value).isNotNull())
             .select(*keys, idx.alias("_idx"), rho.alias("_rho"))
             .groupBy(*keys, "_idx")
             .agg(F.max("_rho").alias("_r")))
+
+
+def hll_estimate(regs: DataFrame, keys: list[str], p: int = 12,
+                 round_to: int = 3) -> DataFrame:
+    """Register table → per-``keys`` (est_distinct, n_registers):
+    the HLL estimate with linear-counting correction, shared by the
+    batch census and the streaming state read-out — identical
+    arithmetic either way."""
+    m = 1 << p
+    width = HLL_HASH_BITS - p
     # shiftleft() the SQL function takes a column shift amount (the
     # python wrapper insists on an int literal)
     scaled = F.expr("shiftleft(cast(1 as bigint), %d - _r)" % (width + 1))
@@ -80,6 +90,18 @@ def hll_distinct(df: DataFrame, keys: list[str], value: str,
                           F.round(est, round_to).alias("est_distinct"),
                           F.col("n_registers").cast("long")
                           .alias("n_registers"))
+
+
+def hll_distinct(df: DataFrame, keys: list[str], value: str,
+                 p: int = 12, round_to: int = 3) -> DataFrame:
+    """→ per-``keys`` row: (``est_distinct``, ``n_registers``) — the
+    HyperLogLog distinct estimate of ``value`` (NULLs ignored), with
+    the small-range linear-counting correction (raw ≤ 2.5m with empty
+    registers → m·ln(m/V)). Deterministic and engine-agnostic; twin:
+    :func:`sql_hll_distinct`.
+    """
+    return hll_estimate(hll_registers(df, keys, value, p), keys, p,
+                        round_to)
 
 
 def sql_hll_distinct(table_sql: str, keys: list[str], value: str,

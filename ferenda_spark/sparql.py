@@ -594,8 +594,26 @@ class EFunc(Expr):
     ARITY = {"strlen": 1, "ucase": 1, "lcase": 1, "contains": 2,
              "substr": 3, "replace": 3, "strends": 2, "strbefore": 2,
              "strafter": 2, "abs": 1, "ceil": 1, "floor": 1,
-             "round": 1, "md5": 1, "sha256": 1}
+             "round": 1, "md5": 1, "sha256": 1,
+             "year": 1, "month": 1, "day": 1, "hours": 1,
+             "minutes": 1, "seconds": 1, "tz": 1, "iri": 1, "uri": 1}
     NUMERIC = {"abs", "ceil", "floor", "round"}
+    # date/dateTime accessors read the FIXED-WIDTH lexical prefix of
+    # the XSD form "YYYY-MM-DDTHH:MM:SS[.fff][Z|±HH:MM]" — substring
+    # arithmetic is engine-identical, where timestamp parsing (zone
+    # rules, libm, session TZ) is not. A value that doesn't match the
+    # anchored shape is a SPARQL type error → unbound (NULL), per the
+    # subset's error-is-unbound rule; accessors of an absent time
+    # part (a date-only literal) are likewise unbound.
+    DATETIME = {"year", "month", "day", "hours", "minutes", "seconds",
+                "tz"}
+    _DT_RX = (r"^\d{4}-\d{2}-\d{2}"
+              r"(T\d{2}:\d{2}:\d{2}(\.\d+)?)?"
+              r"(Z|[+-]\d{2}:\d{2})?$")
+    _DT_POS = {"year": (1, 4), "month": (6, 2), "day": (9, 2),
+               "hours": (12, 2), "minutes": (15, 2)}
+    _SEC_RX = r"^.{17}(\d{2}(\.\d+)?)"
+    _TZ_RX = r"(Z|[+-]\d{2}:\d{2})$"
 
     def _spark_args(self, env):
         out = []
@@ -658,6 +676,21 @@ class EFunc(Expr):
             return F.md5(a[0].cast("string"))
         if self.name == "sha256":
             return F.sha2(a[0].cast("string"), 256)
+        if self.name in ("iri", "uri"):
+            # the subset's terms live on the lexical string device —
+            # IRI() is the identity there (matching STR's inverse)
+            return a[0].cast("string")
+        if self.name in self.DATETIME:
+            s = a[0].cast("string")
+            shaped = s.rlike(self._DT_RX)
+            if self.name == "tz":
+                return F.when(shaped, F.regexp_extract(s, self._TZ_RX, 1))
+            if self.name == "seconds":
+                return F.when(shaped, F.regexp_extract(
+                    s, self._SEC_RX, 1).try_cast("double"))
+            pos, ln = self._DT_POS[self.name]
+            return F.when(shaped, F.nullif(
+                F.substring(s, pos, ln), F.lit("")).try_cast("long"))
         return F.replace(a[0], a[1], a[2])
 
     def sql(self, env):
@@ -696,6 +729,22 @@ class EFunc(Expr):
             return "md5(CAST(%s AS VARCHAR))" % a[0]
         if self.name == "sha256":
             return "sha256(CAST(%s AS VARCHAR))" % a[0]
+        if self.name in ("iri", "uri"):
+            return "CAST(%s AS VARCHAR)" % a[0]
+        if self.name in self.DATETIME:
+            s = "CAST(%s AS VARCHAR)" % a[0]
+            shaped = "regexp_matches(%s, '%s')" % (s, self._DT_RX)
+            if self.name == "tz":
+                return ("(CASE WHEN %s THEN regexp_extract(%s, '%s', 1)"
+                        " END)" % (shaped, s, self._TZ_RX))
+            if self.name == "seconds":
+                return ("(CASE WHEN %s THEN TRY_CAST(regexp_extract("
+                        "%s, '%s', 1) AS DOUBLE) END)"
+                        % (shaped, s, self._SEC_RX))
+            pos, ln = self._DT_POS[self.name]
+            return ("(CASE WHEN %s THEN TRY_CAST(NULLIF(substr(%s, "
+                    "%d, %d), '') AS BIGINT) END)"
+                    % (shaped, s, pos, ln))
         return "replace(%s, %s, %s)" % (a[0], a[1], a[2])
 
 

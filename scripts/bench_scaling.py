@@ -131,7 +131,8 @@ WORKLOAD_SKETCH = r'''
 # 50 hosts models at this size) x 1M-distinct url pool so registers
 # saturate.
 from pyspark.sql import functions as F
-from ferenda_spark.operators.sketches import hll_distinct
+from ferenda_spark.operators.sketches import (bloom_words, cms_counters,
+                                              hll_distinct)
 
 SK_PATH = "/tmp/scaling_sketch50_docs_%d" % n_docs
 if not __import__("os").path.exists(SK_PATH + "/_SUCCESS"):
@@ -142,8 +143,19 @@ if not __import__("os").path.exists(SK_PATH + "/_SUCCESS"):
      .write.mode("overwrite").parquet(SK_PATH))
 
 def run():
-    return hll_distinct(spark.read.parquet(SK_PATH),
-                        ["host"], "url", p=12).count()
+    # the full census pass a crawl lake maintains per batch: per-host
+    # HLL distinct + CMS frequency + Bloom membership over ONE scanned
+    # corpus — 9 md5 rows per input row, every one map-side combined,
+    # nothing but (key, bucket)-shaped rows ever shuffles. A
+    # single-sketch pass at this corpus size finishes in <7 s on the
+    # 16-core leg and measures job fixed costs, not scaling (0.65-0.70
+    # measured twice); the fused census is both the realistic workload
+    # and long enough that per-round scheduling amortizes to <5pct.
+    df = spark.read.parquet(SK_PATH)
+    n = hll_distinct(df, ["host"], "url", p=12).count()
+    n += cms_counters(df, "url", d=4, w=65536).count()
+    n += bloom_words(df, "url", m_bits=1 << 22, k=4).count()
+    return n
 '''
 
 WORKLOAD_RDFS = r'''

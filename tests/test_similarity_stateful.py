@@ -71,3 +71,24 @@ def test_stream_first_seen_across_batches(spark, tmp_path):
             for r in spark.sql("SELECT * FROM first_seen").collect()}
     assert set(rows) == {"u1", "u2", "u3"}
     assert rows["u1"] == t  # first occurrence by warc_ts, not the dup
+
+
+def test_ann_pq_recall_and_determinism(spark, emb):
+    from ferenda_spark.operators.similarity import (ann_pq_topk,
+                                                    brute_force_topk)
+    queries = emb.where(F.col("vec_id") < 30)
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ann_pq_topk(emb, queries, k=5).collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, recall
+    from collections import Counter
+    per_q = Counter(q for q, _ in approx)
+    assert all(v == 5 for v in per_q.values())
+    # batching-invariant: repartitioned code table, same rows
+    a = sorted(map(tuple, ann_pq_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple,
+                   ann_pq_topk(emb.repartition(13), queries,
+                               k=5).collect()))
+    assert a == b

@@ -1657,3 +1657,31 @@ def test_single_quoted_strings(graph):
           ?s dct:title ?t FILTER (?t = 'Gamma' || ?t = "Beta memo") }
     """)
     assert sorted(r[0] for r in out.values) == ["d2", "d3"]
+
+
+def test_datetime_accessors_and_iri(graph):
+    # fixed-width lexical accessors: engine-identical substring
+    # arithmetic, anchored-shape guard, error-is-unbound on non-dates
+    out = run_both(graph, PREFIXES + """
+        SELECT ?uri ?y ?mo ?d ?h ?mi ?s ?z ?zn ?hd ?bad ?i WHERE {
+          ?uri a foaf:Document .
+          BIND("2024-03-15T10:30:05.25+05:30" AS ?dt)
+          BIND(YEAR(?dt) AS ?y)     BIND(MONTH(?dt) AS ?mo)
+          BIND(DAY(?dt) AS ?d)      BIND(HOURS(?dt) AS ?h)
+          BIND(MINUTES(?dt) AS ?mi) BIND(SECONDS(?dt) AS ?s)
+          BIND(TZ(?dt) AS ?z)
+          BIND(TZ("2024-03-15T10:30:05") AS ?zn)
+          BIND(HOURS("2024-03-15") AS ?hd)
+          BIND(YEAR("99-badness") AS ?bad)
+          BIND(IRI(?uri) AS ?i)
+        } ORDER BY ?uri
+    """)
+    r = out.iloc[0]
+    assert (int(r["y"]), int(r["mo"]), int(r["d"])) == (2024, 3, 15)
+    assert (int(r["h"]), int(r["mi"])) == (10, 30)
+    assert float(r["s"]) == 5.25
+    assert r["z"] == "+05:30"
+    assert r["zn"] == ""          # no zone → empty string, per spec
+    assert pd.isna(r["hd"])       # date-only literal: no time part
+    assert pd.isna(r["bad"])      # malformed: type error → unbound
+    assert r["i"] == r["uri"]     # IRI() is identity on the device

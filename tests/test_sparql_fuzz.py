@@ -92,6 +92,13 @@ filter_st = st.one_of(
                                ""])),
     # datatype(): untagged literals are xsd:string, tagged langString
     st.tuples(st.just("dtype"), var_st, st.booleans()),
+    # date accessors over a mix of shaped constants and (non-date)
+    # corpus values — the anchored-shape guard routes the latter to
+    # unbound identically in both engines
+    st.tuples(st.just("datefn"), var_st,
+              st.sampled_from(["2024-03-15T10:30:05.25+05:30",
+                               "1999-12-31", "2024-03-15T10:30:05Z",
+                               "nope"])),
 )
 
 
@@ -131,6 +138,11 @@ def filter_sparql(f):
         uri = ("http://www.w3.org/2001/XMLSchema#string" if arg else
                "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")
         return "FILTER(datatype(?%s) = <%s>)" % (v, uri)
+    if op == "datefn":
+        return ('FILTER(COALESCE(YEAR("%s") - MONTH("%s") '
+                '+ COALESCE(SECONDS("%s"), STRLEN(TZ("%s")), 0), '
+                'STRLEN(?%s)) >= 3 || YEAR(?%s) > 0)'
+                % (arg, arg, arg, arg, v, v))
     return 'FILTER(strstarts(?%s, "%s"))' % (v, arg)
 
 

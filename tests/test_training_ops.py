@@ -1200,3 +1200,31 @@ def test_completeness_report_grid(spark):
     assert got[(EX + "Product", EX + "name")] == (2, 0, 0.0)   # zero-fill
     assert got[(EX + "Org", EX + "name")] == (1, 1, 1.0)
     assert len(got) == 4                                       # 2 cls × 2 preds
+
+
+def test_containment_semantics(spark):
+    from ferenda_spark.operators.dedup import containment_pairs
+    # b quotes all of a (plus more); c is unrelated. Direction
+    # matters: a→b qualifies at 0.8, b→a does not.
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "intro words alpha beta gamma delta epsilon zeta "
+                "and a very long tail of unrelated filler content "
+                "continuing on and on for many more words"),
+            (3, "totally different text about other things entirely "
+                "with no overlap at all here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"]): r["containment"]
+           for r in containment_pairs(df, threshold=0.8).collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_prefix_filter_complete(spark, duck):
+    """Prefix-filtered candidates + exact verify must equal the
+    brute-force all-directed-pairs twin (completeness of the
+    rarity-prefix bound)."""
+    from ferenda_spark.operators.dedup import (containment_pairs,
+                                               oracle_sql_containment)
+    # threshold 0.5 stresses the bound harder (longer prefixes, more
+    # qualifying pairs) than the driver query's 0.8
+    assert_parity(containment_pairs(docs(spark), threshold=0.5), duck,
+                  oracle_sql_containment(threshold=0.5))
