@@ -2387,6 +2387,34 @@ def _q_cms_counts(spark, sf_dir):
     return cms_estimate(cms_counters(words, "w"), cand)
 
 
+def _q_kg_type_inference(spark, sf_dir):
+    """KG completion by neighborhood vote (graphops.type_inference):
+    hold out the rdf:type of every node with md5-hash ≡ 0 (mod 5),
+    infer each untyped node's class as the majority type among its
+    typed undirected citation neighbors (votes desc, cls asc
+    tie-break), and grade against the held-out truth in the output
+    itself — the standard link-prediction-style evaluation, run as
+    one query; twin replicates mask, vote and grading."""
+    from ferenda_spark.namespaces import RDF_TYPE
+    from ferenda_spark.operators.graphops import (citation_edges,
+                                                  type_inference)
+    t = _kg_read(spark, "triples")
+    types = (t.where((F.col("predicate") == RDF_TYPE) &
+                     (F.col("objtype") == "uri"))
+             .select(F.col("subject").alias("node"),
+                     F.col("object").alias("cls")).distinct())
+    masked = (F.conv(F.substring(F.md5(F.col("node")), 1, 8), 16, 10)
+              .cast("long") % 5 == 0)
+    kept = types.where(~masked)
+    inferred = type_inference(citation_edges(t), kept)
+    truth = (types.select("node", F.col("cls").alias("inferred_type"))
+             .withColumn("_hit", F.lit(True)))
+    return (inferred.join(truth, ["node", "inferred_type"], "left")
+            .select("node", "inferred_type", "votes",
+                    F.coalesce("_hit", F.lit(False)).alias("correct"))
+            .orderBy("node"))
+
+
 def _q_kg_scc(spark, sf_dir):
     """Strongly connected components (graphops.scc): redirect loops /
     citation cycles / link-farm knots are exactly the nontrivial SCCs
@@ -3709,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "kg_scc": _q_kg_scc,
         "kg_anf": _q_kg_anf,
+        "kg_type_inference": _q_kg_type_inference,
         "kg_host_graph": _q_kg_host_graph,
         "kg_domain_pagerank": _q_kg_domain_pagerank,
         "kg_domain_pagerank_weighted": _q_kg_domain_pagerank_weighted,
@@ -3934,6 +3963,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": kgoracle.sql_communities(kg),
         "kg_scc": graphops.sql_scc(KG_SCC_EDGES_SQL),
         "kg_anf": graphops.sql_anf(KG_ANF_EDGES_SQL, rounds=6),
+        "kg_type_inference": kgoracle.sql_type_inference(kg),
         "kg_host_graph": HOST_GRAPH_SQL,
         "kg_domain_pagerank": kgoracle.sql_pagerank(
             kg, edges_cte=HOST_EDGES_CTE),

@@ -1473,3 +1473,38 @@ def sql_weighted_pagerank(paths, edges_cte: str, damping: float = 0.85,
             f"""
     SELECT node, round(rank, {round_to}) AS rank FROM r{iters}
     ORDER BY rank DESC, node""")
+
+
+def sql_type_inference(paths, mask_mod: int = 5) -> str:
+    """Twin of the kg_type_inference driver query: hold out the types
+    of every node with md5-hash ≡ 0 (mod ``mask_mod``), infer each
+    untyped node's class as the majority rdf:type of its typed
+    undirected citation neighbors (votes desc, cls asc tie-break),
+    and grade the inference against the held-out truth."""
+    return f"""
+    WITH {_edges_cte(paths)},
+    tfull AS (
+      SELECT DISTINCT subject AS node, object AS cls
+      FROM {_t(paths, 'triples')}
+      WHERE predicate = '{RDF_TYPE}' AND objtype = 'uri'),
+    kept AS (
+      SELECT * FROM tfull
+      WHERE ('0x' || substr(md5(node), 1, 8))::BIGINT % {mask_mod} <> 0),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    votes AS (
+      SELECT u.src AS node, k.cls, count(*) AS votes
+      FROM und u JOIN kept k ON k.node = u.dst
+      WHERE u.src NOT IN (SELECT node FROM kept)
+      GROUP BY u.src, k.cls),
+    ranked AS (
+      SELECT node, cls, votes,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY votes DESC, cls ASC) AS rn
+      FROM votes)
+    SELECT r.node, r.cls AS inferred_type, r.votes,
+           (t.node IS NOT NULL) AS correct
+    FROM ranked r
+    LEFT JOIN tfull t ON t.node = r.node AND t.cls = r.cls
+    WHERE r.rn = 1
+    ORDER BY r.node
+    """

@@ -24,7 +24,7 @@ arbitrarily many rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DCTERMS_REFERENCES = "http://purl.org/dc/terms/references"
@@ -1635,3 +1635,38 @@ def sql_anf(edges_sql: str, rounds: int = 6, p: int = 5,
       FROM r{t} GROUP BY node)""")
     return ("WITH " + ",\n    ".join(ctes) +
             "\n" + "\nUNION ALL".join(legs) + "\nORDER BY t")
+
+
+def type_inference(edges: DataFrame, types: DataFrame,
+                   min_votes: int = 1) -> DataFrame:
+    """KG completion by neighborhood vote: edges (src, dst) + known
+    types (node, cls) → (node, inferred_type, votes) for every node
+    WITHOUT a known type — the majority rdf:type among its typed
+    undirected neighbors, ties broken (votes desc, cls asc). The
+    classic "untyped entity in a typed graph" repair step (an RFC
+    cited by RFCs is an RFC): the reference's relate stage only
+    carries types forward; this fills the holes its sources leave.
+
+    Scale notes: one symmetrize + one join onto the (node-sized)
+    type table + one (node, cls) map-side-combined count + one
+    per-node window — all uniform node keys; the vote never touches
+    text or the full triple table.
+    """
+    und = (edges.select("src", "dst")
+           .union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+           .where(F.col("src") != F.col("dst")).distinct())
+    t = types.select(F.col("node").alias("_nbr"),
+                     F.col("cls").alias("_cls")).distinct()
+    votes = (und.select(F.col("src").alias("node"),
+                        F.col("dst").alias("_nbr"))
+             .join(t, "_nbr")
+             .join(types.select("node").distinct(), "node", "left_anti")
+             .groupBy("node", "_cls")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("node").orderBy(F.desc("votes"), F.asc("_cls"))
+    return (votes.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (F.col("votes") >= min_votes))
+            .select("node", F.col("_cls").alias("inferred_type"),
+                    "votes")
+            .orderBy("node"))

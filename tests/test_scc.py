@@ -67,3 +67,20 @@ def test_scc_duckdb_parity(spark, tmp_path):
         "SELECT src, dst FROM read_parquet('%s/*.parquet')" % p)
     ).fetchall()
     assert got == [(a, b) for a, b in oracle]
+
+
+def test_type_inference_vote_and_tiebreak(spark):
+    from ferenda_spark.operators.graphops import type_inference
+    edges = _edges(spark, [
+        ("u", "a"), ("u", "b"), ("u", "c"),   # u: 2 X votes, 1 Y -> X
+        ("v", "a"), ("v", "d"),               # v: 1 X, 1 Y -> tie -> X
+        ("w", "z"),                           # both untyped: no row
+        ("a", "t")])                          # a is typed -> excluded
+    types = spark.createDataFrame(
+        [("a", "X"), ("b", "X"), ("c", "Y"), ("d", "Y"), ("t", "X")],
+        "node string, cls string")
+    got = {r["node"]: (r["inferred_type"], r["votes"])
+           for r in type_inference(edges, types).collect()}
+    # u majority, v tie-broken to the asc class, w/z untyped-only and
+    # absent, a/t already typed and absent
+    assert got == {"u": ("X", 2), "v": ("X", 1)}
