@@ -3377,6 +3377,17 @@ def _q_dedup_exact(spark, sf_dir):
         _read(spark, sf_dir, "documents")))
 
 
+def _q_curriculum_order(spark, sf_dir):
+    """Length-curriculum ordering (sampling.curriculum_order): four
+    difficulty bands by exact n_chars quantiles (the percentile ≡
+    quantile_cont device), easy-first seq within band + interleaved
+    mixed_pos — no global sort (the ntile curriculum is a
+    single-partition window at corpus scale; quantile-balanced bands
+    cost only a B-row broadcast + per-band windows)."""
+    from ferenda_spark.operators.sampling import curriculum_order
+    return curriculum_order(_read(spark, sf_dir, "documents"))
+
+
 def _q_dedup_containment(spark, sf_dir):
     """Directed shingle-containment pairs (dedup.containment_pairs):
     the asymmetric dedup Jaccard misses — snippet docs built as the
@@ -3807,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_urls": _q_bloom_words,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
+        "curriculum_order": _q_curriculum_order,
         "resample_mixture": _q_resample_mixture,
         "dsir_resample": _q_dsir_resample,
         "top_ngrams": _q_top_ngrams,
@@ -4104,6 +4116,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": sampling.oracle_sql_stratified(
             "documents", "lang", 0.3,
             ["doc_id", "text", "lang", "source", "n_chars"]),
+        "curriculum_order": sampling.oracle_sql_curriculum(),
         "resample_mixture": sampling.oracle_sql_mixture(
             "documents", "lang", _MIXTURE_WEIGHTS, _MIXTURE_TOTAL,
             ["doc_id", "text", "lang", "source", "n_chars"]),

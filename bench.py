@@ -545,6 +545,7 @@ def main() -> None:
         "blocklist_filter": qs["blocklist_filter"],
         "url_dedup": qs["url_dedup"],
         "dsir_resample": qs["dsir_resample"],
+        "curriculum_order": qs["curriculum_order"],
         "facet_pivot": qs["facet_pivot"],
         "events_windowed": qs["events_windowed"],
         "events_sessionize": qs["events_sessionize"],

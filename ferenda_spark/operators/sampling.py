@@ -283,3 +283,75 @@ def oracle_sql_mixture(table: str, strata_col: str,
     WHERE sample_rank <= least(floor(w.weight * {int(total)})::bigint,
                                stratum_size)
     """
+
+
+def curriculum_order(df: DataFrame, score_col: str = "n_chars",
+                     n_buckets: int = 4, id_col: str = "doc_id"
+                     ) -> DataFrame:
+    """Curriculum ordering → (id, bucket, seq, mixed_pos): documents
+    assigned to ``n_buckets`` difficulty bands by EXACT score
+    quantiles (the length/perplexity curriculum of training
+    pipelines), with ``seq`` the easy-first position within a band
+    and ``mixed_pos`` the band-interleaved position ((seq−1)·B +
+    bucket) — one number stream gives easy→hard order (sort by
+    bucket, seq) and difficulty-mixed batches (sort by mixed_pos)
+    without re-shuffling the corpus.
+
+    Scale notes: NO global sort anywhere — the classic ntile()
+    curriculum is a single-partition window at corpus scale. Band
+    boundaries are exact interpolated percentiles (the same
+    percentile ≡ quantile_cont device length_quantiles spiked), a
+    B-row broadcast; band assignment is a codegen CASE; the only
+    windows are per-band row_numbers over the B-way exchange. Bands
+    are quantile-balanced rather than exactly-equal-sized (ntile's
+    ±1 guarantee is what costs the global sort).
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    aggs = [F.round(F.percentile(F.col("_s"), F.lit(q)), 6)
+            .alias("_q%d" % i) for i, q in enumerate(qs)]
+    bounds = df.select(F.col(score_col).cast("double").alias("_s")) \
+               .agg(*aggs)
+    scored = df.select(F.col(id_col),
+                       F.col(score_col).cast("double").alias("_s")) \
+               .crossJoin(F.broadcast(bounds))
+    bucket = sum((F.col("_s") > F.col("_q%d" % i)).cast("int")
+                 for i in range(len(qs))) + F.lit(1)
+    w = Window.partitionBy("bucket").orderBy("_s", id_col)
+    return (scored.withColumn("bucket", bucket)
+            .withColumn("seq", F.row_number().over(w))
+            .select(id_col, "bucket", "seq",
+                    ((F.col("seq") - 1) * n_buckets + F.col("bucket"))
+                    .alias("mixed_pos"))
+            .orderBy("bucket", "seq"))
+
+
+def oracle_sql_curriculum(table: str = "documents",
+                          score_col: str = "n_chars",
+                          n_buckets: int = 4,
+                          id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`curriculum_order` — identical quantile
+    boundaries (quantile_cont ≡ percentile), band CASE, and per-band
+    (score, id) windows."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    qaggs = ", ".join(
+        f"round(quantile_cont(CAST({score_col} AS DOUBLE), {q}), 6)"
+        f" AS q{i}" for i, q in enumerate(qs))
+    bucket = " + ".join(
+        f"(CASE WHEN s > q{i} THEN 1 ELSE 0 END)"
+        for i in range(len(qs)))
+    return f"""
+    WITH bounds AS (SELECT {qaggs} FROM {table}),
+    scored AS (
+      SELECT {id_col}, CAST({score_col} AS DOUBLE) AS s, bounds.*
+      FROM {table} CROSS JOIN bounds),
+    banded AS (
+      SELECT {id_col}, ({bucket}) + 1 AS bucket, s FROM scored)
+    SELECT {id_col}, bucket,
+           row_number() OVER (PARTITION BY bucket
+                              ORDER BY s, {id_col}) AS seq,
+           (row_number() OVER (PARTITION BY bucket
+                               ORDER BY s, {id_col}) - 1)
+             * {n_buckets} + bucket AS mixed_pos
+    FROM banded
+    ORDER BY bucket, seq
+    """

@@ -1228,3 +1228,20 @@ def test_containment_prefix_filter_complete(spark, duck):
     # qualifying pairs) than the driver query's 0.8
     assert_parity(containment_pairs(docs(spark), threshold=0.5), duck,
                   oracle_sql_containment(threshold=0.5))
+
+
+def test_curriculum_order_parity_and_shape(spark, duck):
+    from ferenda_spark.operators.sampling import (curriculum_order,
+                                                  oracle_sql_curriculum)
+    out = curriculum_order(docs(spark))
+    assert_parity(out, duck, oracle_sql_curriculum())
+    rows = out.collect()
+    # every doc exactly once; buckets quantile-balanced (within 2x);
+    # mixed_pos unique (a total interleave)
+    n = docs(spark).count()
+    assert len(rows) == n
+    from collections import Counter
+    sizes = Counter(r["bucket"] for r in rows)
+    assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) <= 2 * min(sizes.values())
+    assert len({r["mixed_pos"] for r in rows}) == n
