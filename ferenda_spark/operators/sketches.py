@@ -185,8 +185,11 @@ def cms_estimate(counters: DataFrame, candidates: DataFrame,
         16, 10).cast("long") % w)
     probes = (candidates.select(F.col(value), rows)
               .select(value, "row_i", bucket.alias("bucket")))
-    return (F.broadcast(probes).join(counters, ["row_i", "bucket"],
-                                     "left")
+    # the d·w-row counter table is the broadcast side — a left join
+    # can only build right; broadcasting the probe side would be
+    # ignored (HintErrorLogger) and shuffle both
+    return (probes.join(F.broadcast(counters), ["row_i", "bucket"],
+                        "left")
             .groupBy(value)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("est")))
