@@ -2502,6 +2502,31 @@ KG_ANF_EDGES_SQL = (
     " FROM documents WHERE (doc_id % 500) % 10 < 3")
 
 
+def _q_kg_centrality(spark, sf_dir):
+    """Harmonic centrality for every node from its HyperANF ball
+    curve (graphops.anf_centrality, Boldi & Vigna 2014): H(v) ≈
+    Σ_t (|ball_t| − |ball_{t−1}|)/t over the same mixed cycle/chain
+    corpus as kg_anf — all-nodes closeness in `rounds` passes where
+    the exact answer is one BFS per node; per-node estimates rounded
+    before differencing so the unrolled-CTE twin matches digit for
+    digit."""
+    from ferenda_spark.operators.graphops import anf_centrality
+    docs = _read(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 500
+
+    def node(c):
+        return F.concat(F.lit("n"),
+                        F.lpad(c.cast("string"), 3, "0"))
+
+    perm = (docs.where(v % 3 != 2)
+            .select(node(v).alias("src"),
+                    node((v * 7 + 3) % 500).alias("dst")))
+    chain = (docs.where(v % 10 < 3)
+             .select(node(v).alias("src"),
+                     node((v + 1) % 500).alias("dst")))
+    return anf_centrality(perm.unionByName(chain), rounds=6)
+
+
 BLOOM_CANDIDATES = ["the", "batch", "stream", "zzz-absent", "qq-never"]
 
 
@@ -3749,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scc": _q_kg_scc,
         "kg_anf": _q_kg_anf,
         "kg_type_inference": _q_kg_type_inference,
+        "kg_centrality": _q_kg_centrality,
         "kg_host_graph": _q_kg_host_graph,
         "kg_domain_pagerank": _q_kg_domain_pagerank,
         "kg_domain_pagerank_weighted": _q_kg_domain_pagerank_weighted,
@@ -3976,6 +4002,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_scc": graphops.sql_scc(KG_SCC_EDGES_SQL),
         "kg_anf": graphops.sql_anf(KG_ANF_EDGES_SQL, rounds=6),
         "kg_type_inference": kgoracle.sql_type_inference(kg),
+        "kg_centrality": graphops.sql_anf_centrality(
+            KG_ANF_EDGES_SQL, rounds=6),
         "kg_host_graph": HOST_GRAPH_SQL,
         "kg_domain_pagerank": kgoracle.sql_pagerank(
             kg, edges_cte=HOST_EDGES_CTE),

@@ -479,6 +479,7 @@ def main() -> None:
         "kg_scc": qs["kg_scc"],
         "kg_anf": qs["kg_anf"],
         "kg_type_inference": qs["kg_type_inference"],
+        "kg_centrality": qs["kg_centrality"],
         "kg_domain_pagerank": qs["kg_domain_pagerank"],
         "kg_domain_pagerank_weighted": qs["kg_domain_pagerank_weighted"],
         "kg_ppr": kg_ppr,

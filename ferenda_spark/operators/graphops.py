@@ -1670,3 +1670,135 @@ def type_inference(edges: DataFrame, types: DataFrame,
             .select("node", F.col("_cls").alias("inferred_type"),
                     "votes")
             .orderBy("node"))
+
+
+def anf_centrality(edges: DataFrame, rounds: int = 6, p: int = 5,
+                   round_to: int = 3) -> DataFrame:
+    """→ (node, harmonic, reach): per-node HARMONIC centrality
+    H(v) = Σ_u 1/d(v,u) estimated from the node's HyperANF ball
+    curve — H(v) ≈ Σ_t (|ball_t(v)| − |ball_{t−1}(v)|)/t — and the
+    estimated reachable-set size (|ball_rounds| − 1). The centrality
+    of Boldi & Vigna's axiomatic survey (2014), computable for EVERY
+    node in ``rounds`` passes where exact closeness costs one BFS per
+    node; the self-distance is excluded by construction (the t=0 ball
+    is {v}, and the telescoping differences start at t=1).
+
+    Determinism: same register iteration as :func:`anf_neighborhood`;
+    per-node estimates are rounded at each t BEFORE differencing, so
+    harmonic is a fixed chain of scalar IEEE ops on engine-identical
+    inputs — the unrolled-CTE twin (:func:`sql_anf_centrality`)
+    matches digit for digit. Scale notes: the extra cost over the
+    neighborhood function is ``rounds`` node-sized join columns, not
+    a new pass over edges.
+    """
+    from .sketches import HLL_HASH_BITS, _alpha
+    from .util import iter_checkpoint
+    m = 1 << p
+    width = HLL_HASH_BITS - p
+    spark = edges.sparkSession
+    E = (edges.select("src", "dst")
+         .where(F.col("src") != F.col("dst")).distinct()
+         .localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    if not nodes.limit(1).count():
+        return spark.createDataFrame(
+            [], "node string, harmonic double, reach double")
+    h = F.conv(F.substring(F.md5(F.col("node")), 1, 15), 16, 10) \
+         .cast("long")
+    w = F.shiftright(h, p)
+    regs = (nodes.select("node",
+                         F.pmod(h, F.lit(m)).alias("idx"),
+                         (F.when(w == 0, F.lit(width + 1))
+                          .otherwise(F.lit(width) - F.length(F.bin(w))
+                                     + 1)).alias("r"))
+            .localCheckpoint(eager=True))
+
+    def node_est(regs_t, name):
+        scaled = F.expr(
+            "shiftleft(cast(1 as bigint), %d - r)" % (width + 1))
+        per = (regs_t.groupBy("node")
+               .agg(F.sum(scaled).alias("_s"),
+                    F.count(F.lit(1)).alias("_n")))
+        empties = F.lit(m) - F.col("_n")
+        s = (F.col("_s") + empties * F.lit(float(2 ** (width + 1)))) \
+            / F.lit(float(2 ** (width + 1)))
+        raw = F.lit(_alpha(m) * m * m) / s
+        est = F.when((raw <= 2.5 * m) & (empties > 0),
+                     F.lit(float(m)) * F.log(F.lit(float(m)) / empties)) \
+               .otherwise(raw)
+        return per.select("node", F.round(est, round_to).alias(name))
+
+    cur = node_est(regs, "est0")
+    for t in range(1, rounds + 1):
+        prop = (E.join(regs.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"), "idx", "r"))
+        regs = iter_checkpoint(
+            regs.unionByName(prop)
+                .groupBy("node", "idx").agg(F.max("r").alias("r")), t)
+        cur = cur.join(node_est(regs, "est%d" % t), "node")
+    harmonic = sum((F.col("est%d" % t) - F.col("est%d" % (t - 1)))
+                   / F.lit(float(t)) for t in range(1, rounds + 1))
+    return (cur.select("node",
+                       F.round(harmonic, round_to).alias("harmonic"),
+                       F.round(F.col("est%d" % rounds) - 1.0,
+                               round_to).alias("reach"))
+            .orderBy("node"))
+
+
+def sql_anf_centrality(edges_sql: str, rounds: int = 6, p: int = 5,
+                       round_to: int = 3) -> str:
+    """DuckDB twin of :func:`anf_centrality` — register CTEs as in
+    :func:`sql_anf`, one per-node estimate CTE per round, then the
+    identical telescoping harmonic sum."""
+    from .sketches import HLL_HASH_BITS, _alpha
+    m = 1 << p
+    width = HLL_HASH_BITS - p
+    alpha = _alpha(m)
+    scale = float(2 ** (width + 1))
+    ctes = [f"""e AS (
+      SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    r0 AS (
+      SELECT node,
+             ('0x' || substr(md5(node), 1, 15))::BIGINT % {m} AS idx,
+             CASE WHEN (('0x' || substr(md5(node), 1, 15))::BIGINT
+                        >> {p}) = 0 THEN {width + 1}
+                  ELSE {width} - length(bin(
+                       ('0x' || substr(md5(node), 1, 15))::BIGINT
+                       >> {p})) + 1 END AS r
+      FROM n)"""]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""r{t} AS (
+      SELECT node, idx, max(r) AS r FROM (
+        SELECT e.src AS node, q.idx, q.r
+        FROM e JOIN r{t - 1} q ON q.node = e.dst
+        UNION ALL SELECT node, idx, r FROM r{t - 1})
+      GROUP BY node, idx)""")
+    for t in range(rounds + 1):
+        ctes.append(f"""est{t} AS (
+      SELECT node,
+             round(CASE WHEN ({alpha * m * m} / s) <= {2.5 * m}
+                         AND empties > 0
+                        THEN {float(m)} * ln({float(m)} / empties)
+                        ELSE {alpha * m * m} / s END,
+                   {round_to}) AS est
+      FROM (
+        SELECT node,
+               (sum((1::BIGINT << ({width + 1} - r)))::BIGINT
+                + ({m} - count(*)) * {scale}) / {scale} AS s,
+               ({m} - count(*)) AS empties
+        FROM r{t} GROUP BY node))""")
+    harm = " + ".join(
+        f"(est{t}.est - est{t - 1}.est) / {float(t)}"
+        for t in range(1, rounds + 1))
+    joins = "\n    ".join(
+        f"JOIN est{t} ON est{t}.node = est0.node"
+        for t in range(1, rounds + 1))
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT est0.node, round({harm}, {round_to}) AS harmonic,
+           round(est{rounds}.est - 1.0, {round_to}) AS reach
+    FROM est0
+    {joins}
+    ORDER BY est0.node""")

@@ -65,3 +65,35 @@ def test_anf_duckdb_parity(spark, tmp_path):
             for r in anf_neighborhood(e.repartition(13),
                                       rounds=5).collect()]
     assert got2 == got
+
+
+def test_anf_centrality_path_and_parity(spark, tmp_path):
+    from ferenda_spark.operators.graphops import (anf_centrality,
+                                                  sql_anf_centrality)
+    # path a->b->c->d: true H(a)=1+1/2+1/3≈1.83, H(d)=0 (no out-ball);
+    # estimates carry HLL error — assert the ORDER and the zero
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {r["node"]: (r["harmonic"], r["reach"])
+           for r in anf_centrality(e, rounds=4).collect()}
+    # d's ball never grows → harmonic EXACTLY 0 (telescoping
+    # differences of a constant); reach carries the linear-counting
+    # bias of a singleton ball (32·ln(32/31) − 1 ≈ 0.016)
+    assert got["d"][0] == 0.0 and abs(got["d"][1]) < 0.05
+    assert got["a"][0] > got["b"][0] > got["c"][0] > got["d"][0]
+    assert abs(got["a"][0] - 1.83) < 0.8
+    # twin parity on the mixed graph, digit for digit
+    n = 90
+    pairs = ([("v%03d" % v, "v%03d" % ((7 * v + 3) % n))
+              for v in range(n) if v % 3 != 2] +
+             [("v%03d" % v, "v%03d" % ((v + 1) % n))
+              for v in range(n) if v % 10 < 3])
+    e = _edges(spark, pairs)
+    p = str(tmp_path / "e.parquet")
+    e.write.mode("overwrite").parquet(p)
+    got = [(r["node"], r["harmonic"], r["reach"])
+           for r in anf_centrality(e, rounds=5).collect()]
+    import duckdb
+    oracle = duckdb.sql(sql_anf_centrality(
+        "SELECT src, dst FROM read_parquet('%s/*.parquet')" % p,
+        rounds=5)).fetchall()
+    assert got == [tuple(r) for r in oracle]
