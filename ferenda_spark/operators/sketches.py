@@ -25,6 +25,12 @@ final aggregate — the register table is bounded by keys·2^p rows, the
 corpus never shuffles wider than (key, idx, ρ). This is THE way to
 count distinct URLs/hashes per host on 100 TB without an exact
 distinct exchange.
+
+Streaming: cms_counters and bloom_words are pure groupBy aggregates
+over monotone merges (+ / |), so they run UNCHANGED on a readStream
+input in update mode — the counter/lane table is the streaming state
+(tests/test_stream_sketch.py asserts batch ≡ stream). HLL's max-merge
+needs per-key array state; streaming/sketchstate.py carries it.
 """
 
 from __future__ import annotations
