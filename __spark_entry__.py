@@ -2387,6 +2387,24 @@ def _q_cms_counts(spark, sf_dir):
     return cms_estimate(cms_counters(words, "w"), cand)
 
 
+def _q_kg_pagerank_delta(spark, sf_dir):
+    """Incremental PageRank maintenance (graphops.pagerank
+    init_ranks): yesterday's graph = citation edges minus every
+    md5(src␟dst)-hash ≡ 0 (mod 10) edge, ranked with the full
+    15-round budget; today's full graph then re-converges in FOUR
+    warm-started rounds from those ranks (new nodes seed at 1.0) —
+    the crawl-over-crawl rank refresh that never re-pays the cold
+    start. Twin unrolls both phases with the seam (rounded ranks,
+    1.0 for new nodes) swapped in mid-chain."""
+    from ferenda_spark.operators.graphops import citation_edges, pagerank
+    e = citation_edges(_kg_read(spark, "triples"))
+    keep = (F.conv(F.substring(
+        F.md5(F.concat_ws("\x1f", F.col("src"), F.col("dst"))), 1, 8),
+        16, 10).cast("long") % 10 != 0)
+    old_ranks = pagerank(e.where(keep), max_iter=15)
+    return pagerank(e, max_iter=4, init_ranks=old_ranks)
+
+
 def _q_kg_type_inference(spark, sf_dir):
     """KG completion by neighborhood vote (graphops.type_inference):
     hold out the rdf:type of every node with md5-hash ≡ 0 (mod 5),
@@ -3775,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_anf": _q_kg_anf,
         "kg_type_inference": _q_kg_type_inference,
         "kg_centrality": _q_kg_centrality,
+        "kg_pagerank_delta": _q_kg_pagerank_delta,
         "kg_host_graph": _q_kg_host_graph,
         "kg_domain_pagerank": _q_kg_domain_pagerank,
         "kg_domain_pagerank_weighted": _q_kg_domain_pagerank_weighted,
@@ -4004,6 +4023,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_type_inference": kgoracle.sql_type_inference(kg),
         "kg_centrality": graphops.sql_anf_centrality(
             KG_ANF_EDGES_SQL, rounds=6),
+        "kg_pagerank_delta": kgoracle.sql_pagerank_delta(kg),
         "kg_host_graph": HOST_GRAPH_SQL,
         "kg_domain_pagerank": kgoracle.sql_pagerank(
             kg, edges_cte=HOST_EDGES_CTE),

