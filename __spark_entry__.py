@@ -2545,6 +2545,49 @@ def _q_kg_centrality(spark, sf_dir):
     return anf_centrality(perm.unionByName(chain), rounds=6)
 
 
+def _q_kg_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths
+    (graphops.weighted_sssp): min path COST from the seed set over
+    the kg_scc mixed corpus with deterministic integer weights
+    w = (v mod 7) + 1 on each edge — Bellman-Ford by Jacobi rounds
+    under the shared 16-hop cap; hop-count BFS treats a heavy edge
+    like a light one, cost is what a crawl scheduler budgets by.
+    Twin unrolls the identical rounds (post-fixpoint rounds are
+    no-ops, so the Spark early-out cannot diverge)."""
+    from ferenda_spark.operators.graphops import weighted_sssp
+    docs = _read(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 500
+
+    def node(c):
+        return F.concat(F.lit("n"),
+                        F.lpad(c.cast("string"), 3, "0"))
+
+    w = (v % 7 + 1).cast("double")
+    perm = (docs.where(v % 3 != 2)
+            .select(node(v).alias("src"),
+                    node((v * 7 + 3) % 500).alias("dst"), w.alias("w")))
+    chain = (docs.where(v % 10 < 3)
+             .select(node(v).alias("src"),
+                     node((v + 1) % 500).alias("dst"), w.alias("w")))
+    seeds = spark.createDataFrame([("n000",), ("n007",)],
+                                  "node string")
+    return weighted_sssp(perm.unionByName(chain), seeds)
+
+
+# SQL twin edge corpus of _q_kg_sssp (change BOTH or parity breaks)
+KG_SSSP_EDGES_SQL = (
+    "SELECT 'n' || lpad((doc_id % 500)::VARCHAR, 3, '0') AS src,"
+    "       'n' || lpad((((doc_id % 500) * 7 + 3) % 500)::VARCHAR,"
+    "                   3, '0') AS dst,"
+    "       ((doc_id % 500) % 7 + 1)::DOUBLE AS w"
+    " FROM documents WHERE (doc_id % 500) % 3 <> 2"
+    " UNION ALL"
+    " SELECT 'n' || lpad((doc_id % 500)::VARCHAR, 3, '0'),"
+    "        'n' || lpad((((doc_id % 500) + 1) % 500)::VARCHAR, 3, '0'),"
+    "        ((doc_id % 500) % 7 + 1)::DOUBLE"
+    " FROM documents WHERE (doc_id % 500) % 10 < 3")
+
+
 BLOOM_CANDIDATES = ["the", "batch", "stream", "zzz-absent", "qq-never"]
 
 
@@ -3794,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_inference": _q_kg_type_inference,
         "kg_centrality": _q_kg_centrality,
         "kg_pagerank_delta": _q_kg_pagerank_delta,
+        "kg_sssp": _q_kg_sssp,
         "kg_host_graph": _q_kg_host_graph,
         "kg_domain_pagerank": _q_kg_domain_pagerank,
         "kg_domain_pagerank_weighted": _q_kg_domain_pagerank_weighted,
@@ -4024,6 +4068,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_centrality": graphops.sql_anf_centrality(
             KG_ANF_EDGES_SQL, rounds=6),
         "kg_pagerank_delta": kgoracle.sql_pagerank_delta(kg),
+        "kg_sssp": graphops.sql_weighted_sssp(
+            KG_SSSP_EDGES_SQL,
+            "SELECT 'n000' AS node UNION ALL SELECT 'n007'"),
         "kg_host_graph": HOST_GRAPH_SQL,
         "kg_domain_pagerank": kgoracle.sql_pagerank(
             kg, edges_cte=HOST_EDGES_CTE),

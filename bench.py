@@ -481,6 +481,7 @@ def main() -> None:
         "kg_type_inference": qs["kg_type_inference"],
         "kg_centrality": qs["kg_centrality"],
         "kg_pagerank_delta": qs["kg_pagerank_delta"],
+        "kg_sssp": qs["kg_sssp"],
         "kg_domain_pagerank": qs["kg_domain_pagerank"],
         "kg_domain_pagerank_weighted": qs["kg_domain_pagerank_weighted"],
         "kg_ppr": kg_ppr,

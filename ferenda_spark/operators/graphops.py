@@ -1822,3 +1822,107 @@ def sql_anf_centrality(edges_sql: str, rounds: int = 6, p: int = 5,
     FROM est0
     {joins}
     ORDER BY est0.node""")
+
+
+SSSP_DRIVER_THRESHOLD = 2_000_000
+
+
+def weighted_sssp(edges: DataFrame, seeds: DataFrame,
+                  rounds: int = 16,
+                  driver_threshold: int = SSSP_DRIVER_THRESHOLD
+                  ) -> DataFrame:
+    """(src, dst, w) weighted directed edges + seeds(node) →
+    (node, dist): minimum path cost from the NEAREST seed over paths
+    of ≤ ``rounds`` hops — Bellman-Ford by rounds, the WEIGHTED
+    companion to :func:`bfs_distances` (hop counts treat a
+    10000-link host edge like a 1-link one; cost 1/weight is the
+    click-distance a crawl scheduler budgets by). Unreachable nodes
+    are absent. The hop cap is part of the contract (shared with the
+    twin's unroll); with non-negative weights, dist stabilizes at
+    the true SSSP once ``rounds`` ≥ the longest shortest path's hop
+    count, and the early-out fires as soon as a round improves
+    nothing.
+
+    Determinism: each candidate distance is the LEFT-FOLD sum of
+    weights along its path (both engines build it hop by hop —
+    identical IEEE adds), and min over identical doubles is
+    order-free — so Spark and the unrolled-CTE twin
+    (:func:`sql_weighted_sssp`) agree digit for digit under the
+    shared cap.
+
+    Scale notes: per round one join of the dist table into the edge
+    set on uniform src keys + one map-side-combined min — dist is
+    node-sized, edges never move; iter_checkpoint bounds lineage.
+    Hybrid like bfs_distances below the edge cutoff.
+    """
+    from .util import iter_checkpoint
+    E = (edges.select("src", "dst", F.col("w").cast("double").alias("w"))
+         .where(F.col("src") != F.col("dst"))
+         .groupBy("src", "dst").agg(F.min("w").alias("w")))
+    n_edges = E.limit(driver_threshold + 1).count()
+    spark = edges.sparkSession
+    if n_edges <= driver_threshold:
+        adj: dict = {}
+        for r in E.collect():
+            adj.setdefault(r["src"], []).append((r["dst"], r["w"]))
+        d = {r["node"]: 0.0 for r in
+             seeds.select("node").distinct().collect()}
+        for _ in range(rounds):
+            # Jacobi rounds (relax from the FROZEN previous round),
+            # not Gauss-Seidel — in-round propagation would race
+            # ahead of the distributed/CTE rounds and change results
+            # whenever the hop cap binds
+            nxt = dict(d)
+            for u, du in d.items():
+                for v, w in adj.get(u, ()):
+                    nd = du + w
+                    if v not in nxt or nd < nxt[v]:
+                        nxt[v] = nd
+            if nxt == d:
+                break
+            d = nxt
+        return spark.createDataFrame(
+            sorted(d.items()) or [], "node string, dist double") \
+            .orderBy("node")
+    dist = (seeds.select("node").distinct()
+            .withColumn("dist", F.lit(0.0))
+            .localCheckpoint(eager=True))
+    for i in range(rounds):
+        relaxed = (dist.join(E, dist["node"] == E["src"])
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        nxt = iter_checkpoint(
+            dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist")), i)
+        improved = (nxt.join(dist.withColumnRenamed("dist", "_old"),
+                             "node", "left")
+                    .where(F.col("_old").isNull() |
+                           (F.col("dist") < F.col("_old")))
+                    .limit(1).count())
+        dist = nxt
+        if not improved:
+            break
+    return dist.orderBy("node")
+
+
+def sql_weighted_sssp(edges_sql: str, seeds_sql: str,
+                      rounds: int = 16) -> str:
+    """DuckDB twin of :func:`weighted_sssp` — Bellman-Ford rounds
+    unrolled one CTE each (rounds past the fixpoint are no-ops, so
+    the Spark early-out cannot diverge); ``edges_sql`` selects
+    (src, dst, w), ``seeds_sql`` selects (node)."""
+    ctes = [f"""e AS MATERIALIZED (
+      SELECT src, dst, min(CAST(w AS DOUBLE)) AS w
+      FROM ({edges_sql}) WHERE src <> dst GROUP BY src, dst),
+    d0 AS (
+      SELECT DISTINCT node, 0.0::DOUBLE AS dist FROM ({seeds_sql}))"""]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""d{k} AS MATERIALIZED (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d{k - 1} d JOIN e ON e.src = d.node)
+      GROUP BY node)""")
+    return ("WITH " + ",\n    ".join(ctes) +
+            f"\n    SELECT node, dist FROM d{rounds} ORDER BY node")

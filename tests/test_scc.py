@@ -84,3 +84,41 @@ def test_type_inference_vote_and_tiebreak(spark):
     # u majority, v tie-broken to the asc class, w/z untyped-only and
     # absent, a/t already typed and absent
     assert got == {"u": ("X", 2), "v": ("X", 1)}
+
+
+def test_weighted_sssp_golden_and_branches(spark):
+    from ferenda_spark.operators.graphops import weighted_sssp
+    # heavy direct edge vs lighter two-hop detour: a->c direct 10,
+    # a->b->c = 2+3 wins; d unreachable; parallel edges min-collapse
+    e = spark.createDataFrame(
+        [("a", "c", 10.0), ("a", "b", 2.0), ("b", "c", 3.0),
+         ("a", "b", 5.0), ("x", "d", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in weighted_sssp(e, seeds).collect()}
+    assert got == {"a": 0.0, "b": 2.0, "c": 5.0}
+    # branch equality (driver Jacobi vs distributed rounds)
+    dist = {r["node"]: r["dist"]
+            for r in weighted_sssp(e, seeds, driver_threshold=0).collect()}
+    assert dist == got
+
+
+def test_weighted_sssp_duckdb_parity(spark, tmp_path):
+    from ferenda_spark.operators.graphops import (sql_weighted_sssp,
+                                                  weighted_sssp)
+    n = 120
+    pairs = [("v%03d" % v, "v%03d" % ((7 * v + 3) % n),
+              float(v % 5 + 1)) for v in range(n)] + \
+            [("v%03d" % v, "v%03d" % ((v + 1) % n), float(v % 3 + 1))
+             for v in range(0, n, 2)]
+    e = spark.createDataFrame(pairs, "src string, dst string, w double")
+    p = str(tmp_path / "e.parquet")
+    e.write.mode("overwrite").parquet(p)
+    seeds = spark.createDataFrame([("v000",), ("v055",)], "node string")
+    got = [(r["node"], r["dist"])
+           for r in weighted_sssp(e, seeds).collect()]
+    import duckdb
+    oracle = duckdb.sql(sql_weighted_sssp(
+        "SELECT src, dst, w FROM read_parquet('%s/*.parquet')" % p,
+        "SELECT 'v000' AS node UNION ALL SELECT 'v055'")).fetchall()
+    assert got == [tuple(r) for r in oracle]
