@@ -2574,6 +2574,34 @@ def _q_kg_sssp(spark, sf_dir):
     return weighted_sssp(perm.unionByName(chain), seeds)
 
 
+def _q_kg_condensation(spark, sf_dir):
+    """Condensation DAG + longest-path levels
+    (graphops.condensation): every SCC of the kg_scc corpus
+    contracted to its min member, each component's depth from the
+    DAG sources and member count — the cycle-collapsed citation
+    hierarchy, well-defined where a raw topological sort is not;
+    levels by Jacobi max-rounds shared with the twin's unroll."""
+    from ferenda_spark.operators.graphops import condensation
+    docs = _read(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 500
+
+    def node(c):
+        return F.concat(F.lit("n"),
+                        F.lpad(c.cast("string"), 3, "0"))
+
+    perm = (docs.where(v % 3 != 2)
+            .select(node(v).alias("src"),
+                    node((v * 7 + 3) % 500).alias("dst")))
+    chain = (docs.where(v % 10 < 3)
+             .select(node(v).alias("src"),
+                     node((v + 1) % 500).alias("dst")))
+    extra = spark.createDataFrame(
+        [("c0", "c1"), ("c1", "c2"), ("c2", "c0"),
+         ("f0", "f1"), ("f1", "f0"), ("f1", "f2"), ("f2", "f1")],
+        "src string, dst string")
+    return condensation(perm.unionByName(chain).unionByName(extra))
+
+
 # SQL twin edge corpus of _q_kg_sssp (change BOTH or parity breaks)
 KG_SSSP_EDGES_SQL = (
     "SELECT 'n' || lpad((doc_id % 500)::VARCHAR, 3, '0') AS src,"
@@ -3838,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_centrality": _q_kg_centrality,
         "kg_pagerank_delta": _q_kg_pagerank_delta,
         "kg_sssp": _q_kg_sssp,
+        "kg_condensation": _q_kg_condensation,
         "kg_host_graph": _q_kg_host_graph,
         "kg_domain_pagerank": _q_kg_domain_pagerank,
         "kg_domain_pagerank_weighted": _q_kg_domain_pagerank_weighted,
@@ -4068,6 +4097,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_centrality": graphops.sql_anf_centrality(
             KG_ANF_EDGES_SQL, rounds=6),
         "kg_pagerank_delta": kgoracle.sql_pagerank_delta(kg),
+        "kg_condensation": graphops.sql_condensation(KG_SCC_EDGES_SQL),
         "kg_sssp": graphops.sql_weighted_sssp(
             KG_SSSP_EDGES_SQL,
             "SELECT 'n000' AS node UNION ALL SELECT 'n007'"),

@@ -482,6 +482,7 @@ def main() -> None:
         "kg_centrality": qs["kg_centrality"],
         "kg_pagerank_delta": qs["kg_pagerank_delta"],
         "kg_sssp": qs["kg_sssp"],
+        "kg_condensation": qs["kg_condensation"],
         "kg_domain_pagerank": qs["kg_domain_pagerank"],
         "kg_domain_pagerank_weighted": qs["kg_domain_pagerank_weighted"],
         "kg_ppr": kg_ppr,

@@ -1926,3 +1926,99 @@ def sql_weighted_sssp(edges_sql: str, seeds_sql: str,
       GROUP BY node)""")
     return ("WITH " + ",\n    ".join(ctes) +
             f"\n    SELECT node, dist FROM d{rounds} ORDER BY node")
+
+
+def condensation(edges: DataFrame, rounds: int = 32,
+                 scc_assign: DataFrame | None = None) -> DataFrame:
+    """→ (component, level, n_members): the condensation DAG of the
+    directed graph — every SCC contracted to one node (id = the SCC's
+    min member, from :func:`scc`) — with each component's
+    LONGEST-PATH depth from the DAG's sources and its member count.
+    The cycle-collapsed dependency hierarchy of a citation/redirect
+    graph: "how deep does this knot sit in the reference chain",
+    well-defined even when the raw graph has cycles (where a plain
+    topological sort does not exist). ``rounds`` caps the level
+    propagation (shared with the twin; levels deeper than the cap
+    saturate identically in both engines).
+
+    Scale notes: contraction is two node-sized assignment joins +
+    distinct on component pairs; levels are Jacobi max-rounds over
+    the COMPONENT DAG (smaller than the graph by construction), each
+    one uniform-key join + map-side-combined max. Integer max is
+    order-free — digit-free of batching, like the twin
+    (:func:`sql_condensation`).
+    """
+    from .util import iter_checkpoint
+    comp = scc_assign if scc_assign is not None else scc(edges)
+    ca = comp.select(F.col("node").alias("src"),
+                     F.col("scc_id").alias("_ca"))
+    cb = comp.select(F.col("node").alias("dst"),
+                     F.col("scc_id").alias("_cb"))
+    ce = (edges.select("src", "dst").distinct()
+          .join(ca, "src").join(cb, "dst")
+          .select(F.col("_ca").alias("csrc"), F.col("_cb").alias("cdst"))
+          .where(F.col("csrc") != F.col("cdst"))
+          .distinct().localCheckpoint(eager=True))
+    members = comp.groupBy(F.col("scc_id").alias("component")) \
+                  .agg(F.count(F.lit(1)).alias("n_members"))
+    lvl = members.select("component", F.lit(0).alias("level")) \
+                 .localCheckpoint(eager=True)
+    for i in range(rounds):
+        relaxed = (lvl.join(ce, lvl["component"] == ce["csrc"])
+                   .select(F.col("cdst").alias("component"),
+                           (F.col("level") + 1).alias("level")))
+        nxt = iter_checkpoint(
+            lvl.unionByName(relaxed)
+               .groupBy("component").agg(F.max("level").alias("level")),
+            i)
+        changed = (nxt.join(lvl.withColumnRenamed("level", "_old"),
+                            "component")
+                   .where(F.col("level") != F.col("_old"))
+                   .limit(1).count())
+        lvl = nxt
+        if not changed:
+            break
+    return (lvl.join(members, "component")
+            .select("component", "level", "n_members")
+            .orderBy("component"))
+
+
+def sql_condensation(edges_sql: str, rounds: int = 32) -> str:
+    """DuckDB twin of :func:`condensation` — SCC ids by the
+    mutual-reachability definition (as :func:`sql_scc`), contracted
+    edges, then the identical Jacobi max-level rounds unrolled."""
+    ctes = [f"""e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    reach(a, b) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.a, e2.dst FROM reach r JOIN e e2 ON e2.src = r.b),
+    mutual AS (
+      SELECT r1.a AS v, r1.b AS u
+      FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+    comp AS MATERIALIZED (
+      SELECT n.node, least(n.node, coalesce(min(m.u), n.node)) AS scc_id
+      FROM n LEFT JOIN mutual m ON m.v = n.node
+      GROUP BY n.node),
+    ce AS MATERIALIZED (
+      SELECT DISTINCT ca.scc_id AS csrc, cb.scc_id AS cdst
+      FROM e JOIN comp ca ON ca.node = e.src
+             JOIN comp cb ON cb.node = e.dst
+      WHERE ca.scc_id <> cb.scc_id),
+    members AS (
+      SELECT scc_id AS component, count(*) AS n_members
+      FROM comp GROUP BY scc_id),
+    l0 AS (SELECT component, 0 AS level FROM members)"""]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""l{k} AS MATERIALIZED (
+      SELECT component, max(level) AS level FROM (
+        SELECT component, level FROM l{k - 1}
+        UNION ALL
+        SELECT ce.cdst AS component, l.level + 1 AS level
+        FROM l{k - 1} l JOIN ce ON ce.csrc = l.component)
+      GROUP BY component)""")
+    return ("WITH RECURSIVE " + ",\n    ".join(ctes) + f"""
+    SELECT m.component, l.level, m.n_members
+    FROM members m JOIN l{rounds} l ON l.component = m.component
+    ORDER BY m.component""")

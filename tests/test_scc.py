@@ -122,3 +122,31 @@ def test_weighted_sssp_duckdb_parity(spark, tmp_path):
         "SELECT src, dst, w FROM read_parquet('%s/*.parquet')" % p,
         "SELECT 'v000' AS node UNION ALL SELECT 'v055'")).fetchall()
     assert got == [tuple(r) for r in oracle]
+
+
+def test_condensation_levels_and_parity(spark, tmp_path):
+    from ferenda_spark.operators.graphops import (condensation,
+                                                  sql_condensation)
+    # triangle {a,b,c} -> x -> 2-cycle {y,z}: three components,
+    # levels 0/1/2, member counts 3/1/2
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("c", "x"), ("x", "y"), ("y", "z"), ("z", "y")]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r["component"]: (r["level"], r["n_members"])
+           for r in condensation(e).collect()}
+    assert got == {"a": (0, 3), "x": (1, 1), "y": (2, 2)}
+    # parity on the mixed corpus (cycles + chains + injected knots)
+    n = 90
+    pairs = ([("v%03d" % v, "v%03d" % ((7 * v + 3) % n))
+              for v in range(n) if v % 3 != 2] +
+             [("c0", "c1"), ("c1", "c2"), ("c2", "c0")])
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    p = str(tmp_path / "e.parquet")
+    e.write.mode("overwrite").parquet(p)
+    got = [(r["component"], r["level"], r["n_members"])
+           for r in condensation(e).collect()]
+    import duckdb
+    oracle = duckdb.sql(sql_condensation(
+        "SELECT src, dst FROM read_parquet('%s/*.parquet')" % p
+    )).fetchall()
+    assert got == [tuple(r) for r in oracle]
