@@ -135,6 +135,10 @@ def test_condensation_levels_and_parity(spark, tmp_path):
     got = {r["component"]: (r["level"], r["n_members"])
            for r in condensation(e).collect()}
     assert got == {"a": (0, 3), "x": (1, 1), "y": (2, 2)}
+    # hybrid branch equality (driver vs distributed level loop)
+    dist = {r["component"]: (r["level"], r["n_members"])
+            for r in condensation(e, driver_threshold=0).collect()}
+    assert dist == got
     # parity on the mixed corpus (cycles + chains + injected knots)
     n = 90
     pairs = ([("v%03d" % v, "v%03d" % ((7 * v + 3) % n))
