@@ -2616,6 +2616,64 @@ KG_SSSP_EDGES_SQL = (
     " FROM documents WHERE (doc_id % 500) % 10 < 3")
 
 
+def _q_crawl_overlap(spark, sf_dir):
+    """Cross-crawl overlap census (sketches.hll_union +
+    inclusion–exclusion): two overlapping crawl slices (doc_id % 3
+    ≠ 0 vs ≠ 1), each's distinct-text estimate, the union estimate
+    from the max-merged registers — the merge IS the sketch's
+    defining property, no rescan of either side — and the
+    intersection by est_a + est_b − est_union (clamped at 0): "how
+    much of crawl B is new". The twin recomputes the identical
+    register algebra in SQL."""
+    from ferenda_spark.operators.sketches import (hll_estimate,
+                                                  hll_registers,
+                                                  hll_union)
+    docs = _read(spark, sf_dir, "documents") \
+        .withColumn("k", F.lit("x"))
+    d = F.col("doc_id")
+    ra = hll_registers(docs.where(d % 3 != 0), ["k"], "text", p=6)
+    rb = hll_registers(docs.where(d % 3 != 1), ["k"], "text", p=6)
+    ea = hll_estimate(ra, ["k"], p=6) \
+        .select(F.col("est_distinct").alias("est_a"))
+    eb = hll_estimate(rb, ["k"], p=6) \
+        .select(F.col("est_distinct").alias("est_b"))
+    eu = hll_estimate(hll_union(ra, rb, ["k"]), ["k"], p=6) \
+        .select(F.col("est_distinct").alias("est_union"))
+    inter = F.greatest(
+        F.lit(0.0),
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                3))
+    return (ea.crossJoin(eb).crossJoin(eu)
+            .select("est_a", "est_b", "est_union",
+                    inter.alias("est_intersection")))
+
+
+def _crawl_overlap_oracle_sql():
+    from ferenda_spark.operators.sketches import sql_hll_distinct
+
+    def leg(pred, alias):
+        inner = sql_hll_distinct(
+            "(SELECT 'x' AS k, text FROM documents WHERE %s)" % pred,
+            ["k"], "text", p=6)
+        return ("(SELECT est_distinct AS %s FROM (%s))"
+                % (alias, inner))
+
+    # union leg: max-merged registers of the two slices, then the
+    # same estimate arithmetic — expressed by running the register
+    # CTE over the UNION of the two slices (identical by max-merge)
+    u = sql_hll_distinct(
+        ("(SELECT 'x' AS k, text FROM documents WHERE doc_id % 3 <> 0 "
+         "UNION ALL "
+         "SELECT 'x', text FROM documents WHERE doc_id % 3 <> 1)"),
+        ["k"], "text", p=6)
+    return ("SELECT a.est_a, b.est_b, u.est_union, "
+            "greatest(0.0, round(a.est_a + b.est_b - u.est_union, 3))"
+            " AS est_intersection FROM %s a, %s b, "
+            "(SELECT est_distinct AS est_union FROM (%s)) u"
+            % (leg("doc_id % 3 <> 0", "est_a"),
+               leg("doc_id % 3 <> 1", "est_b"), u))
+
+
 BLOOM_CANDIDATES = ["the", "batch", "stream", "zzz-absent", "qq-never"]
 
 
@@ -3934,6 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "cms_counts": _q_cms_counts,
         "bloom_urls": _q_bloom_words,
+        "crawl_overlap": _q_crawl_overlap,
         "pack_sequences": _q_pack_sequences,
         "stratified_sample": _q_stratified_sample,
         "curriculum_order": _q_curriculum_order,
@@ -4229,6 +4288,7 @@ def oracle_sql() -> dict[str, str]:
             "w",
             "SELECT * FROM (VALUES %s) v(value)" % ", ".join(
                 "('%s')" % c for c in CMS_CANDIDATES)),
+        "crawl_overlap": _crawl_overlap_oracle_sql(),
         "bloom_urls": _sketches.sql_bloom_contains(
             ("(SELECT unnest(CASE WHEN trim(coalesce(text, '')) = ''"
              " THEN []::VARCHAR[] ELSE regexp_split_to_array("

@@ -532,6 +532,7 @@ def main() -> None:
         "length_quantiles": qs["length_quantiles"],
         "cms_counts": qs["cms_counts"],
         "bloom_urls": qs["bloom_urls"],
+        "crawl_overlap": qs["crawl_overlap"],
         "top_ngrams": qs["top_ngrams"],
         "bpe_pairs": qs["bpe_pairs"],
         "bpe_encode": qs["bpe_encode"],

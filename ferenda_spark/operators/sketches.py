@@ -152,6 +152,20 @@ def sql_hll_distinct(table_sql: str, keys: list[str], value: str,
     """
 
 
+def hll_union(regs_a: DataFrame, regs_b: DataFrame,
+              keys: list[str]) -> DataFrame:
+    """Union of two HLL register tables (elementwise max per (keys,
+    _idx)) — the sketch of the UNION of the two underlying sets,
+    exactly (not approximately): max-merge is the defining property
+    that makes the census cross-crawl combinable without rescanning
+    either side. Intersection follows by inclusion–exclusion
+    (|A∩B| ≈ est_A + est_B − est_A∪B), the standard crawl-overlap
+    estimate."""
+    return (regs_a.unionByName(regs_b)
+            .groupBy(*keys, "_idx")
+            .agg(F.max("_r").alias("_r")))
+
+
 def cms_counters(df: DataFrame, value: str, d: int = 4,
                  w: int = 2048) -> DataFrame:
     """→ (row_i, bucket, cnt): the Count-Min sketch (Cormode &

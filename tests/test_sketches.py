@@ -138,3 +138,28 @@ def test_bloom_saturated_filter(spark):
     got = {r["value"]: r["present"] for r in
            bloom_contains(words, cand, m_bits=64, k=4).collect()}
     assert got == {"u1": True, "absent": True}
+
+
+def test_hll_union_merge_exactness(spark):
+    from ferenda_spark.operators.sketches import (hll_estimate,
+                                                  hll_registers,
+                                                  hll_union)
+    # the union of the register tables must BIT-equal the register
+    # table of the concatenated corpus — the mergeable-sketch law
+    a = spark.range(300).select(
+        F.lit("k").alias("k"), F.concat(F.lit("u"), F.col("id")).alias("v"))
+    b = spark.range(200, 500).select(
+        F.lit("k").alias("k"), F.concat(F.lit("u"), F.col("id")).alias("v"))
+    ra = hll_registers(a, ["k"], "v", p=6)
+    rb = hll_registers(b, ["k"], "v", p=6)
+    merged = hll_union(ra, rb, ["k"])
+    whole = hll_registers(a.unionByName(b), ["k"], "v", p=6)
+    sym = merged.exceptAll(whole).union(whole.exceptAll(merged))
+    assert sym.count() == 0
+    # inclusion–exclusion overlap estimate lands near truth (|A∩B| =
+    # 100 of 500 total; p=6 standard error ~13% per estimate)
+    ea = hll_estimate(ra, ["k"], p=6).collect()[0]["est_distinct"]
+    eb = hll_estimate(rb, ["k"], p=6).collect()[0]["est_distinct"]
+    eu = hll_estimate(merged, ["k"], p=6).collect()[0]["est_distinct"]
+    inter = ea + eb - eu
+    assert 20 <= inter <= 220
