@@ -3644,7 +3644,8 @@ def _q_ann_lsh_topk(spark, sf_dir):
 def _q_ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN (similarity.ann_pq_topk, Jégou et al.
     TPAMI 2011): the memory-bound end of the ANN family — corpus
-    vectors compressed to 8 sub-codes, every query scores the whole
+    vectors compressed to 32 sub-codes (2-dim subspaces, 16 centroids
+    each), every query scores the whole
     code table through per-subspace lookup tables (ADC), no candidate
     generation; seeded/deterministic, hard cross-execution oracle
     like the LSH/IVF variants, recall pinned in pytest."""

@@ -757,10 +757,16 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
     c = (F.size(F.array_intersect("a_sh", "b_sh")) /
-         F.size("a_sh")).alias("_c")
+         F.size("a_sh"))
+    # filter on the UNROUNDED containment (round(...,6) is only the
+    # reported value): the prefix bound guarantees candidates for
+    # unrounded c >= threshold-1e-9, so admitting pairs that merely
+    # ROUND up past the threshold would keep pairs the candidate
+    # stage is allowed to drop — a latent parity break vs the
+    # brute-force twin once shingle sets reach ~10^6 (r4 advice)
     return (cand.join(a, "a_id").join(b, "b_id")
+            .where(c >= threshold)
             .select("a_id", "b_id", F.round(c, 6).alias("containment"))
-            .where(F.col("containment") >= threshold)
             .orderBy("a_id", "b_id"))
 
 
@@ -781,8 +787,8 @@ def oracle_sql_containment(table: str = "documents",
                  / len(a.sh), 6) AS containment
     FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
     WHERE len(a.sh) > 0 AND len(b.sh) > 0
-      AND round(len(list_intersect(a.sh, b.sh))::double
-                / len(a.sh), 6) >= {threshold}
+      AND len(list_intersect(a.sh, b.sh))::double
+          / len(a.sh) >= {threshold}
     ORDER BY a_id, b_id
     """
 
