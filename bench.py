@@ -584,14 +584,36 @@ def main() -> None:
     load_before = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    spreads: dict[str, list[float]] = {}
+    # heavy-tail variance control (VERDICT r4 #7): a first reading
+    # above repeat_above seconds triggers two more runs; the recorded
+    # time is the MEDIAN and all readings are disclosed in "spread".
+    # (Repeats run warm — shared scans are page-cache/JIT hot — so the
+    # median measures the plan, not JVM/GC arrival order, which is
+    # exactly what round-over-round comparison needs. kg_materialize
+    # is exempt: re-running overwrites its staged tables mid-flight.)
+    repeat_above = float(os.environ.get("SPARK_GRAFT_REPEAT_ABOVE", "3.0"))
+    no_repeat = {"kg_materialize"}
     for name, fn in bench_queries.items():
         t0 = time.perf_counter()
         rows[name] = _count(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        first = round(time.perf_counter() - t0, 3)
         # release caches owned by the finished query so they don't
         # squat executor storage memory under later queries
         while persisted:
             persisted.pop().unpersist()
+        if first > repeat_above and name not in no_repeat:
+            reads = [first]
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _count(fn(spark, sf_dir))
+                reads.append(round(time.perf_counter() - t0, 3))
+                while persisted:
+                    persisted.pop().unpersist()
+            spreads[name] = reads
+            timings[name] = sorted(reads)[1]
+        else:
+            timings[name] = first
 
     shutil.rmtree(kg_tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)
@@ -609,6 +631,9 @@ def main() -> None:
         "kg_docs_per_sec_materialized":
             round(kg_n / kg_mat_secs, 1) if kg_mat_secs else None,
         "rows": rows,
+        # all readings for median-of-3 queries (first reading > 3 s):
+        # disclosed so the warm/cold variance band is auditable
+        "spread": spreads,
         "warmup_s": warmup_s,
         "cpus": int(cpus),
         # host 1-min loadavg at start/end — this box is shared, and

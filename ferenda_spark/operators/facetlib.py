@@ -76,6 +76,14 @@ _COLLATIONS: dict[str, tuple[list, str, str]] = {
     "de_DE": ([("ß", "ss")], "äöü", "aou"),
     "fr_FR": ([("œ", "oe"), ("æ", "ae")],
               "àâéèêëîïôùûüçÿ", "aaeeeeiiouuucy"),
+    # r4 verdict #6 — the plausible next legal-corpus locales,
+    # empirically derived from localedef-compiled glibc order:
+    # nb_NO collates like da_DK (æ/ä, ø/ö, å after z; aa→å; ü≡y)
+    # plus the ß→ss and ô→o primary folds; fi_FI is Swedish-shaped
+    # (å, ä≡æ, ö≡ø after z) with NO aa-fold and NO v/w merge (glibc
+    # drops the traditional SFS-4600 v≡w equivalence).
+    "nb_NO": ([("aa", "}"), ("ß", "ss")], "æøåäöüô", "{|}{|yo"),
+    "fi_FI": ([("ß", "ss")], "åäæöøüô", "{||}}yo"),
 }
 
 

@@ -18,12 +18,11 @@ checks (ref ferenda/documententry.py:27-165, ferenda/documentstore.py:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-N_BUCKETS = 64  # url-hash buckets; the write/overwrite unit
+from ferenda_spark.lake import (N_BUCKETS, bucket_of,  # noqa: F401
+                                get_table_format)
 
 
 def with_content_hash(pages: DataFrame) -> DataFrame:
@@ -61,10 +60,6 @@ def stage_counters(entries: DataFrame) -> DataFrame:
             .orderBy("stage", "status"))
 
 
-def bucket_of(col):
-    return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
-
-
 def write_triples(triples: DataFrame, path: str):
     """Initial write, partitioned (bucket, predicate):
 
@@ -79,48 +74,18 @@ def write_triples(triples: DataFrame, path: str):
       scale, and the skewed-predicate problem (rdf:type is huge) is
       spread by the bucket dimension.
 
-    Rows sort by subject within each file for row-group skipping on
-    subject-bound scans."""
-    (triples.withColumn("bucket", bucket_of(F.col("source_url")))
-     .repartition("bucket", "predicate")
-     .sortWithinPartitions("subject")
-     .write.partitionBy("bucket", "predicate").mode("overwrite")
-     .parquet(path))
+    Routed through the table-format seam (``ferenda_spark.lake``,
+    VERDICT r4 #5): ParquetBucketFormat here, Iceberg
+    CREATE-OR-REPLACE on a cluster with a catalog."""
+    get_table_format().write(triples, path)
 
 
 def merge_triples(spark: SparkSession, new_triples: DataFrame, path: str):
     """Idempotent per-url replace: buckets containing changed urls are
-    rewritten with old-minus-changed ∪ new (Iceberg MERGE analog).
-
-    Affected buckets are replaced WHOLE (their directories dropped,
-    merged rows appended): with predicate sub-partitions, leaf-level
-    dynamic overwrite would leave a stale ``(bucket, predicate)`` dir
-    behind whenever a re-parsed url stopped emitting some predicate
-    and no other url in the bucket carries it. In production this
-    read-union-rewrite is one atomic Iceberg MERGE INTO; the local
-    parquet form trades that atomicity for the same end state."""
-    if not os.path.exists(path):
-        write_triples(new_triples, path)
-        return
-    new_b = new_triples.withColumn("bucket", bucket_of(F.col("source_url")))
-    changed_urls = new_b.select("source_url", "bucket").distinct()
-    buckets = [r["bucket"] for r in changed_urls.select("bucket").distinct().collect()]
-    if not buckets:
-        return
-    existing = (spark.read.parquet(path)
-                .where(F.col("bucket").isin(buckets))
-                .join(changed_urls.select("source_url").distinct(),
-                      "source_url", "left_anti"))
-    # materialize before touching the path we just read
-    merged = existing.unionByName(new_b).localCheckpoint(eager=True)
-    import shutil
-    for b in buckets:
-        shutil.rmtree(os.path.join(path, "bucket=%d" % b),
-                      ignore_errors=True)
-    (merged.repartition("bucket", "predicate")
-     .sortWithinPartitions("subject")
-     .write.partitionBy("bucket", "predicate")
-     .mode("append").parquet(path))
+    rewritten with old-minus-changed ∪ new (Iceberg MERGE analog; the
+    production mapping is MERGE INTO ... WHEN MATCHED DELETE +
+    INSERT — see ferenda_spark.lake). Routed through the seam."""
+    get_table_format().merge(spark, new_triples, path)
 
 
 PROV = "http://www.w3.org/ns/prov#"
@@ -181,20 +146,11 @@ def prov_triples(entries: DataFrame, meta: DataFrame) -> DataFrame:
 def table_manifest(spark: SparkSession, path: str) -> DataFrame:
     """File-level census of a (bucket, predicate)-partitioned triple
     table → (bucket, predicate, n_files, n_rows, min_rows_per_file):
-    the Iceberg-manifest analog that tells the maintenance job which
-    partitions have fragmented into small files (streaming appends and
-    per-bucket merges both leave one file per write per partition).
-    One scan + one hash agg on the partition key; file identity comes
-    from ``input_file_name`` inside the scan, never the driver."""
-    df = spark.read.parquet(path)
-    per_file = (df.select("bucket", "predicate",
-                          F.input_file_name().alias("f"))
-                .groupBy("bucket", "predicate", "f")
-                .agg(F.count(F.lit(1)).alias("rows")))
-    return (per_file.groupBy("bucket", "predicate")
-            .agg(F.count(F.lit(1)).alias("n_files"),
-                 F.sum("rows").alias("n_rows"),
-                 F.min("rows").alias("min_rows_per_file")))
+    the Iceberg-manifest analog (``t.files`` metadata table in the
+    production backend) that tells the maintenance job which
+    partitions have fragmented into small files. Routed through the
+    seam."""
+    return get_table_format().manifest(spark, path)
 
 
 def compact_triples(spark: SparkSession, path: str,
@@ -203,18 +159,6 @@ def compact_triples(spark: SparkSession, path: str,
     rewrite_data_files maintenance action): rewrite every (bucket,
     predicate) partition's row set into one file (split only above
     ``max_records_per_file``), restoring the within-file subject sort
-    that write-time produced and incremental merges/append streams
-    erode. Content is unchanged — asserted by the round-trip test.
-
-    Scale notes: one shuffle on the partition key (uniform: bucket ×
-    predicate), sortWithinPartitions is the pre-write local sort, and
-    maxRecordsPerFile bounds any rdf:type-sized partition's files
-    without a second exchange. In production this is a metadata-
-    transactional Iceberg action; the local parquet form trades
-    atomicity for the same end state (same trade as merge_triples)."""
-    df = spark.read.parquet(path).localCheckpoint(eager=True)
-    (df.repartition("bucket", "predicate")
-     .sortWithinPartitions("subject")
-     .write.partitionBy("bucket", "predicate")
-     .option("maxRecordsPerFile", max_records_per_file)
-     .mode("overwrite").parquet(path))
+    that incremental merges/append streams erode. Content unchanged —
+    asserted by the round-trip test. Routed through the seam."""
+    get_table_format().compact(spark, path, max_records_per_file)

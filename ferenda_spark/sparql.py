@@ -134,6 +134,8 @@ from pyspark.sql import functions as F
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+XSD_DATETIME = "http://www.w3.org/2001/XMLSchema#dateTime"
+XSD_DATE = "http://www.w3.org/2001/XMLSchema#date"
 
 # constant-endpoint property paths switch from the shared all-pairs
 # closure to a seeded frontier BFS above this edge count (the same
@@ -151,7 +153,7 @@ _TOKEN = re.compile(r"""
   | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+^|/-])
+  | (?P<op>&&|\|\||!=|<=|>=|\^\^|[{}().,;=<>!*+^|/-])
 """, re.VERBOSE)
 
 
@@ -220,6 +222,12 @@ class Group:
     minus: list = field(default_factory=list)     # [Group]
     optionals: list = field(default_factory=list)  # nested OPTIONALs
     subqueries: list = field(default_factory=list)  # [Query]
+    # EXISTS { … } used in EXPRESSION position (inside a FILTER/BIND
+    # expression, not the statement-level FILTER EXISTS): hoisted by
+    # the parser to [(marker-var, Group)]; the compilers left-join a
+    # DISTINCT boolean probe before evaluating binds/filters and the
+    # EExistsMarker node reads COALESCE(marker, FALSE)
+    exists_markers: list = field(default_factory=list)
     # an OPTIONAL body that is a UNION: the alternatives (already
     # DNF-distributed); when set, every other field is empty and the
     # compilers LEFT JOIN against the aligned union of the compiled
@@ -240,6 +248,7 @@ def _merge_into(dst: Group, src: Group) -> None:
     dst.minus.extend(src.minus)
     dst.optionals.extend(src.optionals)
     dst.subqueries.extend(src.subqueries)
+    dst.exists_markers.extend(src.exists_markers)
 
 
 def _merge_groups(a: Group, b: Group) -> Group:
@@ -294,6 +303,13 @@ class EConst(Expr):
     def numeric(self):
         return self.term[0] == "num"
 
+    @property
+    def temporal(self):
+        """A "..."^^xsd:dateTime / xsd:date typed literal — triggers
+        timeline (instant) comparison semantics in ECmp."""
+        return (self.term[0] == "dtlit"
+                and self.term[2] in (XSD_DATETIME, XSD_DATE))
+
     def spark(self, env):
         if self.numeric:
             return F.lit(float(self.term[1]))
@@ -305,6 +321,138 @@ class EConst(Expr):
         return "'%s'" % self.term[1].replace("'", "''")
 
 
+# ------------------------------------- xsd:dateTime timeline instants
+#
+# SPARQL orders xsd:dateTime/xsd:date literals on the TIMELINE, not
+# lexically: "2024-03-15T10:30:05+05:00" < "2024-03-15T06:30:05Z"
+# (05:30Z vs 06:30Z). Engine timestamp parsers disagree on zone rules
+# and session TZ, so — like the EStrFn accessors — instants are
+# computed from the FIXED-WIDTH lexical parts with engine-identical
+# arithmetic: Hinnant's days-from-civil formula + h/m/s − offset.
+# A literal without a zone designator is treated as UTC in BOTH
+# engines (the spec leaves it implementation-defined within ±14 h; one
+# consistent choice keeps the twin exact). A value that doesn't match
+# the anchored date/dateTime shape is a type error → NULL/unbound.
+
+_DT_FULL_RX = (r"^\d{4}-\d{2}-\d{2}"
+               r"(T\d{2}:\d{2}:\d{2}(\.\d+)?)?"
+               r"(Z|[+-]\d{2}:\d{2})?$")   # keep = EStrFn._DT_RX
+_DT_SEC_RX = r"^.{17}(\d{2}(\.\d+)?)"
+_DT_TZ_RX = r"(Z|[+-]\d{2}:\d{2})$"
+
+
+def _civil_days_py(y: int, m: int, d: int) -> int:
+    """Days since 1970-01-01 (Hinnant's days_from_civil — pure integer
+    arithmetic, the exact formula both column emitters mirror)."""
+    yy = y - (1 if m <= 2 else 0)
+    era = yy // 400
+    yoe = yy - era * 400
+    doy = (153 * ((m + 9) % 12) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _dt_instant_py(s: str) -> float | None:
+    """Driver-side twin (for constants, folded at compile time)."""
+    if not re.match(_DT_FULL_RX, s):
+        return None
+    secs = _civil_days_py(int(s[0:4]), int(s[5:7]), int(s[8:10])) * 86400.0
+    if len(s) > 10 and s[10] == "T":
+        m = re.match(r"(\d{2})(\.\d+)?", s[17:])
+        secs += (int(s[11:13]) * 3600 + int(s[14:16]) * 60
+                 + float(m.group(0)))
+    tz = re.search(_DT_TZ_RX, s)
+    if tz and tz.group(1) != "Z":
+        off = int(tz.group(1)[1:3]) * 3600 + int(tz.group(1)[4:6]) * 60
+        secs -= off if tz.group(1)[0] == "+" else -off
+    return secs
+
+
+def _dt_instant_spark(c):
+    """Epoch-seconds Column from a dateTime/date lexical column; NULL
+    when the value doesn't match the anchored shape."""
+    s = c.cast("string")
+    y = F.substring(s, 1, 4).cast("double")
+    mo = F.substring(s, 6, 2).cast("double")
+    d = F.substring(s, 9, 2).cast("double")
+    yy = y - F.when(mo <= 2, F.lit(1)).otherwise(F.lit(0))
+    era = F.floor(yy / 400)
+    yoe = yy - era * 400
+    doy = F.floor((F.lit(153) * ((mo + 9) % 12) + 2) / 5) + d - 1
+    doe = yoe * 365 + F.floor(yoe / 4) - F.floor(yoe / 100) + doy
+    days = era * 146097 + doe - 719468
+    has_t = s.rlike(r"^.{10}T")
+    h = F.when(has_t, F.substring(s, 12, 2).cast("double")) \
+         .otherwise(F.lit(0.0))
+    mi = F.when(has_t, F.substring(s, 15, 2).cast("double")) \
+          .otherwise(F.lit(0.0))
+    sec = F.when(has_t, F.regexp_extract(s, _DT_SEC_RX, 1)
+                 .cast("double")).otherwise(F.lit(0.0))
+    tz = F.regexp_extract(s, _DT_TZ_RX, 1)
+    off = (F.substring(tz, 2, 2).cast("double") * 3600
+           + F.substring(tz, 5, 2).cast("double") * 60)
+    off = (F.when(tz.startswith("+"), off)
+            .when(tz.startswith("-"), -off)
+            .otherwise(F.lit(0.0)))
+    return F.when(s.rlike(_DT_FULL_RX),
+                  days * 86400 + h * 3600 + mi * 60 + sec - off)
+
+
+def _dt_instant_sql(e: str) -> str:
+    """The DuckDB twin of :func:`_dt_instant_spark`, term for term."""
+    s = "CAST(%s AS VARCHAR)" % e
+    y = "TRY_CAST(substr(%s, 1, 4) AS DOUBLE)" % s
+    mo = "TRY_CAST(substr(%s, 6, 2) AS DOUBLE)" % s
+    d = "TRY_CAST(substr(%s, 9, 2) AS DOUBLE)" % s
+    yy = "(%s - (CASE WHEN %s <= 2 THEN 1 ELSE 0 END))" % (y, mo)
+    era = "floor(%s / 400)" % yy
+    yoe = "(%s - %s * 400)" % (yy, era)
+    doy = ("(floor((153 * ((%s + 9) %% 12) + 2) / 5) + %s - 1)"
+           % (mo, d))
+    doe = ("(%s * 365 + floor(%s / 4) - floor(%s / 100) + %s)"
+           % (yoe, yoe, yoe, doy))
+    days = "(%s * 146097 + %s - 719468)" % (era, doe)
+    has_t = "regexp_matches(%s, '^.{10}T')" % s
+    h = ("(CASE WHEN %s THEN TRY_CAST(substr(%s, 12, 2) AS DOUBLE) "
+         "ELSE 0 END)" % (has_t, s))
+    mi = ("(CASE WHEN %s THEN TRY_CAST(substr(%s, 15, 2) AS DOUBLE) "
+          "ELSE 0 END)" % (has_t, s))
+    sec = ("(CASE WHEN %s THEN TRY_CAST(regexp_extract(%s, '%s', 1) "
+           "AS DOUBLE) ELSE 0 END)" % (has_t, s, _DT_SEC_RX))
+    tz = "regexp_extract(%s, '%s', 1)" % (s, _DT_TZ_RX)
+    off = ("(TRY_CAST(substr(%s, 2, 2) AS DOUBLE) * 3600 "
+           "+ TRY_CAST(substr(%s, 5, 2) AS DOUBLE) * 60)" % (tz, tz))
+    soff = ("(CASE WHEN %s LIKE '+%%' THEN %s "
+            "WHEN %s LIKE '-%%' THEN -%s ELSE 0 END)"
+            % (tz, off, tz, off))
+    return ("(CASE WHEN regexp_matches(%s, '%s') THEN "
+            "%s * 86400 + %s * 3600 + %s * 60 + %s - %s END)"
+            % (s, _DT_FULL_RX, days, h, mi, sec, soff))
+
+
+@dataclass
+class EExistsMarker(Expr):
+    """``EXISTS { … }`` in EXPRESSION position (``FILTER(EXISTS{…} ||
+    …)``, ``BIND(IF(EXISTS{…},…) AS ?v)``) — not the statement-level
+    FILTER EXISTS, which stays a semi/anti join. The parser hoists the
+    body into the enclosing Group's ``exists_markers``; the Spark
+    compiler LEFT-JOINs a DISTINCT boolean probe on the shared
+    variables before binds/filters run, and the SQL twin carries a
+    correlated ``EXISTS (SELECT 1 …)`` as the marker's expression
+    text. This node then reads COALESCE(marker, FALSE), negated for
+    ``NOT EXISTS``."""
+    var: str
+    positive: bool
+
+    def spark(self, env):
+        c = F.coalesce(env[self.var][0].cast("boolean"), F.lit(False))
+        return c if self.positive else ~c
+
+    def sql(self, env):
+        c = "COALESCE(%s, FALSE)" % env[self.var][1]
+        return c if self.positive else "(NOT %s)" % c
+
+
 @dataclass
 class ECmp(Expr):
     op: str
@@ -313,6 +461,33 @@ class ECmp(Expr):
 
     def _sides(self, env, sqlmode):
         l, r = self.left, self.right
+        # a "..."^^xsd:dateTime/date constant on either side switches
+        # the comparison to TIMELINE order: both sides map to epoch
+        # instants (constants folded on the driver via the identical
+        # formula; anything else through the column emitters — NULL/
+        # unbound for non-dateTime-shaped values, the type-error rule)
+        temporal = (isinstance(l, EConst) and l.temporal) or \
+                   (isinstance(r, EConst) and r.temporal)
+        if temporal:
+            def side(e):
+                if isinstance(e, EConst) and not e.numeric:
+                    inst = _dt_instant_py(e.term[1])
+                    if inst is None:
+                        if e.temporal:
+                            raise SparqlError(
+                                "malformed xsd:dateTime literal %r"
+                                % e.term[1])
+                        # plain literal that isn't dateTime-shaped:
+                        # type error → unbound (comparison never true)
+                        return ("CAST(NULL AS DOUBLE)" if sqlmode
+                                else F.lit(None).cast("double"))
+                    if sqlmode:
+                        return repr(inst)
+                    return F.lit(inst)
+                if sqlmode:
+                    return _dt_instant_sql(e.sql(env))
+                return _dt_instant_spark(e.spark(env))
+            return side(l), side(r)
         numeric = (isinstance(l, EConst) and l.numeric) or \
                   (isinstance(r, EConst) and r.numeric) or \
                   isinstance(l, EArith) or isinstance(r, EArith)
@@ -856,6 +1031,11 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self._seq_n = 0
+        # EXISTS-in-expression hoisting: expr_primary parses the body
+        # group here; the enclosing group() FILTER/BIND branch drains
+        # it into Group.exists_markers (see EExistsMarker)
+        self._exm_n = 0
+        self._pending_markers: list = []
 
     def _fresh_seq_var(self) -> str:
         """Fresh internal variable for sequence-path desugaring; the
@@ -885,6 +1065,15 @@ class _Parser:
             raise SparqlError("expected %r, got %r" % (op, v))
 
     def parse(self) -> Query:
+        q = self._parse_inner()
+        if self._pending_markers:
+            # an EXISTS parsed inside a projection/HAVING/ORDER BY
+            # expression has no group to hoist its probe into
+            raise SparqlError("EXISTS is only supported inside "
+                              "FILTER/BIND expressions")
+        return q
+
+    def _parse_inner(self) -> Query:
         while self.kw("PREFIX"):
             k, v = self.next()
             if k != "pname" or not v.endswith(":"):
@@ -1232,10 +1421,14 @@ class _Parser:
                 parens = self.peek()[1] == "("
                 if parens:
                     self.i += 1
-                # FILTER [NOT] EXISTS { … } — a statement-level form,
-                # compiled to a semi/anti join (never an expression)
+                # FILTER [NOT] EXISTS { … } — the statement-level
+                # form, compiled to a semi/anti join — but ONLY when
+                # the EXISTS block IS the whole filter; composed uses
+                # (EXISTS{…} || x) flow through the expression grammar
+                # as hoisted markers (EExistsMarker)
                 kn, vn = self.peek()
-                if kn == "kw" and vn.upper() in ("EXISTS", "NOT"):
+                if kn == "kw" and vn.upper() in ("EXISTS", "NOT") \
+                        and self._exists_statement_level(parens):
                     positive = vn.upper() == "EXISTS"
                     self.i += 1
                     if not positive and not self.kw("EXISTS"):
@@ -1254,7 +1447,9 @@ class _Parser:
                         for ea in ealts:
                             g.exists.append((positive, ea))
                 else:
-                    g.filters.append(self.expr())
+                    e = self.expr()
+                    self._drain_markers(g)
+                    g.filters.append(e)
                 if parens:
                     self.expect_op(")")
                 continue
@@ -1292,6 +1487,7 @@ class _Parser:
                 if kn != "var":
                     raise SparqlError("BIND target must be a variable")
                 self.expect_op(")")
+                self._drain_markers(g)
                 g.binds.append((e, vn[1:]))
                 continue
             if k == "kw" and v.upper() == "VALUES":
@@ -1524,6 +1720,13 @@ class _Parser:
             return ("uri", v[1:-1])
         if k == "pname":
             pfx, local = v.split(":", 1)
+            if pfx == "_":
+                # blank node _:label — in a WHERE pattern it behaves
+                # as a fresh non-projectable variable (spec 4.1.4,
+                # mapped in _scan_spec); in a CONSTRUCT template it
+                # mints a per-solution node (see the construct
+                # emitters)
+                return ("bnode", local)
             if pfx not in self.prefixes:
                 raise SparqlError("unknown prefix %r" % pfx)
             return ("uri", self.prefixes[pfx] + local)
@@ -1534,6 +1737,19 @@ class _Parser:
             lang = None
             if self.peek()[0] == "lang":
                 lang = self.next()[1][1:]
+            if self.peek()[1] == "^^":
+                # "..."^^<datatype> typed literal; xsd:dateTime /
+                # xsd:date get timeline comparison semantics in ECmp,
+                # any other datatype stays a plain lexical literal
+                # with its datatype recorded for scan constraints
+                self.i += 1
+                dt = self.term()
+                if dt[0] != "uri":
+                    raise SparqlError("^^ needs a datatype IRI")
+                if lang is not None:
+                    raise SparqlError("a literal cannot carry both "
+                                      "@lang and ^^datatype")
+                return ("dtlit", lit, dt[1])
             return ("lit", lit, lang)
         if k == "num":
             return ("num", v)
@@ -1609,8 +1825,68 @@ class _Parser:
             e = EArith(op, e, self.expr_primary())
         return e
 
+    def _exists_expr(self, positive: bool) -> Expr:
+        """EXISTS { … } in expression position: parse the body, hoist
+        it as a marker (drained into the enclosing group by the
+        FILTER/BIND branches), return the marker-reading node. A UNION
+        body wraps in union_alts — EXISTS(A∪B) = EXISTS A OR EXISTS B,
+        and NOT applies to the combined marker (De Morgan via boolean
+        negation)."""
+        alts = self.group_alts()
+        if len(alts) > 1:
+            w = Group()
+            w.union_alts = alts
+        else:
+            w = alts[0]
+        name = "__exm%d" % self._exm_n
+        self._exm_n += 1
+        self._pending_markers.append((name, w))
+        return EExistsMarker(name, positive)
+
+    def _drain_markers(self, g: Group) -> None:
+        g.exists_markers.extend(self._pending_markers)
+        self._pending_markers.clear()
+
+    def _exists_statement_level(self, parens: bool) -> bool:
+        """Lookahead (no consumption): does the [NOT] EXISTS block at
+        the cursor constitute the WHOLE filter? Brace-count to the
+        body's matching '}' — statement-level iff the next token is
+        the filter's closing ')' (or the filter was unparenthesized,
+        where composition is not legal syntax anyway)."""
+        j = self.i
+        if self.toks[j][1].upper() == "NOT":
+            j += 1
+            if j >= len(self.toks) or \
+                    self.toks[j][1].upper() != "EXISTS":
+                return False
+        j += 1          # past EXISTS
+        if j >= len(self.toks) or self.toks[j][1] != "{":
+            return False
+        depth = 0
+        while j < len(self.toks):
+            t = self.toks[j][1]
+            if t == "{":
+                depth += 1
+            elif t == "}":
+                depth -= 1
+                if depth == 0:
+                    j += 1
+                    break
+            j += 1
+        if not parens:
+            return True
+        return j < len(self.toks) and self.toks[j][1] == ")"
+
     def expr_primary(self) -> Expr:
         k, v = self.peek()
+        if k == "kw" and v.upper() == "EXISTS" and self.peek(1)[1] == "{":
+            self.i += 1
+            return self._exists_expr(True)
+        if k == "kw" and v.upper() == "NOT" \
+                and self.peek(1)[1].upper() == "EXISTS" \
+                and self.peek(2)[1] == "{":
+            self.i += 2
+            return self._exists_expr(False)
         if v == "(":
             # parenthesized sub-expression: full boolean grammar
             # inside, and the value can keep composing arithmetically
@@ -1923,6 +2199,20 @@ def _scan_spec(t: Triple, alias: str):
     spec's xsd:string / rdf:langString mappings)."""
     consts, varcols, intra, sets, extras = [], {}, [], [], []
     for (short, col), term in zip(_POS, (t.s, t.p, t.o)):
+        if term[0] == "bnode":
+            # a blank node in a pattern is a fresh scoped variable
+            # (spec 4.1.4); the __bn_ prefix keeps it out of SELECT *
+            term = ("var", "__bn_" + term[1])
+        if term[0] == "dtlit":
+            # typed literal in object position: value + datatype
+            # column constraints (subject/predicate can't be literals)
+            if col != "object":
+                raise SparqlError("typed literals are only legal in "
+                                  "object position")
+            consts.append((col, term[1]))
+            consts.append(("objtype", "literal"))
+            consts.append(("datatype", term[2]))
+            continue
         if term[0] == "var":
             if term[1] in varcols:
                 intra.append((varcols[term[1]], col))
@@ -2347,6 +2637,11 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                        else sub.crossJoin(ssub))
             for v, c in scols.items():
                 cols.setdefault(v, c)
+        for mname, mg in g.exists_markers:
+            if sub is None:
+                raise SparqlError("EXISTS requires a preceding "
+                                  "pattern")
+            sub, cols = join_exists_marker(sub, cols, mname, mg, prefix)
         for e, var in g.binds:
             if var in cols:
                 raise SparqlError("BIND target ?%s is already bound"
@@ -2428,6 +2723,34 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
             part = sub.select(*sel)
             aligned = part if aligned is None else aligned.unionByName(part)
         return aligned, canon
+
+    def join_exists_marker(plan_df, plan_cols, mname, mg, prefix):
+        """EXISTS-in-expression probe: compile the body, project the
+        variables it shares with the enclosing group, DISTINCT them
+        (one boolean per outer key — no row multiplication), left-join
+        with a TRUE marker column. EExistsMarker then reads
+        COALESCE(marker, FALSE). With no shared variable the probe is
+        a 0/1-row existence relation (limit 1)."""
+        esub, ecols = (compile_optional(mg, prefix, plan_cols)
+                       if mg.union_alts else compile_group(mg, prefix))
+        shared = [v for v in ecols if v in plan_cols]
+        mcol = "%sxm__%s" % (prefix, mname)
+        if shared:
+            keys = {v: "%s_k%d" % (mcol, i)
+                    for i, v in enumerate(shared)}
+            probe = (esub.select(*[F.col(ecols[v]).alias(keys[v])
+                                   for v in shared])
+                     .distinct().withColumn(mcol, F.lit(True)))
+            cond = None
+            for v in shared:
+                c = F.col(plan_cols[v]) == F.col(keys[v])
+                cond = c if cond is None else (cond & c)
+            plan_df = plan_df.join(probe, cond, "left")
+        else:
+            probe = esub.limit(1).select(F.lit(True).alias(mcol))
+            plan_df = plan_df.join(probe, F.lit(True), "left")
+        plan_cols[mname] = mcol
+        return plan_df, plan_cols
 
     plan, env_cols = chain(query.where.triples, "t")
 
@@ -2516,6 +2839,14 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         for v, c in cols.items():
             env_cols.setdefault(v, c)
 
+    # EXISTS-in-expression markers join before the binds/filters that
+    # read them (same probe machinery as nested groups)
+    for mname, mg in query.where.exists_markers:
+        if plan is None:
+            raise SparqlError("EXISTS requires a preceding pattern")
+        plan, env_cols = join_exists_marker(plan, env_cols, mname, mg,
+                                            "x")
+
     # BINDs project new columns; evaluated after BGP/UNION/VALUES and
     # before FILTER/OPTIONAL (documented subset restriction)
     for bi2, (e, var) in enumerate(query.where.binds):
@@ -2583,13 +2914,27 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
     if query.construct is not None:
         # instantiate each template triple per solution; template rows
         # with any unbound position are skipped (SPARQL CONSTRUCT
-        # semantics); the result is a graph, i.e. a distinct set
+        # semantics); the result is a graph, i.e. a distinct set.
+        # _:label templates mint one node per (label, solution):
+        # "_:label-" + md5 of the solution's bindings — deterministic,
+        # so the SQL twin mints the SAME ids (spec only requires
+        # per-solution freshness; a deterministic skolem-style id is a
+        # valid choice and the only testable one)
+        sol_vars = [v for v in sorted(env_cols)
+                    if not v.startswith("__exm")]
+        sol_id = F.md5(F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(env_cols[v]).cast("string"),
+                                 F.lit("\x00")) for v in sol_vars])) \
+            if sol_vars else F.lit("")
+
         def pos(term):
             if term[0] == "var":
                 if term[1] not in env_cols:
                     raise SparqlError("unbound template variable ?%s"
                                       % term[1])
                 return F.col(env_cols[term[1]])
+            if term[0] == "bnode":
+                return F.concat(F.lit("_:%s-" % term[1]), sol_id)
             return F.lit(term[1])
         out = None
         for t in query.construct:
@@ -2611,7 +2956,8 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
 
     proj = query.proj
     if proj == ["*"]:
-        proj = [v for v in env_cols if not v.startswith("__seq")]
+        proj = [v for v in env_cols
+                if not v.startswith(("__seq", "__bn_", "__exm"))]
     aggs = [p for p in proj if not isinstance(p, str) and p[0] == "agg"]
     exprs = [p for p in proj if not isinstance(p, str) and p[0] == "expr"]
     if aggs or query.group_by:
@@ -2706,11 +3052,18 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         if isinstance(mod, tuple):
             m, n2 = mod
             inner = "pb%d" % len(ctes)
+            # e.subject <> e.object: the recursion must walk the SAME
+            # self-loop-free edge set as the base case (and as the
+            # Spark backend's pre-filtered edges) — without it a
+            # mid-path self-loop edge reaches depth m while the Spark
+            # plan can't (hypothesis-found, pinned in
+            # test_bounded_negset_selfloop_parity)
             ctes.append(
                 "%s AS (SELECT subject AS a, object AS b, 1 AS d FROM %s"
                 " WHERE %s%s AND subject <> object"
                 " UNION ALL SELECT p.a, e.object, p.d + 1 FROM %s p"
                 " JOIN %s e ON p.b = e.subject AND %s%s"
+                " AND e.subject <> e.object"
                 " WHERE p.d < %d AND p.a <> e.object)"
                 % (inner, table_sql, pc(), gc, inner, table_sql,
                    pc("e."), gce, n2))
@@ -2769,6 +3122,8 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         if isinstance(mod, tuple):
             m, n2 = mod
             inner = "gpb%d" % len(ctes)
+            # e.subject <> e.object — same self-loop-free recursion
+            # edge set as path_cte's bounded branch (see note there)
             ctes.append(
                 "%s AS (SELECT context AS g, subject AS a,"
                 " object AS b, 1 AS d FROM %s"
@@ -2776,6 +3131,7 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                 " UNION ALL SELECT p.g, p.a, e.object, p.d + 1"
                 " FROM %s p JOIN %s e"
                 " ON p.b = e.subject AND e.context = p.g AND %s"
+                " AND e.subject <> e.object"
                 " WHERE p.d < %d AND p.a <> e.object)"
                 % (inner, table_sql, pc(), named, inner, table_sql,
                    pc("e."), n2))
@@ -2942,6 +3298,11 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                 g_parts.append("CROSS JOIN (%s) %s" % (inner, al))
             for v, c in scols.items():
                 g_cols.setdefault(v, c)
+        for mname, mg in g.exists_markers:
+            if not g_parts:
+                raise SparqlError("EXISTS requires a preceding "
+                                  "pattern")
+            g_cols[mname] = exists_marker_sql(mg, g_cols, prefix)
         for e, var in g.binds:
             if var in g_cols:
                 raise SparqlError("BIND target ?%s is already bound"
@@ -3029,6 +3390,24 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                                              render(g_parts2, fconds2)))
         return out_cols, " UNION ALL ".join(selects), al
 
+    def exists_marker_sql(mg: Group, outer_cols, prefix: str) -> str:
+        """EXISTS-in-expression → a correlated EXISTS subquery carried
+        as the marker variable's expression text (the SQL twin of the
+        Spark backend's DISTINCT-probe left join; same emission as the
+        statement-level FILTER EXISTS)."""
+        if mg.union_alts:
+            e_out, inner, al = optional_select(mg, prefix, outer_cols)
+            conds = ["%s = %s" % (e_out[v], outer_cols[v])
+                     for v in sorted(e_out) if v in outer_cols]
+            return "(EXISTS (SELECT 1 FROM (%s) %s%s))" % (
+                inner, al,
+                (" WHERE " + " AND ".join(conds)) if conds else "")
+        e_cols, e_parts, econds = group_select(mg, prefix)
+        econds = list(econds)
+        econds += ["%s = %s" % (e_cols[v], outer_cols[v])
+                   for v in sorted(e_cols) if v in outer_cols]
+        return "(EXISTS (SELECT 1 %s))" % render(e_parts, econds)
+
     for bi, alts in enumerate(query.unions):
         compiled = [group_select(g, "u") for g in alts]
         all_vars: list[str] = []
@@ -3109,6 +3488,13 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         for v, c in cols.items():
             env_cols.setdefault(v, c)
 
+    # EXISTS-in-expression markers: correlated EXISTS text carried as
+    # the marker's expression (before the binds/filters that read it)
+    for mname, mg in query.where.exists_markers:
+        if not parts:
+            raise SparqlError("EXISTS requires a preceding pattern")
+        env_cols[mname] = exists_marker_sql(mg, env_cols, "x")
+
     # BINDs become SQL expressions carried in env_cols — projection,
     # later FILTERs and GROUP/ORDER BY all substitute the text
     bind_vars = set()
@@ -3188,18 +3574,31 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         if where_conds:
             sol += " WHERE " + " AND ".join(where_conds)
 
+        # deterministic per-solution blank-node id — byte-identical to
+        # the Spark emitter's: md5 over the same sorted variable list,
+        # same \x1f separator and \x00 null sentinel
+        sol_vars = [v for v in sorted(env_cols)
+                    if not v.startswith("__exm")]
+        sol_id = ("md5(concat_ws(chr(31), %s))" % ", ".join(
+            "coalesce(CAST(%s AS VARCHAR), chr(0))" % sol_cols[v]
+            for v in sol_vars)) if sol_vars else "''"
+
         def pos(term):
             if term[0] == "var":
                 if term[1] not in env_cols:
                     raise SparqlError("unbound template variable ?%s"
                                       % term[1])
                 return sol_cols[term[1]]
+            if term[0] == "bnode":
+                return "('_:%s-' || %s)" % (term[1], sol_id)
             return "'%s'" % term[1].replace("'", "''")
         selects = []
         for t in query.construct:
             s, p, o = pos(t.s), pos(t.p), pos(t.o)
-            nn = " AND ".join("%s IS NOT NULL" % c
-                              for c in (s, p, o) if not c.startswith("'"))
+            nn = " AND ".join(
+                "%s IS NOT NULL" % c for c, tm in
+                zip((s, p, o), (t.s, t.p, t.o))
+                if not c.startswith("'") and tm[0] != "bnode")
             # DISTINCT inside each branch: UNION dedups across
             # branches, but a single-template CONSTRUCT has no UNION —
             # the result is a graph (a set) either way
@@ -3212,7 +3611,8 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
 
     proj = query.proj
     if proj == ["*"]:
-        proj = [v for v in env_cols if not v.startswith("__seq")]
+        proj = [v for v in env_cols
+                if not v.startswith(("__seq", "__bn_", "__exm"))]
     aggs = [p for p in proj if not isinstance(p, str) and p[0] == "agg"]
     if aggs or query.group_by:
         def aggsql(func, dist, var, alias, sep):

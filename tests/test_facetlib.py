@@ -165,6 +165,15 @@ _COLLATION_WORDS = {
     "fr_FR": ["zone", "été", "etre", "être", "eau", "cote", "côte",
               "coté", "côté", "arme", "garçon", "garcon", "œuf",
               "oeuf", "noël", "noel", "ile", "île"],
+    "nb_NO": ["zebra", "æble", "äpple", "ärlig", "ært", "ökonomi",
+              "øre", "örn", "aa", "åke", "ål", "aalborg", "ab",
+              "abe", "az", "übung", "uber", "ubung", "yxa",
+              "strasse", "straße", "cote", "côte", "van", "watt"],
+    "fi_FI": ["zebra", "åke", "ål", "æble", "äpple", "ärlig", "ært",
+              "ökonomi", "øre", "örn", "aa", "aalborg", "ab", "az",
+              "veli", "virta", "watt", "wien", "will", "wirta",
+              "übung", "uber", "ubung", "yxa", "strasse", "straße",
+              "cote", "côte", "van", "vas"],
 }
 
 

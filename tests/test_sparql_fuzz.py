@@ -21,7 +21,11 @@ from ferenda_spark import sparql
 
 SUBJECTS = ["d1", "d2", "d3", "d4"]
 PREDS = {"t": "http://p/t", "r": "http://p/r", "k": "http://p/k"}
-LITS = ["alpha", "beta", "gamma", "", "3", "12"]
+LITS = ["alpha", "beta", "gamma", "", "3", "12",
+        # dateTime/date-shaped literals give the dtcmp production
+        # (timeline comparison) real hits; every other generator just
+        # sees two more opaque strings
+        "2024-03-15T10:30:05Z", "2024-03-14"]
 # deterministic language tags per literal (uris and the rest stay
 # untagged) — gives the langMatches/datatype productions real corners:
 # exact tag, -subtag extension, case, and untagged
@@ -99,6 +103,18 @@ filter_st = st.one_of(
               st.sampled_from(["2024-03-15T10:30:05.25+05:30",
                                "1999-12-31", "2024-03-15T10:30:05Z",
                                "1999-12-31+05:00", "nope"])),
+    # EXISTS in EXPRESSION position (hoisted marker), composed with ||
+    # so the statement-level semi-join form can't absorb it
+    st.tuples(st.just("existsexpr"), var_st,
+              st.sampled_from(sorted(PREDS))),
+    st.tuples(st.just("notexistsexpr"), var_st,
+              st.sampled_from(sorted(PREDS))),
+    # typed-literal timeline comparison: zone-offset forms order by
+    # instant, non-dateTime-shaped corpus values drop (type error)
+    st.tuples(st.just("dtcmp"), var_st,
+              st.sampled_from(["2024-03-15T10:30:05Z",
+                               "2024-03-15T15:30:05+05:00",
+                               "2024-03-15", "1999-12-31"])),
 )
 
 
@@ -143,6 +159,16 @@ def filter_sparql(f):
                 '+ COALESCE(SECONDS("%s"), STRLEN(TZ("%s")), 0), '
                 'STRLEN(?%s)) >= 3 || YEAR(?%s) > 0)'
                 % (arg, arg, arg, arg, v, v))
+    if op == "existsexpr":
+        return ('FILTER(EXISTS { ?%s p:%s ?ex } || strends(?%s, "a"))'
+                % (v, arg, v))
+    if op == "notexistsexpr":
+        return ('FILTER(NOT EXISTS { ?%s p:%s ?ex } && ?%s != "beta")'
+                % (v, arg, v))
+    if op == "dtcmp":
+        return ('FILTER(?%s >= "%s"^^'
+                '<http://www.w3.org/2001/XMLSchema#dateTime>)'
+                % (v, arg))
     return 'FILTER(strstarts(?%s, "%s"))' % (v, arg)
 
 
@@ -172,6 +198,10 @@ query_st = st.fixed_dictionaries({
     # contexts by subject) — or GRAPH ?gv, binding the context column
     "graph": st.one_of(st.none(), st.sampled_from(["g1", "g2", "?gv"])),
     "distinct": st.booleans(),
+    # OPTIONAL-scoped aggregate: a grouped COUNT subquery as the
+    # OPTIONAL body, left-joined on its projected group key
+    "optional_subagg": st.one_of(st.none(),
+                                 st.sampled_from(sorted(PREDS))),
     # structural nesting: OPTIONAL inside the left UNION branch, a
     # VALUES block inside the right one, a UNION inside the MINUS
     # body (parse-time DNF → two anti-joins), and a nested UNION
@@ -284,6 +314,12 @@ def render_query(q):
             all_vars |= pvars(q["optional_nested"])
         body += "OPTIONAL { %s } " % opt_body
         all_vars |= opt_vars
+    if q.get("optional_subagg") and base_vars:
+        sv = sorted(base_vars)[0]
+        body += ("OPTIONAL { { SELECT ?%s (COUNT(?sx) AS ?sn) WHERE "
+                 "{ ?%s p:%s ?sx } GROUP BY ?%s } } "
+                 % (sv, sv, q["optional_subagg"], sv))
+        all_vars.add("sn")
     if not all_vars:
         return None
     proj = " ".join("?%s" % v for v in sorted(all_vars))
@@ -466,16 +502,22 @@ constructq_st = st.fixed_dictionaries({
     "patterns": st.lists(pattern_st, min_size=1, max_size=2),
     "optional": st.one_of(st.none(),
                           st.lists(pattern_st, min_size=1, max_size=1)),
-    # template rows: (s, p, o) each a var name or a constant
+    # template rows: (s, p, o) each a var name, a constant, or a
+    # blank-node label (minted per solution, deterministic skolem ids
+    # so the DuckDB twin mints the SAME strings)
     "template": st.lists(
         st.tuples(
             st.one_of(st.tuples(st.just("var"), var_st),
                       st.tuples(st.just("const"),
-                                st.sampled_from(SUBJECTS))),
+                                st.sampled_from(SUBJECTS)),
+                      st.tuples(st.just("bnode"),
+                                st.sampled_from(["b0", "b1"]))),
             st.sampled_from(sorted(PREDS)),
             st.one_of(st.tuples(st.just("var"), var_st),
                       st.tuples(st.just("const"),
-                                st.sampled_from(LITS[:3] + SUBJECTS)))),
+                                st.sampled_from(LITS[:3] + SUBJECTS)),
+                      st.tuples(st.just("bnode"),
+                                st.sampled_from(["b0", "b1"])))),
         min_size=1, max_size=2),
 })
 
@@ -498,7 +540,9 @@ def render_construct(q):
         for t in (s, o):
             if t[0] == "var" and t[1] not in bound:
                 return None
-    tmpl = " . ".join("%s p:%s %s" % (term_sparql(s), p, term_sparql(o))
+    def tterm(t):
+        return "_:%s" % t[1] if t[0] == "bnode" else term_sparql(t)
+    tmpl = " . ".join("%s p:%s %s" % (tterm(s), p, tterm(o))
                       for s, p, o in q["template"])
     body = bgp_sparql(q["patterns"]) + " . "
     if q["optional"]:
@@ -569,3 +613,18 @@ def test_date_only_offset_hours_unbound(spark, duck_dir):
         '\'3\' AS "object", \'literal\' AS "objtype", \'\' AS "lang", '
         '\'\' AS "datatype", \'g1\' AS "context")', text)
     assert len(_dd.sql(sql).df()) == 1
+
+
+def test_bounded_negset_selfloop_parity(spark, duck_dir):
+    """Long-budget fuzz find (r5): in the bounded {m,n} closure the
+    SQL recursion scanned the RAW table, so a mid-path self-loop edge
+    (d1->d1 here) let d2 reach depth 2 while the Spark plan — whose
+    edge set pre-excludes self-loops — could not.  Both engines now
+    walk the same self-loop-free edge set: the result is empty."""
+    graph = [("d1", "k", "d1"), ("d2", "k", "d1")]
+    text = PREFIX + "SELECT * WHERE { ?a !(p:r){2,3} <d1> . }"
+    _run_fuzz(spark, duck_dir, graph, text)
+    # and the GRAPH ?var grouped variant of the same closure
+    text = (PREFIX +
+            "SELECT * WHERE { GRAPH ?gv { ?a !(p:r){2,3} <d1> . } }")
+    _run_fuzz(spark, duck_dir, graph, text)
