@@ -1920,6 +1920,101 @@ def _q_kg_sparql_nested(spark, sf_dir):
                                 _KG_SPARQL_NESTED)
 
 
+_KG_SPARQL_EXISTS_EXPR = """
+PREFIX dct: <http://purl.org/dc/terms/>
+SELECT ?s ?title ?kind WHERE {
+  ?s dct:title ?title .
+  BIND(IF(EXISTS { ?s dct:references ?o2 }, "citing", "leaf") AS ?kind)
+  FILTER(EXISTS { ?s dct:issued ?d } || STRENDS(?title, "One"))
+} ORDER BY ?s ?title ?kind
+"""  # round-5: EXISTS in EXPRESSION position — inside IF() in a BIND
+# and ||-composed in a FILTER (neither reducible to the statement-
+# level semi/anti-join form); Spark left-joins DISTINCT boolean
+# probes, the SQL twin carries correlated EXISTS subqueries
+
+
+def _q_kg_sparql_exists_expr(spark, sf_dir):
+    """EXISTS/NOT EXISTS inside expressions (sparql.EExistsMarker):
+    classify documents by whether they cite anything (IF(EXISTS…))
+    while filtering on EXISTS || string-test — the reference surface
+    is TripleStore.select() with arbitrary SPARQL
+    (ferenda/triplestore.py:179-200), where expression-position EXISTS
+    is legal everywhere."""
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_EXISTS_EXPR)
+
+
+_KG_SPARQL_DATETIME = """
+PREFIX dct: <http://purl.org/dc/terms/>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+SELECT ?s ?d WHERE {
+  ?s dct:issued ?d .
+  FILTER(?d >= "2014-01-10T00:00:00Z"^^xsd:dateTime &&
+         ?d < "2014-02-01"^^xsd:date)
+} ORDER BY ?s ?d
+"""  # round-5: typed-literal TIMELINE comparison — both bounds map to
+# epoch instants via engine-identical lexical arithmetic; the corpus's
+# malformed month-form dates ("2010-01") are type errors -> unbound
+
+
+def _q_kg_sparql_datetime(spark, sf_dir):
+    """xsd:dateTime/xsd:date timeline comparison over dct:issued: a
+    dateTime lower bound against date-typed corpus values plus a date
+    upper bound — ordering by instant, not lexically; non-date-shaped
+    values drop as type errors (the month-form issued dates)."""
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_DATETIME)
+
+
+_KG_SPARQL_CONSTRUCT_BNODE = """
+PREFIX dct: <http://purl.org/dc/terms/>
+PREFIX ex: <http://example.org/ontology/>
+CONSTRUCT {
+  _:ref a ex:Reference .
+  _:ref ex:source ?s .
+  _:ref ex:target ?o
+} WHERE { ?s dct:references ?o }
+"""  # round-5: blank-node templates — one fresh _:ref node per
+# solution (reifying each citation edge), minted as a deterministic
+# skolem id so both engines emit identical node strings
+
+
+def _q_kg_sparql_construct_bnode(spark, sf_dir):
+    """CONSTRUCT with blank-node templates: reify every dct:references
+    edge as a fresh per-solution _:ref node carrying type/source/
+    target triples (the spec's bnode-template semantics; ids are
+    deterministic md5-of-solution skolems, a valid choice the DuckDB
+    twin reproduces exactly)."""
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_CONSTRUCT_BNODE)
+
+
+_KG_SPARQL_OPTAGG = """
+PREFIX dct: <http://purl.org/dc/terms/>
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+SELECT ?s ?title ?n_parts WHERE {
+  ?s dct:title ?title . ?s a foaf:Document .
+  OPTIONAL { { SELECT ?s (COUNT(?part) AS ?n_parts)
+               WHERE { ?part dct:isPartOf ?s } GROUP BY ?s } }
+} ORDER BY ?s ?title
+"""  # round-5: OPTIONAL-scoped aggregate — a grouped COUNT subquery
+# as the OPTIONAL body, left-joined on its projected group key;
+# documents with no parts keep their row with ?n_parts unbound
+
+
+def _q_kg_sparql_optagg(spark, sf_dir):
+    """Aggregate subquery inside OPTIONAL: per-document contained-part
+    counts left-joined onto the document list — part-less documents
+    survive with an unbound count (the facet-with-counts query shape a
+    reference user writes against faceted_data)."""
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_OPTAGG)
+
+
 def _q_kg_sparql_minus(spark, sf_dir):
     from ferenda_spark import sparql
     return sparql.compile_spark(_kg_read(spark, "triples"),
@@ -3982,6 +4077,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": _q_kg_sparql_subquery,
         "kg_sparql_seqpath": _q_kg_sparql_seqpath,
         "kg_sparql_nested": _q_kg_sparql_nested,
+        "kg_sparql_exists_expr": _q_kg_sparql_exists_expr,
+        "kg_sparql_datetime": _q_kg_sparql_datetime,
+        "kg_sparql_construct_bnode": _q_kg_sparql_construct_bnode,
+        "kg_sparql_optagg": _q_kg_sparql_optagg,
         "kg_describe_rfc": _q_kg_describe_rfc,
         "kg_describe_base": _q_kg_describe_base,
         "kg_versions": _q_kg_versions,
@@ -4253,6 +4352,16 @@ def oracle_sql() -> dict[str, str]:
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_SEQPATH),
         "kg_sparql_nested": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_NESTED),
+        "kg_sparql_exists_expr": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"],
+            _KG_SPARQL_EXISTS_EXPR),
+        "kg_sparql_datetime": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_SPARQL_DATETIME),
+        "kg_sparql_construct_bnode": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"],
+            _KG_SPARQL_CONSTRUCT_BNODE),
+        "kg_sparql_optagg": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_SPARQL_OPTAGG),
         "kg_describe_rfc": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _RFC_ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),

@@ -505,6 +505,10 @@ def main() -> None:
         "warc_ingest": qs["warc_ingest"],
         "robots_filter": qs["robots_filter"],
         "kg_sparql_structdata": qs["kg_sparql_structdata"],
+        "kg_sparql_exists_expr": qs["kg_sparql_exists_expr"],
+        "kg_sparql_datetime": qs["kg_sparql_datetime"],
+        "kg_sparql_construct_bnode": qs["kg_sparql_construct_bnode"],
+        "kg_sparql_optagg": qs["kg_sparql_optagg"],
         "kg_sparql_pathvar": kg_sparql_pathvar,
         "cdx_index": qs["cdx_index"],
         "sitemap_entries": qs["sitemap_entries"],

@@ -89,10 +89,27 @@ Supported subset (what ferenda's own queries use):
   (left joins don't distribute over union; branches must bind the
   same outer variables)
 - ``ASK { … }`` → one boolean row
-- subqueries ``{ SELECT … }`` at the top level of WHERE (explicit
-  projection required; the body recurses through the full compiler,
-  so aggregates/paths/OPTIONAL inside are legal), joined to the outer
-  pattern on the variables they project
+- subqueries ``{ SELECT … }`` in any group — top-level WHERE, UNION
+  branches, and OPTIONAL bodies (an aggregate subquery under OPTIONAL
+  left-joins on its projected group key, the facet-with-counts shape)
+  (explicit projection required; the body recurses through the full
+  compiler, so aggregates/paths/OPTIONAL inside are legal), joined to
+  the outer pattern on the variables they project
+- ``EXISTS { … }`` / ``NOT EXISTS { … }`` in EXPRESSION position
+  (``FILTER(EXISTS{…} || …)``, ``BIND(IF(EXISTS{…},…) AS ?v)``):
+  hoisted to a DISTINCT boolean probe left-join (Spark) / a
+  correlated EXISTS subquery (SQL twin) — see EExistsMarker; the
+  statement-level FILTER [NOT] EXISTS keeps its semi/anti-join form
+- ``"…"^^xsd:dateTime`` / ``^^xsd:date`` typed literals: comparisons
+  involving one use TIMELINE order — both sides map to epoch instants
+  via engine-identical lexical arithmetic (days-from-civil + time −
+  zone offset; zoneless = UTC in both engines); non-dateTime-shaped
+  values are type errors → unbound. In object pattern position a
+  typed literal constrains the value AND datatype columns.
+- blank nodes: ``_:label`` in WHERE patterns = fresh non-projectable
+  variable (spec 4.1.4); in CONSTRUCT templates = one minted node per
+  (label, solution), as deterministic md5-of-solution skolem ids so
+  both backends emit identical strings
 - ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``, ``OFFSET n`` (OFFSET
   requires ORDER BY; deterministic across engines only when the order
   key is a total order — the same caveat the reference's own WSGI
