@@ -65,6 +65,23 @@ def main(only=None):
     bad = {k: v for k, v in results.items()
            if not (v.startswith("OK") or v.startswith("rows-only"))}
     print(json.dumps({k: v.split("\n")[0] for k, v in results.items()}, indent=1))
+    # VERDICT r4 #3: commit the full parity record as a round artifact
+    # (PARITY_OUT=PARITY_r05.json) so the auditable record covers every
+    # queries() entry, not just the driver's capped row sample
+    out = os.environ.get("PARITY_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump({
+                "sf_dir": SF_DIR,
+                "n_queries": len(results),
+                "n_ok": sum(v.startswith("OK") for v in results.values()),
+                "n_rows_only": sum(v.startswith("rows-only")
+                                   for v in results.values()),
+                "n_bad": len(bad),
+                "loadavg_1m": round(os.getloadavg()[0], 2),
+                "results": {k: v.split("\n")[0]
+                            for k, v in results.items()},
+            }, f, indent=1)
     sys.exit(1 if bad else 0)
 
 
