@@ -798,8 +798,11 @@ class EFunc(Expr):
     name: str   # strlen|ucase|…|strafter|abs|ceil|floor|round
     args: list
 
+    # substr is (2, 3): the spec's 2-arg form takes the suffix from
+    # start to end of string
     ARITY = {"strlen": 1, "ucase": 1, "lcase": 1, "contains": 2,
-             "substr": 3, "replace": 3, "strends": 2, "strbefore": 2,
+             "substr": (2, 3), "replace": 3, "strends": 2,
+             "strbefore": 2,
              "strafter": 2, "abs": 1, "ceil": 1, "floor": 1,
              "round": 1, "md5": 1, "sha256": 1,
              "year": 1, "month": 1, "day": 1, "hours": 1,
@@ -864,7 +867,9 @@ class EFunc(Expr):
         if self.name == "contains":
             return a[0].contains(a[1])
         if self.name == "substr":
-            return F.substring(a[0], a[1].cast("int"), a[2].cast("int"))
+            ln = (a[2].cast("int") if len(a) == 3
+                  else F.length(a[0]))     # 2-arg form: to end
+            return F.substring(a[0], a[1].cast("int"), ln)
         if self.name == "strends":
             return a[0].endswith(a[1])
         if self.name == "strbefore":
@@ -923,8 +928,10 @@ class EFunc(Expr):
         if self.name == "contains":
             return "contains(%s, %s)" % (a[0], a[1])
         if self.name == "substr":
-            return "substr(%s, CAST(%s AS INTEGER), CAST(%s AS INTEGER))" \
-                % (a[0], a[1], a[2])
+            ln = ("CAST(%s AS INTEGER)" % a[2] if len(a) == 3
+                  else "CAST(length(%s) AS INTEGER)" % a[0])
+            return "substr(%s, CAST(%s AS INTEGER), %s)" \
+                % (a[0], a[1], ln)
         if self.name == "strends":
             return "ends_with(%s, %s)" % (a[0], a[1])
         if self.name == "strbefore":
@@ -2006,9 +2013,13 @@ class _Parser:
                 self.i += 1
                 args.append(self.expr())
             self.expect_op(")")
-            if len(args) != EFunc.ARITY[name]:
-                raise SparqlError("%s() takes %d arguments"
-                                  % (name.upper(), EFunc.ARITY[name]))
+            allowed = EFunc.ARITY[name]
+            if isinstance(allowed, int):
+                allowed = (allowed,)
+            if len(args) not in allowed:
+                raise SparqlError("%s() takes %s arguments"
+                                  % (name.upper(),
+                                     "/".join(map(str, allowed))))
             return EFunc(name, args)
         if k == "kw" and v.lower() == "concat":
             self.i += 1

@@ -80,6 +80,8 @@ filter_st = st.one_of(
               st.sampled_from(["a", "o", "1"])),
     # strafter/strbefore halves around a needle; both "" when absent
     st.tuples(st.just("strafter"), var_st, st.sampled_from(["a", "l"])),
+    # 2-arg SUBSTR (suffix-to-end) against the 3-arg form
+    st.tuples(st.just("substr2"), var_st, st.integers(1, 4)),
     # ceil/floor/round/abs composition over the double coercion
     st.tuples(st.just("numfn"), var_st, st.integers(0, 8)),
     # IF + COALESCE (string-typed results in both engines)
@@ -159,6 +161,9 @@ def filter_sparql(f):
                 '+ COALESCE(SECONDS("%s"), STRLEN(TZ("%s")), 0), '
                 'STRLEN(?%s)) >= 3 || YEAR(?%s) > 0)'
                 % (arg, arg, arg, arg, v, v))
+    if op == "substr2":
+        return ('FILTER(SUBSTR(?%s, %d) != SUBSTR(?%s, 1, %d))'
+                % (v, arg, v, arg))
     if op == "existsexpr":
         return ('FILTER(EXISTS { ?%s p:%s ?ex } || strends(?%s, "a"))'
                 % (v, arg, v))
