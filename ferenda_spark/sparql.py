@@ -2670,12 +2670,19 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                 raise SparqlError("EXISTS requires a preceding "
                                   "pattern")
             sub, cols = join_exists_marker(sub, cols, mname, mg, prefix)
+        gpost_binds = []
         for e, var in g.binds:
             if var in cols:
                 raise SparqlError("BIND target ?%s is already bound"
                                   % var)
             if sub is None:
                 raise SparqlError("BIND requires a preceding pattern")
+            if _expr_vars(e) - set(cols):
+                # references an OPTIONAL-bound var — defer until the
+                # group's OPTIONALs have joined (same rule as the
+                # top-level flow)
+                gpost_binds.append((e, var))
+                continue
             bname = "%sb%d__%s" % (prefix, counter[0], var)
             counter[0] += 1
             sub = sub.withColumn(bname, e.spark(colenv(cols)))
@@ -2692,6 +2699,11 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                            "left")
             for v, c in ncols.items():
                 cols.setdefault(v, c)
+        for e, var in gpost_binds:
+            bname = "%sb%d__%s" % (prefix, counter[0], var)
+            counter[0] += 1
+            sub = sub.withColumn(bname, e.spark(colenv(cols)))
+            cols[var] = bname
         for positive, eg in g.exists:
             if sub is None:
                 raise SparqlError("FILTER EXISTS requires a preceding "
@@ -2876,12 +2888,20 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                                             "x")
 
     # BINDs project new columns; evaluated after BGP/UNION/VALUES and
-    # before FILTER/OPTIONAL (documented subset restriction)
+    # before FILTER/OPTIONAL — EXCEPT a BIND referencing a variable
+    # only an OPTIONAL binds (the COALESCE-defaulting idiom "OPTIONAL
+    # { … ?o } BIND(COALESCE(?o, d) AS ?x)"), which defers until after
+    # the OPTIONAL left joins; FILTERs still can't see deferred binds
+    # (documented subset restriction)
+    post_binds = []
     for bi2, (e, var) in enumerate(query.where.binds):
         if var in env_cols:
             raise SparqlError("BIND target ?%s is already bound" % var)
         if plan is None:
             raise SparqlError("BIND requires a preceding pattern")
+        if _expr_vars(e) - set(env_cols):
+            post_binds.append((bi2, e, var))
+            continue
         cname = "b%d__%s" % (bi2, var)
         plan = plan.withColumn(cname, e.spark(colenv(env_cols)))
         env_cols[var] = cname
@@ -2938,6 +2958,13 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                          "left")
         for v, c in sub_cols.items():
             env_cols.setdefault(v, c)
+
+    # deferred BINDs: everything they reference is now in scope (or
+    # the reference really is unbound — the _Env error reports it)
+    for bi2, e, var in post_binds:
+        cname = "b%d__%s" % (bi2, var)
+        plan = plan.withColumn(cname, e.spark(colenv(env_cols)))
+        env_cols[var] = cname
 
     if query.construct is not None:
         # instantiate each template triple per solution; template rows
@@ -3331,12 +3358,16 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                 raise SparqlError("EXISTS requires a preceding "
                                   "pattern")
             g_cols[mname] = exists_marker_sql(mg, g_cols, prefix)
+        gpost_binds = []
         for e, var in g.binds:
             if var in g_cols:
                 raise SparqlError("BIND target ?%s is already bound"
                                   % var)
             if not g_parts:
                 raise SparqlError("BIND requires a preceding pattern")
+            if _expr_vars(e) - set(g_cols):
+                gpost_binds.append((e, var))   # defer past OPTIONALs
+                continue
             g_cols[var] = e.sql(sqlenv(g_cols))
         for ng in g.optionals:
             out_cols, inner, al = optional_select(ng, prefix, g_cols)
@@ -3346,6 +3377,8 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             g_parts.append("LEFT JOIN (%s) %s ON %s" % (inner, al, on))
             for v, c in out_cols.items():
                 g_cols.setdefault(v, c)
+        for e, var in gpost_binds:
+            g_cols[var] = e.sql(sqlenv(g_cols))
         fconds = []
         for positive, eg in g.exists:
             if not g_parts:
@@ -3524,13 +3557,19 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         env_cols[mname] = exists_marker_sql(mg, env_cols, "x")
 
     # BINDs become SQL expressions carried in env_cols — projection,
-    # later FILTERs and GROUP/ORDER BY all substitute the text
+    # later FILTERs and GROUP/ORDER BY all substitute the text; a
+    # BIND referencing an OPTIONAL-bound var defers past the OPTIONAL
+    # joins (mirror of the Spark flow's post_binds)
     bind_vars = set()
+    sql_post_binds = []
     for e, var in query.where.binds:
         if var in env_cols:
             raise SparqlError("BIND target ?%s is already bound" % var)
         if not parts:
             raise SparqlError("BIND requires a preceding pattern")
+        if _expr_vars(e) - set(env_cols):
+            sql_post_binds.append((e, var))
+            continue
         env_cols[var] = e.sql(sqlenv(env_cols))
         bind_vars.add(var)
 
@@ -3575,6 +3614,10 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         parts.append("LEFT JOIN (%s) %s ON %s" % (inner, alias, on))
         for v, c in out_cols.items():
             env_cols.setdefault(v, c)
+
+    for e, var in sql_post_binds:
+        env_cols[var] = e.sql(sqlenv(env_cols))
+        bind_vars.add(var)
 
     def with_prefix(extra_ctes=()):
         allc = ctes + list(extra_ctes)

@@ -207,6 +207,9 @@ query_st = st.fixed_dictionaries({
     # OPTIONAL body, left-joined on its projected group key
     "optional_subagg": st.one_of(st.none(),
                                  st.sampled_from(sorted(PREDS))),
+    # BIND after OPTIONAL referencing the OPTIONAL-bound var (the
+    # COALESCE-defaulting idiom — deferred past the left join)
+    "post_bind": st.booleans(),
     # structural nesting: OPTIONAL inside the left UNION branch, a
     # VALUES block inside the right one, a UNION inside the MINUS
     # body (parse-time DNF → two anti-joins), and a nested UNION
@@ -319,6 +322,12 @@ def render_query(q):
             all_vars |= pvars(q["optional_nested"])
         body += "OPTIONAL { %s } " % opt_body
         all_vars |= opt_vars
+        if q.get("post_bind"):
+            new_opt = sorted(opt_vars - base_vars)
+            if new_opt:
+                body += ('BIND(COALESCE(?%s, "dflt") AS ?pb) '
+                         % new_opt[0])
+                all_vars.add("pb")
     if q.get("optional_subagg") and base_vars:
         sv = sorted(base_vars)[0]
         body += ("OPTIONAL { { SELECT ?%s (COUNT(?sx) AS ?sn) WHERE "
