@@ -110,6 +110,14 @@ Supported subset (what ferenda's own queries use):
   variable (spec 4.1.4); in CONSTRUCT templates = one minted node per
   (label, solution), as deterministic md5-of-solution skolem ids so
   both backends emit identical strings
+- XPath constructor casts ``xsd:integer/decimal/double/float/string/
+  boolean/dateTime/date(e)`` (SPARQL 17.5) — see ECast; a temporal
+  cast in a comparison switches it to timeline order, which is how
+  two date VARIABLES compare by instant
+- ``BIND`` placement: before FILTER/OPTIONAL as documented — except a
+  BIND referencing an OPTIONAL-bound variable, which defers past the
+  OPTIONAL left joins (the COALESCE-defaulting idiom); FILTERs still
+  evaluate before OPTIONALs and cannot see deferred binds
 - ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``, ``OFFSET n`` (OFFSET
   requires ORDER BY; deterministic across engines only when the order
   key is a total order — the same caveat the reference's own WSGI
@@ -448,6 +456,78 @@ def _dt_instant_sql(e: str) -> str:
 
 
 @dataclass
+class ECast(Expr):
+    """XPath constructor casts ``xsd:integer(e)`` etc. (SPARQL 17.5).
+    Value space is the engine-shared string/double device:
+
+    - integer: TRY_CAST to double, NULL unless integral ("3.5" is a
+      cast error per XPath string→integer; the value stays a double —
+      the subset's numeric type)
+    - decimal/double/float: TRY_CAST to double
+    - string: CAST to varchar
+    - boolean: "true"/"1" → true, "false"/"0" → false, else NULL
+    - dateTime/date: the lexical form if it matches that type's
+      anchored shape (dateTime REQUIRES the T-group, date forbids
+      it), else NULL — and comparisons on a temporal cast use
+      TIMELINE order (ECmp), which is how two date VARIABLES compare
+      by instant: FILTER(xsd:dateTime(?a) < xsd:dateTime(?b))."""
+    kind: str
+    arg: Expr
+
+    KINDS = ("integer", "decimal", "double", "float", "string",
+             "boolean", "dateTime", "date")
+    _DATE_RX = r"^\d{4}-\d{2}-\d{2}(Z|[+-]\d{2}:\d{2})?$"
+    _DATETIME_RX = (r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?"
+                    r"(Z|[+-]\d{2}:\d{2})?$")
+
+    @property
+    def temporal(self):
+        return self.kind in ("dateTime", "date")
+
+    @property
+    def numeric(self):
+        return self.kind in ("integer", "decimal", "double", "float")
+
+    def spark(self, env):
+        c = self.arg.spark(env)
+        if self.kind == "string":
+            return c.cast("string")
+        if self.kind in ("decimal", "double", "float"):
+            return c.try_cast("double")
+        if self.kind == "integer":
+            x = c.try_cast("double")
+            return F.when(F.floor(x) == x, x)
+        if self.kind == "boolean":
+            s = c.cast("string")
+            return (F.when(s.isin("true", "1"), F.lit(True))
+                     .when(s.isin("false", "0"), F.lit(False)))
+        rx = self._DATETIME_RX if self.kind == "dateTime" \
+            else self._DATE_RX
+        s = c.cast("string")
+        return F.when(s.rlike(rx), s)
+
+    def sql(self, env):
+        s = self.arg.sql(env)
+        if self.kind == "string":
+            return "CAST(%s AS VARCHAR)" % s
+        if self.kind in ("decimal", "double", "float"):
+            return "TRY_CAST(%s AS DOUBLE)" % s
+        if self.kind == "integer":
+            x = "TRY_CAST(%s AS DOUBLE)" % s
+            return "(CASE WHEN floor(%s) = %s THEN %s END)" % (x, x, x)
+        if self.kind == "boolean":
+            v = "CAST(%s AS VARCHAR)" % s
+            return ("(CASE WHEN %s IN ('true', '1') THEN TRUE "
+                    "WHEN %s IN ('false', '0') THEN FALSE END)"
+                    % (v, v))
+        rx = self._DATETIME_RX if self.kind == "dateTime" \
+            else self._DATE_RX
+        v = "CAST(%s AS VARCHAR)" % s
+        return ("(CASE WHEN regexp_matches(%s, '%s') THEN %s END)"
+                % (v, rx, v))
+
+
+@dataclass
 class EExistsMarker(Expr):
     """``EXISTS { … }`` in EXPRESSION position (``FILTER(EXISTS{…} ||
     …)``, ``BIND(IF(EXISTS{…},…) AS ?v)``) — not the statement-level
@@ -483,8 +563,8 @@ class ECmp(Expr):
         # instants (constants folded on the driver via the identical
         # formula; anything else through the column emitters — NULL/
         # unbound for non-dateTime-shaped values, the type-error rule)
-        temporal = (isinstance(l, EConst) and l.temporal) or \
-                   (isinstance(r, EConst) and r.temporal)
+        temporal = (isinstance(l, (EConst, ECast)) and l.temporal) or \
+                   (isinstance(r, (EConst, ECast)) and r.temporal)
         if temporal:
             def side(e):
                 if isinstance(e, EConst) and not e.numeric:
@@ -505,8 +585,8 @@ class ECmp(Expr):
                     return _dt_instant_sql(e.sql(env))
                 return _dt_instant_spark(e.spark(env))
             return side(l), side(r)
-        numeric = (isinstance(l, EConst) and l.numeric) or \
-                  (isinstance(r, EConst) and r.numeric) or \
+        numeric = (isinstance(l, (EConst, ECast)) and l.numeric) or \
+                  (isinstance(r, (EConst, ECast)) and r.numeric) or \
                   isinstance(l, EArith) or isinstance(r, EArith)
         # in numeric context EVERY operand coerces (same rule as
         # EArith): a var, a function result, or a COALESCE() that
@@ -1919,6 +1999,21 @@ class _Parser:
             e = self.expr()
             self.expect_op(")")
             return e
+        if k == "pname" and self.peek(1)[1] == "(":
+            # prefixed-name function call = an XPath constructor cast
+            # (SPARQL 17.5): xsd:integer(?v) etc.
+            pfx, local = v.split(":", 1)
+            if pfx not in self.prefixes:
+                raise SparqlError("unknown prefix %r" % pfx)
+            uri = self.prefixes[pfx] + local
+            if not (uri == "http://www.w3.org/2001/XMLSchema#" + local
+                    and local in ECast.KINDS):
+                raise SparqlError("unsupported function <%s>" % uri)
+            self.i += 1
+            self.expect_op("(")
+            arg = self.expr()
+            self.expect_op(")")
+            return ECast(local, arg)
         if k == "kw" and v.lower() == "regex":
             self.i += 1
             self.expect_op("(")

@@ -30,7 +30,8 @@ LITS = ["alpha", "beta", "gamma", "", "3", "12",
 # untagged) — gives the langMatches/datatype productions real corners:
 # exact tag, -subtag extension, case, and untagged
 LANGS = {"alpha": "en", "beta": "en-US", "gamma": "sv"}
-PREFIX = "PREFIX p: <http://p/>\n"
+PREFIX = ("PREFIX p: <http://p/>\n"
+          "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n")
 
 # graph = set of (s, pred-key, object, objtype) choices
 triple_st = st.tuples(
@@ -82,6 +83,9 @@ filter_st = st.one_of(
     st.tuples(st.just("strafter"), var_st, st.sampled_from(["a", "l"])),
     # 2-arg SUBSTR (suffix-to-end) against the 3-arg form
     st.tuples(st.just("substr2"), var_st, st.integers(1, 4)),
+    # xsd constructor casts composed through COALESCE's varchar
+    # unification back into a numeric comparison
+    st.tuples(st.just("castfn"), var_st, st.integers(0, 15)),
     # ceil/floor/round/abs composition over the double coercion
     st.tuples(st.just("numfn"), var_st, st.integers(0, 8)),
     # IF + COALESCE (string-typed results in both engines)
@@ -164,6 +168,9 @@ def filter_sparql(f):
     if op == "substr2":
         return ('FILTER(SUBSTR(?%s, %d) != SUBSTR(?%s, 1, %d))'
                 % (v, arg, v, arg))
+    if op == "castfn":
+        return ('FILTER(COALESCE(xsd:integer(?%s), xsd:double(?%s) * 2,'
+                ' STRLEN(xsd:string(?%s))) >= %d)' % (v, v, v, arg))
     if op == "existsexpr":
         return ('FILTER(EXISTS { ?%s p:%s ?ex } || strends(?%s, "a"))'
                 % (v, arg, v))
