@@ -1297,15 +1297,22 @@ class _Parser:
                     func = vf.upper()
                     self.expect_op("(")
                     agg_distinct = self.kw("DISTINCT")
-                    ka, va = self.next()
-                    if va == "*":
+                    if self.peek()[1] == "*":
+                        self.i += 1
                         var = None
                         if func != "COUNT":
                             raise SparqlError("%s(*) is not valid" % func)
-                    elif ka == "var":
-                        var = va[1:]
                     else:
-                        raise SparqlError("aggregate needs ?var or *")
+                        # full expression argument — SUM(?price * ?qty)
+                        # etc.; a bare variable keeps its name (the
+                        # compilers' fast path)
+                        ae = self.expr()
+                        var = ae.name if isinstance(ae, EVar) else ae
+                        if agg_distinct and not isinstance(var, str) \
+                                and func in ("SUM", "AVG"):
+                            raise SparqlError(
+                                "%s(DISTINCT expr) supports only a "
+                                "plain variable argument" % func)
                     sep = None
                     if func == "GROUP_CONCAT":
                         sep = " "           # SPARQL 1.1 default separator
@@ -3114,7 +3121,8 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         def aggcol(func, dist, var, alias, sep):
             if var is None:
                 return F.count(F.lit(1)).alias(alias)
-            col = F.col(env_cols[var])
+            col = (F.col(env_cols[var]) if isinstance(var, str)
+                   else var.spark(colenv(env_cols)))
             if func == "COUNT":
                 c = F.countDistinct(col) if dist else F.count(col)
             elif func in ("SUM", "AVG"):
@@ -3784,7 +3792,8 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         def aggsql(func, dist, var, alias, sep):
             if var is None:
                 return "COUNT(*) AS %s" % alias
-            c = env_cols[var]
+            c = (env_cols[var] if isinstance(var, str)
+                 else var.sql(sqlenv(env_cols)))
             if func == "COUNT":
                 return "COUNT(%s%s) AS %s" % ("DISTINCT " if dist else "",
                                               c, alias)
