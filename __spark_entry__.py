@@ -1992,6 +1992,33 @@ def _q_kg_sparql_construct_bnode(spark, sf_dir):
                                 _KG_SPARQL_CONSTRUCT_BNODE)
 
 
+_KG_SPARQL_CASTS = """
+PREFIX dct: <http://purl.org/dc/terms/>
+PREFIX bibo: <http://purl.org/ontology/bibo/>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+SELECT ?cat (COUNT(*) AS ?n) (SUM(xsd:integer(?ch) + 0.5) AS ?w)
+WHERE {
+  ?s dct:identifier ?id .
+  OPTIONAL { ?s bibo:chapter ?ch }
+  BIND(COALESCE(xsd:string(xsd:integer(?ch)), "none") AS ?cat)
+} GROUP BY ?cat ORDER BY ?cat
+"""  # round-5 expression-library combination query: XPath constructor
+# casts, a BIND that references the OPTIONAL-bound variable (deferred
+# past the left join), grouping BY the bind target, and an aggregate
+# over a full expression — the four additions in one user-shaped query
+
+
+def _q_kg_sparql_casts(spark, sf_dir):
+    """Cast/bind/aggregate-expression surface in one query: chapter
+    numbers cast via xsd:integer, defaulted through a post-OPTIONAL
+    COALESCE BIND used as the GROUP BY key, with SUM over a cast
+    arithmetic expression (all-NULL groups sum to unbound in both
+    engines)."""
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_CASTS)
+
+
 _KG_SPARQL_OPTAGG = """
 PREFIX dct: <http://purl.org/dc/terms/>
 PREFIX foaf: <http://xmlns.com/foaf/0.1/>
@@ -4081,6 +4108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_datetime": _q_kg_sparql_datetime,
         "kg_sparql_construct_bnode": _q_kg_sparql_construct_bnode,
         "kg_sparql_optagg": _q_kg_sparql_optagg,
+        "kg_sparql_casts": _q_kg_sparql_casts,
         "kg_describe_rfc": _q_kg_describe_rfc,
         "kg_describe_base": _q_kg_describe_base,
         "kg_versions": _q_kg_versions,
@@ -4362,6 +4390,8 @@ def oracle_sql() -> dict[str, str]:
             _KG_SPARQL_CONSTRUCT_BNODE),
         "kg_sparql_optagg": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_OPTAGG),
+        "kg_sparql_casts": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_SPARQL_CASTS),
         "kg_describe_rfc": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _RFC_ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),
