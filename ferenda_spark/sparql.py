@@ -1407,16 +1407,25 @@ class _Parser:
             while True:
                 k, v = self.peek()
                 if k == "kw" and v.upper() in ("ASC", "DESC"):
+                    # ASC/DESC(expr) — a full expression is legal; a
+                    # bare variable keeps the name-based fast path
                     desc = v.upper() == "DESC"
                     self.i += 1
                     self.expect_op("(")
-                    kv, vv = self.next()
-                    if kv != "var":
-                        raise SparqlError("ORDER BY needs a variable")
+                    oe = self.expr()
                     self.expect_op(")")
-                    order.append((vv[1:], desc))
+                    order.append((oe.name if isinstance(oe, EVar)
+                                  else oe, desc))
                 elif k == "var":
                     order.append((v[1:], False)); self.i += 1
+                elif v == "(" or (k in ("kw", "pname")
+                                  and self.peek(1)[1] == "("
+                                  and v.upper() not in ("LIMIT",
+                                                        "OFFSET")):
+                    # bare ORDER BY expression: (…) or a function call
+                    oe = self.expr()
+                    order.append((oe.name if isinstance(oe, EVar)
+                                  else oe, False))
                 else:
                     break
         limit = offset = None
@@ -3171,7 +3180,14 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         if query.distinct:
             out = out.dropDuplicates()
     if query.order:
-        out = out.orderBy(*[F.col(v).desc() if d else F.col(v).asc()
+        # sort keys evaluate over the OUTPUT columns (projected vars /
+        # aliases) — an expression referencing anything else errors
+        # through _Env, same rule as the name path
+        oenv = _Env((c, (F.col(c), c)) for c in out.columns)
+
+        def ocol(v):
+            return F.col(v) if isinstance(v, str) else v.spark(oenv)
+        out = out.orderBy(*[ocol(v).desc() if d else ocol(v).asc()
                             for v, d in query.order])
     if query.offset is not None:
         out = out.offset(query.offset)
@@ -3848,8 +3864,23 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         if where_conds:
             sql += " WHERE " + " AND ".join(where_conds)
     if query.order:
+        # mirror of the Spark backend: keys evaluate over the OUTPUT
+        # aliases (the emitted SELECT list), so expressions compose
+        # over projected vars / aggregate aliases only
+        oenv = _Env((_proj_alias(p), (None, _proj_alias(p)))
+                    for p in proj)
+
+        def osql(v):
+            return v if isinstance(v, str) else v.sql(oenv)
+        # explicit NULLS placement: SPARQL orders unbound LOWEST
+        # (asc → nulls first, desc → nulls last) — Spark's default;
+        # DuckDB defaults to NULLS LAST in BOTH directions, which
+        # silently diverged on any nullable sort key (an
+        # OPTIONAL-bound var, a shape-gated cast)
         sql += " ORDER BY " + ", ".join(
-            "%s%s" % (v, " DESC" if d else "") for v, d in query.order)
+            "%s%s" % (osql(v),
+                      " DESC NULLS LAST" if d else " NULLS FIRST")
+            for v, d in query.order)
     if query.limit is not None:
         sql += " LIMIT %d" % query.limit
     if query.offset is not None:

@@ -649,3 +649,41 @@ def test_bounded_negset_selfloop_parity(spark, duck_dir):
     text = (PREFIX +
             "SELECT * WHERE { GRAPH ?gv { ?a !(p:r){2,3} <d1> . } }")
     _run_fuzz(spark, duck_dir, graph, text)
+
+
+def test_order_by_nullable_parity(spark, duck_dir):
+    """r5 find: SPARQL orders unbound LOWEST (asc nulls first, desc
+    nulls last) — Spark's default, but DuckDB defaults to NULLS LAST
+    in BOTH directions, silently diverging on any nullable sort key
+    (an OPTIONAL-bound var, a shape-gated cast).  The SQL emitter now
+    pins NULLS FIRST/LAST explicitly; keys may also be full
+    expressions (DESC(STRLEN(?a)), bare function calls, casts)."""
+    graph = [("d1", "t", "alpha"), ("d2", "t", "beta"),
+             ("d1", "r", "x1")]
+    rows = [(s, PREDS[p], o, "uri" if o in SUBJECTS else "literal",
+             LANGS.get(o, ""))
+            for s, p, o in graph]
+    pdf = pd.DataFrame(rows, columns=[
+        "subject", "predicate", "object", "objtype", "lang"])
+    pdf["datatype"] = ""
+    pdf["context"] = "g1"
+    path = str(duck_dir / "nullord.parquet")
+    pdf.to_parquet(path)
+    sp = spark.createDataFrame(pdf)
+    for text in [
+        PREFIX + "SELECT ?a ?o WHERE { ?s p:t ?a . "
+                 "OPTIONAL { ?s p:r ?o } } ORDER BY ?o ?a",
+        PREFIX + "SELECT ?a ?o WHERE { ?s p:t ?a . "
+                 "OPTIONAL { ?s p:r ?o } } ORDER BY DESC(?o) ?a",
+        PREFIX + "SELECT ?a WHERE { ?s p:t ?a } "
+                 "ORDER BY DESC(STRLEN(?a)) ?a",
+        PREFIX + "SELECT ?a WHERE { ?s p:t ?a } "
+                 "ORDER BY xsd:integer(?a) ?a",
+    ]:
+        # ORDER-SENSITIVE comparison (_run_fuzz sorts rows, which
+        # would mask exactly the bug this test pins)
+        sdf = sparql.compile_spark(sp, text).toPandas()
+        odf = duckdb.sql(
+            sparql.compile_sql("read_parquet('%s')" % path, text)).df()
+        assert [tuple(map(str, r)) for r in sdf.values.tolist()] == \
+               [tuple(map(str, r)) for r in odf.values.tolist()], text
