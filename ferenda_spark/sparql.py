@@ -297,6 +297,9 @@ class Query:
     ask: bool = False                            # ASK query → 1 bool row
     offset: int | None = None
     having: object | None = None                 # Expr over aliases/keys
+    # aggregates hoisted out of HAVING: ("agg", …) tuples computed in
+    # the groupBy under hidden __hagg aliases, excluded from output
+    having_aggs: list = field(default_factory=list)
     # proj items are var-name strings or
     # ("agg", FUNC, distinct, var_or_None, alias, sep_or_None) tuples
 
@@ -453,6 +456,22 @@ def _dt_instant_sql(e: str) -> str:
     return ("(CASE WHEN regexp_matches(%s, '%s') THEN "
             "%s * 86400 + %s * 3600 + %s * 60 + %s - %s END)"
             % (s, _DT_FULL_RX, days, h, mi, sec, soff))
+
+
+@dataclass
+class EAggRef(Expr):
+    """Reference to a hoisted HAVING aggregate: ``HAVING(COUNT(?x) >
+    2)`` parses the aggregate into a HIDDEN projection (computed in
+    the groupBy, dropped from the output) and this node reads its
+    alias — the same alias-scope device SPARQL itself uses for
+    projected aggregates."""
+    alias: str
+
+    def spark(self, env):
+        return env[self.alias][0]
+
+    def sql(self, env):
+        return env[self.alias][1]
 
 
 @dataclass
@@ -1140,6 +1159,11 @@ class _Parser:
         # it into Group.exists_markers (see EExistsMarker)
         self._exm_n = 0
         self._pending_markers: list = []
+        # inline aggregates in HAVING: hoisted to hidden agg
+        # projections (computed in the groupBy, dropped from output)
+        self._in_having = False
+        self._having_aggs: list = []
+        self._hagg_n = 0
 
     def _fresh_seq_var(self) -> str:
         """Fresh internal variable for sequence-path desugaring; the
@@ -1295,39 +1319,7 @@ class _Parser:
                         continue
                     self.i += 1
                     func = vf.upper()
-                    self.expect_op("(")
-                    agg_distinct = self.kw("DISTINCT")
-                    if self.peek()[1] == "*":
-                        self.i += 1
-                        var = None
-                        if func != "COUNT":
-                            raise SparqlError("%s(*) is not valid" % func)
-                    else:
-                        # full expression argument — SUM(?price * ?qty)
-                        # etc.; a bare variable keeps its name (the
-                        # compilers' fast path)
-                        ae = self.expr()
-                        var = ae.name if isinstance(ae, EVar) else ae
-                        if agg_distinct and not isinstance(var, str) \
-                                and func in ("SUM", "AVG"):
-                            raise SparqlError(
-                                "%s(DISTINCT expr) supports only a "
-                                "plain variable argument" % func)
-                    sep = None
-                    if func == "GROUP_CONCAT":
-                        sep = " "           # SPARQL 1.1 default separator
-                        if self.peek()[1] == ";":
-                            self.i += 1
-                            if not self.kw("SEPARATOR"):
-                                raise SparqlError(
-                                    "GROUP_CONCAT(…; expects SEPARATOR")
-                            self.expect_op("=")
-                            ks, vs = self.next()
-                            if ks != "str":
-                                raise SparqlError(
-                                    "SEPARATOR needs a string")
-                            sep = vs[1:-1]
-                    self.expect_op(")")
+                    agg_distinct, var, sep = self._agg_args(func)
                     if not self.kw("AS"):
                         raise SparqlError("aggregate needs AS ?alias")
                     kn, vn = self.next()
@@ -1372,20 +1364,26 @@ class _Parser:
                 raise SparqlError("empty GROUP BY")
         having = None
         if self.kw("HAVING"):
-            having = self.expr()    # expr() consumes its own parens
+            self._in_having = True
+            try:
+                having = self.expr()   # expr() consumes its own parens
+            finally:
+                self._in_having = False
             aliases = {p[4] for p in proj
                        if not isinstance(p, str) and p[0] == "agg"}
-            if not group_by and not aliases:
+            hidden = {a[4] for a in self._having_aggs}
+            if not group_by and not aliases and not hidden:
                 raise SparqlError("HAVING without GROUP BY/aggregates")
             loose = _expr_vars(having) - set(group_by) - aliases
             if loose:
                 raise SparqlError(
-                    "HAVING may only reference GROUP BY variables and "
-                    "aggregate aliases, not %s" % sorted(loose))
+                    "HAVING may only reference GROUP BY variables, "
+                    "aggregate aliases and inline aggregates, not %s"
+                    % sorted(loose))
         if proj != ["*"]:
             plain = [p for p in proj if isinstance(p, str)]
             has_agg = any(not isinstance(p, str) and p[0] == "agg"
-                          for p in proj)
+                          for p in proj) or bool(self._having_aggs)
             if (has_agg or group_by) and set(plain) - set(group_by):
                 raise SparqlError(
                     "non-aggregated vars %s must appear in GROUP BY"
@@ -1472,6 +1470,8 @@ class _Parser:
         where.optionals = []
         q = Query(distinct, proj, where, optionals, order, limit,
                   unions, construct, group_by, ask, offset, having)
+        q.having_aggs = list(self._having_aggs)
+        self._having_aggs.clear()
 
         def walk(g):
             yield g
@@ -1945,6 +1945,46 @@ class _Parser:
             e = EArith(op, e, self.expr_primary())
         return e
 
+    AGG_FUNCS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
+                 "GROUP_CONCAT")
+
+    def _agg_args(self, func: str):
+        """Parse an aggregate call's argument list — after the
+        function keyword: ``([DISTINCT] expr|*) [; SEPARATOR="…"]``.
+        → (distinct, var_name_or_Expr_or_None, separator)."""
+        self.expect_op("(")
+        agg_distinct = self.kw("DISTINCT")
+        if self.peek()[1] == "*":
+            self.i += 1
+            var = None
+            if func != "COUNT":
+                raise SparqlError("%s(*) is not valid" % func)
+        else:
+            # full expression argument — SUM(?price * ?qty) etc.; a
+            # bare variable keeps its name (the compilers' fast path)
+            ae = self.expr()
+            var = ae.name if isinstance(ae, EVar) else ae
+            if agg_distinct and not isinstance(var, str) \
+                    and func in ("SUM", "AVG"):
+                raise SparqlError(
+                    "%s(DISTINCT expr) supports only a "
+                    "plain variable argument" % func)
+        sep = None
+        if func == "GROUP_CONCAT":
+            sep = " "               # SPARQL 1.1 default separator
+            if self.peek()[1] == ";":
+                self.i += 1
+                if not self.kw("SEPARATOR"):
+                    raise SparqlError(
+                        "GROUP_CONCAT(…; expects SEPARATOR")
+                self.expect_op("=")
+                ks, vs = self.next()
+                if ks != "str":
+                    raise SparqlError("SEPARATOR needs a string")
+                sep = vs[1:-1]
+        self.expect_op(")")
+        return agg_distinct, var, sep
+
     def _exists_expr(self, positive: bool) -> Expr:
         """EXISTS { … } in expression position: parse the body, hoist
         it as a marker (drained into the enclosing group by the
@@ -1999,6 +2039,20 @@ class _Parser:
 
     def expr_primary(self) -> Expr:
         k, v = self.peek()
+        if k == "kw" and v.upper() in self.AGG_FUNCS \
+                and self.peek(1)[1] == "(":
+            if not self._in_having:
+                raise SparqlError(
+                    "aggregate %s() is only legal in the projection "
+                    "or HAVING" % v.upper())
+            func = v.upper()
+            self.i += 1
+            dist, var, sep = self._agg_args(func)
+            alias = "__hagg%d" % self._hagg_n
+            self._hagg_n += 1
+            self._having_aggs.append(("agg", func, dist, var, alias,
+                                      sep))
+            return EAggRef(alias)
         if k == "kw" and v.upper() == "EXISTS" and self.peek(1)[1] == "{":
             self.i += 1
             return self._exists_expr(True)
@@ -3126,7 +3180,7 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                 if not v.startswith(("__seq", "__bn_", "__exm"))]
     aggs = [p for p in proj if not isinstance(p, str) and p[0] == "agg"]
     exprs = [p for p in proj if not isinstance(p, str) and p[0] == "expr"]
-    if aggs or query.group_by:
+    if aggs or query.group_by or query.having_aggs:
         def aggcol(func, dist, var, alias, sep):
             if var is None:
                 return F.count(F.lit(1)).alias(alias)
@@ -3155,7 +3209,8 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
             return c.alias(alias)
         keys = [F.col(env_cols[v]).alias(v) for v in query.group_by]
         out = plan.groupBy(*keys).agg(
-            *[aggcol(f, d, v, a, s) for (_, f, d, v, a, s) in aggs])
+            *[aggcol(f, d, v, a, s) for (_, f, d, v, a, s)
+              in aggs + query.having_aggs])
         if query.having is not None:
             # HAVING ranges over group keys and projected agg aliases —
             # applied as a post-aggregation filter (the SQL twin wraps
@@ -3804,7 +3859,7 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         proj = [v for v in env_cols
                 if not v.startswith(("__seq", "__bn_", "__exm"))]
     aggs = [p for p in proj if not isinstance(p, str) and p[0] == "agg"]
-    if aggs or query.group_by:
+    if aggs or query.group_by or query.having_aggs:
         def aggsql(func, dist, var, alias, sep):
             if var is None:
                 return "COUNT(*) AS %s" % alias
@@ -3837,6 +3892,12 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                 return "%s AS %s" % (p[1].sql(sqlenv(env_cols)), p[2])
             return aggsql(p[1], p[2], p[3], p[4], p[5])
         sel = ", ".join(grouped_sel(p) for p in proj)
+        # HAVING's inline aggregates compute as HIDDEN select items
+        # (the outer HAVING wrap projects only the real output)
+        if query.having_aggs:
+            sel += ", " + ", ".join(
+                aggsql(p[1], p[2], p[3], p[4], p[5])
+                for p in query.having_aggs)
         sql = "%sSELECT %s %s" % (with_prefix(), sel, " ".join(parts))
         if where_conds:
             sql += " WHERE " + " AND ".join(where_conds)
@@ -3846,10 +3907,14 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         if query.having is not None:
             # aliases aren't in scope in an ANSI HAVING — wrap the
             # grouped query instead (mirror of the Spark backend's
-            # post-aggregation filter)
+            # post-aggregation filter); the wrap also DROPS the
+            # hidden __hagg columns from the output
             henv = {v: (None, v) for v in query.group_by}
             henv.update({p[4]: (None, p[4]) for p in aggs})
-            sql = "SELECT * FROM (%s) havq WHERE %s" % (
+            henv.update({p[4]: (None, p[4])
+                         for p in query.having_aggs})
+            sql = "SELECT %s FROM (%s) havq WHERE %s" % (
+                ", ".join(_proj_alias(p) for p in proj) or "*",
                 sql, query.having.sql(henv))
     else:
         def plain_sel(p):

@@ -382,6 +382,9 @@ aggq_st = st.fixed_dictionaries({
     "sep": st.sampled_from([None, ",", " | "]),
     # HAVING over a COUNT alias (numeric, so the draw is always valid)
     "having": st.one_of(st.none(), st.integers(1, 3)),
+    # inline aggregate in HAVING (hoisted hidden projection) vs the
+    # alias form above
+    "having_inline": st.booleans(),
     "values": st.one_of(
         st.none(),
         st.lists(st.sampled_from(SUBJECTS + LITS[:2]),
@@ -412,8 +415,12 @@ def render_agg_query(q):
         sep = '; SEPARATOR="%s"' % q["sep"]
     extra = having = ""
     if q["having"] is not None:
-        extra = " (COUNT(?%s) AS ?n)" % q["agg_var"]
-        having = " HAVING (?n >= %d)" % q["having"]
+        if q.get("having_inline"):
+            having = (" HAVING (COUNT(?%s) >= %d)"
+                      % (q["agg_var"], q["having"]))
+        else:
+            extra = " (COUNT(?%s) AS ?n)" % q["agg_var"]
+            having = " HAVING (?n >= %d)" % q["having"]
     return (PREFIX + "SELECT ?%s (%s(%s?%s%s) AS ?agg)%s WHERE { %s} "
             "GROUP BY ?%s%s"
             % (q["group_var"], q["agg"], dist, q["agg_var"], sep, extra,
