@@ -74,8 +74,16 @@ Supported subset (what ferenda's own queries use):
   with ?var bound to the closure's graph column
 - aggregates ``COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT`` (SAMPLE
   is deterministic-MIN; GROUP_CONCAT concatenates in sorted order —
-  both choices valid per spec and identical across backends), with
-  ``GROUP BY`` and ``HAVING`` (over group vars + agg aliases)
+  both choices valid per spec and identical across backends), over a
+  bare variable, ``*``, or a FULL EXPRESSION (``SUM(?a * 2 + 1)``,
+  ``COUNT(xsd:integer(?x))``; SUM/AVG DISTINCT stays variable-only),
+  with ``GROUP BY`` and ``HAVING`` — over group vars, agg aliases,
+  and INLINE aggregate calls (``HAVING(COUNT(?x) > 2)``, hoisted to
+  hidden projections)
+- ``ORDER BY`` keys may be full expressions (``DESC(STRLEN(?t))``,
+  bare function calls, casts) over the OUTPUT columns; unbound sorts
+  LOWEST per spec (asc nulls first / desc nulls last — pinned
+  explicitly in the SQL twin, whose engine default differs)
 - property paths ``p*`` / ``p+`` / bounded ``p{m,n}`` & ``p{,n}``,
   over a URI, an alternation ``(p1|p2)`` or a negated set
   ``!(p1|p2)`` (closure over the complement edge set), each
