@@ -81,9 +81,11 @@ Supported subset (what ferenda's own queries use):
   and INLINE aggregate calls (``HAVING(COUNT(?x) > 2)``, hoisted to
   hidden projections)
 - ``ORDER BY`` keys may be full expressions (``DESC(STRLEN(?t))``,
-  bare function calls, casts) over the OUTPUT columns; unbound sorts
-  LOWEST per spec (asc nulls first / desc nulls last — pinned
-  explicitly in the SQL twin, whose engine default differs)
+  bare function calls, casts) over the OUTPUT columns — including
+  AGGREGATE calls under GROUP BY (``ORDER BY DESC(COUNT(?x))``,
+  hoisted to hidden projections that survive until after the sort);
+  unbound sorts LOWEST per spec (asc nulls first / desc nulls last —
+  pinned explicitly in the SQL twin, whose engine default differs)
 - property paths ``p*`` / ``p+`` / bounded ``p{m,n}`` & ``p{,n}``,
   over a URI, an alternation ``(p1|p2)`` or a negated set
   ``!(p1|p2)`` (closure over the complement edge set), each
@@ -1413,12 +1415,18 @@ class _Parser:
             while True:
                 k, v = self.peek()
                 if k == "kw" and v.upper() in ("ASC", "DESC"):
-                    # ASC/DESC(expr) — a full expression is legal; a
-                    # bare variable keeps the name-based fast path
+                    # ASC/DESC(expr) — a full expression is legal
+                    # (aggregate calls included, hoisted like HAVING's
+                    # — ORDER BY DESC(COUNT(?x))); a bare variable
+                    # keeps the name-based fast path
                     desc = v.upper() == "DESC"
                     self.i += 1
                     self.expect_op("(")
-                    oe = self.expr()
+                    self._in_having = True
+                    try:
+                        oe = self.expr()
+                    finally:
+                        self._in_having = False
                     self.expect_op(")")
                     order.append((oe.name if isinstance(oe, EVar)
                                   else oe, desc))
@@ -1429,11 +1437,21 @@ class _Parser:
                                   and v.upper() not in ("LIMIT",
                                                         "OFFSET")):
                     # bare ORDER BY expression: (…) or a function call
-                    oe = self.expr()
+                    self._in_having = True
+                    try:
+                        oe = self.expr()
+                    finally:
+                        self._in_having = False
                     order.append((oe.name if isinstance(oe, EVar)
                                   else oe, False))
                 else:
                     break
+            if self._having_aggs and not group_by and (
+                    proj == ["*"] or any(isinstance(p, str)
+                                         for p in proj)):
+                raise SparqlError(
+                    "an aggregate sort key needs GROUP BY when "
+                    "non-aggregated variables are projected")
         limit = offset = None
         while True:     # LIMIT/OFFSET accepted in either order
             if limit is None and self.kw("LIMIT"):
@@ -3229,7 +3247,10 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
             out = out.withColumn(
                 alias, e.spark(_Env((c, (F.col(c), c))
                                     for c in out.columns)))
-        out = out.select(*[_proj_alias(p) for p in proj])
+        # hidden __hagg columns survive until after ORDER BY (an
+        # aggregate sort key reads them); dropped at the tail
+        out = out.select(*([_proj_alias(p) for p in proj]
+                           + [p[4] for p in query.having_aggs]))
     else:
         # a projected variable bound nowhere is NULL (SPARQL allows it;
         # the reference's sfs_forfattningskommentar.rq projects one)
@@ -3256,6 +3277,10 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         out = out.offset(query.offset)
     if query.limit is not None:
         out = out.limit(query.limit)
+    if query.having_aggs:
+        # drop the hidden HAVING/ORDER aggregate columns (narrow
+        # projection after orderBy — order is preserved)
+        out = out.select(*[_proj_alias(p) for p in proj])
     return out
 
 
@@ -3922,7 +3947,8 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
             henv.update({p[4]: (None, p[4])
                          for p in query.having_aggs})
             sql = "SELECT %s FROM (%s) havq WHERE %s" % (
-                ", ".join(_proj_alias(p) for p in proj) or "*",
+                ", ".join([_proj_alias(p) for p in proj]
+                          + [p[4] for p in query.having_aggs]) or "*",
                 sql, query.having.sql(henv))
     else:
         def plain_sel(p):
@@ -3936,12 +3962,21 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
                                     sel, " ".join(parts))
         if where_conds:
             sql += " WHERE " + " AND ".join(where_conds)
+    if query.having_aggs:
+        # final projection drops the hidden __hagg columns; the outer
+        # ORDER BY below may still reference them (ORDER BY resolves
+        # against the FROM subquery's columns, projected or not)
+        sql = "SELECT %s FROM (%s) finq" % (
+            ", ".join(_proj_alias(p) for p in proj), sql)
     if query.order:
         # mirror of the Spark backend: keys evaluate over the OUTPUT
-        # aliases (the emitted SELECT list), so expressions compose
-        # over projected vars / aggregate aliases only
-        oenv = _Env((_proj_alias(p), (None, _proj_alias(p)))
-                    for p in proj)
+        # aliases (the emitted SELECT list) plus hidden aggregate
+        # sort keys, so expressions compose over projected vars /
+        # aggregate aliases only
+        oenv = _Env([(_proj_alias(p), (None, _proj_alias(p)))
+                     for p in proj]
+                    + [(p[4], (None, p[4]))
+                       for p in query.having_aggs])
 
         def osql(v):
             return v if isinstance(v, str) else v.sql(oenv)

@@ -694,3 +694,33 @@ def test_order_by_nullable_parity(spark, duck_dir):
             sparql.compile_sql("read_parquet('%s')" % path, text)).df()
         assert [tuple(map(str, r)) for r in sdf.values.tolist()] == \
                [tuple(map(str, r)) for r in odf.values.tolist()], text
+
+
+def test_order_by_aggregate(spark, duck_dir):
+    """ORDER BY DESC(COUNT(?x)) — aggregate sort keys hoist to hidden
+    projections (the HAVING device), survive until after the sort in
+    both engines, and are dropped from the output; composes with
+    HAVING and expression arguments."""
+    graph = [("d1", "t", "3"), ("d1", "t", "12"), ("d2", "t", "3")]
+    rows = [(s, PREDS[p], o, "literal", "") for s, p, o in graph]
+    pdf = pd.DataFrame(rows, columns=[
+        "subject", "predicate", "object", "objtype", "lang"])
+    pdf["datatype"] = ""
+    pdf["context"] = "g1"
+    path = str(duck_dir / "ordagg.parquet")
+    pdf.to_parquet(path)
+    sp = spark.createDataFrame(pdf)
+    for text in [
+        PREFIX + "SELECT ?s WHERE { ?s p:t ?a } GROUP BY ?s "
+                 "ORDER BY DESC(COUNT(?a)) ?s",
+        PREFIX + "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s p:t ?a } "
+                 "GROUP BY ?s ORDER BY DESC(SUM(xsd:integer(?a))) ?s",
+        PREFIX + "SELECT ?s WHERE { ?s p:t ?a } GROUP BY ?s "
+                 "HAVING(COUNT(?a) >= 1) ORDER BY DESC(MAX(?a)) ?s",
+    ]:
+        sdf = sparql.compile_spark(sp, text).toPandas()
+        odf = duckdb.sql(
+            sparql.compile_sql("read_parquet('%s')" % path, text)).df()
+        assert list(sdf.columns) == list(odf.columns), text
+        assert [tuple(map(str, r)) for r in sdf.values.tolist()] == \
+               [tuple(map(str, r)) for r in odf.values.tolist()], text
