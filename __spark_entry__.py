@@ -2019,6 +2019,27 @@ def _q_kg_sparql_casts(spark, sf_dir):
                                 _KG_SPARQL_CASTS)
 
 
+_KG_SPARQL_TOP_CITED = """
+PREFIX dct: <http://purl.org/dc/terms/>
+SELECT ?o WHERE { ?s dct:isPartOf ?o }
+GROUP BY ?o HAVING(COUNT(?s) >= 2)
+ORDER BY DESC(COUNT(?s)) ?o LIMIT 10
+"""  # round-5: inline HAVING aggregate + aggregate ORDER BY key in
+# the classic busiest-containers shape — both aggregates hoist to
+# hidden projections (computed once in the groupBy, dropped from the
+# output after the sort)
+
+
+def _q_kg_sparql_top_cited(spark, sf_dir):
+    """Busiest container documents (most direct parts) via inline
+    aggregates in HAVING and ORDER BY (no aliases): one
+    predicate-pruned scan, one map-side-combined count, top-10 under
+    a (count DESC, uri) total order."""
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_TOP_CITED)
+
+
 _KG_SPARQL_OPTAGG = """
 PREFIX dct: <http://purl.org/dc/terms/>
 PREFIX foaf: <http://xmlns.com/foaf/0.1/>
@@ -4109,6 +4130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct_bnode": _q_kg_sparql_construct_bnode,
         "kg_sparql_optagg": _q_kg_sparql_optagg,
         "kg_sparql_casts": _q_kg_sparql_casts,
+        "kg_sparql_top_cited": _q_kg_sparql_top_cited,
         "kg_describe_rfc": _q_kg_describe_rfc,
         "kg_describe_base": _q_kg_describe_base,
         "kg_versions": _q_kg_versions,
@@ -4392,6 +4414,9 @@ def oracle_sql() -> dict[str, str]:
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_OPTAGG),
         "kg_sparql_casts": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"], _KG_SPARQL_CASTS),
+        "kg_sparql_top_cited": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"],
+            _KG_SPARQL_TOP_CITED),
         "kg_describe_rfc": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _RFC_ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),
