@@ -77,9 +77,12 @@ Supported subset (what ferenda's own queries use):
   both choices valid per spec and identical across backends), over a
   bare variable, ``*``, or a FULL EXPRESSION (``SUM(?a * 2 + 1)``,
   ``COUNT(xsd:integer(?x))``; SUM/AVG DISTINCT stays variable-only),
-  with ``GROUP BY`` and ``HAVING`` — over group vars, agg aliases,
-  and INLINE aggregate calls (``HAVING(COUNT(?x) > 2)``, hoisted to
-  hidden projections)
+  with ``GROUP BY`` — over variables OR expression keys
+  (``GROUP BY (STRBEFORE(?id, ":") AS ?k)``, projectable via the
+  alias; anonymous keys group under hidden names; no aggregates ≡
+  DISTINCT over the keys) — and ``HAVING`` — over group vars, agg
+  aliases, and INLINE aggregate calls (``HAVING(COUNT(?x) > 2)``,
+  hoisted to hidden projections)
 - ``ORDER BY`` keys may be full expressions (``DESC(STRLEN(?t))``,
   bare function calls, casts) over the OUTPUT columns — including
   AGGREGATE calls under GROUP BY (``ORDER BY DESC(COUNT(?x))``,
@@ -310,6 +313,10 @@ class Query:
     # aggregates hoisted out of HAVING: ("agg", …) tuples computed in
     # the groupBy under hidden __hagg aliases, excluded from output
     having_aggs: list = field(default_factory=list)
+    # GROUP BY expression keys: [(Expr, name)] — computed as derived
+    # columns before grouping; `name` also appears in group_by (an AS
+    # alias is projectable, an anonymous key gets a hidden __gk name)
+    group_exprs: list = field(default_factory=list)
     # proj items are var-name strings or
     # ("agg", FUNC, distinct, var_or_None, alias, sep_or_None) tuples
 
@@ -1365,11 +1372,44 @@ class _Parser:
                 raise SparqlError("empty CONSTRUCT template")
             construct = list(where.triples)
         group_by: list = []
+        group_exprs: list = []
         if self.kw("GROUP"):
             if not self.kw("BY"):
                 raise SparqlError("GROUP without BY")
-            while self.peek()[0] == "var":
-                group_by.append(self.next()[1][1:])
+            while True:
+                k, v = self.peek()
+                if k == "var":
+                    group_by.append(self.next()[1][1:])
+                    continue
+                if v == "(":
+                    # (expr [AS ?alias]) — an AS alias is projectable;
+                    # an anonymous key groups under a hidden name
+                    self.i += 1
+                    ge = self.expr()
+                    if self.kw("AS"):
+                        kn, vn = self.next()
+                        if kn != "var":
+                            raise SparqlError(
+                                "GROUP BY alias must be a variable")
+                        name = vn[1:]
+                    else:
+                        name = "__gk%d" % len(group_exprs)
+                    self.expect_op(")")
+                    group_exprs.append((ge, name))
+                    group_by.append(name)
+                    continue
+                if (k == "kw" and self.peek(1)[1] == "("
+                        and (v.lower() in EFunc.ARITY
+                             or v.lower() in ("concat", "coalesce",
+                                              "if", "str"))) \
+                        or (k == "pname" and self.peek(1)[1] == "("):
+                    # bare function-call key (no alias) — hidden name
+                    ge = self.expr()
+                    name = "__gk%d" % len(group_exprs)
+                    group_exprs.append((ge, name))
+                    group_by.append(name)
+                    continue
+                break
             if not group_by:
                 raise SparqlError("empty GROUP BY")
         having = None
@@ -1498,6 +1538,7 @@ class _Parser:
                   unions, construct, group_by, ask, offset, having)
         q.having_aggs = list(self._having_aggs)
         self._having_aggs.clear()
+        q.group_exprs = group_exprs
 
         def walk(g):
             yield g
@@ -3157,6 +3198,16 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
         plan = plan.withColumn(cname, e.spark(colenv(env_cols)))
         env_cols[var] = cname
 
+    # GROUP BY expression keys: derived columns computed before the
+    # grouping (their names are already in query.group_by)
+    for gi, (ge, name) in enumerate(query.group_exprs):
+        if name in env_cols:
+            raise SparqlError("GROUP BY alias ?%s is already bound"
+                              % name)
+        cname = "gk%d__%s" % (gi, name)
+        plan = plan.withColumn(cname, ge.spark(colenv(env_cols)))
+        env_cols[name] = cname
+
     if query.construct is not None:
         # instantiate each template triple per solution; template rows
         # with any unbound position are skipped (SPARQL CONSTRUCT
@@ -3203,7 +3254,8 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
     proj = query.proj
     if proj == ["*"]:
         proj = [v for v in env_cols
-                if not v.startswith(("__seq", "__bn_", "__exm"))]
+                if not v.startswith(("__seq", "__bn_", "__exm",
+                                     "__gk"))]
     aggs = [p for p in proj if not isinstance(p, str) and p[0] == "agg"]
     exprs = [p for p in proj if not isinstance(p, str) and p[0] == "expr"]
     if aggs or query.group_by or query.having_aggs:
@@ -3234,9 +3286,15 @@ def compile_spark(triples: DataFrame, query: Query | str) -> DataFrame:
                 c = getattr(F, func.lower())(col)
             return c.alias(alias)
         keys = [F.col(env_cols[v]).alias(v) for v in query.group_by]
-        out = plan.groupBy(*keys).agg(
-            *[aggcol(f, d, v, a, s) for (_, f, d, v, a, s)
-              in aggs + query.having_aggs])
+        aggitems = [aggcol(f, d, v, a, s) for (_, f, d, v, a, s)
+                    in aggs + query.having_aggs]
+        if aggitems:
+            out = plan.groupBy(*keys).agg(*aggitems)
+        else:
+            # GROUP BY with no aggregates ≡ DISTINCT over the keys
+            # (the SQL twin's GROUP-BY-without-aggregates does the
+            # same reduction)
+            out = plan.select(*keys).distinct()
         if query.having is not None:
             # HAVING ranges over group keys and projected agg aliases —
             # applied as a post-aggregation filter (the SQL twin wraps
@@ -3826,6 +3884,14 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
         env_cols[var] = e.sql(sqlenv(env_cols))
         bind_vars.add(var)
 
+    # GROUP BY expression keys: carried expressions (the GROUP BY
+    # clause and the select list both substitute the text)
+    for ge, name in query.group_exprs:
+        if name in env_cols:
+            raise SparqlError("GROUP BY alias ?%s is already bound"
+                              % name)
+        env_cols[name] = ge.sql(sqlenv(env_cols))
+
     def with_prefix(extra_ctes=()):
         allc = ctes + list(extra_ctes)
         if not allc:
@@ -3890,7 +3956,8 @@ def compile_sql(table_sql: str, query: Query | str) -> str:
     proj = query.proj
     if proj == ["*"]:
         proj = [v for v in env_cols
-                if not v.startswith(("__seq", "__bn_", "__exm"))]
+                if not v.startswith(("__seq", "__bn_", "__exm",
+                                     "__gk"))]
     aggs = [p for p in proj if not isinstance(p, str) and p[0] == "agg"]
     if aggs or query.group_by or query.having_aggs:
         def aggsql(func, dist, var, alias, sep):

@@ -385,6 +385,9 @@ aggq_st = st.fixed_dictionaries({
     # inline aggregate in HAVING (hoisted hidden projection) vs the
     # alias form above
     "having_inline": st.booleans(),
+    # GROUP BY an expression key (md5-prefix of the group var) with
+    # an AS alias, instead of the bare variable
+    "group_expr": st.booleans(),
     "values": st.one_of(
         st.none(),
         st.lists(st.sampled_from(SUBJECTS + LITS[:2]),
@@ -421,6 +424,12 @@ def render_agg_query(q):
         else:
             extra = " (COUNT(?%s) AS ?n)" % q["agg_var"]
             having = " HAVING (?n >= %d)" % q["having"]
+    if q.get("group_expr"):
+        # group on a derived key (and project IT, not the raw var)
+        return (PREFIX + "SELECT ?gk (%s(%s?%s%s) AS ?agg)%s "
+                "WHERE { %s} GROUP BY (SUBSTR(MD5(?%s), 1, 2) AS ?gk)%s"
+                % (q["agg"], dist, q["agg_var"], sep, extra, body,
+                   q["group_var"], having))
     return (PREFIX + "SELECT ?%s (%s(%s?%s%s) AS ?agg)%s WHERE { %s} "
             "GROUP BY ?%s%s"
             % (q["group_var"], q["agg"], dist, q["agg_var"], sep, extra,
