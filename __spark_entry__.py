@@ -2040,6 +2040,28 @@ def _q_kg_sparql_top_cited(spark, sf_dir):
                                 _KG_SPARQL_TOP_CITED)
 
 
+_KG_SPARQL_GROUPKEY = """
+PREFIX dct: <http://purl.org/dc/terms/>
+SELECT ?series (COUNT(*) AS ?n)
+       (GROUP_CONCAT(STRAFTER(?id, ", "); SEPARATOR="|") AS ?members)
+WHERE { ?s dct:identifier ?id . FILTER(CONTAINS(?id, ",")) }
+GROUP BY (STRBEFORE(?id, ",") AS ?series)
+ORDER BY DESC(COUNT(*)) ?series
+"""  # round-5: GROUP BY an expression key with AS alias (identifier
+# series prefix), aggregate over a string-function expression, and an
+# aggregate ORDER BY — the derived-key census shape
+
+
+def _q_kg_sparql_groupkey(spark, sf_dir):
+    """Identifier-series census via a GROUP BY expression key: groups
+    on STRBEFORE(?id, ",") (projected through its AS alias), counts
+    members and concatenates their suffixes, ordered by an inline
+    aggregate sort key."""
+    from ferenda_spark import sparql
+    return sparql.compile_spark(_kg_read(spark, "triples"),
+                                _KG_SPARQL_GROUPKEY)
+
+
 _KG_SPARQL_OPTAGG = """
 PREFIX dct: <http://purl.org/dc/terms/>
 PREFIX foaf: <http://xmlns.com/foaf/0.1/>
@@ -4131,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optagg": _q_kg_sparql_optagg,
         "kg_sparql_casts": _q_kg_sparql_casts,
         "kg_sparql_top_cited": _q_kg_sparql_top_cited,
+        "kg_sparql_groupkey": _q_kg_sparql_groupkey,
         "kg_describe_rfc": _q_kg_describe_rfc,
         "kg_describe_base": _q_kg_describe_base,
         "kg_versions": _q_kg_versions,
@@ -4417,6 +4440,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_top_cited": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _KG_SPARQL_TOP_CITED),
+        "kg_sparql_groupkey": sparql.compile_sql(
+            "read_parquet('%s')" % kg["triples"], _KG_SPARQL_GROUPKEY),
         "kg_describe_rfc": sparql.compile_sql(
             "read_parquet('%s')" % kg["triples"],
             _RFC_ANNOTATIONS_RQ % {"uri": _DESCRIBE_URI}),

@@ -511,6 +511,7 @@ def main() -> None:
         "kg_sparql_optagg": qs["kg_sparql_optagg"],
         "kg_sparql_casts": qs["kg_sparql_casts"],
         "kg_sparql_top_cited": qs["kg_sparql_top_cited"],
+        "kg_sparql_groupkey": qs["kg_sparql_groupkey"],
         "kg_sparql_pathvar": kg_sparql_pathvar,
         "cdx_index": qs["cdx_index"],
         "sitemap_entries": qs["sitemap_entries"],
